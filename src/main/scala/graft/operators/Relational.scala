@@ -1,0 +1,526 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.sources.Tables
+
+/** Relational OLAP core: TPC-H-style declarative plans over the star
+  * schema. Every query is a pure DataFrame plan — Catalyst handles
+  * predicate pushdown, column pruning, join selection (dims broadcast
+  * under the session threshold) and AQE re-planning; nothing here
+  * hand-schedules execution.
+  *
+  * Determinism contract with the DuckDB oracle: all money/quantity
+  * aggregates run over exact DECIMAL(18,2) casts (double sums are
+  * order-dependent and would hash-mismatch across engines); the final
+  * value is cast back to DOUBLE, which is exact and identical on both
+  * sides. Ratios divide two exact doubles (IEEE-identical). Dates are
+  * emitted as 'yyyy-MM-dd' strings.
+  */
+object Relational {
+
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(spark, dir, name)
+
+  // ---- q1: wide hash aggregate (TPC-H Q1 flavor) ----
+  def q1Agg(spark: SparkSession, dir: String): DataFrame = {
+    val l = t(spark, dir, "lineitem")
+    val disc = dec(lit(1)) - dec(col("l_discount"))
+    l.filter(col("l_shipdate") <= lit("1998-09-02"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+        sum(dec(col("l_extendedprice")) * disc).cast("double").as("sum_disc_price"),
+        sum(dec(col("l_extendedprice")) * disc * (dec(lit(1)) + dec(col("l_tax"))))
+          .cast("double").as("sum_charge"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  val q1Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+      | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+      | count(*) AS count_order
+      |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // ---- q2: filter + projection pushdown ----
+  def q2FilterProject(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "part")
+      .filter(col("p_size") < 20 && col("p_type").isin("ECONOMY", "PROMO"))
+      .select(col("p_partkey"), col("p_name"), col("p_type"),
+        col("p_retailprice").cast("double").as("price"))
+      .orderBy(col("p_partkey"))
+
+  val q2Sql: String =
+    """SELECT p_partkey, p_name, p_type, CAST(p_retailprice AS DOUBLE) AS price
+      |FROM part WHERE p_size < 20 AND p_type IN ('ECONOMY','PROMO')
+      |ORDER BY p_partkey""".stripMargin
+
+  // ---- q3: join + agg + topN (Q3 flavor) ----
+  def q3JoinAgg(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val o = t(spark, dir, "orders").filter(col("o_orderdate") < lit("1998-03-15"))
+    val l = t(spark, dir, "lineitem").filter(col("l_shipdate") > lit("1998-03-15"))
+    val disc = dec(lit(1)) - dec(col("l_discount"))
+    c.join(o, col("c_custkey") === col("o_custkey"))
+      .join(l, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(sum(dec(col("l_extendedprice")) * disc).cast("double").as("revenue"))
+      .select(col("l_orderkey"), col("revenue"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  val q3Sql: String =
+    """SELECT l_orderkey,
+      | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+      | strftime(o_orderdate, '%Y-%m-%d') AS orderdate
+      |FROM customer, orders, lineitem
+      |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+      |  AND o_orderdate < TIMESTAMP '1998-03-15' AND l_shipdate > TIMESTAMP '1998-03-15'
+      |GROUP BY l_orderkey, o_orderdate
+      |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
+
+  // ---- q4: EXISTS → left-semi join (Q4 flavor) ----
+  def q4Semijoin(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1997-07-01") && col("o_orderdate") < lit("1997-10-01"))
+    val l = t(spark, dir, "lineitem")
+    o.join(l, col("l_orderkey") === col("o_orderkey") &&
+        col("l_shipdate") > expr("o_orderdate + INTERVAL 60 DAYS"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val q4Sql: String =
+    """SELECT o_orderpriority, count(*) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1997-07-01' AND o_orderdate < TIMESTAMP '1997-10-01'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // ---- q5: snowflake multijoin (Q5 flavor) ----
+  def q5Multijoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer")
+    val o = t(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1997-01-01"))
+    val l = t(spark, dir, "lineitem")
+    val s = t(spark, dir, "supplier")
+    val n = t(spark, dir, "nation")
+    val r = t(spark, dir, "region").filter(col("r_name") === "ASIA")
+    val disc = dec(lit(1)) - dec(col("l_discount"))
+    c.join(o, col("c_custkey") === col("o_custkey"))
+      .join(l, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(dec(col("l_extendedprice")) * disc).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  val q5Sql: String =
+    """SELECT n_name,
+      | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      |FROM customer, orders, lineitem, supplier, nation, region
+      |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+      |  AND c_nationkey = s_nationkey AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      |  AND r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+      |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin
+
+  // ---- q6: tight scan + filter + single agg (Q6 flavor) ----
+  def q6ScanFilter(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1997-01-01") && col("l_shipdate") < lit("1998-01-01") &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 && col("l_quantity") < 24)
+      .agg(sum(dec(col("l_extendedprice")) * dec(col("l_discount"))).cast("double").as("revenue"))
+
+  val q6Sql: String =
+    """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+      |  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""".stripMargin
+
+  // ---- q7: window functions (row_number + running sum) ----
+  def q7Window(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = t(spark, dir, "orders")
+    val byPrice = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val running = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    o.select(col("o_custkey"), col("o_orderkey"),
+        row_number().over(byPrice).as("rnk"),
+        sum(dec(col("o_totalprice"))).over(running).cast("double").as("running_spend"))
+      .filter(col("rnk") <= 3)
+      .orderBy(col("o_custkey"), col("rnk"))
+  }
+
+  val q7Sql: String =
+    """SELECT o_custkey, o_orderkey, rnk, running_spend FROM (
+      |  SELECT o_custkey, o_orderkey,
+      |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rnk,
+      |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+      |  FROM orders) w
+      |WHERE rnk <= 3 ORDER BY o_custkey, rnk""".stripMargin
+
+  // ---- q8: distinct + count distinct ----
+  def q8Distinct(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders").filter(col("o_orderstatus") === "O")
+      .agg(countDistinct(col("o_custkey")).as("n_custs"),
+        countDistinct(col("o_orderpriority")).as("n_prios"),
+        count(lit(1)).as("n_orders"))
+
+  val q8Sql: String =
+    """SELECT count(DISTINCT o_custkey) AS n_custs, count(DISTINCT o_orderpriority) AS n_prios,
+      |       count(*) AS n_orders
+      |FROM orders WHERE o_orderstatus = 'O'""".stripMargin
+
+  // ---- q9: global sort + limit (TakeOrderedAndProject) ----
+  def q9SortLimit(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice").cast("double").as("price"))
+      .orderBy(col("price").desc, col("l_orderkey"), col("l_linenumber"))
+      .limit(20)
+
+  val q9Sql: String =
+    """SELECT l_orderkey, l_linenumber, CAST(l_extendedprice AS DOUBLE) AS price
+      |FROM lineitem ORDER BY price DESC, l_orderkey, l_linenumber LIMIT 20""".stripMargin
+
+  // ---- q10: NOT EXISTS → left-anti join ----
+  def q10Antijoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer")
+    val o = t(spark, dir, "orders").filter(col("o_orderstatus") === "F")
+    c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val q10Sql: String =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+      |ORDER BY c_custkey""".stripMargin
+
+  // ---- q11: group-by + HAVING ----
+  def q11Having(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_partkey"))
+      .agg(sum(dec(col("l_quantity"))).cast("double").as("qty"),
+        count(lit(1)).as("n_lines"))
+      .filter(col("qty") > 500.0)
+      .orderBy(col("l_partkey"))
+
+  val q11Sql: String =
+    """SELECT l_partkey, CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty,
+      |       count(*) AS n_lines
+      |FROM lineitem GROUP BY l_partkey
+      |HAVING CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 500.0
+      |ORDER BY l_partkey""".stripMargin
+
+  // ---- q12: conditional (CASE) aggregation (Q12 flavor) ----
+  def q12CaseAgg(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+    val l = t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1997-01-01") && col("l_shipdate") < lit("1998-01-01"))
+    val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    o.join(l, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(!high, 1L).otherwise(0L)).as("low_line_count"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val q12Sql: String =
+    """SELECT l_returnflag,
+      | CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      | CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+      |FROM orders, lineitem
+      |WHERE o_orderkey = l_orderkey
+      |  AND l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // ---- q13: left outer join + grouped count (Q13 flavor) ----
+  def q13Outerjoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer")
+    val o = t(spark, dir, "orders").filter(col("o_orderpriority") =!= "5-LOW")
+    c.join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  val q13Sql: String =
+    """SELECT c_count, count(*) AS custdist FROM (
+      |  SELECT c_custkey, count(o_orderkey) AS c_count
+      |  FROM customer LEFT OUTER JOIN orders
+      |    ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+      |  GROUP BY c_custkey) cc
+      |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  // ---- q14: ratio expression over agg (Q14 flavor) ----
+  def q14Expr(spark: SparkSession, dir: String): DataFrame = {
+    val l = t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1997-09-01") && col("l_shipdate") < lit("1997-10-01"))
+    val p = t(spark, dir, "part")
+    val rev = dec(col("l_extendedprice")) * (dec(lit(1)) - dec(col("l_discount")))
+    l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", rev).otherwise(dec(lit(0)))).cast("double").as("promo_revenue"),
+        sum(rev).cast("double").as("total_revenue"))
+      .withColumn("promo_pct", lit(100.0) * col("promo_revenue") / col("total_revenue"))
+  }
+
+  val q14Sql: String =
+    """SELECT promo_revenue, total_revenue, 100.0 * promo_revenue / total_revenue AS promo_pct
+      |FROM (
+      |  SELECT
+      |   CAST(sum(CASE WHEN p_type = 'PROMO'
+      |        THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+      |        ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS promo_revenue,
+      |   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS total_revenue
+      |  FROM lineitem, part
+      |  WHERE l_partkey = p_partkey
+      |    AND l_shipdate >= TIMESTAMP '1997-09-01' AND l_shipdate < TIMESTAMP '1997-10-01') x""".stripMargin
+
+  // ---- q15: agg-of-agg, top supplier by revenue (Q15 flavor) ----
+  def q15MaxAgg(spark: SparkSession, dir: String): DataFrame = {
+    val l = t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1997-01-01") && col("l_shipdate") < lit("1997-04-01"))
+    val disc = dec(lit(1)) - dec(col("l_discount"))
+    val revenue = l.groupBy(col("l_suppkey"))
+      .agg(sum(dec(col("l_extendedprice")) * disc).cast("double").as("total_revenue"))
+    val maxRev = revenue.agg(max(col("total_revenue")).as("m"))
+    val s = t(spark, dir, "supplier")
+    s.join(revenue, col("s_suppkey") === col("l_suppkey"))
+      .join(broadcast(maxRev), col("total_revenue") === col("m"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  val q15Sql: String =
+    """WITH revenue AS (
+      |  SELECT l_suppkey,
+      |   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS total_revenue
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, total_revenue
+      |FROM supplier, revenue
+      |WHERE s_suppkey = l_suppkey AND total_revenue = (SELECT max(total_revenue) FROM revenue)
+      |ORDER BY s_suppkey""".stripMargin
+
+  // ---- q16: set operations ----
+  def q16Setop(spark: SparkSession, dir: String): DataFrame = {
+    val building = t(spark, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey").as("k"))
+    val bigSpenders = t(spark, dir, "orders").filter(col("o_totalprice") > 300000.0)
+      .select(col("o_custkey").as("k"))
+    val withF = t(spark, dir, "orders").filter(col("o_orderstatus") === "F")
+      .select(col("o_custkey").as("k"))
+    building.union(bigSpenders).distinct().except(withF).orderBy(col("k"))
+  }
+
+  val q16Sql: String =
+    """(SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
+      | UNION
+      | SELECT o_custkey AS k FROM orders WHERE o_totalprice > 300000.0)
+      |EXCEPT
+      |SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
+      |ORDER BY k""".stripMargin
+
+  // ---- q17: correlated scalar subquery (Q17 flavor) ----
+  def q17ScalarSubquery(spark: SparkSession, dir: String): DataFrame = {
+    val l = t(spark, dir, "lineitem")
+    val p = t(spark, dir, "part").filter(col("p_brand") === "Brand#23")
+    // per-part avg quantity via exact sum/count, then double division
+    val avgQ = l.groupBy(col("l_partkey").as("ap"))
+      .agg((sum(dec(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"))
+    l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(avgQ, col("l_partkey") === col("ap"))
+      .filter(col("l_quantity") < lit(0.5) * col("avg_qty"))
+      .agg((sum(dec(col("l_extendedprice"))).cast("double") / lit(7.0)).as("avg_yearly"))
+  }
+
+  val q17Sql: String =
+    """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly
+      |FROM lineitem, part
+      |WHERE p_partkey = l_partkey AND p_brand = 'Brand#23'
+      |  AND l_quantity < 0.5 * (
+      |    SELECT CAST(sum(CAST(l2.l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+      |    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""".stripMargin
+
+  // ---- q18: IN subquery over grouped HAVING (Q18 flavor) ----
+  def q18InSubquery(spark: SparkSession, dir: String): DataFrame = {
+    val l = t(spark, dir, "lineitem")
+    val big = l.groupBy(col("l_orderkey").as("bk"))
+      .agg(sum(dec(col("l_quantity"))).cast("double").as("oq"))
+      .filter(col("oq") > 150.0)
+      .select(col("bk"))
+    val o = t(spark, dir, "orders")
+    val c = t(spark, dir, "customer")
+    o.join(big, col("o_orderkey") === col("bk"), "left_semi")
+      .join(c, col("c_custkey") === col("o_custkey"))
+      .join(l, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("c_custkey"), col("o_orderkey"))
+      .agg(sum(dec(col("l_quantity"))).cast("double").as("total_qty"))
+      .orderBy(col("total_qty").desc, col("o_orderkey"))
+      .limit(20)
+  }
+
+  val q18Sql: String =
+    """SELECT c_custkey, o_orderkey, CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+      |FROM customer, orders, lineitem
+      |WHERE o_orderkey IN (
+      |    SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      |    HAVING CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 150.0)
+      |  AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+      |GROUP BY c_custkey, o_orderkey
+      |ORDER BY total_qty DESC, o_orderkey LIMIT 20""".stripMargin
+
+  // ---- q19: disjunctive multi-column predicates (Q19 flavor) ----
+  def q19ComplexPred(spark: SparkSession, dir: String): DataFrame = {
+    val l = t(spark, dir, "lineitem")
+    val p = t(spark, dir, "part")
+    val pred =
+      (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) && col("l_quantity").between(1, 11)) ||
+      (col("p_brand") === "Brand#23" && col("p_size").between(1, 25) && col("l_quantity").between(10, 20)) ||
+      (col("p_brand") === "Brand#15" && col("p_size").between(1, 35) && col("l_quantity").between(20, 30))
+    val disc = dec(lit(1)) - dec(col("l_discount"))
+    l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .filter(pred)
+      .agg(sum(dec(col("l_extendedprice")) * disc).cast("double").as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  val q19Sql: String =
+    """SELECT
+      | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+      | count(*) AS n_lines
+      |FROM lineitem, part
+      |WHERE l_partkey = p_partkey AND (
+      |  (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11) OR
+      |  (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20) OR
+      |  (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30))""".stripMargin
+
+  // ---- q20: ROLLUP grouping sets ----
+  def q20Rollup(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(dec(col("l_quantity"))).cast("double").as("qty"), count(lit(1)).as("cnt"))
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+
+  val q20Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty, count(*) AS cnt
+      |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+
+  // ---- q21: CUBE grouping sets ----
+  def q21Cube(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(sum(dec(col("o_totalprice"))).cast("double").as("total"), count(lit(1)).as("cnt"))
+      .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
+
+  val q21Sql: String =
+    """SELECT o_orderstatus, o_orderpriority,
+      | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total, count(*) AS cnt
+      |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+      |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
+
+  // ---- q22: string ops + anti join + global-avg filter (Q22 flavor) ----
+  def q22StringOps(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer")
+    val o = t(spark, dir, "orders").filter(col("o_orderstatus") === "F")
+    val posAvg = c.filter(col("c_acctbal") > 0.0)
+      .agg((sum(dec(col("c_acctbal"))).cast("double") / count(lit(1))).as("a"))
+    c.join(broadcast(posAvg))
+      .filter(col("c_acctbal") > col("a") && col("c_name").like("Customer%"))
+      .join(o, col("o_custkey") === col("c_custkey"), "left_anti")
+      .withColumn("tail", substring(col("c_name"), -2, 2))
+      .groupBy(col("tail"))
+      .agg(count(lit(1)).as("numcust"),
+        sum(dec(col("c_acctbal"))).cast("double").as("totacctbal"))
+      .orderBy(col("tail"))
+  }
+
+  val q22Sql: String =
+    """SELECT tail, count(*) AS numcust,
+      | CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+      |FROM (
+      |  SELECT c_custkey, c_acctbal, substring(c_name, length(c_name) - 1, 2) AS tail
+      |  FROM customer
+      |  WHERE c_acctbal > (
+      |      SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+      |      FROM customer WHERE c_acctbal > 0.0)
+      |    AND c_name LIKE 'Customer%'
+      |    AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F')) x
+      |GROUP BY tail ORDER BY tail""".stripMargin
+
+  /** queries-map fragment: name → builder */
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg" -> (q1Agg _),
+    "q2_filter_project" -> (q2FilterProject _),
+    "q3_join_agg" -> (q3JoinAgg _),
+    "q4_semijoin" -> (q4Semijoin _),
+    "q5_multijoin" -> (q5Multijoin _),
+    "q6_scan_filter" -> (q6ScanFilter _),
+    "q7_window" -> (q7Window _),
+    "q8_distinct" -> (q8Distinct _),
+    "q9_sort_limit" -> (q9SortLimit _),
+    "q10_antijoin" -> (q10Antijoin _),
+    "q11_having" -> (q11Having _),
+    "q12_case_agg" -> (q12CaseAgg _),
+    "q13_outerjoin" -> (q13Outerjoin _),
+    "q14_expr" -> (q14Expr _),
+    "q15_maxagg" -> (q15MaxAgg _),
+    "q16_setop" -> (q16Setop _),
+    "q17_scalar_subquery" -> (q17ScalarSubquery _),
+    "q18_in_subquery" -> (q18InSubquery _),
+    "q19_complex_pred" -> (q19ComplexPred _),
+    "q20_rollup" -> (q20Rollup _),
+    "q21_cube" -> (q21Cube _),
+    "q22_string_ops" -> (q22StringOps _))
+
+  /** oracle-map fragment: name → DuckDB SQL */
+  val oracles: Map[String, String] = Map(
+    "q1_agg" -> q1Sql,
+    "q2_filter_project" -> q2Sql,
+    "q3_join_agg" -> q3Sql,
+    "q4_semijoin" -> q4Sql,
+    "q5_multijoin" -> q5Sql,
+    "q6_scan_filter" -> q6Sql,
+    "q7_window" -> q7Sql,
+    "q8_distinct" -> q8Sql,
+    "q9_sort_limit" -> q9Sql,
+    "q10_antijoin" -> q10Sql,
+    "q11_having" -> q11Sql,
+    "q12_case_agg" -> q12Sql,
+    "q13_outerjoin" -> q13Sql,
+    "q14_expr" -> q14Sql,
+    "q15_maxagg" -> q15Sql,
+    "q16_setop" -> q16Sql,
+    "q17_scalar_subquery" -> q17Sql,
+    "q18_in_subquery" -> q18Sql,
+    "q19_complex_pred" -> q19Sql,
+    "q20_rollup" -> q20Sql,
+    "q21_cube" -> q21Sql,
+    "q22_string_ops" -> q22Sql)
+}

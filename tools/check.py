@@ -1,0 +1,71 @@
+#!/usr/bin/env python3
+"""Local correctness loop: compare Verify output parquet vs DuckDB oracle.
+
+Usage: python3 tools/check.py <sfdir> <outdir> [query ...]
+Mimics the driver's t2 gate: per query, run oracle SQL in DuckDB over the
+raw tables, load the Spark result parquet, sort both by all columns
+(named-sorted), compare row count, schema-ish, and values.
+"""
+import sys, json, glob, math
+import duckdb
+import pandas as pd
+
+def norm(df):
+    df = df.reindex(sorted(df.columns), axis=1)
+    df = df.sort_values(by=list(df.columns), ignore_index=True)
+    return df
+
+def cmp_vals(a, b):
+    if a is None and b is None: return True
+    if pd.isna(a) and pd.isna(b): return True
+    if isinstance(a, float) or isinstance(b, float):
+        try:
+            fa, fb = float(a), float(b)
+        except (TypeError, ValueError):
+            return False
+        if math.isnan(fa) and math.isnan(fb): return True
+        return fa == fb  # exact: our determinism contract
+    return str(a) == str(b)
+
+def main():
+    sfdir, outdir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    con = duckdb.connect()
+    for t in ["region","nation","customer","supplier","part","orders",
+              "lineitem","events","documents","embeddings"]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
+    oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    results = {}
+    for name, sql in sorted(oracle.items()):
+        if only and name not in only: continue
+        files = glob.glob(f"{outdir}/{name}/*.parquet")
+        if not files:
+            results[name] = "MISSING-SPARK-OUTPUT"; continue
+        try:
+            spark_df = norm(pd.concat([pd.read_parquet(f) for f in files]))
+        except Exception as e:
+            results[name] = f"SPARK-READ-ERR {e}"; continue
+        try:
+            duck_df = norm(con.execute(sql).fetchdf())
+        except Exception as e:
+            results[name] = f"ORACLE-ERR {type(e).__name__}: {e}"; continue
+        if list(spark_df.columns) != list(duck_df.columns):
+            results[name] = f"COLS spark={list(spark_df.columns)} duck={list(duck_df.columns)}"; continue
+        if len(spark_df) != len(duck_df):
+            results[name] = f"ROWS spark={len(spark_df)} duck={len(duck_df)}"; continue
+        bad = None
+        for i in range(len(spark_df)):
+            for c in spark_df.columns:
+                a, b = spark_df.iloc[i][c], duck_df.iloc[i][c]
+                if not cmp_vals(a, b):
+                    bad = f"VAL row{i} col {c}: spark={a!r} duck={b!r}"
+                    break
+            if bad: break
+        results[name] = bad or f"OK ({len(spark_df)} rows)"
+    n_ok = sum(1 for v in results.values() if v.startswith("OK"))
+    for k, v in sorted(results.items()):
+        print(("PASS " if v.startswith("OK") else "FAIL ") + k + ": " + v)
+    print(f"== {n_ok}/{len(results)} pass")
+
+if __name__ == "__main__":
+    main()
