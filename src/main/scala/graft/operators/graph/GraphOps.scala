@@ -1,0 +1,299 @@
+package graft.operators.graph
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Graph analytics — the reference's own operator surface, Spark-first.
+  *
+  * Ports (cited by reference file:line):
+  *  - g1/g2 degree: implicit in RandomWalkingRunner.java:21 neighbor
+  *    iteration; here a single groupBy over the symmetric edge list.
+  *  - g3 top-N: TopNSelector.java:23 selectTopN — TakeOrderedAndProject.
+  *  - g4 walks: RandomWalkingRunner.java:17-33 — the reference walks
+  *    randomly; we make the choice *deterministic pseudo-random* (argmin
+  *    of an arithmetic hash over candidate edges) so results are
+  *    reproducible and oracle-checkable at any scale.
+  *  - g5 PageRank: Runner.java:60 accumulates visit counts as a rank
+  *    proxy ("page_rank.int"); we implement the real fixed-point
+  *    iteration in *integer micro-units* (floor division) so Spark and
+  *    the SQL oracle agree bit-for-bit — no float drift at any cluster
+  *    size.
+  *  - g6 BFS: PathFinderNodeCountingRunner.java:22 shortestPath with
+  *    depth bound — multi-source frontier BFS, k hops.
+  *  - g8 interior counts: OlapRunner.java:52 countNodes skips first and
+  *    last node of each path — we count interior nodes of all shortest
+  *    part→region paths.
+  *  - g9 checkpoint: ArrayStore.java:27 int[] persistence →
+  *    parquet round-trip of the rank vector (AnalysisRound analog,
+  *    Runner.java:68 storeRound).
+  */
+object GraphOps {
+
+  // arithmetic-hash constants shared verbatim with the SQL oracles
+  private val HA = 2654435761L
+  private val HB = 40503L
+  private val HC = 97L
+  private val HP = 1000003L
+
+  private def withSym(spark: SparkSession, dir: String): DataFrame =
+    GraphTables.sym(spark, dir)
+
+  // ---- g1: per-node degree ----
+  def g1Degree(spark: SparkSession, dir: String): DataFrame =
+    withSym(spark, dir)
+      .groupBy(col("src").as("node_id"))
+      .agg(count(lit(1)).as("degree"))
+      .withColumn("node_type", col("node_id") % 8)
+      .orderBy(col("node_id"))
+
+  val g1Sql: String =
+    s"""WITH ${GraphTables.symSqlCtes}
+       |SELECT src AS node_id, count(*) AS degree, src % 8 AS node_type
+       |FROM sym GROUP BY src ORDER BY node_id""".stripMargin
+
+  // ---- g2: degree histogram ----
+  def g2DegreeDistribution(spark: SparkSession, dir: String): DataFrame =
+    withSym(spark, dir)
+      .groupBy(col("src"))
+      .agg(count(lit(1)).as("degree"))
+      .groupBy(col("degree"))
+      .agg(count(lit(1)).as("n_nodes"))
+      .orderBy(col("degree"))
+
+  val g2Sql: String =
+    s"""WITH ${GraphTables.symSqlCtes},
+       |deg AS (SELECT src, count(*) AS degree FROM sym GROUP BY src)
+       |SELECT degree, count(*) AS n_nodes FROM deg GROUP BY degree ORDER BY degree""".stripMargin
+
+  // ---- g4: deterministic pseudo-random-walk visit counts (3 hops) ----
+  private def walkSteps(spark: SparkSession, dir: String, hops: Int): DataFrame = {
+    val sym = withSym(spark, dir).persist(StorageLevel.MEMORY_AND_DISK)
+    val start = graft.sources.Tables.load(spark, dir, "customer")
+      .select((col("c_custkey").cast("long") * 8).as("walker"))
+      .withColumn("node", col("walker"))
+    var frontier = start
+    var visits: DataFrame = null
+    for (t <- 1 to hops) {
+      val h = (col("node") * HA + col("dst") * HB + lit(t * HC)) % HP
+      val w = Window.partitionBy(col("walker")).orderBy(col("h"), col("dst"))
+      frontier = frontier.join(sym, col("node") === col("src"))
+        .withColumn("h", h)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("walker"), col("dst").as("node"))
+      visits = if (visits == null) frontier else visits.union(frontier)
+    }
+    visits
+  }
+
+  def g4WalkVisits(spark: SparkSession, dir: String): DataFrame =
+    walkSteps(spark, dir, 3)
+      .groupBy(col("node").as("node_id"))
+      .agg(count(lit(1)).as("visits"))
+      .orderBy(col("node_id"))
+
+  private def walkSqlCtes: String = {
+    def step(t: Int, prev: String) =
+      s"""s$t AS (
+         |  SELECT walker, dst AS node FROM (
+         |    SELECT f.walker, s.dst,
+         |      row_number() OVER (PARTITION BY f.walker
+         |        ORDER BY (f.node*$HA + s.dst*$HB + ${t * HC}) % $HP, s.dst) AS rn
+         |    FROM $prev f JOIN sym s ON f.node = s.src) x
+         |  WHERE rn = 1)""".stripMargin
+    s"""start AS (SELECT CAST(c_custkey*8 AS BIGINT) AS walker, CAST(c_custkey*8 AS BIGINT) AS node FROM customer),
+       |${step(1, "start")},
+       |${step(2, "s1")},
+       |${step(3, "s2")}""".stripMargin
+  }
+
+  val g4Sql: String =
+    s"""WITH ${GraphTables.symSqlCtes},
+       |$walkSqlCtes
+       |SELECT node AS node_id, count(*) AS visits
+       |FROM (SELECT node FROM s1 UNION ALL SELECT node FROM s2 UNION ALL SELECT node FROM s3) v
+       |GROUP BY node ORDER BY node_id""".stripMargin
+
+  // ---- g3: top-N visited (TopNSelector port over g4 counts) ----
+  def g3TopVisited(spark: SparkSession, dir: String): DataFrame =
+    walkSteps(spark, dir, 3)
+      .groupBy(col("node").as("node_id"))
+      .agg(count(lit(1)).as("visits"))
+      .orderBy(col("visits").desc, col("node_id"))
+      .limit(10)
+
+  val g3Sql: String =
+    s"""WITH ${GraphTables.symSqlCtes},
+       |$walkSqlCtes
+       |SELECT node AS node_id, count(*) AS visits
+       |FROM (SELECT node FROM s1 UNION ALL SELECT node FROM s2 UNION ALL SELECT node FROM s3) v
+       |GROUP BY node ORDER BY visits DESC, node_id LIMIT 10""".stripMargin
+
+  // ---- g5: fixed-point integer PageRank, 3 iterations ----
+  def pagerank(spark: SparkSession, dir: String, iters: Int = 3): DataFrame = {
+    val sym = withSym(spark, dir).persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = sym.groupBy(col("src").as("dnode")).agg(count(lit(1)).as("d"))
+    var r = deg.select(col("dnode").as("node"), lit(1000000L).as("r"))
+    for (_ <- 1 to iters) {
+      r = sym
+        .join(r, col("src") === col("node"))
+        .join(deg, col("src") === col("dnode"))
+        .select(col("dst"), expr("r DIV d").as("contrib"))
+        .groupBy(col("dst").as("node"))
+        .agg((lit(150000L) + expr("85 * sum(contrib) DIV 100")).as("r"))
+    }
+    r.select(col("node").as("node_id"), col("r").as("rank"))
+      .orderBy(col("node_id"))
+  }
+
+  def g5Pagerank(spark: SparkSession, dir: String): DataFrame =
+    pagerank(spark, dir)
+
+  private def prSqlCtes: String = {
+    def iter(t: Int, prev: String) =
+      s"""r$t AS (
+         |  SELECT s.dst AS node,
+         |    CAST(150000 + (85 * CAST(sum(p.r // g.d) AS BIGINT)) // 100 AS BIGINT) AS r
+         |  FROM sym s JOIN $prev p ON s.src = p.node JOIN deg g ON s.src = g.node
+         |  GROUP BY s.dst)""".stripMargin
+    s"""deg AS (SELECT src AS node, count(*) AS d FROM sym GROUP BY src),
+       |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM deg),
+       |${iter(1, "r0")},
+       |${iter(2, "r1")},
+       |${iter(3, "r2")}""".stripMargin
+  }
+
+  val g5Sql: String =
+    s"""WITH ${GraphTables.symSqlCtes},
+       |$prSqlCtes
+       |SELECT node AS node_id, r AS rank FROM r3 ORDER BY node_id""".stripMargin
+
+  // ---- g6: multi-source k-hop BFS distances from region nodes ----
+  def g6BfsKhop(spark: SparkSession, dir: String): DataFrame = {
+    val sym = withSym(spark, dir).persist(StorageLevel.MEMORY_AND_DISK)
+    val src = graft.sources.Tables.load(spark, dir, "region")
+      .select((col("r_regionkey").cast("long") * 8 + 5).as("node"))
+    var reached = src.withColumn("dist", lit(0))
+    var frontier = reached.select(col("node"))
+    for (h <- 1 to 4) {
+      val nxt = frontier.join(sym, col("node") === col("src"))
+        .select(col("dst").as("node")).distinct()
+        .join(reached.select(col("node")), Seq("node"), "left_anti")
+        .withColumn("dist", lit(h))
+      frontier = nxt.select(col("node")).persist(StorageLevel.MEMORY_AND_DISK)
+      reached = reached.union(nxt).persist(StorageLevel.MEMORY_AND_DISK)
+    }
+    reached.select(col("node").as("node_id"), col("dist")).orderBy(col("node_id"))
+  }
+
+  val g6Sql: String =
+    s"""WITH RECURSIVE ${GraphTables.symSqlCtes},
+       |bfs(node, dist) AS (
+       |  SELECT CAST(r_regionkey*8+5 AS BIGINT), 0 FROM region
+       |  UNION
+       |  SELECT s.dst, b.dist + 1 FROM bfs b JOIN sym s ON b.node = s.src WHERE b.dist < 4)
+       |SELECT node AS node_id, min(dist) AS dist FROM bfs GROUP BY node ORDER BY node_id""".stripMargin
+
+  // ---- g7: triangle count on the part co-purchase projection ----
+  def g7Triangles(spark: SparkSession, dir: String): DataFrame = {
+    val op = graft.sources.Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    // cap hub orders: bounds the quadratic projection at scale (skew guard)
+    val okOrders = op.groupBy(col("o")).agg(count(lit(1)).as("np"))
+      .filter(col("np") <= 25).select(col("o"))
+    val capped = op.join(okOrders, Seq("o"), "left_semi")
+    val pp = capped.as("a").join(capped.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    pp.as("e1")
+      .join(pp.as("e2"), col("e1.v") === col("e2.u"))
+      .join(pp.as("e3"), col("e1.u") === col("e3.u") && col("e2.v") === col("e3.v"))
+      .agg(count(lit(1)).as("triangles"))
+      .crossJoin(broadcast(pp.agg(count(lit(1)).as("n_proj_edges"))))
+  }
+
+  val g7Sql: String =
+    """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      |ok_orders AS (SELECT o FROM op GROUP BY o HAVING count(*) <= 25),
+      |capped AS (SELECT op.o, op.p FROM op JOIN ok_orders USING (o)),
+      |pp AS (SELECT DISTINCT a.p AS u, b.p AS v FROM capped a JOIN capped b ON a.o = b.o AND a.p < b.p)
+      |SELECT
+      |  (SELECT count(*) FROM pp e1 JOIN pp e2 ON e1.v = e2.u
+      |     JOIN pp e3 ON e1.u = e3.u AND e2.v = e3.v) AS triangles,
+      |  (SELECT count(*) FROM pp) AS n_proj_edges""".stripMargin
+
+  // ---- g8: interior-node counts on all shortest part→region paths ----
+  def g8PathInteriorCounts(spark: SparkSession, dir: String): DataFrame = {
+    def t(n: String) = graft.sources.Tables.load(spark, dir, n)
+    val sampleParts = t("part").filter(col("p_partkey") % 20 === 0)
+      .select((col("p_partkey").cast("long") * 8 + 2).as("pnode"))
+    val ps = t("lineitem")
+      .select((col("l_partkey").cast("long") * 8 + 2).as("psrc"),
+        (col("l_suppkey").cast("long") * 8 + 3).as("snode")).distinct()
+    val sn = t("supplier")
+      .select((col("s_suppkey").cast("long") * 8 + 3).as("ssrc"),
+        (col("s_nationkey").cast("long") * 8 + 4).as("nnode"))
+    val nr = t("nation")
+      .select((col("n_nationkey").cast("long") * 8 + 4).as("nsrc"),
+        (col("n_regionkey").cast("long") * 8 + 5).as("rnode"))
+    val paths = sampleParts
+      .join(ps, col("pnode") === col("psrc"))
+      .join(sn, col("snode") === col("ssrc"))
+      .join(nr, col("nnode") === col("nsrc"))
+      .select(col("snode"), col("nnode"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    paths.select(col("snode").as("node_id"))
+      .union(paths.select(col("nnode").as("node_id")))
+      .groupBy(col("node_id"))
+      .agg(count(lit(1)).as("n_paths"))
+      .orderBy(col("node_id"))
+  }
+
+  val g8Sql: String =
+    """WITH sample_parts AS (
+      |  SELECT CAST(p_partkey*8+2 AS BIGINT) AS pnode FROM part WHERE p_partkey % 20 = 0),
+      |ps AS (SELECT DISTINCT CAST(l_partkey*8+2 AS BIGINT) AS psrc, CAST(l_suppkey*8+3 AS BIGINT) AS snode FROM lineitem),
+      |sn AS (SELECT CAST(s_suppkey*8+3 AS BIGINT) AS ssrc, CAST(s_nationkey*8+4 AS BIGINT) AS nnode FROM supplier),
+      |nr AS (SELECT CAST(n_nationkey*8+4 AS BIGINT) AS nsrc, CAST(n_regionkey*8+5 AS BIGINT) AS rnode FROM nation),
+      |paths AS (
+      |  SELECT snode, nnode FROM sample_parts
+      |  JOIN ps ON pnode = psrc JOIN sn ON snode = ssrc JOIN nr ON nnode = nsrc)
+      |SELECT node_id, count(*) AS n_paths
+      |FROM (SELECT snode AS node_id FROM paths UNION ALL SELECT nnode FROM paths) i
+      |GROUP BY node_id ORDER BY node_id""".stripMargin
+
+  // ---- g9: rank-vector checkpoint round-trip (ArrayStore port) ----
+  def g9CheckpointRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_ckpt_g9"
+    pagerank(spark, dir).write.mode("overwrite").parquet(path)
+    spark.read.parquet(path).orderBy(col("node_id"))
+  }
+
+  // round-trip preserves content exactly → same oracle as g5
+  val g9Sql: String = g5Sql
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g1_degree" -> (g1Degree _),
+    "g2_degree_distribution" -> (g2DegreeDistribution _),
+    "g3_top_visited" -> (g3TopVisited _),
+    "g4_walk_visits" -> (g4WalkVisits _),
+    "g5_pagerank" -> (g5Pagerank _),
+    "g6_bfs_khop" -> (g6BfsKhop _),
+    "g7_triangles" -> (g7Triangles _),
+    "g8_path_interior_counts" -> (g8PathInteriorCounts _),
+    "g9_checkpoint_roundtrip" -> (g9CheckpointRoundtrip _))
+
+  val oracles: Map[String, String] = Map(
+    "g1_degree" -> g1Sql,
+    "g2_degree_distribution" -> g2Sql,
+    "g3_top_visited" -> g3Sql,
+    "g4_walk_visits" -> g4Sql,
+    "g5_pagerank" -> g5Sql,
+    "g6_bfs_khop" -> g6Sql,
+    "g7_triangles" -> g7Sql,
+    "g8_path_interior_counts" -> g8Sql,
+    "g9_checkpoint_roundtrip" -> g9Sql)
+}

@@ -1,0 +1,56 @@
+package graft.operators.graph
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Graph view over the relational star schema.
+  *
+  * The reference engine (neo-olap) runs directly on a Neo4j
+  * node/relationship store (Runner.java:55 resolves NodeManager for
+  * node-id ranges). Our Spark-first re-expression derives the graph
+  * from the relational tables as two DataFrames: a namespaced vertex
+  * id (`key * 8 + typeTag`) and a distinct, symmetrized edge list.
+  * Everything downstream (walks, PageRank, BFS) is a declarative plan
+  * over these, so edge storage partitions/shuffles like any fact
+  * table — at 100 TB the edge list is just another parquet dataset
+  * bucketed by `src`.
+  *
+  * Tags: 0=customer 1=order 2=part 3=supplier 4=nation 5=region.
+  */
+object GraphTables {
+
+  /** DuckDB CTE text equivalent of [[sym]]; prefix for graph oracles. */
+  val symSqlCtes: String =
+    """base AS (
+      |  SELECT DISTINCT CAST(o_custkey*8+0 AS BIGINT) AS src, CAST(o_orderkey*8+1 AS BIGINT) AS dst FROM orders
+      |  UNION ALL SELECT DISTINCT CAST(l_orderkey*8+1 AS BIGINT), CAST(l_partkey*8+2 AS BIGINT) FROM lineitem
+      |  UNION ALL SELECT DISTINCT CAST(l_partkey*8+2 AS BIGINT), CAST(l_suppkey*8+3 AS BIGINT) FROM lineitem
+      |  UNION ALL SELECT DISTINCT CAST(c_custkey*8+0 AS BIGINT), CAST(c_nationkey*8+4 AS BIGINT) FROM customer
+      |  UNION ALL SELECT DISTINCT CAST(s_suppkey*8+3 AS BIGINT), CAST(s_nationkey*8+4 AS BIGINT) FROM supplier
+      |  UNION ALL SELECT DISTINCT CAST(n_nationkey*8+4 AS BIGINT), CAST(n_regionkey*8+5 AS BIGINT) FROM nation),
+      |edges AS (SELECT DISTINCT src, dst FROM base),
+      |sym AS (SELECT src, dst FROM edges UNION SELECT dst AS src, src AS dst FROM edges)""".stripMargin
+
+  private def vid(c: org.apache.spark.sql.Column, tag: Int) =
+    c.cast("long") * 8 + tag
+
+  /** Distinct directed edges (one row per logical relationship). */
+  def edges(spark: SparkSession, dir: String): DataFrame = {
+    def t(n: String) = Tables.load(spark, dir, n)
+    val parts = Seq(
+      t("orders").select(vid(col("o_custkey"), 0).as("src"), vid(col("o_orderkey"), 1).as("dst")),
+      t("lineitem").select(vid(col("l_orderkey"), 1).as("src"), vid(col("l_partkey"), 2).as("dst")),
+      t("lineitem").select(vid(col("l_partkey"), 2).as("src"), vid(col("l_suppkey"), 3).as("dst")),
+      t("customer").select(vid(col("c_custkey"), 0).as("src"), vid(col("c_nationkey"), 4).as("dst")),
+      t("supplier").select(vid(col("s_suppkey"), 3).as("src"), vid(col("s_nationkey"), 4).as("dst")),
+      t("nation").select(vid(col("n_nationkey"), 4).as("src"), vid(col("n_regionkey"), 5).as("dst")))
+    parts.reduce(_.union(_)).distinct()
+  }
+
+  /** Symmetrized distinct adjacency (both directions). */
+  def sym(spark: SparkSession, dir: String): DataFrame = {
+    val e = edges(spark, dir)
+    e.union(e.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+  }
+}
