@@ -1,0 +1,154 @@
+package graft.operators.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Text analysis over the `documents` table — the training-data-pipeline
+  * surface (language ID, quality scoring, token counting, fingerprints,
+  * n-gram stats).
+  *
+  * Everything is a codegen-friendly composition of built-in higher-order
+  * functions (`filter`/`transform`/`aggregate` over `split`) — no Scala
+  * UDFs, so the per-row work stays inside whole-stage codegen and the
+  * scan only reads the `text` (+key) columns. At 100 TB the documents
+  * table is the big one; each of these is a single narrow scan with at
+  * most one shuffle (the corpus-level n-gram agg).
+  */
+object TextOps {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+
+  // pseudo-stopword sets (deterministic heuristic; shared with oracles)
+  private val EN = Seq("the", "a", "of", "in")
+  private val DE = Seq("der", "die", "das", "und")
+  private val FR = Seq("le", "la", "les", "et")
+  private def sqlSet(ws: Seq[String]) = ws.map("'" + _ + "'").mkString("(", ",", ")")
+
+  private def hits(ws: Seq[String]): Column =
+    size(filter(split(col("text"), " "), w => w.isInCollection(ws)))
+
+  // ---- t1: stopword-hit language ID ----
+  def t1LangId(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"),
+        hits(EN).as("en_hits"), hits(DE).as("de_hits"), hits(FR).as("fr_hits"))
+      .withColumn("pred_lang",
+        when(col("en_hits") + col("de_hits") + col("fr_hits") === 0, lit("unknown"))
+          .when(col("en_hits") >= col("de_hits") && col("en_hits") >= col("fr_hits"), lit("en"))
+          .when(col("de_hits") >= col("fr_hits"), lit("de"))
+          .otherwise(lit("fr")))
+      .orderBy(col("doc_id"))
+
+  val t1Sql: String =
+    s"""SELECT doc_id,
+       |  len(list_filter(string_split(text,' '), w -> w IN ${sqlSet(EN)})) AS en_hits,
+       |  len(list_filter(string_split(text,' '), w -> w IN ${sqlSet(DE)})) AS de_hits,
+       |  len(list_filter(string_split(text,' '), w -> w IN ${sqlSet(FR)})) AS fr_hits,
+       |  CASE WHEN en_hits + de_hits + fr_hits = 0 THEN 'unknown'
+       |       WHEN en_hits >= de_hits AND en_hits >= fr_hits THEN 'en'
+       |       WHEN de_hits >= fr_hits THEN 'de' ELSE 'fr' END AS pred_lang
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---- t2: quality scoring ----
+  // Single-division doubles only: both engines do the same IEEE ops in
+  // the same order, so the exact-equality oracle contract holds.
+  def t2Quality(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"), col("n_chars"),
+        size(split(col("text"), " ")).as("n_tokens"),
+        hits(EN).as("stop_hits"))
+      .withColumn("mean_word_len",
+        (col("n_chars") - col("n_tokens") + 1).cast("double") / col("n_tokens"))
+      .withColumn("stop_ratio", col("stop_hits").cast("double") / col("n_tokens"))
+      .withColumn("quality_score",
+        when(col("n_chars").between(100, 2000), lit(0.5)).otherwise(lit(0.0))
+          + lit(0.5) * col("stop_ratio"))
+      .orderBy(col("doc_id"))
+
+  val t2Sql: String =
+    s"""SELECT doc_id, n_chars,
+       |  len(string_split(text,' ')) AS n_tokens,
+       |  len(list_filter(string_split(text,' '), w -> w IN ${sqlSet(EN)})) AS stop_hits,
+       |  CAST(n_chars - n_tokens + 1 AS DOUBLE) / n_tokens AS mean_word_len,
+       |  CAST(stop_hits AS DOUBLE) / n_tokens AS stop_ratio,
+       |  (CASE WHEN n_chars BETWEEN 100 AND 2000 THEN 0.5 ELSE 0.0 END)
+       |    + 0.5 * (CAST(stop_hits AS DOUBLE) / n_tokens) AS quality_score
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---- t3: token counting (whitespace + wordpiece-ish regex) ----
+  def t3Tokens(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).as("ws_tokens"),
+        size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+', 0)")).as("re_tokens"),
+        size(array_distinct(split(col("text"), " "))).as("distinct_tokens"))
+      .orderBy(col("doc_id"))
+
+  val t3Sql: String =
+    """SELECT doc_id,
+      |  len(string_split(text,' ')) AS ws_tokens,
+      |  len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS re_tokens,
+      |  len(list_distinct(string_split(text,' '))) AS distinct_tokens
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---- t4: polynomial rolling-hash fingerprint ----
+  // fold over per-word values (len*31 + first-char code), mod 2^31-1;
+  // pure integer arithmetic → bit-identical across engines and scales.
+  def t4Fingerprint(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"),
+        expr("""aggregate(
+                |  transform(split(text, ' '), w -> length(w)*31 + ascii(substring(w,1,1))),
+                |  cast(0 as bigint),
+                |  (acc, x) -> (acc*1000003 + x) % 2147483647)""".stripMargin)
+          .as("fingerprint"))
+      .orderBy(col("doc_id"))
+
+  val t4Sql: String =
+    """SELECT doc_id,
+      |  list_reduce(
+      |    list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(string_split(text,' '),
+      |                     w -> CAST(length(w)*31 + ascii(substr(w,1,1)) AS BIGINT))),
+      |    (acc, x) -> (acc*1000003 + x) % 2147483647) AS fingerprint
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---- t5: corpus-level word-3-gram frequency (explode + agg) ----
+  def t5NgramFreq(spark: SparkSession, dir: String): DataFrame = {
+    val ws = split(col("text"), " ")
+    val grams = when(size(ws) >= 3,
+        transform(sequence(lit(1), size(ws) - 2),
+          i => concat_ws(" ", element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2))))
+      .otherwise(array())
+    docs(spark, dir)
+      .select(explode(grams).as("ngram"))
+      .groupBy(col("ngram"))
+      .agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("ngram"))
+      .limit(100)
+  }
+
+  val t5Sql: String =
+    """WITH w AS (SELECT string_split(text,' ') AS ws FROM documents),
+      |g AS (SELECT unnest(list_transform(generate_series(1, len(ws)-2),
+      |                                   i -> ws[i]||' '||ws[i+1]||' '||ws[i+2])) AS ngram
+      |      FROM w WHERE len(ws) >= 3)
+      |SELECT ngram, count(*) AS freq FROM g
+      |GROUP BY ngram ORDER BY freq DESC, ngram LIMIT 100""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t1_lang_id" -> (t1LangId _),
+    "t2_quality" -> (t2Quality _),
+    "t3_tokens" -> (t3Tokens _),
+    "t4_fingerprint" -> (t4Fingerprint _),
+    "t5_ngram_freq" -> (t5NgramFreq _))
+
+  val oracles: Map[String, String] = Map(
+    "t1_lang_id" -> t1Sql,
+    "t2_quality" -> t2Sql,
+    "t3_tokens" -> t3Sql,
+    "t4_fingerprint" -> t4Sql,
+    "t5_ngram_freq" -> t5Sql)
+}
