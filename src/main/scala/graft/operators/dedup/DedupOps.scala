@@ -1,0 +1,302 @@
+package graft.operators.dedup
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Deduplication over `documents` / `embeddings` — exact, MinHash+LSH,
+  * SimHash, n-gram Jaccard, and embedding-cosine near-dup.
+  *
+  * Scale design: every candidate-generation step is a *bucket shuffle*
+  * (groupBy band-hash / chunk / LSH bucket), never an O(n²) cross join —
+  * pair enumeration happens only inside buckets. Per-document feature
+  * vectors (shingles, minhashes, simhash) are built with higher-order
+  * functions inside whole-stage codegen: one narrow scan, no UDFs.
+  *
+  * All hashing is explicit integer arithmetic mod 2^31-1, shared
+  * verbatim with the DuckDB oracles — deterministic at any scale and on
+  * any engine (values kept < 2^63: wv≈2e5, wv*131*131≈3.4e9, mh<2^31,
+  * mh*31^3≈6.5e13).
+  */
+object DedupOps {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+
+  // ---- d1: exact dedup via md5(text), keep min doc_id per group ----
+  def d1ExactDedup(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .groupBy(md5(col("text")).as("text_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_docs"))
+      .orderBy(col("text_hash"))
+
+  val d1Sql: String =
+    """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_docs
+      |FROM documents GROUP BY md5(text) ORDER BY text_hash""".stripMargin
+
+  // ---- shared shingle features (word-3-shingles, arithmetic-hashed) ----
+  // word value: length + first/last char codes; shingle: base-131 combo.
+  private val wvsExpr =
+    """transform(split(text, ' '),
+      |  w -> (cast(length(w) as bigint)*31 + ascii(substring(w,1,1)))*31
+      |       + ascii(substring(w,-1,1)))""".stripMargin
+
+  private val shinglesExpr =
+    """array_distinct(transform(sequence(1, size(wvs)-2),
+      |  i -> ((element_at(wvs,i)*131 + element_at(wvs,i+1))*131
+      |        + element_at(wvs,i+2)) % 2147483647))""".stripMargin
+
+  /** doc_id + distinct shingle-hash array; codegen'd, one scan. */
+  def shingleFeatures(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .filter(size(split(col("text"), " ")) >= 3)
+      .withColumn("wvs", expr(wvsExpr))
+      .select(col("doc_id"), expr(shinglesExpr).as("shingles"))
+
+  private val shingleCtes =
+    """wvs AS (
+      |  SELECT doc_id,
+      |    list_transform(string_split(text,' '),
+      |      w -> (CAST(length(w) AS BIGINT)*31 + ascii(substr(w,1,1)))*31
+      |           + ascii(substr(w,-1,1))) AS wvs
+      |  FROM documents WHERE len(string_split(text,' ')) >= 3),
+      |sh AS (
+      |  SELECT doc_id,
+      |    list_distinct([ ((wvs[i]*131 + wvs[i+1])*131 + wvs[i+2]) % 2147483647
+      |                    for i in generate_series(1, len(wvs)-2) ]) AS shingles
+      |  FROM wvs)""".stripMargin
+
+  // ---- d2: MinHash(64) + LSH (16 bands x 4 rows) candidate pairs ----
+  private val mhExpr =
+    """transform(sequence(0, 63), p -> array_min(transform(shingles,
+      |  s -> ((2*cast(p as bigint)+1)*s + p*p+1) % 2147483647)))""".stripMargin
+
+  private val bandKeysExpr =
+    """transform(sequence(0, 15), b ->
+      |  (((element_at(mh,4*b+1)*31 + element_at(mh,4*b+2))*31
+      |     + element_at(mh,4*b+3))*31 + element_at(mh,4*b+4)) % 2147483647)""".stripMargin
+
+  /** (doc_id, band, bkey): 16 rows per doc, the LSH shuffle key. */
+  private def bandTable(spark: SparkSession, dir: String): DataFrame =
+    shingleFeatures(spark, dir)
+      .withColumn("mh", expr(mhExpr))
+      .select(col("doc_id"), posexplode(expr(bandKeysExpr)).as(Seq("band", "bkey")))
+
+  def d2MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val b = bandTable(spark, dir)
+    b.as("x").join(b.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  private val lshCtes =
+    s"""$shingleCtes,
+       |mh AS (
+       |  SELECT doc_id,
+       |    [ list_min([ ((2*CAST(p AS BIGINT)+1)*s + p*p+1) % 2147483647
+       |                 for s in shingles ])
+       |      for p in generate_series(0,63) ] AS mh
+       |  FROM sh),
+       |bands AS (
+       |  SELECT doc_id, b AS band,
+       |    (((mh[4*b+1]*31 + mh[4*b+2])*31 + mh[4*b+3])*31 + mh[4*b+4])
+       |      % 2147483647 AS bkey
+       |  FROM mh, generate_series(0,15) g(b)),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id)""".stripMargin
+
+  val d2Sql: String =
+    s"""WITH $lshCtes
+       |SELECT doc_a, doc_b FROM cand ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---- d3: SimHash (two 31-bit halves) hamming-chunk near-dup ----
+  private def simhashHalf(hcol: String): String =
+    s"""cast(aggregate(transform(sequence(0, 30), j ->
+       |  CASE WHEN aggregate($hcol, cast(0 as bigint),
+       |         (acc, h) -> acc + 2*(shiftright(h, j) & 1) - 1) > 0
+       |       THEN shiftleft(cast(1 as bigint), j) ELSE cast(0 as bigint) END),
+       |  cast(0 as bigint), (a, x) -> a + x) as bigint)""".stripMargin
+
+  private def simhashTable(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .withColumn("wvs", expr(wvsExpr))
+      .withColumn("hlo", expr("transform(wvs, v -> (v*2654435761 + 101) % 2147483647)"))
+      .withColumn("hhi", expr("transform(wvs, v -> (v*40503 + 7) % 2147483647)"))
+      .select(col("doc_id"),
+        expr(simhashHalf("hlo")).as("simhash_lo"),
+        expr(simhashHalf("hhi")).as("simhash_hi"))
+
+  def d3Simhash(spark: SparkSession, dir: String): DataFrame = {
+    val s = simhashTable(spark, dir)
+      .withColumn("chunks", expr(
+        """array(simhash_lo % 65536, simhash_lo div 65536,
+          |      simhash_hi % 65536, simhash_hi div 65536)""".stripMargin))
+      .select(col("doc_id"), col("simhash_lo"), col("simhash_hi"),
+        posexplode(col("chunks")).as(Seq("cpos", "cval")))
+    s.as("x").join(s.as("y"),
+        col("x.cpos") === col("y.cpos") && col("x.cval") === col("y.cval")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        (expr("bit_count(x.simhash_lo ^ y.simhash_lo)")
+          + expr("bit_count(x.simhash_hi ^ y.simhash_hi)")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 5)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  private val simhashCtes =
+    """wvs AS (
+      |  SELECT doc_id,
+      |    list_transform(string_split(text,' '),
+      |      w -> (CAST(length(w) AS BIGINT)*31 + ascii(substr(w,1,1)))*31
+      |           + ascii(substr(w,-1,1))) AS wvs
+      |  FROM documents),
+      |hs AS (
+      |  SELECT doc_id,
+      |    list_transform(wvs, v -> (v*2654435761 + 101) % 2147483647) AS hlo,
+      |    list_transform(wvs, v -> (v*40503 + 7) % 2147483647) AS hhi
+      |  FROM wvs),
+      |sim AS (
+      |  SELECT doc_id,
+      |    CAST(list_sum([ CASE WHEN list_sum([ 2*((h >> j) & 1) - 1 for h in hlo ]) > 0
+      |                         THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END
+      |                    for j in generate_series(0,30) ]) AS BIGINT) AS simhash_lo,
+      |    CAST(list_sum([ CASE WHEN list_sum([ 2*((h >> j) & 1) - 1 for h in hhi ]) > 0
+      |                         THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END
+      |                    for j in generate_series(0,30) ]) AS BIGINT) AS simhash_hi
+      |  FROM hs),
+      |chunks AS (
+      |  SELECT doc_id, simhash_lo, simhash_hi, c AS cpos,
+      |    CASE c WHEN 0 THEN simhash_lo % 65536 WHEN 1 THEN simhash_lo // 65536
+      |           WHEN 2 THEN simhash_hi % 65536 ELSE simhash_hi // 65536 END AS cval
+      |  FROM sim, generate_series(0,3) g(c))""".stripMargin
+
+  val d3Sql: String =
+    s"""WITH $simhashCtes
+       |SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       |  bit_count(xor(x.simhash_lo, y.simhash_lo))
+       |    + bit_count(xor(x.simhash_hi, y.simhash_hi)) AS hamming
+       |FROM chunks x JOIN chunks y
+       |  ON x.cpos = y.cpos AND x.cval = y.cval AND x.doc_id < y.doc_id
+       |WHERE bit_count(xor(x.simhash_lo, y.simhash_lo))
+       |    + bit_count(xor(x.simhash_hi, y.simhash_hi)) <= 5
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---- d4: word-3-gram Jaccard over the LSH candidate pairs ----
+  def d4NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingleFeatures(spark, dir)
+    val exploded = sh.select(col("doc_id"), explode(col("shingles")).as("s"))
+    val ns = sh.select(col("doc_id"), size(col("shingles")).as("n"))
+    val cand = d2MinhashLsh(spark, dir)
+    cand
+      .join(exploded.as("a"), col("doc_a") === col("a.doc_id"))
+      .join(exploded.as("b"), col("doc_b") === col("b.doc_id") && col("a.s") === col("b.s"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(ns.as("na"), col("doc_a") === col("na.doc_id"))
+      .join(ns.as("nb"), col("doc_b") === col("nb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter").cast("double") / (col("na.n") + col("nb.n") - col("inter"))).as("jaccard"))
+      .filter(col("jaccard") >= 0.2)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val d4Sql: String =
+    s"""WITH $lshCtes,
+       |shx AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+       |ns AS (SELECT doc_id, len(shingles) AS n FROM sh),
+       |inter AS (
+       |  SELECT c.doc_a, c.doc_b, count(*) AS inter
+       |  FROM cand c
+       |  JOIN shx a ON a.doc_id = c.doc_a
+       |  JOIN shx b ON b.doc_id = c.doc_b AND a.s = b.s
+       |  GROUP BY c.doc_a, c.doc_b)
+       |SELECT i.doc_a, i.doc_b,
+       |  CAST(i.inter AS DOUBLE) / (na.n + nb.n - i.inter) AS jaccard
+       |FROM inter i
+       |JOIN ns na ON i.doc_a = na.doc_id
+       |JOIN ns nb ON i.doc_b = nb.doc_id
+       |WHERE CAST(i.inter AS DOUBLE) / (na.n + nb.n - i.inter) >= 0.2
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---- d5: embedding cosine near-dup over hyperplane-LSH buckets ----
+  // 4 deterministic pseudo-random hyperplanes -> 16 buckets; exact
+  // cosine only within buckets. Double folds are sequential on both
+  // engines, so floats match bit-for-bit.
+  private val bucketExpr =
+    """aggregate(sequence(0, 3), 0,
+      |  (acc, p) -> acc + CASE WHEN
+      |    aggregate(sequence(1, 64), cast(0.0 as double),
+      |      (a, d) -> a + cast((p*131 + d)*2654435761 % 1000003 - 500000 as double)
+      |                    * element_at(vd, d)) > 0
+      |    THEN shiftleft(1, p) ELSE 0 END)""".stripMargin
+
+  private def embFeatures(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "embeddings")
+      .withColumn("vd", expr("transform(embedding, x -> cast(x as double))"))
+      .withColumn("bucket", expr(bucketExpr))
+      .withColumn("n2", expr(
+        "aggregate(vd, cast(0.0 as double), (acc, x) -> acc + x*x)"))
+      .select(col("vec_id"), col("vd"), col("bucket"), col("n2"))
+
+  def d5EmbeddingDup(spark: SparkSession, dir: String): DataFrame = {
+    val e = embFeatures(spark, dir)
+    e.as("x").join(e.as("y"),
+        col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
+      .withColumn("dot", expr(
+        """aggregate(zip_with(x.vd, y.vd, (a, b) -> a*b),
+          |  cast(0.0 as double), (acc, v) -> acc + v)""".stripMargin))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
+        (col("dot") / (sqrt(col("x.n2")) * sqrt(col("y.n2")))).as("cosine"))
+      .filter(col("cosine") > 0.35)
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  private val embCtes =
+    """ef AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
+      |  FROM embeddings),
+      |eb AS (
+      |  SELECT vec_id, vd,
+      |    list_reduce(list_prepend(CAST(0 AS INTEGER), [
+      |      CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |             [ CAST((p*131 + d)*2654435761 % 1000003 - 500000 AS DOUBLE) * vd[d]
+      |               for d in generate_series(1, 64) ]), (a, b) -> a + b) > 0
+      |           THEN (1 << p) ELSE 0 END
+      |      for p in generate_series(0, 3) ]), (a, b) -> a + b) AS bucket,
+      |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), [ x*x for x in vd ]),
+      |                (a, b) -> a + b) AS n2
+      |  FROM ef)""".stripMargin
+
+  val d5Sql: String =
+    s"""WITH $embCtes
+       |SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+       |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |    [ x.vd[d] * y.vd[d] for d in generate_series(1, 64) ]), (a, b) -> a + b)
+       |    / (sqrt(x.n2) * sqrt(y.n2)) AS cosine
+       |FROM eb x JOIN eb y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+       |WHERE list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |    [ x.vd[d] * y.vd[d] for d in generate_series(1, 64) ]), (a, b) -> a + b)
+       |    / (sqrt(x.n2) * sqrt(y.n2)) > 0.35
+       |ORDER BY vec_a, vec_b""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d1_exact_dedup" -> (d1ExactDedup _),
+    "d2_minhash_lsh" -> (d2MinhashLsh _),
+    "d3_simhash" -> (d3Simhash _),
+    "d4_ngram_jaccard" -> (d4NgramJaccard _),
+    "d5_embedding_dup" -> (d5EmbeddingDup _))
+
+  val oracles: Map[String, String] = Map(
+    "d1_exact_dedup" -> d1Sql,
+    "d2_minhash_lsh" -> d2Sql,
+    "d3_simhash" -> d3Sql,
+    "d4_ngram_jaccard" -> d4Sql,
+    "d5_embedding_dup" -> d5Sql)
+}
