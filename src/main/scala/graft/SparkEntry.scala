@@ -5,6 +5,7 @@ import graft.operators.Relational
 import graft.operators.graph.GraphOps
 import graft.operators.text.TextOps
 import graft.operators.dedup.DedupOps
+import graft.operators.similarity.SimilarityOps
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -14,10 +15,10 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ GraphOps.queries ++ TextOps.queries ++ DedupOps.queries
+    Relational.queries ++ GraphOps.queries ++ TextOps.queries ++ DedupOps.queries ++ SimilarityOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Relational.oracles ++ GraphOps.oracles ++ TextOps.oracles ++ DedupOps.oracles
+    Relational.oracles ++ GraphOps.oracles ++ TextOps.oracles ++ DedupOps.oracles ++ SimilarityOps.oracles
 }

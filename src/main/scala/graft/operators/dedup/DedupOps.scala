@@ -225,57 +225,23 @@ object DedupOps {
        |ORDER BY doc_a, doc_b""".stripMargin
 
   // ---- d5: embedding cosine near-dup over hyperplane-LSH buckets ----
-  // 4 deterministic pseudo-random hyperplanes -> 16 buckets; exact
-  // cosine only within buckets. Double folds are sequential on both
-  // engines, so floats match bit-for-bit.
-  private val bucketExpr =
-    """aggregate(sequence(0, 3), 0,
-      |  (acc, p) -> acc + CASE WHEN
-      |    aggregate(sequence(1, 64), cast(0.0 as double),
-      |      (a, d) -> a + cast((p*131 + d)*2654435761 % 1000003 - 500000 as double)
-      |                    * element_at(vd, d)) > 0
-      |    THEN shiftleft(1, p) ELSE 0 END)""".stripMargin
-
-  private def embFeatures(spark: SparkSession, dir: String): DataFrame =
-    Tables.load(spark, dir, "embeddings")
-      .withColumn("vd", expr("transform(embedding, x -> cast(x as double))"))
-      .withColumn("bucket", expr(bucketExpr))
-      .withColumn("n2", expr(
-        "aggregate(vd, cast(0.0 as double), (acc, x) -> acc + x*x)"))
-      .select(col("vec_id"), col("vd"), col("bucket"), col("n2"))
+  // Shared vector primitives (folds + LSH bucket) live in VectorExprs;
+  // exact cosine is computed only within buckets.
+  import graft.operators.vector.VectorExprs
 
   def d5EmbeddingDup(spark: SparkSession, dir: String): DataFrame = {
-    val e = embFeatures(spark, dir)
+    val e = VectorExprs.embFeatures(spark, dir)
     e.as("x").join(e.as("y"),
         col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
-      .withColumn("dot", expr(
-        """aggregate(zip_with(x.vd, y.vd, (a, b) -> a*b),
-          |  cast(0.0 as double), (acc, v) -> acc + v)""".stripMargin))
+      .withColumn("dot", expr(VectorExprs.dotExpr("x.vd", "y.vd")))
       .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
         (col("dot") / (sqrt(col("x.n2")) * sqrt(col("y.n2")))).as("cosine"))
       .filter(col("cosine") > 0.35)
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
-  private val embCtes =
-    """ef AS (
-      |  SELECT vec_id,
-      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
-      |  FROM embeddings),
-      |eb AS (
-      |  SELECT vec_id, vd,
-      |    list_reduce(list_prepend(CAST(0 AS INTEGER), [
-      |      CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-      |             [ CAST((p*131 + d)*2654435761 % 1000003 - 500000 AS DOUBLE) * vd[d]
-      |               for d in generate_series(1, 64) ]), (a, b) -> a + b) > 0
-      |           THEN (1 << p) ELSE 0 END
-      |      for p in generate_series(0, 3) ]), (a, b) -> a + b) AS bucket,
-      |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), [ x*x for x in vd ]),
-      |                (a, b) -> a + b) AS n2
-      |  FROM ef)""".stripMargin
-
   val d5Sql: String =
-    s"""WITH $embCtes
+    s"""WITH ${VectorExprs.embCtes}
        |SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
        |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
        |    [ x.vd[d] * y.vd[d] for d in generate_series(1, 64) ]), (a, b) -> a + b)
