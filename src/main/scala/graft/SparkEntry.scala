@@ -6,6 +6,7 @@ import graft.operators.graph.GraphOps
 import graft.operators.text.TextOps
 import graft.operators.dedup.DedupOps
 import graft.operators.similarity.SimilarityOps
+import graft.streaming.EventOps
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -15,10 +16,10 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ GraphOps.queries ++ TextOps.queries ++ DedupOps.queries ++ SimilarityOps.queries
+    Relational.queries ++ GraphOps.queries ++ TextOps.queries ++ DedupOps.queries ++ SimilarityOps.queries ++ EventOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Relational.oracles ++ GraphOps.oracles ++ TextOps.oracles ++ DedupOps.oracles ++ SimilarityOps.oracles
+    Relational.oracles ++ GraphOps.oracles ++ TextOps.oracles ++ DedupOps.oracles ++ SimilarityOps.oracles ++ EventOps.oracles
 }

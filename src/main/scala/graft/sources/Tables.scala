@@ -14,7 +14,15 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") {
+      // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
+      // reader rejects; read the raw int64 nanos and convert (the data
+      // carries no sub-microsecond precision, so this is lossless and
+      // matches DuckDB's microsecond timestamps exactly).
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$dir/$name.parquet")
+        .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    } else spark.read.parquet(s"$dir/$name.parquet")
 
   /** Register every table as a temp view (for the SQL-facing API). */
   def registerAll(spark: SparkSession, dir: String): Unit =

@@ -1,0 +1,96 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Driver-gated event queries: the batch `events` table run through
+  * the SAME transforms the streaming runtime uses ([[EventStreams]]),
+  * so the DuckDB oracles validate the streaming logic itself.
+  */
+object EventOps {
+
+  private def events(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+
+  // ---- e1: tumbling 1h window count/sum by event_type ----
+  def e1TumblingAgg(spark: SparkSession, dir: String): DataFrame =
+    EventStreams.tumbling(events(spark, dir))
+      .orderBy(col("window_start"), col("event_type"))
+
+  val e1Sql: String =
+    """SELECT date_trunc('hour', ts) AS window_start, event_type,
+      |  count(*) AS n_events,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
+
+  // ---- e2: sliding 1h windows every 30min ----
+  // Oracle: a 1h/30min sliding window family = the union of two
+  // tumbling grids (offset 0 and offset 30min).
+  def e2SlidingAgg(spark: SparkSession, dir: String): DataFrame =
+    EventStreams.sliding(events(spark, dir))
+      .orderBy(col("window_start"), col("event_type"))
+
+  val e2Sql: String =
+    """WITH assigned AS (
+      |  SELECT date_trunc('hour', ts) AS window_start, event_type, value FROM events
+      |  UNION ALL
+      |  SELECT date_trunc('hour', ts - INTERVAL 30 MINUTE) + INTERVAL 30 MINUTE,
+      |         event_type, value FROM events)
+      |SELECT window_start, event_type, count(*) AS n_events,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM assigned GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
+
+  // ---- e3: 30-min-gap sessions per user (gaps-and-islands oracle) ----
+  def e3Sessionize(spark: SparkSession, dir: String): DataFrame =
+    EventStreams.sessions(events(spark, dir))
+      .orderBy(col("user_id"), col("session_start"))
+
+  val e3Sql: String =
+    """WITH marked AS (
+      |  SELECT user_id, ts, value,
+      |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+      |           OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+      |              >= INTERVAL 30 MINUTE
+      |         THEN 1 ELSE 0 END AS is_new
+      |  FROM events),
+      |islands AS (
+      |  SELECT user_id, ts, value,
+      |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+      |                      ROWS UNBOUNDED PRECEDING) AS session_id
+      |  FROM marked)
+      |SELECT user_id, min(ts) AS session_start,
+      |  max(ts) + INTERVAL 30 MINUTE AS session_end,
+      |  count(*) AS n_events,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM islands GROUP BY user_id, session_id
+      |ORDER BY user_id, session_start""".stripMargin
+
+  // ---- e4: dedup within key (batch analog of streaming dedup) ----
+  // Streaming dropDuplicates keeps the first arrival; the deterministic
+  // batch analog keeps min(event_id) per (user_id, event_type, minute).
+  def e4StreamDedup(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(col("user_id"), col("event_type"),
+        date_trunc("minute", col("ts")).as("minute"))
+      .agg(min(col("event_id")).as("kept_id"), count(lit(1)).as("n_dups"))
+      .orderBy(col("user_id"), col("event_type"), col("minute"))
+
+  val e4Sql: String =
+    """SELECT user_id, event_type, date_trunc('minute', ts) AS minute,
+      |  min(event_id) AS kept_id, count(*) AS n_dups
+      |FROM events GROUP BY 1, 2, 3
+      |ORDER BY user_id, event_type, minute""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e1_tumbling_agg" -> (e1TumblingAgg _),
+    "e2_sliding_agg" -> (e2SlidingAgg _),
+    "e3_sessionize" -> (e3Sessionize _),
+    "e4_stream_dedup" -> (e4StreamDedup _))
+
+  val oracles: Map[String, String] = Map(
+    "e1_tumbling_agg" -> e1Sql,
+    "e2_sliding_agg" -> e2Sql,
+    "e3_sessionize" -> e3Sql,
+    "e4_stream_dedup" -> e4Sql)
+}

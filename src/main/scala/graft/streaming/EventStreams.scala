@@ -1,0 +1,48 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Event-stream transforms, usable on BOTH a Structured Streaming
+  * source (`readStream`) and the batch `events` table — the same
+  * declarative plan, so the driver's batch oracle checks the exact
+  * code the streaming runtime executes.
+  *
+  * Watermarks bound state at scale: tumbling/sliding aggregates drop
+  * windows older than the watermark; session windows are pruned the
+  * same way (state never grows unboundedly on a 1000-executor
+  * cluster). `value` sums go through DECIMAL(18,2) so batch oracle
+  * comparison is exact; final cast back to double for the API.
+  */
+object EventStreams {
+
+  private val sumVal =
+    sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value")
+
+  /** Tumbling 1-hour windows per event_type. */
+  def tumbling(events: DataFrame, withWatermark: Boolean = false): DataFrame = {
+    val src = if (withWatermark) events.withWatermark("ts", "2 hours") else events
+    src.groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sumVal)
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+  }
+
+  /** Sliding 1-hour windows every 30 minutes per event_type. */
+  def sliding(events: DataFrame, withWatermark: Boolean = false): DataFrame = {
+    val src = if (withWatermark) events.withWatermark("ts", "2 hours") else events
+    src.groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sumVal)
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+  }
+
+  /** 30-minute-gap session windows per user. */
+  def sessions(events: DataFrame, withWatermark: Boolean = false): DataFrame = {
+    val src = if (withWatermark) events.withWatermark("ts", "2 hours") else events
+    src.groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sumVal)
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"), col("n_events"), col("sum_value"))
+  }
+}

@@ -1,0 +1,106 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Drives [[EventStreams]] through a real Structured Streaming query
+  * (MemoryStream source -> watermark -> window agg -> memory sink) and
+  * checks the streamed result equals the batch run of the same
+  * transform — the contract EventOps' DuckDB oracles rely on.
+  */
+class EventStreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-streaming-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def ts(minute: Int) = new Timestamp(1704067200000L + minute * 60000L)
+
+  private def sampleRows: Seq[(Timestamp, Long, String, Double)] = Seq(
+    (ts(1), 1L, "click", 1.0), (ts(5), 1L, "click", 2.0),
+    (ts(20), 2L, "view", 3.0), (ts(65), 1L, "click", 4.0),
+    (ts(70), 2L, "view", 5.0), (ts(140), 1L, "click", 6.0))
+
+  test("streamed tumbling agg equals batch tumbling agg") {
+    val sq = spark
+    import sq.implicits._
+    implicit val ctx = sq.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, String, Double)]
+    val streamDf = mem.toDF().toDF("ts", "user_id", "event_type", "value")
+    val q = EventStreams.tumbling(streamDf, withWatermark = true)
+      .writeStream.format("memory").queryName("tumbling_out")
+      .outputMode("complete").start()
+    try {
+      mem.addData(sampleRows: _*)
+      q.processAllAvailable()
+      val streamed = sq.table("tumbling_out")
+        .orderBy("window_start", "event_type")
+        .collect().map(_.toSeq).toSeq
+      val batchDf = sampleRows.toDF("ts", "user_id", "event_type", "value")
+      val batch = EventStreams.tumbling(batchDf)
+        .orderBy("window_start", "event_type")
+        .collect().map(_.toSeq).toSeq
+      assert(streamed == batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("streamed session windows equal batch session windows") {
+    val sq = spark
+    import sq.implicits._
+    implicit val ctx = sq.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, String, Double)]
+    val streamDf = mem.toDF().toDF("ts", "user_id", "event_type", "value")
+    val q = EventStreams.sessions(streamDf, withWatermark = true)
+      .writeStream.format("memory").queryName("sessions_out")
+      .outputMode("complete").start()
+    try {
+      mem.addData(sampleRows: _*)
+      q.processAllAvailable()
+      val streamed = sq.table("sessions_out")
+        .orderBy("user_id", "session_start")
+        .collect().map(_.toSeq).toSeq
+      val batchDf = sampleRows.toDF("ts", "user_id", "event_type", "value")
+      val batch = EventStreams.sessions(batchDf)
+        .orderBy("user_id", "session_start")
+        .collect().map(_.toSeq).toSeq
+      assert(streamed == batch)
+      // user 1: events at minutes 1,5 then 65,70(no - 65 is user1, 70 user2)
+      // gap > 30min splits sessions; expect multiple sessions for user 1
+      assert(streamed.count(_.head == 1L) >= 2)
+    } finally q.stop()
+  }
+
+  test("streaming dedup drops duplicate event ids within watermark") {
+    val sq = spark
+    import sq.implicits._
+    implicit val ctx = sq.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val streamDf = mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+    val deduped = streamDf.withWatermark("ts", "2 hours")
+      .dropDuplicates("event_id")
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    val q = deduped.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("complete").start()
+    try {
+      mem.addData(
+        (1L, ts(1), 1L, "click", 1.0), (1L, ts(1), 1L, "click", 1.0),
+        (2L, ts(2), 1L, "view", 2.0), (2L, ts(2), 1L, "view", 2.0),
+        (3L, ts(3), 2L, "click", 3.0))
+      q.processAllAvailable()
+      val out = sq.table("dedup_out").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(out == Map("click" -> 2L, "view" -> 1L))
+    } finally q.stop()
+  }
+}
