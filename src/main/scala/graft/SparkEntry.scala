@@ -7,6 +7,7 @@ import graft.operators.text.TextOps
 import graft.operators.dedup.DedupOps
 import graft.operators.similarity.SimilarityOps
 import graft.streaming.EventOps
+import graft.operators.multimodal.MultimodalOps
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -16,10 +17,10 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ GraphOps.queries ++ TextOps.queries ++ DedupOps.queries ++ SimilarityOps.queries ++ EventOps.queries
+    Relational.queries ++ GraphOps.queries ++ TextOps.queries ++ DedupOps.queries ++ SimilarityOps.queries ++ EventOps.queries ++ MultimodalOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Relational.oracles ++ GraphOps.oracles ++ TextOps.oracles ++ DedupOps.oracles ++ SimilarityOps.oracles ++ EventOps.oracles
+    Relational.oracles ++ GraphOps.oracles ++ TextOps.oracles ++ DedupOps.oracles ++ SimilarityOps.oracles ++ EventOps.oracles ++ MultimodalOps.oracles
 }

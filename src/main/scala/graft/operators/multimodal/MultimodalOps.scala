@@ -1,0 +1,91 @@
+package graft.operators.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Multimodal plumbing: opaque `binary` payload columns with typed
+  * metadata, processed without ever collecting to the driver.
+  *
+  * The container has no image/audio codecs, so the decode step is a
+  * clearly-marked deterministic fake ([[FakeDecoder]]); everything
+  * around it — schema, per-partition batching, feature-vector shape,
+  * partition-preserving execution — is the real plumbing a decode UDF
+  * would run in at 100 TB (swap `FakeDecoder.decode` for a JNI/codec
+  * call and nothing else changes).
+  */
+object MultimodalOps {
+
+  /** Stand-in for a real media decoder (STUB: the real system would
+    * decode image/audio bytes; this produces a deterministic
+    * byte-histogram "feature" so results are oracle-checkable). */
+  object FakeDecoder {
+    val FeatureDim = 8
+    def decode(payload: Array[Byte]): Array[Float] = {
+      val hist = new Array[Int](FeatureDim)
+      var i = 0
+      while (i < payload.length) {
+        hist((payload(i) & 0xff) % FeatureDim) += 1
+        i += 1
+      }
+      val n = math.max(payload.length, 1).toFloat
+      hist.map(_ / n)
+    }
+  }
+
+  /** documents + synthesized binary payload (utf-8 bytes of `text`) —
+    * the shape a real corpus with media columns would have. */
+  def withBlob(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .withColumn("payload", col("text").cast("binary"))
+
+  // ---- m1: per-source byte stats over the binary column ----
+  def m1BlobStats(spark: SparkSession, dir: String): DataFrame =
+    withBlob(spark, dir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_blobs"),
+        sum(octet_length(col("payload"))).as("total_bytes"),
+        min(octet_length(col("payload"))).as("min_bytes"),
+        max(octet_length(col("payload"))).as("max_bytes"))
+      .orderBy(col("source"))
+
+  val m1Sql: String =
+    """SELECT source, count(*) AS n_blobs,
+      |  sum(octet_length(CAST(text AS BLOB))) AS total_bytes,
+      |  min(octet_length(CAST(text AS BLOB))) AS min_bytes,
+      |  max(octet_length(CAST(text AS BLOB))) AS max_bytes
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
+  /** One decoded record: doc + fixed-size feature vector. */
+  case class DecodedFeatures(doc_id: Long, n_bytes: Int, features: Array[Float])
+
+  // ---- m2: decode -> feature-extract via typed mapPartitions ----
+  // The decode loop runs once per partition over an iterator (the
+  // batch shape a vectorized decoder needs); no shuffle is introduced
+  // and the scan only reads (doc_id, text). Rows-only gate: the fake
+  // decode is not SQL-expressible, its spec covers the semantics.
+  def m2FeatureExtract(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val src: Dataset[(Long, Array[Byte])] = withBlob(spark, dir)
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+    src.mapPartitions { it =>
+      it.map { case (id, payload) =>
+        DecodedFeatures(id, payload.length, FakeDecoder.decode(payload))
+      }
+    }.toDF()
+      .select(col("doc_id"), col("n_bytes"),
+        round(element_at(col("features"), 1).cast("double"), 6).as("f0"),
+        round(element_at(col("features"), 2).cast("double"), 6).as("f1"))
+      .orderBy(col("doc_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m1_blob_stats" -> (m1BlobStats _),
+    "m2_feature_extract" -> (m2FeatureExtract _))
+
+  // m2 is rows-only (decode stub is not SQL-expressible); covered by
+  // MultimodalSpec instead.
+  val oracles: Map[String, String] = Map(
+    "m1_blob_stats" -> m1Sql)
+}

@@ -1,0 +1,34 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Source/sink surface beyond plain parquet reads: csv/json
+  * round-trips and partitioned parquet writes.
+  *
+  * Writers stay distributed (no coalesce(1) in the API — callers
+  * choose their layout); `partitionedParquet` gives the
+  * partition-pruned layout a 100 TB fact table needs (predicate on the
+  * partition column prunes directories before any I/O).
+  */
+object TableIO {
+
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+
+  def readCsv(spark: SparkSession, path: String, schemaDdl: String): DataFrame =
+    spark.read.option("header", "true").schema(schemaDdl).csv(path)
+
+  def writeJson(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).json(path)
+
+  def readJson(spark: SparkSession, path: String, schemaDdl: String): DataFrame =
+    spark.read.schema(schemaDdl).json(path)
+
+  /** Partitioned parquet write (directory per distinct value of
+    * `partitionCol`), the layout that enables partition pruning. */
+  def writePartitionedParquet(df: DataFrame, path: String, partitionCol: String): Unit =
+    df.write.mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(path)
+
+  def readParquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+}

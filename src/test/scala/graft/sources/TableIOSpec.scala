@@ -1,0 +1,60 @@
+package graft.sources
+
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+class TableIOSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-io-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  private def nation = Tables.load(spark, "/root/testdata/sf0.001", "nation")
+
+  test("csv round-trip preserves rows and schema") {
+    val path = tmp("graft_csv")
+    val src = nation
+    TableIO.writeCsv(src, path)
+    val back = TableIO.readCsv(spark, path,
+      src.schema.toDDL)
+    assert(back.schema.fieldNames.toSeq == src.schema.fieldNames.toSeq)
+    assert(back.orderBy("n_nationkey").collect().toSeq ==
+      src.orderBy("n_nationkey").collect().toSeq)
+    assert(back.count() == src.count())
+  }
+
+  test("json round-trip preserves values") {
+    val path = tmp("graft_json")
+    val src = nation.select(col("n_nationkey"), col("n_name"))
+    TableIO.writeJson(src, path)
+    val back = TableIO.readJson(spark, path, "n_nationkey BIGINT, n_name STRING")
+    assert(back.orderBy("n_nationkey").collect().toSeq ==
+      src.orderBy("n_nationkey").collect().toSeq)
+  }
+
+  test("partitioned parquet write prunes partitions on read") {
+    val path = tmp("graft_part")
+    TableIO.writePartitionedParquet(nation, path, "n_regionkey")
+    // one directory per region key
+    val dirs = new java.io.File(path).listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("n_regionkey=")).sorted
+    assert(dirs.length == 5)
+    val pruned = TableIO.readParquet(spark, path).filter(col("n_regionkey") === 2)
+    // partition filter must appear as a pushed partition predicate, not a data filter
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("n_regionkey"))
+    assert(pruned.count() == nation.filter(col("n_regionkey") === 2).count())
+  }
+}
