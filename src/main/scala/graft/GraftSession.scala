@@ -19,9 +19,16 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // Skew-join splitting is pure win; runtime partition coalescing is
+      // NOT for this workload: our stages are CPU-heavy over compact
+      // shuffles (hash folds, LSH), and coalescing trades parallelism
+      // for fewer tasks. On an IO-bound 100 TB scan-heavy job flip it on.
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
-      .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+      // Broad enough for every dim table; fact-side relations stay on
+      // shuffle joins (runaway auto-broadcasts of exploded intermediates
+      // cost more than the shuffle they save).
+      .config("spark.sql.autoBroadcastJoinThreshold", (16L * 1024 * 1024).toString)
       .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -46,12 +46,16 @@ object DedupOps {
       |  i -> ((element_at(wvs,i)*131 + element_at(wvs,i+1))*131
       |        + element_at(wvs,i+2)) % 2147483647))""".stripMargin
 
-  /** doc_id + distinct shingle-hash array; codegen'd, one scan. */
+  /** doc_id + distinct shingle-hash array; codegen'd, one scan,
+    * cached per (session, dir) — feeds d2 (twice, via the self-join)
+    * and d4 (three more uses). */
   def shingleFeatures(spark: SparkSession, dir: String): DataFrame =
-    docs(spark, dir)
-      .filter(size(split(col("text"), " ")) >= 3)
-      .withColumn("wvs", expr(wvsExpr))
-      .select(col("doc_id"), expr(shinglesExpr).as("shingles"))
+    graft.util.DfCache.cached(spark, dir, "dedup_shingles") {
+      docs(spark, dir)
+        .filter(size(split(col("text"), " ")) >= 3)
+        .withColumn("wvs", expr(wvsExpr))
+        .select(col("doc_id"), expr(shinglesExpr).as("shingles"))
+    }
 
   private val shingleCtes =
     """wvs AS (
@@ -76,11 +80,14 @@ object DedupOps {
       |  (((element_at(mh,4*b+1)*31 + element_at(mh,4*b+2))*31
       |     + element_at(mh,4*b+3))*31 + element_at(mh,4*b+4)) % 2147483647)""".stripMargin
 
-  /** (doc_id, band, bkey): 16 rows per doc, the LSH shuffle key. */
+  /** (doc_id, band, bkey): 16 rows per doc, the LSH shuffle key.
+    * Cached: both sides of the candidate self-join read it. */
   private def bandTable(spark: SparkSession, dir: String): DataFrame =
-    shingleFeatures(spark, dir)
-      .withColumn("mh", expr(mhExpr))
-      .select(col("doc_id"), posexplode(expr(bandKeysExpr)).as(Seq("band", "bkey")))
+    graft.util.DfCache.cached(spark, dir, "dedup_bands") {
+      shingleFeatures(spark, dir)
+        .withColumn("mh", expr(mhExpr))
+        .select(col("doc_id"), posexplode(expr(bandKeysExpr)).as(Seq("band", "bkey")))
+    }
 
   def d2MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val b = bandTable(spark, dir)
@@ -115,21 +122,31 @@ object DedupOps {
        |SELECT doc_a, doc_b FROM cand ORDER BY doc_a, doc_b""".stripMargin
 
   // ---- d3: SimHash (two 31-bit halves) hamming-chunk near-dup ----
-  private def simhashHalf(hcol: String): String =
-    s"""cast(aggregate(transform(sequence(0, 30), j ->
-       |  CASE WHEN aggregate($hcol, cast(0 as bigint),
-       |         (acc, h) -> acc + 2*(shiftright(h, j) & 1) - 1) > 0
-       |       THEN shiftleft(cast(1 as bigint), j) ELSE cast(0 as bigint) END),
-       |  cast(0 as bigint), (a, x) -> a + x) as bigint)""".stripMargin
-
+  // Restructured for codegen: explode tokens once, then ONE hash
+  // aggregate with 62 bit-count sums (whole-stage codegen + map-side
+  // partial agg) instead of 62 interpreted higher-order folds per doc.
+  // bit_j = 1  iff  sum over tokens of (2*bit_j(h) - 1) > 0
+  //         iff  2 * count(tokens with bit_j set) > n_tokens.
   private def simhashTable(spark: SparkSession, dir: String): DataFrame =
-    docs(spark, dir)
-      .withColumn("wvs", expr(wvsExpr))
-      .withColumn("hlo", expr("transform(wvs, v -> (v*2654435761 + 101) % 2147483647)"))
-      .withColumn("hhi", expr("transform(wvs, v -> (v*40503 + 7) % 2147483647)"))
-      .select(col("doc_id"),
-        expr(simhashHalf("hlo")).as("simhash_lo"),
-        expr(simhashHalf("hhi")).as("simhash_hi"))
+    graft.util.DfCache.cached(spark, dir, "dedup_simhash") {
+      val toks = docs(spark, dir)
+        .withColumn("wvs", expr(wvsExpr))
+        .select(col("doc_id"), explode(col("wvs")).as("v"))
+        .select(col("doc_id"),
+          expr("(v*2654435761 + 101) % 2147483647").as("hlo"),
+          expr("(v*40503 + 7) % 2147483647").as("hhi"))
+      val aggs = (0 to 30).flatMap(j => Seq(
+        sum(expr(s"shiftright(hlo, $j) & 1")).as(s"clo_$j"),
+        sum(expr(s"shiftright(hhi, $j) & 1")).as(s"chi_$j"))) :+
+        count(lit(1)).as("n")
+      val counts = toks.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+      def half(pfx: String) = (0 to 30)
+        .map(j => expr(s"CASE WHEN 2*${pfx}_$j > n THEN cast(${1L << j} as bigint) " +
+          "ELSE cast(0 as bigint) END"))
+        .reduce(_ + _)
+      counts.select(col("doc_id"),
+        half("clo").as("simhash_lo"), half("chi").as("simhash_hi"))
+    }
 
   def d3Simhash(spark: SparkSession, dir: String): DataFrame = {
     val s = simhashTable(spark, dir)

@@ -38,7 +38,7 @@ object GraphOps {
   private val HP = 1000003L
 
   private def withSym(spark: SparkSession, dir: String): DataFrame =
-    GraphTables.sym(spark, dir)
+    GraphTables.sym(spark, dir)  // cached+persisted in GraphTables
 
   // ---- g1: per-node degree ----
   def g1Degree(spark: SparkSession, dir: String): DataFrame =
@@ -69,7 +69,7 @@ object GraphOps {
 
   // ---- g4: deterministic pseudo-random-walk visit counts (3 hops) ----
   private def walkSteps(spark: SparkSession, dir: String, hops: Int): DataFrame = {
-    val sym = withSym(spark, dir).persist(StorageLevel.MEMORY_AND_DISK)
+    val sym = withSym(spark, dir)
     val start = graft.sources.Tables.load(spark, dir, "customer")
       .select((col("c_custkey").cast("long") * 8).as("walker"))
       .withColumn("node", col("walker"))
@@ -132,14 +132,24 @@ object GraphOps {
        |GROUP BY node ORDER BY visits DESC, node_id LIMIT 10""".stripMargin
 
   // ---- g5: fixed-point integer PageRank, 3 iterations ----
+  // The (edge, out-degree) join is loop-invariant: compute it once,
+  // repartition by src, and cache — each iteration then shuffles only
+  // the (node, rank) vector (V rows), not the edge list (E rows).
+  // This is the AnalysisRound analog: a stable partitioning of the
+  // edge set reused across rounds (Runner.java:60).
   def pagerank(spark: SparkSession, dir: String, iters: Int = 3): DataFrame = {
-    val sym = withSym(spark, dir).persist(StorageLevel.MEMORY_AND_DISK)
-    val deg = sym.groupBy(col("src").as("dnode")).agg(count(lit(1)).as("d"))
-    var r = deg.select(col("dnode").as("node"), lit(1000000L).as("r"))
+    val sym = withSym(spark, dir)
+    val ew = graft.util.DfCache.cached(spark, dir, "graph_edges_deg") {
+      val deg = sym.groupBy(col("src").as("dnode")).agg(count(lit(1)).as("d"))
+      sym.join(deg, col("src") === col("dnode"))
+        .select(col("src"), col("dst"), col("d"))
+        .repartition(col("src"))
+    }
+    var r = ew.select(col("src").as("node")).distinct()
+      .select(col("node"), lit(1000000L).as("r"))
     for (_ <- 1 to iters) {
-      r = sym
+      r = ew
         .join(r, col("src") === col("node"))
-        .join(deg, col("src") === col("dnode"))
         .select(col("dst"), expr("r DIV d").as("contrib"))
         .groupBy(col("dst").as("node"))
         .agg((lit(150000L) + expr("85 * sum(contrib) DIV 100")).as("r"))
@@ -171,21 +181,28 @@ object GraphOps {
        |SELECT node AS node_id, r AS rank FROM r3 ORDER BY node_id""".stripMargin
 
   // ---- g6: multi-source k-hop BFS distances from region nodes ----
+  // Frontier BFS: each level is persisted once; the cumulative
+  // "reached" set is a lazy union of the persisted levels (never
+  // re-materialized), so iteration h does one join + one distinct +
+  // one anti-join over already-cached inputs.
   def g6BfsKhop(spark: SparkSession, dir: String): DataFrame = {
-    val sym = withSym(spark, dir).persist(StorageLevel.MEMORY_AND_DISK)
+    val sym = withSym(spark, dir)
     val src = graft.sources.Tables.load(spark, dir, "region")
       .select((col("r_regionkey").cast("long") * 8 + 5).as("node"))
-    var reached = src.withColumn("dist", lit(0))
-    var frontier = reached.select(col("node"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var levels = List(src.withColumn("dist", lit(0)))
+    var frontier = src
     for (h <- 1 to 4) {
+      val seen = levels.map(_.select(col("node"))).reduce(_.union(_))
       val nxt = frontier.join(sym, col("node") === col("src"))
         .select(col("dst").as("node")).distinct()
-        .join(reached.select(col("node")), Seq("node"), "left_anti")
-        .withColumn("dist", lit(h))
-      frontier = nxt.select(col("node")).persist(StorageLevel.MEMORY_AND_DISK)
-      reached = reached.union(nxt).persist(StorageLevel.MEMORY_AND_DISK)
+        .join(seen, Seq("node"), "left_anti")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      frontier = nxt
+      levels = nxt.withColumn("dist", lit(h)) :: levels
     }
-    reached.select(col("node").as("node_id"), col("dist")).orderBy(col("node_id"))
+    levels.reduce(_.union(_))
+      .select(col("node").as("node_id"), col("dist")).orderBy(col("node_id"))
   }
 
   val g6Sql: String =
@@ -200,6 +217,7 @@ object GraphOps {
   def g7Triangles(spark: SparkSession, dir: String): DataFrame = {
     val op = graft.sources.Tables.load(spark, dir, "lineitem")
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
     // cap hub orders: bounds the quadratic projection at scale (skew guard)
     val okOrders = op.groupBy(col("o")).agg(count(lit(1)).as("np"))
       .filter(col("np") <= 25).select(col("o"))
@@ -208,9 +226,34 @@ object GraphOps {
         col("a.o") === col("b.o") && col("a.p") < col("b.p"))
       .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    pp.as("e1")
-      .join(pp.as("e2"), col("e1.v") === col("e2.u"))
-      .join(pp.as("e3"), col("e1.u") === col("e3.u") && col("e2.v") === col("e3.v"))
+    // Degree-ordered orientation: point every edge from the lower-
+    // (degree, id) endpoint to the higher one. Each triangle still has
+    // exactly one apex with two out-edges (same count as the id-ordered
+    // oracle), but wedge enumeration is O(sum out_deg^2) with out-degree
+    // bounded by ~sqrt(E) — the standard skew-proof triangle algorithm.
+    val deg = pp.select(col("u").as("n")).union(pp.select(col("v").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("dg"))
+    val ordEdges = pp
+      .join(deg.as("du"), col("u") === col("du.n"))
+      .join(deg.as("dv"), col("v") === col("dv.n"))
+      .select(
+        when(struct(col("du.dg"), col("u")) < struct(col("dv.dg"), col("v")),
+          struct(col("u").as("ou"), col("v").as("ov"), col("dv.dg").as("odg")))
+          .otherwise(struct(col("v").as("ou"), col("u").as("ov"), col("du.dg").as("odg")))
+          .as("e"))
+      .select(col("e.ou").as("ou"), col("e.ov").as("ov"), col("e.odg").as("odg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // Closure check probes the (bounded, skew-capped) edge set as a
+    // broadcast hash map: the O(wedges) stream is filtered map-side,
+    // never shuffled. (At a scale where the projection no longer fits
+    // in a broadcast, drop the hint and this degrades to a shuffle
+    // join on the same plan.)
+    ordEdges.as("e1")
+      .join(ordEdges.as("e2"),
+        col("e1.ou") === col("e2.ou") &&
+          struct(col("e1.odg"), col("e1.ov")) < struct(col("e2.odg"), col("e2.ov")))
+      .join(broadcast(ordEdges.select(col("ou"), col("ov")).as("e3")),
+        col("e1.ov") === col("e3.ou") && col("e2.ov") === col("e3.ov"))
       .agg(count(lit(1)).as("triangles"))
       .crossJoin(broadcast(pp.agg(count(lit(1)).as("n_proj_edges"))))
   }

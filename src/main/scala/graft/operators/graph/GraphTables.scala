@@ -35,8 +35,7 @@ object GraphTables {
   private def vid(c: org.apache.spark.sql.Column, tag: Int) =
     c.cast("long") * 8 + tag
 
-  /** Distinct directed edges (one row per logical relationship). */
-  def edges(spark: SparkSession, dir: String): DataFrame = {
+  private def rawEdges(spark: SparkSession, dir: String): DataFrame = {
     def t(n: String) = Tables.load(spark, dir, n)
     val parts = Seq(
       t("orders").select(vid(col("o_custkey"), 0).as("src"), vid(col("o_orderkey"), 1).as("dst")),
@@ -45,12 +44,20 @@ object GraphTables {
       t("customer").select(vid(col("c_custkey"), 0).as("src"), vid(col("c_nationkey"), 4).as("dst")),
       t("supplier").select(vid(col("s_suppkey"), 3).as("src"), vid(col("s_nationkey"), 4).as("dst")),
       t("nation").select(vid(col("n_nationkey"), 4).as("src"), vid(col("n_regionkey"), 5).as("dst")))
-    parts.reduce(_.union(_)).distinct()
+    parts.reduce(_.union(_))
   }
 
-  /** Symmetrized distinct adjacency (both directions). */
-  def sym(spark: SparkSession, dir: String): DataFrame = {
-    val e = edges(spark, dir)
-    e.union(e.select(col("dst").as("src"), col("src").as("dst"))).distinct()
-  }
+  /** Distinct directed edges (one row per logical relationship). */
+  def edges(spark: SparkSession, dir: String): DataFrame =
+    rawEdges(spark, dir).distinct()
+
+  /** Symmetrized distinct adjacency (both directions), cached once per
+    * (session, dir) — every graph query reuses the same persisted copy.
+    * Built with a SINGLE distinct shuffle: emit both directions of the
+    * raw (non-distinct) edge stream narrowly, dedupe once. */
+  def sym(spark: SparkSession, dir: String): DataFrame =
+    graft.util.DfCache.cached(spark, dir, "graph_sym") {
+      val raw = rawEdges(spark, dir)
+      raw.union(raw.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+    }
 }

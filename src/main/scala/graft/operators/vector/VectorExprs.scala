@@ -38,13 +38,17 @@ object VectorExprs {
     s"""aggregate(zip_with($a, $b, (u, v) -> u*v),
        |  cast(0.0 as double), (acc, x) -> acc + x)""".stripMargin
 
-  /** embeddings + (vd, bucket, n2) feature columns; one codegen'd scan. */
+  /** embeddings + (vd, bucket, n2) feature columns; one codegen'd
+    * scan, cached per (session, dir) — reused by both sides of every
+    * similarity self-join and by the embedding-dedup operator. */
   def embFeatures(spark: SparkSession, dir: String): DataFrame =
-    Tables.load(spark, dir, "embeddings")
-      .withColumn("vd", expr(castDoubleExpr))
-      .withColumn("bucket", expr(bucketExpr))
-      .withColumn("n2", expr(n2Expr))
-      .select(col("vec_id"), col("label"), col("vd"), col("bucket"), col("n2"))
+    graft.util.DfCache.cached(spark, dir, "emb_features") {
+      Tables.load(spark, dir, "embeddings")
+        .withColumn("vd", expr(castDoubleExpr))
+        .withColumn("bucket", expr(bucketExpr))
+        .withColumn("n2", expr(n2Expr))
+        .select(col("vec_id"), col("label"), col("vd"), col("bucket"), col("n2"))
+    }
 
   /** DuckDB CTEs mirroring [[embFeatures]]: views `ef` (vd) and `eb`
     * (vd, label, bucket, n2). */
