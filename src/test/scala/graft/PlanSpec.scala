@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Asserts the plan shapes the 100 TB design depends on: filters and
+  * projections reaching the parquet scan, dims broadcast, partial
+  * (map-side) aggregation, whole-stage codegen on hot paths, and cache
+  * reuse for shared derived tables. A query can be value-correct and
+  * still scale-broken — these specs pin the plan, not the output.
+  */
+class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val dir = "/root/testdata/sf0.001"
+  private lazy val spark = GraftSession.local(threads = 4, shufflePartitions = 4)
+
+  override def afterAll(): Unit = spark.stop()
+
+  /** Final (post-AQE) physical plan text. */
+  private def planOf(df: DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q2: filter and projection are pushed into the parquet scan") {
+    val df = SparkEntry.queries("q2_filter_project")(spark, dir)
+    val plan = planOf(df)
+    assert(plan.contains("PushedFilters: ["), "filters must reach the scan")
+    assert(plan.contains("IsNotNull"), "pushed filter list must be non-trivial")
+    // projection pruning: the scan must read a strict subset of columns
+    val readCols = "ReadSchema: struct<([^>]*)>".r
+      .findFirstMatchIn(plan).map(_.group(1).count(_ == ':')).getOrElse(99)
+    assert(readCols < 8, s"scan should be pruned, read $readCols columns")
+  }
+
+  test("q5: snowflake join broadcasts the dimension tables") {
+    val plan = planOf(SparkEntry.queries("q5_multijoin")(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"), "dims must broadcast, not shuffle")
+  }
+
+  test("q1: aggregation is partial (map-side combine) and codegen'd") {
+    val plan = planOf(SparkEntry.queries("q1_agg")(spark, dir))
+    assert(plan.contains("HashAggregate"), "hash aggregation expected")
+    assert("HashAggregate".r.findAllIn(plan).length >= 2,
+      "partial + final aggregate expected (map-side combine)")
+    // whole-stage codegen shows as "*(n)" stage markers in the plan text
+    assert(plan.contains("*("), "hot path must stay in whole-stage codegen")
+  }
+
+  test("q9: global sort+limit becomes TakeOrderedAndProject (no full sort)") {
+    val plan = planOf(SparkEntry.queries("q9_sort_limit")(spark, dir))
+    assert(plan.contains("TakeOrderedAndProject"),
+      "top-k must not materialize a global sort")
+  }
+
+  test("g5: pagerank iterations reuse the cached edge table") {
+    val plan = planOf(SparkEntry.queries("g5_pagerank")(spark, dir))
+    assert(plan.contains("InMemoryTableScan") || plan.contains("TableCacheQueryStage"),
+      "loop-invariant edge+degree table must come from cache")
+  }
+
+  test("s1: brute-force kNN broadcasts the query set over the corpus scan") {
+    val plan = planOf(SparkEntry.queries("s1_knn_brute")(spark, dir))
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      "query set must broadcast; corpus must not shuffle")
+  }
+
+  test("d2: LSH candidate join shuffles on the band key, not a cross join") {
+    val plan = planOf(SparkEntry.queries("d2_minhash_lsh")(spark, dir))
+    assert(!plan.contains("CartesianProduct"), "no O(n^2) cross join allowed")
+  }
+}
