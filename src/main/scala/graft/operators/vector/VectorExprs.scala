@@ -21,8 +21,8 @@ object VectorExprs {
   /** float[] -> double[] (exact widening). */
   val castDoubleExpr = "transform(embedding, x -> cast(x as double))"
 
-  /** Squared L2 norm of `vd` (sequential fold). */
-  val n2Expr = "aggregate(vd, cast(0.0 as double), (acc, x) -> acc + x*x)"
+  /** Squared L2 norm of `vd` (native codegen'd fold). */
+  val n2Expr = "graft_dot(vd, vd)"
 
   /** 4-hyperplane LSH bucket (0..15) of `vd`. */
   val bucketExpr: String =
@@ -33,15 +33,17 @@ object VectorExprs {
       |                    * element_at(vd, d)) > 0
       |    THEN shiftleft(1, p) ELSE 0 END)""".stripMargin
 
-  /** Dot product of two qualified double-array columns (sequential fold). */
+  /** Dot product of two qualified double-array columns — the native
+    * [[graft.functions.DotProduct]] expression (same sequential fold
+    * semantics as the DuckDB oracle, but fully codegen'd). */
   def dotExpr(a: String, b: String): String =
-    s"""aggregate(zip_with($a, $b, (u, v) -> u*v),
-       |  cast(0.0 as double), (acc, x) -> acc + x)""".stripMargin
+    s"graft_dot($a, $b)"
 
   /** embeddings + (vd, bucket, n2) feature columns; one codegen'd
     * scan, cached per (session, dir) — reused by both sides of every
     * similarity self-join and by the embedding-dedup operator. */
-  def embFeatures(spark: SparkSession, dir: String): DataFrame =
+  def embFeatures(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.DotProduct.register(spark)
     graft.util.DfCache.cached(spark, dir, "emb_features") {
       Tables.load(spark, dir, "embeddings")
         .withColumn("vd", expr(castDoubleExpr))
@@ -49,6 +51,7 @@ object VectorExprs {
         .withColumn("n2", expr(n2Expr))
         .select(col("vec_id"), col("label"), col("vd"), col("bucket"), col("n2"))
     }
+  }
 
   /** DuckDB CTEs mirroring [[embFeatures]]: views `ef` (vd) and `eb`
     * (vd, label, bucket, n2). */
