@@ -205,20 +205,23 @@ object DedupOps {
        |ORDER BY doc_a, doc_b""".stripMargin
 
   // ---- d4: word-3-gram Jaccard over the LSH candidate pairs ----
+  // Intersection size via array_intersect on the per-doc DISTINCT
+  // shingle arrays (codegen'd, per-row): two hash joins attach the
+  // arrays to each candidate pair and the whole Jaccard computation
+  // stays in one narrow stage — no shingle explode, no (pair × shingle)
+  // shuffle. Arrays are bounded by document length, so the per-row cost
+  // is constant in corpus size; only |candidates| rows flow.
   def d4NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
     val sh = shingleFeatures(spark, dir)
-    val exploded = sh.select(col("doc_id"), explode(col("shingles")).as("s"))
-    val ns = sh.select(col("doc_id"), size(col("shingles")).as("n"))
     val cand = d2MinhashLsh(spark, dir)
     cand
-      .join(exploded.as("a"), col("doc_a") === col("a.doc_id"))
-      .join(exploded.as("b"), col("doc_b") === col("b.doc_id") && col("a.s") === col("b.s"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("inter"))
-      .join(ns.as("na"), col("doc_a") === col("na.doc_id"))
-      .join(ns.as("nb"), col("doc_b") === col("nb.doc_id"))
+      .join(sh.as("a"), col("doc_a") === col("a.doc_id"))
+      .join(sh.as("b"), col("doc_b") === col("b.doc_id"))
       .select(col("doc_a"), col("doc_b"),
-        (col("inter").cast("double") / (col("na.n") + col("nb.n") - col("inter"))).as("jaccard"))
+        size(array_intersect(col("a.shingles"), col("b.shingles"))).as("inter"),
+        size(col("a.shingles")).as("na"), size(col("b.shingles")).as("nb"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter").cast("double") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
       .filter(col("jaccard") >= 0.2)
       .orderBy(col("doc_a"), col("doc_b"))
   }

@@ -1,7 +1,6 @@
 package graft.operators.graph
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -68,6 +67,13 @@ object GraphOps {
        |SELECT degree, count(*) AS n_nodes FROM deg GROUP BY degree ORDER BY degree""".stripMargin
 
   // ---- g4: deterministic pseudo-random-walk visit counts (3 hops) ----
+  // Per-walker neighbor choice = argmin of (h, dst) over the walker's
+  // candidate edges, computed as a hash AGGREGATE (min over a struct)
+  // rather than a row_number window: the aggregate gets map-side
+  // partial combine and never sorts a partition, so each hop is one
+  // shuffle of |frontier| pre-combined rows instead of a full sort of
+  // the frontier⋈edges join output. Identical choice to ORDER BY h, dst
+  // LIMIT 1 (struct comparison is lexicographic on (h, dst)).
   private def walkSteps(spark: SparkSession, dir: String, hops: Int): DataFrame = {
     val sym = withSym(spark, dir)
     val start = graft.sources.Tables.load(spark, dir, "customer")
@@ -77,22 +83,27 @@ object GraphOps {
     var visits: DataFrame = null
     for (t <- 1 to hops) {
       val h = (col("node") * HA + col("dst") * HB + lit(t * HC)) % HP
-      val w = Window.partitionBy(col("walker")).orderBy(col("h"), col("dst"))
       frontier = frontier.join(sym, col("node") === col("src"))
-        .withColumn("h", h)
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("walker"), col("dst").as("node"))
+        .groupBy(col("walker"))
+        .agg(min(struct(h.as("h"), col("dst"))).as("pick"))
+        .select(col("walker"), col("pick.dst").as("node"))
       visits = if (visits == null) frontier else visits.union(frontier)
     }
     visits
   }
 
+  /** Visit counts of the 3-hop walk — shared by g3 and g4 (the
+    * reference likewise scores once and selects top-N from the same
+    * vector, Runner.java:60 + TopNSelector.java:23). */
+  private def walkVisitCounts(spark: SparkSession, dir: String): DataFrame =
+    graft.util.DfCache.cached(spark, dir, "graph_walk_visits") {
+      walkSteps(spark, dir, 3)
+        .groupBy(col("node").as("node_id"))
+        .agg(count(lit(1)).as("visits"))
+    }
+
   def g4WalkVisits(spark: SparkSession, dir: String): DataFrame =
-    walkSteps(spark, dir, 3)
-      .groupBy(col("node").as("node_id"))
-      .agg(count(lit(1)).as("visits"))
-      .orderBy(col("node_id"))
+    walkVisitCounts(spark, dir).orderBy(col("node_id"))
 
   private def walkSqlCtes: String = {
     def step(t: Int, prev: String) =
@@ -118,9 +129,7 @@ object GraphOps {
 
   // ---- g3: top-N visited (TopNSelector port over g4 counts) ----
   def g3TopVisited(spark: SparkSession, dir: String): DataFrame =
-    walkSteps(spark, dir, 3)
-      .groupBy(col("node").as("node_id"))
-      .agg(count(lit(1)).as("visits"))
+    walkVisitCounts(spark, dir)
       .orderBy(col("visits").desc, col("node_id"))
       .limit(10)
 
@@ -137,26 +146,27 @@ object GraphOps {
   // the (node, rank) vector (V rows), not the edge list (E rows).
   // This is the AnalysisRound analog: a stable partitioning of the
   // edge set reused across rounds (Runner.java:60).
-  def pagerank(spark: SparkSession, dir: String, iters: Int = 3): DataFrame = {
-    val sym = withSym(spark, dir)
-    val ew = graft.util.DfCache.cached(spark, dir, "graph_edges_deg") {
-      val deg = sym.groupBy(col("src").as("dnode")).agg(count(lit(1)).as("d"))
-      sym.join(deg, col("src") === col("dnode"))
-        .select(col("src"), col("dst"), col("d"))
-        .repartition(col("src"))
-    }
-    var r = ew.select(col("src").as("node")).distinct()
-      .select(col("node"), lit(1000000L).as("r"))
-    for (_ <- 1 to iters) {
-      r = ew
-        .join(r, col("src") === col("node"))
-        .select(col("dst"), expr("r DIV d").as("contrib"))
-        .groupBy(col("dst").as("node"))
-        .agg((lit(150000L) + expr("85 * sum(contrib) DIV 100")).as("r"))
-    }
-    r.select(col("node").as("node_id"), col("r").as("rank"))
-      .orderBy(col("node_id"))
-  }
+  def pagerank(spark: SparkSession, dir: String, iters: Int = 3): DataFrame =
+    graft.util.DfCache.cached(spark, dir, s"graph_pagerank_$iters") {
+      val sym = withSym(spark, dir)
+      val ew = graft.util.DfCache.cached(spark, dir, "graph_edges_deg") {
+        val deg = sym.groupBy(col("src").as("dnode")).agg(count(lit(1)).as("d"))
+        sym.join(deg, col("src") === col("dnode"))
+          .select(col("src"), col("dst"), col("d"))
+          .repartition(col("src"))
+          .sortWithinPartitions(col("src"))
+      }
+      var r = ew.select(col("src").as("node")).distinct()
+        .select(col("node"), lit(1000000L).as("r"))
+      for (_ <- 1 to iters) {
+        r = ew
+          .join(r, col("src") === col("node"))
+          .select(col("dst"), expr("r DIV d").as("contrib"))
+          .groupBy(col("dst").as("node"))
+          .agg((lit(150000L) + expr("85 * sum(contrib) DIV 100")).as("r"))
+      }
+      r.select(col("node").as("node_id"), col("r").as("rank"))
+    }.orderBy(col("node_id"))
 
   def g5Pagerank(spark: SparkSession, dir: String): DataFrame =
     pagerank(spark, dir)
@@ -242,6 +252,11 @@ object GraphOps {
           .otherwise(struct(col("v").as("ou"), col("u").as("ov"), col("du.dg").as("odg")))
           .as("e"))
       .select(col("e.ou").as("ou"), col("e.ov").as("ov"), col("e.odg").as("odg"))
+      // partition+sort by the wedge apex: the e1⋈e2 self-join below
+      // reads the SAME cached layout on both sides → no exchange, no
+      // sort — the quadratic wedge stage is pure streaming compute.
+      .repartition(col("ou"))
+      .sortWithinPartitions(col("ou"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // Closure check probes the (bounded, skew-capped) edge set as a
     // broadcast hash map: the O(wedges) stream is filtered map-side,

@@ -62,10 +62,22 @@ object GraphTables {
     * (session, dir) — every graph query reuses the same persisted copy.
     * Reversal flips the tag combo, which no forward branch uses, so the
     * union stays distinct without any further shuffle: the only wide
-    * ops in the whole build are the two lineitem-branch dedups. */
+    * ops in the whole build are the two lineitem-branch dedups.
+    *
+    * Persisted hash-partitioned AND sorted by `src`: the cached plan's
+    * outputPartitioning/outputOrdering survive InMemoryTableScan, so
+    * every downstream `groupBy(src)` (degree) and every frontier join
+    * on `node = src` (walks, BFS) re-uses this layout with NO exchange
+    * and NO re-sort of the edge side — only the small frontier moves.
+    * This is the cluster design too: one bucketed edge dataset, all
+    * traversal stages co-located on it (the reference's preloaded
+    * relationship cache, Preloader.java:16, re-expressed as a stable
+    * partitioning). */
   def sym(spark: SparkSession, dir: String): DataFrame =
     graft.util.DfCache.cached(spark, dir, "graph_sym") {
       val fwd = edges(spark, dir)
       fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+        .repartition(col("src"))
+        .sortWithinPartitions(col("src"))
     }
 }

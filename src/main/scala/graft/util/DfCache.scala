@@ -1,6 +1,5 @@
 package graft.util
 
-import java.util.concurrent.ConcurrentHashMap
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.storage.StorageLevel
 
@@ -17,9 +16,22 @@ import org.apache.spark.storage.StorageLevel
   * across stages instead of recomputed per query.
   */
 object DfCache {
-  private val cache = new ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+  private val cache = new java.util.HashMap[(SparkSession, String, String), DataFrame]()
 
+  // Coarse reentrant lock, NOT ConcurrentHashMap.computeIfAbsent:
+  // builds nest (pagerank's build caches the edge+degree table on the
+  // same map) and computeIfAbsent throws "Recursive update" when the
+  // nested insert lands in the same bin. Builds are cheap (plan
+  // construction + persist marking — no job runs), so one lock is fine.
   def cached(spark: SparkSession, dir: String, name: String)(build: => DataFrame): DataFrame =
-    cache.computeIfAbsent((spark, dir, name),
-      _ => build.persist(StorageLevel.MEMORY_AND_DISK))
+    synchronized {
+      val key = (spark, dir, name)
+      val hit = cache.get(key)
+      if (hit != null) hit
+      else {
+        val df = build.persist(StorageLevel.MEMORY_AND_DISK)
+        cache.put(key, df)
+        df
+      }
+    }
 }
