@@ -166,10 +166,10 @@ object GraphOps {
           .agg((lit(150000L) + expr("85 * sum(contrib) DIV 100")).as("r"))
       }
       r.select(col("node").as("node_id"), col("r").as("rank"))
-    }.orderBy(col("node_id"))
+    }
 
   def g5Pagerank(spark: SparkSession, dir: String): DataFrame =
-    pagerank(spark, dir)
+    pagerank(spark, dir).orderBy(col("node_id"))
 
   private def prSqlCtes: String = {
     def iter(t: Int, prev: String) =
@@ -224,23 +224,32 @@ object GraphOps {
        |SELECT node AS node_id, min(dist) AS dist FROM bfs GROUP BY node ORDER BY node_id""".stripMargin
 
   // ---- g7: triangle count on the part co-purchase projection ----
+  // Edge-iterator triangle counting over a degree-ordered orientation:
+  //  1. per-order distinct part sets in ONE collect_set aggregate
+  //     (aggregation state is bounded by the order's distinct-part
+  //     count — a bounded-size business entity; for unbounded group
+  //     keys, count+semi-join first), pairs generated IN-ROW from the
+  //     sorted set — no self-join, no separate distinct scan;
+  //  2. orient each edge low→high by (degree, id): out-degree is then
+  //     bounded by ~sqrt(E) regardless of skew;
+  //  3. triangles = Σ over oriented edges (u,v) of
+  //     |N⁺(u) ∩ N⁺(v)| — per-edge array_intersect against compact
+  //     out-adjacency arrays instead of materializing the
+  //     O(Σ out_deg²) wedge stream through a join.
+  // Adjacency build and the first probe reuse the cached ou-partitioned
+  // layout (no exchange); only the ov-side probe re-shuffles E rows.
   def g7Triangles(spark: SparkSession, dir: String): DataFrame = {
-    val op = graft.sources.Tables.load(spark, dir, "lineitem")
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val pairsExpr =
+      """flatten(transform(ps, (x, i) ->
+        |  transform(slice(ps, i + 2, size(ps) - i - 1),
+        |            y -> struct(x AS u, y AS v))))""".stripMargin
+    val pp = graft.sources.Tables.load(spark, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+      .filter(size(col("ps")) <= 25)  // cap hub orders: skew guard
+      .select(explode(expr(pairsExpr)).as("uv"))
+      .select(col("uv.u").as("u"), col("uv.v").as("v")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // cap hub orders: bounds the quadratic projection at scale (skew guard)
-    val okOrders = op.groupBy(col("o")).agg(count(lit(1)).as("np"))
-      .filter(col("np") <= 25).select(col("o"))
-    val capped = op.join(okOrders, Seq("o"), "left_semi")
-    val pp = capped.as("a").join(capped.as("b"),
-        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-      .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    // Degree-ordered orientation: point every edge from the lower-
-    // (degree, id) endpoint to the higher one. Each triangle still has
-    // exactly one apex with two out-edges (same count as the id-ordered
-    // oracle), but wedge enumeration is O(sum out_deg^2) with out-degree
-    // bounded by ~sqrt(E) — the standard skew-proof triangle algorithm.
     val deg = pp.select(col("u").as("n")).union(pp.select(col("v").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("dg"))
     val ordEdges = pp
@@ -248,28 +257,20 @@ object GraphOps {
       .join(deg.as("dv"), col("v") === col("dv.n"))
       .select(
         when(struct(col("du.dg"), col("u")) < struct(col("dv.dg"), col("v")),
-          struct(col("u").as("ou"), col("v").as("ov"), col("dv.dg").as("odg")))
-          .otherwise(struct(col("v").as("ou"), col("u").as("ov"), col("du.dg").as("odg")))
+          struct(col("u").as("ou"), col("v").as("ov")))
+          .otherwise(struct(col("v").as("ou"), col("u").as("ov")))
           .as("e"))
-      .select(col("e.ou").as("ou"), col("e.ov").as("ov"), col("e.odg").as("odg"))
-      // partition+sort by the wedge apex: the e1⋈e2 self-join below
-      // reads the SAME cached layout on both sides → no exchange, no
-      // sort — the quadratic wedge stage is pure streaming compute.
+      .select(col("e.ou").as("ou"), col("e.ov").as("ov"))
       .repartition(col("ou"))
-      .sortWithinPartitions(col("ou"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // Closure check probes the (bounded, skew-capped) edge set as a
-    // broadcast hash map: the O(wedges) stream is filtered map-side,
-    // never shuffled. (At a scale where the projection no longer fits
-    // in a broadcast, drop the hint and this degrades to a shuffle
-    // join on the same plan.)
-    ordEdges.as("e1")
-      .join(ordEdges.as("e2"),
-        col("e1.ou") === col("e2.ou") &&
-          struct(col("e1.odg"), col("e1.ov")) < struct(col("e2.odg"), col("e2.ov")))
-      .join(broadcast(ordEdges.select(col("ou"), col("ov")).as("e3")),
-        col("e1.ov") === col("e3.ou") && col("e2.ov") === col("e3.ov"))
-      .agg(count(lit(1)).as("triangles"))
+    val adj = ordEdges.groupBy(col("ou")).agg(collect_list(col("ov")).as("nbrs"))
+      .select(col("ou").as("anode"), col("nbrs"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    ordEdges
+      .join(adj.as("au"), col("ou") === col("au.anode"))
+      .join(adj.as("av"), col("ov") === col("av.anode"))
+      .select(size(array_intersect(col("au.nbrs"), col("av.nbrs"))).as("c"))
+      .agg(sum(col("c")).as("triangles"))
       .crossJoin(broadcast(pp.agg(count(lit(1)).as("n_proj_edges"))))
   }
 
