@@ -32,6 +32,9 @@ object GraftSession {
       .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Same effect as spark.sql.extensions=graft.functions.GraftExtensions
+    // on a cluster; registered directly so ad-hoc sessions get it too.
+    graft.functions.GraftFunctions.registerAll(spark)
     spark
   }
 }

@@ -1,0 +1,44 @@
+package graft.functions
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Registry of graft's native Catalyst expressions.
+  *
+  * Two entry points:
+  *  - [[registerAll]] — idempotent per-session registration; operators
+  *    call it before using a function in a SQL-string expression.
+  *  - [[GraftExtensions]] — `SparkSessionExtensions` injector for
+  *    cluster deployment: set
+  *    `spark.sql.extensions=graft.functions.GraftExtensions` and every
+  *    session (including pure-SQL users) gets the functions.
+  */
+object GraftFunctions {
+
+  private val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_dot" -> (cs => DotProduct(cs.head, cs(1))),
+    "graft_sorted_intersect_count" -> (cs => SortedIntersectCount(cs.head, cs(1))))
+
+  def registerAll(spark: SparkSession): Unit = synchronized {
+    all.foreach { case (name, builder) =>
+      val ident = FunctionIdentifier(name)
+      if (!spark.sessionState.functionRegistry.functionExists(ident)) {
+        spark.sessionState.functionRegistry.registerFunction(
+          ident, new ExpressionInfo(getClass.getName, name), builder)
+      }
+    }
+  }
+
+  private[functions] def inject(ext: SparkSessionExtensions): Unit =
+    all.foreach { case (name, builder) =>
+      ext.injectFunction(
+        (FunctionIdentifier(name), new ExpressionInfo(getClass.getName, name), builder))
+    }
+}
+
+/** `spark.sql.extensions` hook: injects all graft functions. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.inject(ext)
+}

@@ -41,10 +41,12 @@ object DedupOps {
       |  w -> (cast(length(w) as bigint)*31 + ascii(substring(w,1,1)))*31
       |       + ascii(substring(w,-1,1)))""".stripMargin
 
+  // sorted: enables the merge-pass intersect in d4 (d2's minhash folds
+  // are order-insensitive, so sorting is free for every consumer)
   private val shinglesExpr =
-    """array_distinct(transform(sequence(1, size(wvs)-2),
+    """sort_array(array_distinct(transform(sequence(1, size(wvs)-2),
       |  i -> ((element_at(wvs,i)*131 + element_at(wvs,i+1))*131
-      |        + element_at(wvs,i+2)) % 2147483647))""".stripMargin
+      |        + element_at(wvs,i+2)) % 2147483647)))""".stripMargin
 
   /** doc_id + distinct shingle-hash array; codegen'd, one scan,
     * cached per (session, dir) — feeds d2 (twice, via the self-join)
@@ -205,20 +207,23 @@ object DedupOps {
        |ORDER BY doc_a, doc_b""".stripMargin
 
   // ---- d4: word-3-gram Jaccard over the LSH candidate pairs ----
-  // Intersection size via array_intersect on the per-doc DISTINCT
-  // shingle arrays (codegen'd, per-row): two hash joins attach the
-  // arrays to each candidate pair and the whole Jaccard computation
-  // stays in one narrow stage — no shingle explode, no (pair × shingle)
-  // shuffle. Arrays are bounded by document length, so the per-row cost
-  // is constant in corpus size; only |candidates| rows flow.
+  // Intersection size via a native merge-pass count over the per-doc
+  // SORTED distinct shingle arrays ([[graft.functions
+  // .SortedIntersectCount]]): two hash joins attach the arrays to each
+  // candidate pair and the whole Jaccard computation stays in one
+  // narrow codegen'd stage — no shingle explode, no (pair × shingle)
+  // shuffle, no per-row hash set. Arrays are bounded by document
+  // length, so per-row cost is constant in corpus size; only
+  // |candidates| rows flow.
   def d4NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(spark)
     val sh = shingleFeatures(spark, dir)
     val cand = d2MinhashLsh(spark, dir)
     cand
       .join(sh.as("a"), col("doc_a") === col("a.doc_id"))
       .join(sh.as("b"), col("doc_b") === col("b.doc_id"))
       .select(col("doc_a"), col("doc_b"),
-        size(array_intersect(col("a.shingles"), col("b.shingles"))).as("inter"),
+        expr("graft_sorted_intersect_count(a.shingles, b.shingles)").as("inter"),
         size(col("a.shingles")).as("na"), size(col("b.shingles")).as("nb"))
       .select(col("doc_a"), col("doc_b"),
         (col("inter").cast("double") / (col("na") + col("nb") - col("inter"))).as("jaccard"))

@@ -263,13 +263,15 @@ object GraphOps {
       .select(col("e.ou").as("ou"), col("e.ov").as("ov"))
       .repartition(col("ou"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val adj = ordEdges.groupBy(col("ou")).agg(collect_list(col("ov")).as("nbrs"))
+    graft.functions.GraftFunctions.registerAll(spark)
+    val adj = ordEdges.groupBy(col("ou"))
+      .agg(sort_array(collect_list(col("ov"))).as("nbrs"))
       .select(col("ou").as("anode"), col("nbrs"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     ordEdges
       .join(adj.as("au"), col("ou") === col("au.anode"))
       .join(adj.as("av"), col("ov") === col("av.anode"))
-      .select(size(array_intersect(col("au.nbrs"), col("av.nbrs"))).as("c"))
+      .select(expr("graft_sorted_intersect_count(au.nbrs, av.nbrs)").as("c"))
       .agg(sum(col("c")).as("triangles"))
       .crossJoin(broadcast(pp.agg(count(lit(1)).as("n_proj_edges"))))
   }

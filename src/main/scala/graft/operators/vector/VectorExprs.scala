@@ -43,7 +43,7 @@ object VectorExprs {
     * scan, cached per (session, dir) — reused by both sides of every
     * similarity self-join and by the embedding-dedup operator. */
   def embFeatures(spark: SparkSession, dir: String): DataFrame = {
-    graft.functions.DotProduct.register(spark)
+    graft.functions.GraftFunctions.registerAll(spark)
     graft.util.DfCache.cached(spark, dir, "emb_features") {
       Tables.load(spark, dir, "embeddings")
         .withColumn("vd", expr(castDoubleExpr))
