@@ -474,8 +474,36 @@ object Relational {
       |    AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F')) x
       |GROUP BY tail ORDER BY tail""".stripMargin
 
+  // ---- q23: KMV (k-minimum-values) distinct-count sketch ----
+  // The deterministic, oracle-exact cousin of HyperLogLog: hash every
+  // key with shared integer arithmetic, keep the k smallest DISTINCT
+  // hashes, estimate |D| ≈ (k-1)·M / h_k. The top-k is
+  // TakeOrderedAndProject — per-partition heaps + a driver merge of
+  // k·P rows, no global sort; at 100 TB this is the mergeable-sketch
+  // pattern (per-partition k-min buffers union like any KMV sketch).
+  // Integer floor division keeps the estimate bit-exact on both engines.
+  def q23KmvSketch(spark: SparkSession, dir: String): DataFrame = {
+    val k = 256
+    val kmin = t(spark, dir, "lineitem")
+      .select(((col("l_orderkey") * 2654435761L) % 2147483647L).as("h"))
+      .distinct()
+      .orderBy(col("h"))
+      .limit(k)
+    kmin.agg(max(col("h")).as("hk"), count(lit(1)).as("k"))
+      .select(col("k"),
+        expr(s"(($k - 1) * 2147483647L) DIV hk").as("estimate"))
+  }
+
+  val q23Sql: String =
+    """WITH kmin AS (
+      |  SELECT DISTINCT (l_orderkey * 2654435761) % 2147483647 AS h
+      |  FROM lineitem ORDER BY h LIMIT 256)
+      |SELECT count(*) AS k, (CAST(255 AS BIGINT) * 2147483647) // max(h) AS estimate
+      |FROM kmin""".stripMargin
+
   /** queries-map fragment: name → builder */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q23_kmv_sketch" -> (q23KmvSketch _),
     "q1_agg" -> (q1Agg _),
     "q2_filter_project" -> (q2FilterProject _),
     "q3_join_agg" -> (q3JoinAgg _),
@@ -501,6 +529,7 @@ object Relational {
 
   /** oracle-map fragment: name → DuckDB SQL */
   val oracles: Map[String, String] = Map(
+    "q23_kmv_sketch" -> q23Sql,
     "q1_agg" -> q1Sql,
     "q2_filter_project" -> q2Sql,
     "q3_join_agg" -> q3Sql,

@@ -80,12 +80,50 @@ object MultimodalOps {
       .orderBy(col("doc_id"))
   }
 
+  // ---- m3: frame sampling over a "video" payload ----
+  // Treat the payload as fixed-size frames (32 units) and sample every
+  // 4th frame: offsets computed columnar (sequence + explode — one
+  // narrow codegen'd stage, frames per row bounded by payload size),
+  // slice + fingerprint per sampled frame. This is the frame-sample
+  // plumbing of a video pipeline: swap the substring+md5 for a
+  // keyframe decode over byte ranges and the plan is unchanged. Text
+  // payloads are ASCII here, so character offsets = byte offsets and
+  // the md5-of-utf8 fingerprint is engine-independent.
+  private val FrameLen = 32
+  private val FrameStride = 4
+
+  def m3FrameSample(spark: SparkSession, dir: String): DataFrame =
+    withBlob(spark, dir)
+      .withColumn("n_frames", floor(length(col("text")) / FrameLen))
+      .filter(col("n_frames") >= 1)
+      .select(col("doc_id"), col("text"),
+        explode(expr(s"sequence(0, n_frames - 1, $FrameStride)")).as("frame_idx"))
+      .select(col("doc_id"), col("frame_idx"),
+        (col("frame_idx") * FrameLen).as("frame_off"),
+        expr(s"md5(substring(text, cast(frame_idx * $FrameLen + 1 as int), $FrameLen))")
+          .as("frame_md5"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+
+  val m3Sql: String =
+    s"""WITH f AS (
+       |  SELECT doc_id, text, CAST(floor(length(text) / $FrameLen) AS BIGINT) AS n_frames
+       |  FROM documents WHERE length(text) >= $FrameLen),
+       |frames AS (
+       |  SELECT doc_id, text,
+       |    unnest(range(0, n_frames, $FrameStride)) AS frame_idx
+       |  FROM f)
+       |SELECT doc_id, frame_idx, frame_idx * $FrameLen AS frame_off,
+       |  md5(substring(text, CAST(frame_idx * $FrameLen + 1 AS INTEGER), $FrameLen)) AS frame_md5
+       |FROM frames ORDER BY doc_id, frame_idx""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m1_blob_stats" -> (m1BlobStats _),
-    "m2_feature_extract" -> (m2FeatureExtract _))
+    "m2_feature_extract" -> (m2FeatureExtract _),
+    "m3_frame_sample" -> (m3FrameSample _))
 
   // m2 is rows-only (decode stub is not SQL-expressible); covered by
   // MultimodalSpec instead.
   val oracles: Map[String, String] = Map(
-    "m1_blob_stats" -> m1Sql)
+    "m1_blob_stats" -> m1Sql,
+    "m3_frame_sample" -> m3Sql)
 }

@@ -82,15 +82,62 @@ object EventOps {
       |FROM events GROUP BY 1, 2, 3
       |ORDER BY user_id, event_type, minute""".stripMargin
 
+  // ---- e5: as-of join — each purchase ⟵ latest click at-or-before ----
+  // Implemented as ONE window pass over the unioned, type-tagged
+  // stream (sort-merge as-of), not a per-row range join: partition by
+  // user, order by (ts, type-rank, event_id), carry the last non-null
+  // click forward. At 100 TB this is a single shuffle on user_id with
+  // no quadratic candidate blow-up — the standard as-of trick that
+  // range joins can't match. Clicks rank before purchases at equal ts
+  // ("at or before"); event_id breaks exact ties deterministically.
+  def e5AsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = events(spark, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .withColumn("tr", when(col("event_type") === "click", 0).otherwise(1))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("tr"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev
+      .withColumn("click_id",
+        last(when(col("tr") === 0, col("event_id")), ignoreNulls = true).over(w))
+      .withColumn("click_ts",
+        last(when(col("tr") === 0, col("ts")), ignoreNulls = true).over(w))
+      .filter(col("tr") === 1)
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"), col("click_id"), col("click_ts"))
+      .orderBy(col("purchase_id"))
+  }
+
+  val e5Sql: String =
+    """WITH tagged AS (
+      |  SELECT event_id, user_id, ts,
+      |    CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS tr
+      |  FROM events WHERE event_type IN ('click', 'purchase')),
+      |carried AS (
+      |  SELECT event_id, user_id, ts, tr,
+      |    last_value(CASE WHEN tr = 0 THEN event_id END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY ts, tr, event_id
+      |            ROWS UNBOUNDED PRECEDING) AS click_id,
+      |    last_value(CASE WHEN tr = 0 THEN ts END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY ts, tr, event_id
+      |            ROWS UNBOUNDED PRECEDING) AS click_ts
+      |  FROM tagged)
+      |SELECT event_id AS purchase_id, user_id, ts AS purchase_ts,
+      |  click_id, click_ts
+      |FROM carried WHERE tr = 1 ORDER BY purchase_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e1_tumbling_agg" -> (e1TumblingAgg _),
     "e2_sliding_agg" -> (e2SlidingAgg _),
     "e3_sessionize" -> (e3Sessionize _),
-    "e4_stream_dedup" -> (e4StreamDedup _))
+    "e4_stream_dedup" -> (e4StreamDedup _),
+    "e5_asof_join" -> (e5AsofJoin _))
 
   val oracles: Map[String, String] = Map(
     "e1_tumbling_agg" -> e1Sql,
     "e2_sliding_agg" -> e2Sql,
     "e3_sessionize" -> e3Sql,
-    "e4_stream_dedup" -> e4Sql)
+    "e4_stream_dedup" -> e4Sql,
+    "e5_asof_join" -> e5Sql)
 }
