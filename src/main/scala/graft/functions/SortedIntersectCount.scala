@@ -24,13 +24,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
 case class SortedIntersectCount(left: Expression, right: Expression)
   extends BinaryExpression {
 
-  private def elemOk(dt: DataType): Boolean = dt match {
-    case ArrayType(IntegerType, _) | ArrayType(LongType, _) => true
-    case _                                                  => false
+  private def elem(dt: DataType): Option[DataType] = dt match {
+    case ArrayType(e @ (IntegerType | LongType), _) => Some(e)
+    case _                                          => None
   }
 
   override def checkInputDataTypes(): TypeCheckResult =
-    if (elemOk(left.dataType) && left.dataType == right.dataType)
+    if (elem(left.dataType).isDefined && elem(left.dataType) == elem(right.dataType))
       TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
       s"$prettyName requires two array<int> or two array<bigint> arguments of the " +

@@ -127,17 +127,27 @@ object EventOps {
       |  click_id, click_ts
       |FROM carried WHERE tr = 1 ORDER BY purchase_id""".stripMargin
 
+  // ---- e6: custom-state sessionizer (flatMapGroupsWithState) ----
+  // Same session semantics as e3, computed through the custom
+  // per-key-state API instead of the built-in session_window — the
+  // SAME gaps-and-islands oracle gates the stateful code path.
+  def e6CustomSessions(spark: SparkSession, dir: String): DataFrame =
+    CustomSessions.batchSessions(spark, events(spark, dir))
+      .orderBy(col("user_id"), col("session_start"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e1_tumbling_agg" -> (e1TumblingAgg _),
     "e2_sliding_agg" -> (e2SlidingAgg _),
     "e3_sessionize" -> (e3Sessionize _),
     "e4_stream_dedup" -> (e4StreamDedup _),
-    "e5_asof_join" -> (e5AsofJoin _))
+    "e5_asof_join" -> (e5AsofJoin _),
+    "e6_custom_sessions" -> (e6CustomSessions _))
 
   val oracles: Map[String, String] = Map(
     "e1_tumbling_agg" -> e1Sql,
     "e2_sliding_agg" -> e2Sql,
     "e3_sessionize" -> e3Sql,
     "e4_stream_dedup" -> e4Sql,
-    "e5_asof_join" -> e5Sql)
+    "e5_asof_join" -> e5Sql,
+    "e6_custom_sessions" -> e3Sql)
 }

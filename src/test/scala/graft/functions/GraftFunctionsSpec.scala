@@ -1,0 +1,86 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Native Catalyst expressions: equivalence with the built-in /
+  * higher-order-function formulations they replace, on the SAME
+  * engine — bit-exact semantics is what lets callers swap them into
+  * oracle-gated plans.
+  */
+class GraftFunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = graft.GraftSession.local(threads = 4, shufflePartitions = 4)
+  import scala.jdk.CollectionConverters._
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def df(n: Int) = {
+    // deterministic pseudo-random doubles via integer hashing
+    spark.range(n).selectExpr(
+      "transform(sequence(1, 17), d -> cast((id*31 + d)*2654435761 % 1000003 - 500000 as double) / 1000.0) as a",
+      "transform(sequence(1, 17), d -> cast((id*37 + d*3)*40503 % 1000003 - 500000 as double) / 1000.0) as b")
+  }
+
+  test("graft_dot matches the sequential HOF fold bit-for-bit") {
+    val rows = df(500)
+      .selectExpr(
+        "graft_dot(a, b) as native",
+        "aggregate(zip_with(a, b, (u, v) -> u*v), cast(0.0 as double), (acc, x) -> acc + x) as hof")
+      .filter("native != hof")
+    assert(rows.count() == 0)
+  }
+
+  test("graft_dot handles nulls and length mismatch") {
+    val out = spark.sql(
+      """SELECT graft_dot(cast(null as array<double>), array(1.0d)) AS n,
+        |       graft_dot(array(1.0d, 2.0d, 3.0d), array(10.0d, 10.0d)) AS m""".stripMargin)
+      .collect().head
+    assert(out.isNullAt(0))
+    assert(out.getDouble(1) == 30.0)
+  }
+
+  test("graft_sorted_intersect_count matches size(array_intersect) on sorted sets") {
+    val rows = spark.range(2000).selectExpr(
+        "sort_array(array_distinct(transform(sequence(1, 40), i -> (id*31 + i*i) % 97))) as a",
+        "sort_array(array_distinct(transform(sequence(1, 40), i -> (id*17 + i*3) % 97))) as b")
+      .selectExpr(
+        "graft_sorted_intersect_count(a, b) as native",
+        "cast(size(array_intersect(a, b)) as bigint) as builtin")
+      .filter("native != builtin")
+    assert(rows.count() == 0)
+  }
+
+  test("graft_sorted_intersect_count: empty and disjoint inputs") {
+    val r = spark.sql(
+      """SELECT graft_sorted_intersect_count(array(1L, 2L, 3L), cast(array() as array<bigint>)) AS e,
+        |       graft_sorted_intersect_count(array(1L, 3L, 5L), array(2L, 4L, 6L)) AS d,
+        |       graft_sorted_intersect_count(array(1L, 2L), array(1L, 2L)) AS f""".stripMargin)
+      .collect().head
+    assert(r.getLong(0) == 0 && r.getLong(1) == 0 && r.getLong(2) == 2)
+  }
+
+  test("type mismatch is rejected at analysis time") {
+    val err = intercept[Exception] {
+      spark.sql("SELECT graft_sorted_intersect_count(array(1.5d), array(1.5d))").collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("array<int>")
+      || err.getMessage.toLowerCase.contains("datatype_mismatch"))
+  }
+
+  test("interpreted eval agrees with codegen output") {
+    // interpreted path: call nullSafeEval directly on Catalyst arrays
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    val a = ArrayData.toArrayData(Array(1L, 5L, 9L, 12L))
+    val b = ArrayData.toArrayData(Array(2L, 5L, 9L, 30L))
+    val lit = org.apache.spark.sql.catalyst.expressions.Literal
+    val e = SortedIntersectCount(
+      lit.create(Array(1L, 5L, 9L, 12L)), lit.create(Array(2L, 5L, 9L, 30L)))
+    assert(e.nullSafeEval(a, b) == 2L)
+    val viaSql = spark.sql(
+      "SELECT graft_sorted_intersect_count(array(1L,5L,9L,12L), array(2L,5L,9L,30L)) AS c")
+      .collect().head.getLong(0)
+    assert(viaSql == 2L)
+  }
+}

@@ -81,6 +81,46 @@ class EventStreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("custom-state sessions: incremental stream equals batch run") {
+    val sq = spark
+    import sq.implicits._
+    implicit val ctx = sq.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, String, Double)]
+    val streamDf = mem.toDF().toDF("ts", "user_id", "event_type", "value")
+    val q = CustomSessions.streamingSessions(sq, streamDf)
+      .writeStream.format("memory").queryName("custom_sessions_out")
+      .outputMode("append").start()
+    try {
+      // two micro-batches: sessions must close across batch boundaries,
+      // and the watermark (max ts - 2h) must pass the gap horizon for
+      // the state-store timeout to flush them
+      mem.addData(sampleRows.take(3): _*)
+      q.processAllAvailable()
+      mem.addData(sampleRows.drop(3): _*)
+      q.processAllAvailable()
+      mem.addData((ts(600), 9L, "click", 0.0)) // push watermark forward
+      q.processAllAvailable()
+      val streamed = sq.table("custom_sessions_out")
+        .orderBy("user_id", "session_start")
+        .collect().map(_.toSeq).toSeq
+      val batch = CustomSessions
+        .batchSessions(sq, sampleRows.toDF("ts", "user_id", "event_type", "value"))
+        .orderBy("user_id", "session_start")
+        .collect().map(_.toSeq).toSeq
+      assert(batch.nonEmpty)
+      // every batch session except possibly still-open tails must have
+      // streamed out; closed sessions must agree exactly
+      assert(batch.forall(streamed.contains(_)))
+      // and the custom-state path agrees with the built-in session_window
+      val builtIn = EventStreams
+        .sessions(sampleRows.toDF("ts", "user_id", "event_type", "value"))
+        .select("user_id", "session_start", "session_end", "n_events", "sum_value")
+        .orderBy("user_id", "session_start")
+        .collect().map(_.toSeq).toSeq
+      assert(batch == builtIn)
+    } finally q.stop()
+  }
+
   test("streaming dedup drops duplicate event ids within watermark") {
     val sq = spark
     import sq.implicits._
