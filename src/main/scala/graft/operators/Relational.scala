@@ -501,9 +501,31 @@ object Relational {
       |SELECT count(*) AS k, (CAST(255 AS BIGINT) * 2147483647) // max(h) AS estimate
       |FROM kmin""".stripMargin
 
+  // ---- q24: exact discrete percentiles per group ----
+  // percentile_disc (an actual data value, no interpolation) keeps the
+  // result bit-exact across engines. The sort happens per (small)
+  // group inside the aggregate — at scale this is the standard
+  // sort-based aggregate, shuffling only (key, value) pairs.
+  def q24Percentile(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)").as("p50"),
+        expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY l_extendedprice)").as("p95"),
+        count(lit(1)).as("cnt"))
+      .orderBy(col("l_returnflag"))
+
+  val q24Sql: String =
+    """SELECT l_returnflag,
+      |  quantile_disc(l_extendedprice, 0.5) AS p50,
+      |  quantile_disc(l_extendedprice, 0.95) AS p95,
+      |  count(*) AS cnt
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   /** queries-map fragment: name → builder */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q23_kmv_sketch" -> (q23KmvSketch _),
+    "q24_percentile" -> (q24Percentile _),
     "q1_agg" -> (q1Agg _),
     "q2_filter_project" -> (q2FilterProject _),
     "q3_join_agg" -> (q3JoinAgg _),
@@ -530,6 +552,7 @@ object Relational {
   /** oracle-map fragment: name → DuckDB SQL */
   val oracles: Map[String, String] = Map(
     "q23_kmv_sketch" -> q23Sql,
+    "q24_percentile" -> q24Sql,
     "q1_agg" -> q1Sql,
     "q2_filter_project" -> q2Sql,
     "q3_join_agg" -> q3Sql,

@@ -336,7 +336,49 @@ object GraphOps {
   // round-trip preserves content exactly → same oracle as g5
   val g9Sql: String = g5Sql
 
+  // ---- g10: connected components via min-label propagation ----
+  // 3 synchronous rounds of l_{t+1}(v) = min(l_t(v), min_{u∈N(v)} l_t(u))
+  // starting from l_0 = node id. Fixed iteration count keeps the
+  // oracle exact (unrolled CTEs); the per-round plan re-uses the
+  // cached src-partitioning of the edge list (the label vector is the
+  // only thing that shuffles — V rows/round, same AnalysisRound shape
+  // as pagerank). At convergence labels are component minima; 3 rounds
+  // is the label frontier at radius 3, exactly as the oracle defines.
+  def g10Components(spark: SparkSession, dir: String, iters: Int = 3): DataFrame = {
+    val sym = withSym(spark, dir)
+    var labels = sym.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl"))
+    for (_ <- 1 to iters) {
+      val viaNbr = sym.join(labels, col("src") === col("node"))
+        .select(col("dst").as("node"), col("lbl"))
+      labels = labels.union(viaNbr)
+        .groupBy(col("node")).agg(min(col("lbl")).as("lbl"))
+    }
+    labels.select(col("node").as("node_id"), col("lbl").as("component"))
+      .orderBy(col("node_id"))
+  }
+
+  private def ccSqlCtes: String = {
+    def iter(t: Int, prev: String) =
+      s"""l$t AS (
+         |  SELECT node, min(lbl) AS lbl FROM (
+         |    SELECT node, lbl FROM $prev
+         |    UNION ALL
+         |    SELECT s.dst AS node, p.lbl FROM sym s JOIN $prev p ON s.src = p.node) u
+         |  GROUP BY node)""".stripMargin
+    s"""l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM sym),
+       |${iter(1, "l0")},
+       |${iter(2, "l1")},
+       |${iter(3, "l2")}""".stripMargin
+  }
+
+  val g10Sql: String =
+    s"""WITH ${GraphTables.symSqlCtes},
+       |$ccSqlCtes
+       |SELECT node AS node_id, lbl AS component FROM l3 ORDER BY node_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g10_components" -> ((s: SparkSession, d: String) => g10Components(s, d)),
     "g1_degree" -> (g1Degree _),
     "g2_degree_distribution" -> (g2DegreeDistribution _),
     "g3_top_visited" -> (g3TopVisited _),
@@ -348,6 +390,7 @@ object GraphOps {
     "g9_checkpoint_roundtrip" -> (g9CheckpointRoundtrip _))
 
   val oracles: Map[String, String] = Map(
+    "g10_components" -> g10Sql,
     "g1_degree" -> g1Sql,
     "g2_degree_distribution" -> g2Sql,
     "g3_top_visited" -> g3Sql,
