@@ -135,13 +135,28 @@ object EventOps {
     CustomSessions.batchSessions(spark, events(spark, dir))
       .orderBy(col("user_id"), col("session_start"))
 
+  // ---- e7: interval join (stream-stream join shape, batch-gated) ----
+  def e7StreamJoin(spark: SparkSession, dir: String): DataFrame =
+    EventStreams.intervalJoin(events(spark, dir))
+      .orderBy(col("purchase_id"), col("click_id"))
+
+  val e7Sql: String =
+    """SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+      |  c.event_id AS click_id, c.ts AS click_ts
+      |FROM events p JOIN events c
+      |  ON p.event_type = 'purchase' AND c.event_type = 'click'
+      | AND p.user_id = c.user_id
+      | AND c.ts <= p.ts AND c.ts > p.ts - INTERVAL 30 MINUTE
+      |ORDER BY purchase_id, click_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e1_tumbling_agg" -> (e1TumblingAgg _),
     "e2_sliding_agg" -> (e2SlidingAgg _),
     "e3_sessionize" -> (e3Sessionize _),
     "e4_stream_dedup" -> (e4StreamDedup _),
     "e5_asof_join" -> (e5AsofJoin _),
-    "e6_custom_sessions" -> (e6CustomSessions _))
+    "e6_custom_sessions" -> (e6CustomSessions _),
+    "e7_stream_join" -> (e7StreamJoin _))
 
   val oracles: Map[String, String] = Map(
     "e1_tumbling_agg" -> e1Sql,
@@ -149,5 +164,6 @@ object EventOps {
     "e3_sessionize" -> e3Sql,
     "e4_stream_dedup" -> e4Sql,
     "e5_asof_join" -> e5Sql,
-    "e6_custom_sessions" -> e3Sql)
+    "e6_custom_sessions" -> e3Sql,
+    "e7_stream_join" -> e7Sql)
 }

@@ -45,4 +45,27 @@ object EventStreams {
       .select(col("user_id"), col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"), col("n_events"), col("sum_value"))
   }
+
+  /** Interval join: purchase ⋈ clicks of the same user in the 30
+    * minutes up to (and including) the purchase. On streams both sides
+    * carry watermarks and the time-range bound lets Spark evict join
+    * state (a click older than watermark − 30 min can never match) —
+    * the canonical bounded-state stream-stream join. In batch the same
+    * plan is an equality hash join on user with a range post-filter. */
+  def intervalJoin(events: DataFrame, withWatermark: Boolean = false): DataFrame = {
+    def side(tpe: String, pfx: String) = {
+      val s = events.filter(col("event_type") === tpe)
+        .select(col("event_id").as(s"${pfx}_id"), col("user_id").as(s"${pfx}_user"),
+          col("ts").as(s"${pfx}_ts"))
+      if (withWatermark) s.withWatermark(s"${pfx}_ts", "1 hour") else s
+    }
+    val purchases = side("purchase", "purchase")
+    val clicks = side("click", "click")
+    purchases.join(clicks,
+      col("purchase_user") === col("click_user") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") > col("purchase_ts") - expr("INTERVAL 30 MINUTES"))
+      .select(col("purchase_id"), col("purchase_user").as("user_id"),
+        col("purchase_ts"), col("click_id"), col("click_ts"))
+  }
 }

@@ -121,6 +121,36 @@ class EventStreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("stream-stream interval join equals batch interval join") {
+    val sq = spark
+    import sq.implicits._
+    implicit val ctx = sq.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val streamDf = mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = EventStreams.intervalJoin(streamDf, withWatermark = true)
+      .writeStream.format("memory").queryName("ij_out")
+      .outputMode("append").start()
+    val rows = Seq(
+      (1L, ts(1), 1L, "click", 0.0),    // within 30 min of purchase@20
+      (2L, ts(20), 1L, "purchase", 9.0),
+      (3L, ts(25), 1L, "click", 0.0),   // after the purchase — no match
+      (4L, ts(40), 2L, "click", 0.0),
+      (5L, ts(90), 2L, "purchase", 5.0), // click@40 is 50 min old — no match
+      (6L, ts(80), 2L, "click", 0.0),   // within 10 min — match
+      (7L, ts(95), 1L, "purchase", 1.0)) // click@25 is 70 min old... no; none
+    try {
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      val streamed = sq.table("ij_out")
+        .orderBy("purchase_id", "click_id").collect().map(_.toSeq).toSeq
+      val batch = EventStreams
+        .intervalJoin(rows.toDF("event_id", "ts", "user_id", "event_type", "value"))
+        .orderBy("purchase_id", "click_id").collect().map(_.toSeq).toSeq
+      assert(streamed == batch)
+      assert(batch.map(r => (r.head, r(3))) == Seq((2L, 1L), (5L, 6L)))
+    } finally q.stop()
+  }
+
   test("streaming dedup drops duplicate event ids within watermark") {
     val sq = spark
     import sq.implicits._
