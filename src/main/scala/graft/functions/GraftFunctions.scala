@@ -16,9 +16,17 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   */
 object GraftFunctions {
 
+  private def binary(name: String, mk: (Expression, Expression) => Expression)
+      : Seq[Expression] => Expression = {
+    case Seq(a, b) => mk(a, b)
+    case cs => throw new IllegalArgumentException(
+      s"$name requires exactly 2 arguments, got ${cs.length}")
+  }
+
   private val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "graft_dot" -> (cs => DotProduct(cs.head, cs(1))),
-    "graft_sorted_intersect_count" -> (cs => SortedIntersectCount(cs.head, cs(1))))
+    "graft_dot" -> binary("graft_dot", DotProduct),
+    "graft_sorted_intersect_count" ->
+      binary("graft_sorted_intersect_count", SortedIntersectCount))
 
   def registerAll(spark: SparkSession): Unit = synchronized {
     all.foreach { case (name, builder) =>

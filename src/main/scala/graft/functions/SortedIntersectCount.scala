@@ -40,7 +40,7 @@ case class SortedIntersectCount(left: Expression, right: Expression)
 
   override def prettyName: String = "graft_sorted_intersect_count"
 
-  private def isLong: Boolean =
+  @transient private lazy val isLong: Boolean =
     left.dataType.asInstanceOf[ArrayType].elementType == LongType
 
   override def nullSafeEval(l: Any, r: Any): Any = {

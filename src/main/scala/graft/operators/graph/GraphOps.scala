@@ -272,7 +272,7 @@ object GraphOps {
       .join(adj.as("au"), col("ou") === col("au.anode"))
       .join(adj.as("av"), col("ov") === col("av.anode"))
       .select(expr("graft_sorted_intersect_count(au.nbrs, av.nbrs)").as("c"))
-      .agg(sum(col("c")).as("triangles"))
+      .agg(coalesce(sum(col("c")), lit(0L)).as("triangles"))  // 0, not NULL, on triangle-free input
       .crossJoin(broadcast(pp.agg(count(lit(1)).as("n_proj_edges"))))
   }
 

@@ -71,11 +71,19 @@ object CustomSessions {
     evs.foreach { case (_, ts, value) =>
       val us = toUs(ts)
       open match {
-        case Some(s) if us - s.lastUs < GapMicros =>
-          open = Some(SessionState(s.startUs, us, s.n + 1, s.cents + cents(value)))
-        case Some(s) =>
+        // within the gap of EITHER bound → extend (a late event may
+        // precede the open session's start; bounds stay consistent)
+        case Some(s) if us >= s.startUs - GapMicros && us <= s.lastUs + GapMicros =>
+          open = Some(SessionState(math.min(s.startUs, us), math.max(s.lastUs, us),
+            s.n + 1, s.cents + cents(value)))
+        case Some(s) if us > s.lastUs + GapMicros =>
           closed += out(user, s)
           open = Some(SessionState(us, us, 1, cents(value)))
+        case Some(s) =>
+          // too-late event, > gap before the open session: emit it as
+          // its own closed session (single-open-session state can't
+          // retro-merge; bounded approximation for very late data)
+          closed += out(user, SessionState(us, us, 1, cents(value)))
         case None =>
           open = Some(SessionState(us, us, 1, cents(value)))
       }

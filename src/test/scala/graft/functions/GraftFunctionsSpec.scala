@@ -32,13 +32,17 @@ class GraftFunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.count() == 0)
   }
 
-  test("graft_dot handles nulls and length mismatch") {
+  test("graft_dot: null input, null element, length mismatch all yield NULL") {
     val out = spark.sql(
       """SELECT graft_dot(cast(null as array<double>), array(1.0d)) AS n,
-        |       graft_dot(array(1.0d, 2.0d, 3.0d), array(10.0d, 10.0d)) AS m""".stripMargin)
+        |       graft_dot(array(1.0d, 2.0d, 3.0d), array(10.0d, 10.0d)) AS m,
+        |       graft_dot(array(1.0d, cast(null as double)), array(1.0d, 2.0d)) AS e,
+        |       graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS ok""".stripMargin)
       .collect().head
     assert(out.isNullAt(0))
-    assert(out.getDouble(1) == 30.0)
+    assert(out.isNullAt(1), "length mismatch must be NULL, not a truncated product")
+    assert(out.isNullAt(2), "null element must be NULL, not zero-filled")
+    assert(out.getDouble(3) == 11.0)
   }
 
   test("graft_sorted_intersect_count matches size(array_intersect) on sorted sets") {
