@@ -24,6 +24,12 @@ object TableIO {
   def readJson(spark: SparkSession, path: String, schemaDdl: String): DataFrame =
     spark.read.schema(schemaDdl).json(path)
 
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(path)
+
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** Partitioned parquet write (directory per distinct value of
     * `partitionCol`), the layout that enables partition pruning. */
   def writePartitionedParquet(df: DataFrame, path: String, partitionCol: String): Unit =

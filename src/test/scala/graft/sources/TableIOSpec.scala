@@ -44,6 +44,19 @@ class TableIOSpec extends AnyFunSuite with BeforeAndAfterAll {
       src.orderBy("n_nationkey").collect().toSeq)
   }
 
+  test("orc round-trip preserves rows and pushes filters to the scan") {
+    val path = tmp("graft_orc")
+    val src = nation
+    TableIO.writeOrc(src, path)
+    val back = TableIO.readOrc(spark, path)
+    assert(back.schema.fieldNames.toSeq == src.schema.fieldNames.toSeq)
+    assert(back.orderBy("n_nationkey").collect().toSeq ==
+      src.orderBy("n_nationkey").collect().toSeq)
+    val filtered = back.filter(col("n_regionkey") === 1)
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("n_regionkey"))
+  }
+
   test("partitioned parquet write prunes partitions on read") {
     val path = tmp("graft_part")
     TableIO.writePartitionedParquet(nation, path, "n_regionkey")
