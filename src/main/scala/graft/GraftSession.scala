@@ -35,6 +35,10 @@ object GraftSession {
     // Same effect as spark.sql.extensions=graft.functions.GraftExtensions
     // on a cluster; registered directly so ad-hoc sessions get it too.
     graft.functions.GraftFunctions.registerAll(spark)
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.DotProductRewrite)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.DotProductRewrite
+    }
     spark
   }
 }

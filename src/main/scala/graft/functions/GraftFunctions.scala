@@ -38,14 +38,17 @@ object GraftFunctions {
     }
   }
 
-  private[functions] def inject(ext: SparkSessionExtensions): Unit =
+  private[functions] def inject(ext: SparkSessionExtensions): Unit = {
     all.foreach { case (name, builder) =>
       ext.injectFunction(
         (FunctionIdentifier(name), new ExpressionInfo(getClass.getName, name), builder))
     }
+    ext.injectOptimizerRule(_ => graft.plans.DotProductRewrite)
+  }
 }
 
-/** `spark.sql.extensions` hook: injects all graft functions. */
+/** `spark.sql.extensions` hook: injects all graft functions and the
+  * HOF→native rewrite rule. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
     GraftFunctions.inject(ext)

@@ -65,6 +65,29 @@ class GraftFunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getLong(0) == 0 && r.getLong(1) == 0 && r.getLong(2) == 2)
   }
 
+  test("optimizer rewrites HOF dot-product patterns to the native expression") {
+    val dotDf = df(50).selectExpr(
+      "aggregate(zip_with(a, b, (u, v) -> u*v), cast(0.0 as double), (acc, x) -> acc + x) as d")
+    val n2Df = df(50).selectExpr(
+      "aggregate(a, cast(0.0 as double), (acc, x) -> acc + x*x) as n2")
+    def optimized(frame: org.apache.spark.sql.DataFrame) =
+      frame.queryExecution.optimizedPlan.toString
+    assert(optimized(dotDf).contains("graft_dot"),
+      "zip_with+aggregate must rewrite to graft_dot")
+    assert(!optimized(dotDf).contains("aggregate("))
+    assert(optimized(n2Df).contains("graft_dot"),
+      "sum-of-squares aggregate must rewrite to graft_dot(v, v)")
+    // results identical to the explicit native call
+    val viaRule = dotDf.collect().map(_.getDouble(0)).toSeq
+    val direct = df(50).selectExpr("graft_dot(a, b) as d")
+      .collect().map(_.getDouble(0)).toSeq
+    assert(viaRule == direct)
+    // a non-matching fold (different op) is left alone
+    val other = df(50).selectExpr(
+      "aggregate(a, cast(0.0 as double), (acc, x) -> acc + 2*x) as s")
+    assert(!optimized(other).contains("graft_dot"))
+  }
+
   test("type mismatch is rejected at analysis time") {
     val err = intercept[Exception] {
       spark.sql("SELECT graft_sorted_intersect_count(array(1.5d), array(1.5d))").collect()
