@@ -35,34 +35,29 @@ object GraphTables {
   private def vid(c: org.apache.spark.sql.Column, tag: Int) =
     c.cast("long") * 8 + tag
 
-  /** Per-branch edge streams. Branches from tables whose source key is
-    * a primary key (orders, customer, supplier, nation) are unique by
-    * construction; only the two lineitem-derived branches carry dups. */
-  private def branches(spark: SparkSession, dir: String): Seq[DataFrame] = {
+  /** Raw (dup-carrying) directed edge stream: one narrow scan per
+    * source table, no wide ops. */
+  private def rawEdges(spark: SparkSession, dir: String): DataFrame = {
     def t(n: String) = Tables.load(spark, dir, n)
     Seq(
       t("orders").select(vid(col("o_custkey"), 0).as("src"), vid(col("o_orderkey"), 1).as("dst")),
-      t("lineitem").select(vid(col("l_orderkey"), 1).as("src"), vid(col("l_partkey"), 2).as("dst"))
-        .distinct(),
-      t("lineitem").select(vid(col("l_partkey"), 2).as("src"), vid(col("l_suppkey"), 3).as("dst"))
-        .distinct(),
+      t("lineitem").select(vid(col("l_orderkey"), 1).as("src"), vid(col("l_partkey"), 2).as("dst")),
+      t("lineitem").select(vid(col("l_partkey"), 2).as("src"), vid(col("l_suppkey"), 3).as("dst")),
       t("customer").select(vid(col("c_custkey"), 0).as("src"), vid(col("c_nationkey"), 4).as("dst")),
       t("supplier").select(vid(col("s_suppkey"), 3).as("src"), vid(col("s_nationkey"), 4).as("dst")),
       t("nation").select(vid(col("n_nationkey"), 4).as("src"), vid(col("n_regionkey"), 5).as("dst")))
+      .reduce(_.union(_))
   }
-
-  /** Distinct directed edges (one row per logical relationship).
-    * Branches are pairwise disjoint (distinct (srcTag, dstTag) combos),
-    * so per-branch dedup makes the union globally distinct — no global
-    * distinct shuffle. */
-  def edges(spark: SparkSession, dir: String): DataFrame =
-    branches(spark, dir).reduce(_.union(_))
 
   /** Symmetrized distinct adjacency (both directions), cached once per
     * (session, dir) — every graph query reuses the same persisted copy.
-    * Reversal flips the tag combo, which no forward branch uses, so the
-    * union stays distinct without any further shuffle: the only wide
-    * ops in the whole build are the two lineitem-branch dedups.
+    *
+    * Built with ONE exchange: emit both directions of the raw edge
+    * stream narrowly, repartition by `src`, then dedupe in place —
+    * `HashPartitioning(src)` satisfies the (src, dst) clustering a
+    * distinct needs (equal pairs share a src), so the aggregate runs
+    * without its own shuffle and PRESERVES the src partitioning. A
+    * final in-partition sort gives the cached layout order.
     *
     * Persisted hash-partitioned AND sorted by `src`: the cached plan's
     * outputPartitioning/outputOrdering survive InMemoryTableScan, so
@@ -75,9 +70,10 @@ object GraphTables {
     * partitioning). */
   def sym(spark: SparkSession, dir: String): DataFrame =
     graft.util.DfCache.cached(spark, dir, "graph_sym") {
-      val fwd = edges(spark, dir)
-      fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      val raw = rawEdges(spark, dir)
+      raw.union(raw.select(col("dst").as("src"), col("src").as("dst")))
         .repartition(col("src"))
+        .distinct()
         .sortWithinPartitions(col("src"))
     }
 }

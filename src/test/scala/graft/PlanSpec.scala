@@ -54,6 +54,17 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "top-k must not materialize a global sort")
   }
 
+  test("graph: the symmetric edge table builds with exactly one exchange") {
+    // raw union + repartition(src) + in-place distinct: the aggregate
+    // must reuse HashPartitioning(src) — a second Exchange means the
+    // distinct re-shuffled and the one-exchange build contract broke
+    val plan = graft.operators.graph.GraphTables.sym(spark, dir)
+      .queryExecution.executedPlan.toString
+    val exchanges = plan.linesIterator.count(l =>
+      l.contains("Exchange") && !l.contains("ReusedExchange"))
+    assert(exchanges == 1, s"expected 1 exchange in sym build, got $exchanges")
+  }
+
   test("g5: pagerank iterations reuse the cached edge table") {
     val plan = planOf(SparkEntry.queries("g5_pagerank")(spark, dir))
     assert(plan.contains("InMemoryTableScan") || plan.contains("TableCacheQueryStage"),
