@@ -116,13 +116,17 @@ object TextOps {
       |FROM documents ORDER BY doc_id""".stripMargin
 
   // ---- t5: corpus-level word-3-gram frequency (explode + agg) ----
+  // `ws` is materialized as a column BEFORE the transform lambda:
+  // referencing split(text) inside the lambda would re-split the text
+  // on every element access (O(words²) per doc).
   def t5NgramFreq(spark: SparkSession, dir: String): DataFrame = {
-    val ws = split(col("text"), " ")
+    val ws = col("ws")
     val grams = when(size(ws) >= 3,
         transform(sequence(lit(1), size(ws) - 2),
           i => concat_ws(" ", element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2))))
       .otherwise(array())
     docs(spark, dir)
+      .select(split(col("text"), " ").as("ws"))
       .select(explode(grams).as("ngram"))
       .groupBy(col("ngram"))
       .agg(count(lit(1)).as("freq"))
