@@ -328,7 +328,9 @@ object GraphOps {
 
   // ---- g9: rank-vector checkpoint round-trip (ArrayStore port) ----
   def g9CheckpointRoundtrip(spark: SparkSession, dir: String): DataFrame = {
-    val path = s"${System.getProperty("java.io.tmpdir")}/graft_ckpt_g9"
+    // dir-keyed path: concurrent runs over different datasets must not
+    // clobber each other's checkpoints
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_ckpt_g9_${dir.hashCode.abs}"
     pagerank(spark, dir).write.mode("overwrite").parquet(path)
     spark.read.parquet(path).orderBy(col("node_id"))
   }
