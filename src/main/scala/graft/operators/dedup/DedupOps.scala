@@ -91,9 +91,21 @@ object DedupOps {
         .select(col("doc_id"), posexplode(expr(bandKeysExpr)).as(Seq("band", "bkey")))
     }
 
+  // Bucket cap: a degenerate band bucket with k members yields k²
+  // candidate pairs; buckets past the cap (boilerplate-heavy corpora at
+  // scale) are dropped from pair enumeration. No effect at test scale
+  // (max observed bucket ≪ cap) — it bounds the worst case at 100 TB,
+  // the same skew-guard pattern as g7's hub-order cap.
+  private val MaxBucket = 200
+
   def d2MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val b = bandTable(spark, dir)
-    b.as("x").join(b.as("y"),
+    val okBuckets = b.groupBy(col("band"), col("bkey"))
+      .agg(count(lit(1)).as("bn"))
+      .filter(col("bn") <= MaxBucket)
+      .select(col("band"), col("bkey"))
+    val capped = b.join(okBuckets, Seq("band", "bkey"), "left_semi")
+    capped.as("x").join(capped.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey")
           && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
@@ -114,9 +126,13 @@ object DedupOps {
        |    (((mh[4*b+1]*31 + mh[4*b+2])*31 + mh[4*b+3])*31 + mh[4*b+4])
        |      % 2147483647 AS bkey
        |  FROM mh, generate_series(0,15) g(b)),
+       |ok_buckets AS (
+       |  SELECT band, bkey FROM bands GROUP BY band, bkey HAVING count(*) <= 200),
+       |capped AS (
+       |  SELECT b.doc_id, b.band, b.bkey FROM bands b JOIN ok_buckets USING (band, bkey)),
        |cand AS (
        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-       |  FROM bands x JOIN bands y
+       |  FROM capped x JOIN capped y
        |    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id)""".stripMargin
 
   val d2Sql: String =
