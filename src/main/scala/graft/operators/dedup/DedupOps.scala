@@ -127,7 +127,7 @@ object DedupOps {
        |      % 2147483647 AS bkey
        |  FROM mh, generate_series(0,15) g(b)),
        |ok_buckets AS (
-       |  SELECT band, bkey FROM bands GROUP BY band, bkey HAVING count(*) <= 200),
+       |  SELECT band, bkey FROM bands GROUP BY band, bkey HAVING count(*) <= $MaxBucket),
        |capped AS (
        |  SELECT b.doc_id, b.band, b.bkey FROM bands b JOIN ok_buckets USING (band, bkey)),
        |cand AS (

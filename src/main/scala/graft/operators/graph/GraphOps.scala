@@ -329,8 +329,10 @@ object GraphOps {
   // ---- g9: rank-vector checkpoint round-trip (ArrayStore port) ----
   def g9CheckpointRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     // dir-keyed path: concurrent runs over different datasets must not
-    // clobber each other's checkpoints
-    val path = s"${System.getProperty("java.io.tmpdir")}/graft_ckpt_g9_${dir.hashCode.abs}"
+    // clobber each other's checkpoints (sanitized dir, not a 32-bit
+    // hash — hash collisions would reintroduce the clobbering)
+    val dirKey = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_ckpt_g9_$dirKey"
     pagerank(spark, dir).write.mode("overwrite").parquet(path)
     spark.read.parquet(path).orderBy(col("node_id"))
   }

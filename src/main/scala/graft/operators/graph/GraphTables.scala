@@ -35,29 +35,25 @@ object GraphTables {
   private def vid(c: org.apache.spark.sql.Column, tag: Int) =
     c.cast("long") * 8 + tag
 
-  /** Raw (dup-carrying) directed edge stream: one narrow scan per
-    * source table, no wide ops. */
-  private def rawEdges(spark: SparkSession, dir: String): DataFrame = {
-    def t(n: String) = Tables.load(spark, dir, n)
-    Seq(
-      t("orders").select(vid(col("o_custkey"), 0).as("src"), vid(col("o_orderkey"), 1).as("dst")),
-      t("lineitem").select(vid(col("l_orderkey"), 1).as("src"), vid(col("l_partkey"), 2).as("dst")),
-      t("lineitem").select(vid(col("l_partkey"), 2).as("src"), vid(col("l_suppkey"), 3).as("dst")),
-      t("customer").select(vid(col("c_custkey"), 0).as("src"), vid(col("c_nationkey"), 4).as("dst")),
-      t("supplier").select(vid(col("s_suppkey"), 3).as("src"), vid(col("s_nationkey"), 4).as("dst")),
-      t("nation").select(vid(col("n_nationkey"), 4).as("src"), vid(col("n_regionkey"), 5).as("dst")))
-      .reduce(_.union(_))
-  }
+  private def flip(df: DataFrame): DataFrame =
+    df.select(col("dst").as("src"), col("src").as("dst"))
 
   /** Symmetrized distinct adjacency (both directions), cached once per
     * (session, dir) — every graph query reuses the same persisted copy.
     *
-    * Built with ONE exchange: emit both directions of the raw edge
-    * stream narrowly, repartition by `src`, then dedupe in place —
-    * `HashPartitioning(src)` satisfies the (src, dst) clustering a
-    * distinct needs (equal pairs share a src), so the aggregate runs
-    * without its own shuffle and PRESERVES the src partitioning. A
-    * final in-partition sort gives the cached layout order.
+    * Built with exactly TWO exchanges:
+    *  1. the part→supplier branch — the one branch with heavy
+    *     duplication at scale (each (part, supplier) pair recurs once
+    *     per lineitem, ~|lineitem|/|partsupp| ≈ 7×) — is symmetrized
+    *     FIRST and deduped ONCE (map-side combine shrinks the shuffle
+    *     to ~distinct volume; deduping per direction would shuffle the
+    *     duplicate-heavy stream twice);
+    *  2. one layout repartition by `src` over the full union.
+    * The final distinct (rare order→part repeats within an order) runs
+    * IN PLACE: `HashPartitioning(src)` satisfies the (src, dst)
+    * clustering an aggregate needs — equal pairs share a src — so no
+    * third exchange appears and the src partitioning is preserved. A
+    * last in-partition sort gives the cached layout order.
     *
     * Persisted hash-partitioned AND sorted by `src`: the cached plan's
     * outputPartitioning/outputOrdering survive InMemoryTableScan, so
@@ -70,8 +66,18 @@ object GraphTables {
     * partitioning). */
   def sym(spark: SparkSession, dir: String): DataFrame =
     graft.util.DfCache.cached(spark, dir, "graph_sym") {
-      val raw = rawEdges(spark, dir)
-      raw.union(raw.select(col("dst").as("src"), col("src").as("dst")))
+      def t(n: String) = Tables.load(spark, dir, n)
+      val fwd = Seq(
+        t("orders").select(vid(col("o_custkey"), 0).as("src"), vid(col("o_orderkey"), 1).as("dst")),
+        t("lineitem").select(vid(col("l_orderkey"), 1).as("src"), vid(col("l_partkey"), 2).as("dst")),
+        t("customer").select(vid(col("c_custkey"), 0).as("src"), vid(col("c_nationkey"), 4).as("dst")),
+        t("supplier").select(vid(col("s_suppkey"), 3).as("src"), vid(col("s_nationkey"), 4).as("dst")),
+        t("nation").select(vid(col("n_nationkey"), 4).as("src"), vid(col("n_regionkey"), 5).as("dst")))
+        .reduce(_.union(_))
+      val ps = t("lineitem")
+        .select(vid(col("l_partkey"), 2).as("src"), vid(col("l_suppkey"), 3).as("dst"))
+      val psBoth = ps.union(flip(ps)).distinct()
+      fwd.union(flip(fwd)).union(psBoth)
         .repartition(col("src"))
         .distinct()
         .sortWithinPartitions(col("src"))

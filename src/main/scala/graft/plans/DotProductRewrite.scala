@@ -84,6 +84,10 @@ object DotProductRewrite extends Rule[LogicalPlan] {
         SumLambda(), IdentityFinish())
         if isDoubleArray(a) && isDoubleArray(b) =>
       DotProduct(a, b)
+    // DotProduct(v, v) names v twice; whole-stage codegen's
+    // subexpression elimination evaluates the duplicate subtree once,
+    // and the deterministic guard keeps the interpreted fallback
+    // correct (merely up to 2× on that cold path).
     case ArrayAggregate(v, DoubleZero(), SumSquareLambda(), IdentityFinish())
         if isDoubleArray(v) && v.deterministic =>
       DotProduct(v, v)

@@ -25,12 +25,11 @@ class DegenerateInputSpec extends AnyFunSuite with BeforeAndAfterAll {
   private def materialize(n: Int): String = {
     val dir = Files.createTempDirectory(s"graft_degenerate_$n").toString
     graft.sources.Tables.all.foreach { t =>
-      val raw =
-        if (t == "events") {
-          spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-          spark.read.parquet(s"$srcDir/$t.parquet")
-        } else spark.read.parquet(s"$srcDir/$t.parquet")
-      raw.limit(n).coalesce(1).write.mode("overwrite").parquet(s"$dir/$t.parquet")
+      // nanosAsLong lets the raw events TIMESTAMP(NANOS) read as int64
+      // (same flag Tables.load sets; session-scoped and idempotent)
+      if (t == "events") spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$srcDir/$t.parquet")
+        .limit(n).coalesce(1).write.mode("overwrite").parquet(s"$dir/$t.parquet")
     }
     dir
   }

@@ -54,15 +54,17 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "top-k must not materialize a global sort")
   }
 
-  test("graph: the symmetric edge table builds with exactly one exchange") {
-    // raw union + repartition(src) + in-place distinct: the aggregate
-    // must reuse HashPartitioning(src) — a second Exchange means the
-    // distinct re-shuffled and the one-exchange build contract broke
+  test("graph: the symmetric edge table builds with exactly two exchanges") {
+    // one dedup shuffle for the duplicate-heavy part→supplier branch
+    // (map-side combined) + one layout exchange by src whose in-place
+    // distinct must NOT add a third — HashPartitioning(src) satisfies
+    // the (src, dst) clustering, so a third Exchange means the final
+    // distinct re-shuffled and the build contract broke
     val plan = graft.operators.graph.GraphTables.sym(spark, dir)
       .queryExecution.executedPlan.toString
     val exchanges = plan.linesIterator.count(l =>
       l.contains("Exchange") && !l.contains("ReusedExchange"))
-    assert(exchanges == 1, s"expected 1 exchange in sym build, got $exchanges")
+    assert(exchanges == 2, s"expected 2 exchanges in sym build, got $exchanges")
   }
 
   test("g5: pagerank iterations reuse the cached edge table") {

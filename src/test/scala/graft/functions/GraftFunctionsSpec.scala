@@ -23,13 +23,26 @@ class GraftFunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "transform(sequence(1, 17), d -> cast((id*37 + d*3)*40503 % 1000003 - 500000 as double) / 1000.0) as b")
   }
 
+  /** Run with the HOF→native rewrite rule removed, so the HOF side
+    * really executes as the interpreted fold — with the rule active
+    * both columns are graft_dot and the comparison is vacuous. */
+  private def withoutRewrite[T](f: => T): T = {
+    val saved = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = Seq()
+    try f finally spark.experimental.extraOptimizations = saved
+  }
+
   test("graft_dot matches the sequential HOF fold bit-for-bit") {
-    val rows = df(500)
-      .selectExpr(
-        "graft_dot(a, b) as native",
-        "aggregate(zip_with(a, b, (u, v) -> u*v), cast(0.0 as double), (acc, x) -> acc + x) as hof")
-      .filter("native != hof")
-    assert(rows.count() == 0)
+    withoutRewrite {
+      val frame = df(500)
+        .selectExpr(
+          "graft_dot(a, b) as native",
+          "aggregate(zip_with(a, b, (u, v) -> u*v), cast(0.0 as double), (acc, x) -> acc + x) as hof")
+      // guard the guard: the HOF side must actually still be the fold
+      assert(frame.queryExecution.optimizedPlan.toString.contains("zip_with"),
+        "rewrite rule must be disabled for the reference side")
+      assert(frame.filter("native != hof").count() == 0)
+    }
   }
 
   test("graft_dot: null input, null element, length mismatch all yield NULL") {
