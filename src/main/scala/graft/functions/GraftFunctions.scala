@@ -36,6 +36,13 @@ object GraftFunctions {
           ident, new ExpressionInfo(getClass.getName, name), builder)
       }
     }
+    // typed mergeable aggregates (partial-agg capable via ScalaAggregator)
+    if (!spark.sessionState.functionRegistry
+        .functionExists(FunctionIdentifier("graft_kmv256"))) {
+      spark.udf.register("graft_kmv256",
+        org.apache.spark.sql.functions.udaf(new KmvAggregator(256),
+          org.apache.spark.sql.Encoders.scalaLong))
+    }
   }
 
   private[functions] def inject(ext: SparkSessionExtensions): Unit = {

@@ -349,11 +349,18 @@ object Relational {
   def q17ScalarSubquery(spark: SparkSession, dir: String): DataFrame = {
     val l = t(spark, dir, "lineitem")
     val p = t(spark, dir, "part").filter(col("p_brand") === "Brand#23")
+      .select(col("p_partkey"))
+    // Semi-join lineitem down to the one brand's parts BEFORE the
+    // per-part aggregate: p_partkey is unique, so the per-part avg over
+    // the pruned rows is identical, and the aggregate input shrinks by
+    // ~|parts|/|brand parts| (~500× at scale) instead of aggregating
+    // all of lineitem for a one-brand query.
+    val lp = l.join(broadcast(p), col("l_partkey") === col("p_partkey"), "left_semi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // per-part avg quantity via exact sum/count, then double division
-    val avgQ = l.groupBy(col("l_partkey").as("ap"))
+    val avgQ = lp.groupBy(col("l_partkey").as("ap"))
       .agg((sum(dec(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"))
-    l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
-      .join(avgQ, col("l_partkey") === col("ap"))
+    lp.join(avgQ, col("l_partkey") === col("ap"))
       .filter(col("l_quantity") < lit(0.5) * col("avg_qty"))
       .agg((sum(dec(col("l_extendedprice"))).cast("double") / lit(7.0)).as("avg_yearly"))
   }
@@ -477,26 +484,27 @@ object Relational {
   // ---- q23: KMV (k-minimum-values) distinct-count sketch ----
   // The deterministic, oracle-exact cousin of HyperLogLog: hash every
   // key with shared integer arithmetic, keep the k smallest DISTINCT
-  // hashes, estimate |D| ≈ (k-1)·M / h_k. The top-k is
-  // TakeOrderedAndProject — per-partition heaps + a driver merge of
-  // k·P rows, no global sort; at 100 TB this is the mergeable-sketch
-  // pattern (per-partition k-min buffers union like any KMV sketch).
-  // Integer floor division keeps the estimate bit-exact on both engines.
+  // hashes via the mergeable [[graft.functions.KmvAggregator]] (each
+  // partition maintains a k-min buffer, merge = union+trim, the
+  // shuffle moves k·P pre-combined values — not the full distinct
+  // stream a `distinct → sort → limit` plan would move), estimate
+  // |D| ≈ (k-1)·M / h_k. The key is mod-reduced by M BEFORE the
+  // multiply, so the arithmetic never exceeds ~5.7e18 < 2^63 at any
+  // key scale; mathematically identical to (key·A) mod M, shared with
+  // the oracle. Integer floor division keeps the estimate bit-exact.
   def q23KmvSketch(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(spark)
     val k = 256
-    val kmin = t(spark, dir, "lineitem")
-      .select(((col("l_orderkey") * 2654435761L) % 2147483647L).as("h"))
-      .distinct()
-      .orderBy(col("h"))
-      .limit(k)
-    kmin.agg(max(col("h")).as("hk"), count(lit(1)).as("k"))
-      .select(col("k"),
-        expr(s"(($k - 1) * 2147483647L) DIV hk").as("estimate"))
+    t(spark, dir, "lineitem")
+      .select((((col("l_orderkey") % 2147483647L) * 2654435761L) % 2147483647L).as("h"))
+      .agg(expr("graft_kmv256(h)").as("s"))
+      .select(col("s.k").as("k"),
+        expr(s"(($k - 1) * 2147483647L) DIV s.hk").as("estimate"))
   }
 
   val q23Sql: String =
     """WITH kmin AS (
-      |  SELECT DISTINCT (l_orderkey * 2654435761) % 2147483647 AS h
+      |  SELECT DISTINCT ((l_orderkey % 2147483647) * 2654435761) % 2147483647 AS h
       |  FROM lineitem ORDER BY h LIMIT 256)
       |SELECT count(*) AS k, (CAST(255 AS BIGINT) * 2147483647) // max(h) AS estimate
       |FROM kmin""".stripMargin

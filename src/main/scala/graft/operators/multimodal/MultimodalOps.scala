@@ -51,7 +51,7 @@ object MultimodalOps {
 
   val m1Sql: String =
     """SELECT source, count(*) AS n_blobs,
-      |  sum(octet_length(CAST(text AS BLOB))) AS total_bytes,
+      |  CAST(sum(octet_length(CAST(text AS BLOB))) AS BIGINT) AS total_bytes,
       |  min(octet_length(CAST(text AS BLOB))) AS min_bytes,
       |  max(octet_length(CAST(text AS BLOB))) AS max_bytes
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
@@ -62,8 +62,9 @@ object MultimodalOps {
   // ---- m2: decode -> feature-extract via typed mapPartitions ----
   // The decode loop runs once per partition over an iterator (the
   // batch shape a vectorized decoder needs); no shuffle is introduced
-  // and the scan only reads (doc_id, text). Rows-only gate: the fake
-  // decode is not SQL-expressible, its spec covers the semantics.
+  // and the scan only reads (doc_id, text). The byte-histogram fake
+  // decode IS SQL-expressible (per-byte unnest in the oracle), so m2
+  // is fully hash-gated like every other entry.
   def m2FeatureExtract(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val src: Dataset[(Long, Array[Byte])] = withBlob(spark, dir)
@@ -79,6 +80,25 @@ object MultimodalOps {
         round(element_at(col("features"), 2).cast("double"), 6).as("f1"))
       .orderBy(col("doc_id"))
   }
+
+  /** DuckDB oracle for m2: recompute the byte-histogram decode per
+    * byte (documents text is ASCII, so `ascii(substring(...))` == the
+    * payload byte), divide in FLOAT to mirror the decoder's float32
+    * arithmetic (IEEE-identical on both engines), then round the
+    * widened double exactly like the Spark side. */
+  val m2Sql: String =
+    """WITH h AS (
+      |  SELECT doc_id,
+      |    CAST(sum(CASE WHEN ascii(substring(text, i, 1)) % 8 = 0 THEN 1 ELSE 0 END) AS INTEGER) AS h0,
+      |    CAST(sum(CASE WHEN ascii(substring(text, i, 1)) % 8 = 1 THEN 1 ELSE 0 END) AS INTEGER) AS h1
+      |  FROM (SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS i FROM documents) b
+      |  GROUP BY doc_id)
+      |SELECT d.doc_id,
+      |  CAST(octet_length(CAST(d.text AS BLOB)) AS INTEGER) AS n_bytes,
+      |  round(CAST(CAST(COALESCE(h.h0, 0) AS FLOAT) / CAST(greatest(length(d.text), 1) AS FLOAT) AS DOUBLE), 6) AS f0,
+      |  round(CAST(CAST(COALESCE(h.h1, 0) AS FLOAT) / CAST(greatest(length(d.text), 1) AS FLOAT) AS DOUBLE), 6) AS f1
+      |FROM documents d LEFT JOIN h ON d.doc_id = h.doc_id
+      |ORDER BY d.doc_id""".stripMargin
 
   // ---- m3: frame sampling over a "video" payload ----
   // Treat the payload as fixed-size frames (32 units) and sample every
@@ -121,9 +141,8 @@ object MultimodalOps {
     "m2_feature_extract" -> (m2FeatureExtract _),
     "m3_frame_sample" -> (m3FrameSample _))
 
-  // m2 is rows-only (decode stub is not SQL-expressible); covered by
-  // MultimodalSpec instead.
   val oracles: Map[String, String] = Map(
     "m1_blob_stats" -> m1Sql,
+    "m2_feature_extract" -> m2Sql,
     "m3_frame_sample" -> m3Sql)
 }

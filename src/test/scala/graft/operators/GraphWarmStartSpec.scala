@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+import graft.GraftSession
+import graft.operators.graph.GraphOps
+
+/** Warm-start (checkpoint-resume) semantics for the iterative graph
+  * algorithms: resuming from a round-k1 checkpoint and running k2 more
+  * rounds must be BIT-EXACT equal to running k1+k2 rounds from scratch
+  * (the reference's AnalysisRound restore, Runner.java:68 storeRound /
+  * ArrayStore.java:27 readIn). Integer micro-unit arithmetic makes
+  * this exact — no float drift to hide behind. */
+class GraphWarmStartSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val dir = "/root/testdata/sf0.001"
+  private lazy val spark = GraftSession.local(threads = 4, shufflePartitions = 4)
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(identity).toSeq
+
+  test("pagerank: resume(k1 checkpoint) + k2 rounds == k1+k2 rounds from scratch") {
+    val k1 = 2
+    val k2 = 3
+    // round-trip the k1 vector through parquet — a real checkpoint, not
+    // a cached in-memory handle
+    val ckptPath = s"${System.getProperty("java.io.tmpdir")}/graft_warmstart_spec_pr"
+    GraphOps.pagerank(spark, dir, iters = k1)
+      .write.mode("overwrite").parquet(ckptPath)
+    val resumed = GraphOps.pagerankFrom(spark, dir,
+      spark.read.parquet(ckptPath), iters = k2)
+    val scratch = GraphOps.pagerank(spark, dir, iters = k1 + k2)
+    assert(rows(resumed) == rows(scratch))
+  }
+
+  test("components: converged run warm-started from 3-round labels == from scratch") {
+    val threeRounds = GraphOps.g10Components(spark, dir)
+    val resumed = GraphOps.componentsConverged(spark, dir, Some(threeRounds))
+    val scratch = GraphOps.componentsConverged(spark, dir)
+    assert(rows(resumed) == rows(scratch))
+  }
+
+  test("q23 KMV: plan is a partial object aggregate, not a global distinct+sort") {
+    val df = graft.SparkEntry.queries("q23_kmv_sketch")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"),
+      "KMV must run as a mergeable object aggregate")
+    assert("ObjectHashAggregate".r.findAllIn(plan).length >= 2,
+      "partial + final KMV buffers expected (map-side k-min combine)")
+    assert(!plan.contains("TakeOrderedAndProject") && !plan.contains("Sort "),
+      "no sort of the distinct hash stream may remain")
+  }
+}
