@@ -43,6 +43,12 @@ object GraftFunctions {
         org.apache.spark.sql.functions.udaf(new KmvAggregator(256),
           org.apache.spark.sql.Encoders.scalaLong))
     }
+    if (!spark.sessionState.functionRegistry
+        .functionExists(FunctionIdentifier("graft_top_pairs5"))) {
+      spark.udf.register("graft_top_pairs5",
+        org.apache.spark.sql.functions.udaf(new TopPairsAggregator(5),
+          org.apache.spark.sql.Encoders.product[ScoredPair]))
+    }
   }
 
   private[functions] def inject(ext: SparkSessionExtensions): Unit = {

@@ -499,7 +499,10 @@ object Relational {
       .select((((col("l_orderkey") % 2147483647L) * 2654435761L) % 2147483647L).as("h"))
       .agg(expr("graft_kmv256(h)").as("s"))
       .select(col("s.k").as("k"),
-        expr(s"(($k - 1) * 2147483647L) DIV s.hk").as("estimate"))
+        // NULL on empty input (hk = 0), like the oracle's max() over
+        // zero rows — and no ANSI divide-by-zero
+        expr(s"CASE WHEN s.hk > 0 THEN (($k - 1) * 2147483647L) DIV s.hk END")
+          .as("estimate"))
   }
 
   val q23Sql: String =

@@ -84,7 +84,7 @@ object DedupOps {
 
   /** (doc_id, band, bkey): 16 rows per doc, the LSH shuffle key.
     * Cached: both sides of the candidate self-join read it. */
-  private def bandTable(spark: SparkSession, dir: String): DataFrame =
+  def bandTable(spark: SparkSession, dir: String): DataFrame =
     graft.util.DfCache.cached(spark, dir, "dedup_bands") {
       shingleFeatures(spark, dir)
         .withColumn("mh", expr(mhExpr))
@@ -145,7 +145,7 @@ object DedupOps {
   // partial agg) instead of 62 interpreted higher-order folds per doc.
   // bit_j = 1  iff  sum over tokens of (2*bit_j(h) - 1) > 0
   //         iff  2 * count(tokens with bit_j set) > n_tokens.
-  private def simhashTable(spark: SparkSession, dir: String): DataFrame =
+  def simhashTable(spark: SparkSession, dir: String): DataFrame =
     graft.util.DfCache.cached(spark, dir, "dedup_simhash") {
       val toks = docs(spark, dir)
         .withColumn("wvs", expr(wvsExpr))
@@ -167,12 +167,21 @@ object DedupOps {
     }
 
   def d3Simhash(spark: SparkSession, dir: String): DataFrame = {
-    val s = simhashTable(spark, dir)
+    val chunks = simhashTable(spark, dir)
       .withColumn("chunks", expr(
         """array(simhash_lo % 65536, simhash_lo div 65536,
           |      simhash_hi % 65536, simhash_hi div 65536)""".stripMargin))
       .select(col("doc_id"), col("simhash_lo"), col("simhash_hi"),
         posexplode(col("chunks")).as(Seq("cpos", "cval")))
+    // Same degenerate-bucket cap as d2: a 16-bit chunk bucket's
+    // population grows ~n/65536 with corpus size, so the chunk
+    // self-join is O(n²/65536) without it. Buckets past the cap are
+    // dropped from pair enumeration (mirrored in the oracle).
+    val okChunks = chunks.groupBy(col("cpos"), col("cval"))
+      .agg(count(lit(1)).as("cn"))
+      .filter(col("cn") <= MaxBucket)
+      .select(col("cpos"), col("cval"))
+    val s = chunks.join(okChunks, Seq("cpos", "cval"), "left_semi")
     s.as("x").join(s.as("y"),
         col("x.cpos") === col("y.cpos") && col("x.cval") === col("y.cval")
           && col("x.doc_id") < col("y.doc_id"))
@@ -205,11 +214,14 @@ object DedupOps {
       |                         THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END
       |                    for j in generate_series(0,30) ]) AS BIGINT) AS simhash_hi
       |  FROM hs),
-      |chunks AS (
+      |chunks0 AS (
       |  SELECT doc_id, simhash_lo, simhash_hi, c AS cpos,
       |    CASE c WHEN 0 THEN simhash_lo % 65536 WHEN 1 THEN simhash_lo // 65536
       |           WHEN 2 THEN simhash_hi % 65536 ELSE simhash_hi // 65536 END AS cval
-      |  FROM sim, generate_series(0,3) g(c))""".stripMargin
+      |  FROM sim, generate_series(0,3) g(c)),
+      |ok_chunks AS (
+      |  SELECT cpos, cval FROM chunks0 GROUP BY cpos, cval HAVING count(*) <= 200),
+      |chunks AS (SELECT c.* FROM chunks0 c JOIN ok_chunks USING (cpos, cval))""".stripMargin
 
   val d3Sql: String =
     s"""WITH $simhashCtes
@@ -265,33 +277,45 @@ object DedupOps {
        |WHERE CAST(i.inter AS DOUBLE) / (na.n + nb.n - i.inter) >= 0.2
        |ORDER BY doc_a, doc_b""".stripMargin
 
-  // ---- d5: embedding cosine near-dup over hyperplane-LSH buckets ----
-  // Shared vector primitives (folds + LSH bucket) live in VectorExprs;
-  // exact cosine is computed only within buckets.
+  // ---- d5: embedding cosine near-dup over banded hyperplane LSH ----
+  // Candidates = pairs sharing any band bucket (VectorExprs: Bands ×
+  // BandBits signatures, degenerate buckets capped), deduped BEFORE
+  // the expensive exact-cosine step; features are joined back onto the
+  // candidate list (the d4 pattern) so vectors are never carried
+  // through the 8-way band explosion.
   import graft.operators.vector.VectorExprs
 
   def d5EmbeddingDup(spark: SparkSession, dir: String): DataFrame = {
+    val capped = VectorExprs.cappedBands(spark, dir)
+    val cand = capped.as("x").join(capped.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey")
+          && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+      .distinct()
     val e = VectorExprs.embFeatures(spark, dir)
-    e.as("x").join(e.as("y"),
-        col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
-      .withColumn("dot", expr(VectorExprs.dotExpr("x.vd", "y.vd")))
-      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
-        (col("dot") / (sqrt(col("x.n2")) * sqrt(col("y.n2")))).as("cosine"))
+    cand
+      .join(e.as("a"), col("vec_a") === col("a.vec_id"))
+      .join(e.as("b"), col("vec_b") === col("b.vec_id"))
+      .withColumn("dot", expr(VectorExprs.dotExpr("a.vd", "b.vd")))
+      .select(col("vec_a"), col("vec_b"),
+        (col("dot") / (sqrt(col("a.n2")) * sqrt(col("b.n2")))).as("cosine"))
       .filter(col("cosine") > 0.35)
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
   val d5Sql: String =
-    s"""WITH ${VectorExprs.embCtes}
-       |SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
-       |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-       |    [ x.vd[d] * y.vd[d] for d in generate_series(1, 64) ]), (a, b) -> a + b)
-       |    / (sqrt(x.n2) * sqrt(y.n2)) AS cosine
-       |FROM eb x JOIN eb y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
-       |WHERE list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-       |    [ x.vd[d] * y.vd[d] for d in generate_series(1, 64) ]), (a, b) -> a + b)
-       |    / (sqrt(x.n2) * sqrt(y.n2)) > 0.35
-       |ORDER BY vec_a, vec_b""".stripMargin
+    s"""WITH ${VectorExprs.bandCtes},
+       |cand AS (
+       |  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+       |  FROM capped x JOIN capped y
+       |    ON x.band = y.band AND x.bkey = y.bkey AND x.vec_id < y.vec_id),
+       |scored AS (
+       |  SELECT c.vec_a, c.vec_b,
+       |    ${VectorExprs.duckDot("a.vd", "b.vd")}
+       |      / (sqrt(a.n2) * sqrt(b.n2)) AS cosine
+       |  FROM cand c JOIN eb a ON c.vec_a = a.vec_id JOIN eb b ON c.vec_b = b.vec_id)
+       |SELECT vec_a, vec_b, cosine FROM scored
+       |WHERE cosine > 0.35 ORDER BY vec_a, vec_b""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_exact_dedup" -> (d1ExactDedup _),

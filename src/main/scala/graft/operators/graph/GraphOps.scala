@@ -102,8 +102,9 @@ object GraphOps {
 
   /** Visit counts of the 3-hop walk — shared by g3 and g4 (the
     * reference likewise scores once and selects top-N from the same
-    * vector, Runner.java:60 + TopNSelector.java:23). */
-  private def walkVisitCounts(spark: SparkSession, dir: String): DataFrame =
+    * vector, Runner.java:60 + TopNSelector.java:23). Public so Bench
+    * can attribute the shared build as an explicit warm-up entry. */
+  def walkVisitCounts(spark: SparkSession, dir: String): DataFrame =
     graft.util.DfCache.cached(spark, dir, "graph_walk_visits") {
       walkSteps(spark, dir, 3)
         .groupBy(col("node").as("node_id"))

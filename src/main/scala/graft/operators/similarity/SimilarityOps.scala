@@ -58,56 +58,98 @@ object SimilarityOps {
        |SELECT query_id, neighbor_id, cosine, rank FROM r
        |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
 
-  // ---- s2: LSH-bucketed ANN (candidates share the query's bucket) ----
+  // ---- s2: LSH-bucketed ANN over banded signatures ----
+  // A query probes each of its Bands buckets (multi-probe via
+  // OR-amplified bands: recall 1-(1-p^BandBits)^Bands); candidates are
+  // deduped before the exact-cosine step, and the query side of the
+  // band join is broadcast — the corpus never shuffles.
   def s2KnnLsh(spark: SparkSession, dir: String): DataFrame = {
+    val capped = VectorExprs.cappedBands(spark, dir)
+    val cand = broadcast(capped.filter(col("vec_id") < 10).as("qb"))
+      .join(capped.as("cb"),
+        col("qb.band") === col("cb.band") && col("qb.bkey") === col("cb.bkey")
+          && col("qb.vec_id") =!= col("cb.vec_id"))
+      .select(col("qb.vec_id").as("qid"), col("cb.vec_id").as("cid"))
+      .distinct()
     val e = VectorExprs.embFeatures(spark, dir)
-    val q = e.filter(col("vec_id") < 10)
-    val pairs = broadcast(q.as("q"))
-      .join(e.as("c"),
-        col("q.bucket") === col("c.bucket") && col("q.vec_id") =!= col("c.vec_id"))
+    val pairs = cand
+      .join(broadcast(e.filter(col("vec_id") < 10).as("q")), col("qid") === col("q.vec_id"))
+      .join(e.as("c"), col("cid") === col("c.vec_id"))
       .withColumn("dot", expr(VectorExprs.dotExpr("q.vd", "c.vd")))
-      .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"),
+      .select(col("qid").as("query_id"), col("cid").as("neighbor_id"),
         cosine.as("cosine"))
     ranked(pairs)
   }
 
   val s2Sql: String =
-    s"""WITH ${VectorExprs.embCtes},
+    s"""WITH ${VectorExprs.bandCtes},
+       |cand AS (
+       |  SELECT DISTINCT q.vec_id AS qid, c.vec_id AS cid
+       |  FROM capped q JOIN capped c
+       |    ON q.band = c.band AND q.bkey = c.bkey AND q.vec_id != c.vec_id
+       |  WHERE q.vec_id < 10),
        |pairs AS (
-       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |  SELECT d.qid AS query_id, d.cid AS neighbor_id,
        |    ${VectorExprs.duckDot("q.vd", "c.vd")}
        |      / (sqrt(q.n2) * sqrt(c.n2)) AS cosine
-       |  FROM eb q JOIN eb c
-       |    ON q.bucket = c.bucket AND q.vec_id != c.vec_id
-       |  WHERE q.vec_id < 10),
+       |  FROM cand d JOIN eb q ON d.qid = q.vec_id JOIN eb c ON d.cid = c.vec_id),
        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
        |        ORDER BY cosine DESC, neighbor_id) AS rank FROM pairs)
        |SELECT query_id, neighbor_id, cosine, rank FROM r
        |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
 
-  // ---- s3: per-label top-k most-similar pairs ----
+  // ---- s3: per-label top-k most-similar candidate pairs ----
+  // Two scale fixes over the naive per-label all-pairs + window sort:
+  //  1. pair enumeration happens inside (label, band, bkey) LSH
+  //     buckets (capped), not across whole labels — label cardinality
+  //     is ~fixed, so per-label membership grows linearly with the
+  //     corpus and all-pairs would be quadratic;
+  //  2. the per-label top-k is a BOUNDED mergeable aggregate
+  //     ([[graft.functions.TopPairsAggregator]]): O(k) state per
+  //     label, map-side combined — not a row_number window that sorts
+  //     every candidate of a label in one partition.
   def s3PairwiseTopk(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(spark)
+    val capped = VectorExprs.cappedBands(spark, dir, perLabel = true)
+    val cand = capped.as("x").join(capped.as("y"),
+        col("x.label") === col("y.label") && col("x.band") === col("y.band")
+          && col("x.bkey") === col("y.bkey") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.label").as("label"),
+        col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+      .distinct()
     val e = VectorExprs.embFeatures(spark, dir)
-    val w = Window.partitionBy(col("label"))
-      .orderBy(col("cosine").desc, col("vec_a"), col("vec_b"))
-    e.as("q").join(e.as("c"),
-        col("q.label") === col("c.label") && col("q.vec_id") < col("c.vec_id"))
-      .withColumn("dot", expr(VectorExprs.dotExpr("q.vd", "c.vd")))
-      .select(col("q.label").as("label"), col("q.vec_id").as("vec_a"),
-        col("c.vec_id").as("vec_b"), cosine.as("cosine"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= K)
+      .select(col("vec_id"), col("vd"), col("n2"))
+    cand
+      .join(e.as("a"), col("vec_a") === col("a.vec_id"))
+      .join(e.as("b"), col("vec_b") === col("b.vec_id"))
+      .withColumn("dot", expr(VectorExprs.dotExpr("a.vd", "b.vd")))
+      .withColumn("cosine", col("dot") / (sqrt(col("a.n2")) * sqrt(col("b.n2"))))
+      .groupBy(col("label"))
+      .agg(expr("graft_top_pairs5(cosine, vec_a, vec_b)").as("top"))
+      .select(col("label"), posexplode(col("top")).as(Seq("pos", "p")))
+      .select(col("label"), col("p.vec_a").as("vec_a"), col("p.vec_b").as("vec_b"),
+        col("p.cosine").as("cosine"), (col("pos") + 1).cast("int").as("rank"))
       .orderBy(col("label"), col("rank"))
   }
 
   val s3Sql: String =
-    s"""WITH ${VectorExprs.embCtes},
+    s"""WITH ${VectorExprs.bandCtes},
+       |okl AS (
+       |  SELECT label, band, bkey FROM ebb
+       |  GROUP BY label, band, bkey HAVING count(*) <= ${VectorExprs.MaxBucket}),
+       |cappedl AS (
+       |  SELECT e.vec_id, e.label, e.band, e.bkey
+       |  FROM ebb e JOIN okl USING (label, band, bkey)),
+       |cand AS (
+       |  SELECT DISTINCT x.label, x.vec_id AS vec_a, y.vec_id AS vec_b
+       |  FROM cappedl x JOIN cappedl y
+       |    ON x.label = y.label AND x.band = y.band AND x.bkey = y.bkey
+       |      AND x.vec_id < y.vec_id),
        |pairs AS (
-       |  SELECT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |  SELECT c.label, c.vec_a, c.vec_b,
        |    ${VectorExprs.duckDot("a.vd", "b.vd")}
        |      / (sqrt(a.n2) * sqrt(b.n2)) AS cosine
-       |  FROM eb a JOIN eb b
-       |    ON a.label = b.label AND a.vec_id < b.vec_id),
+       |  FROM cand c JOIN eb a ON c.vec_a = a.vec_id JOIN eb b ON c.vec_b = b.vec_id),
        |r AS (SELECT *, row_number() OVER (PARTITION BY label
        |        ORDER BY cosine DESC, vec_a, vec_b) AS rank FROM pairs)
        |SELECT label, vec_a, vec_b, cosine, rank FROM r

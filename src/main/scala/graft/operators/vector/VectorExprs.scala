@@ -11,12 +11,31 @@ import graft.sources.Tables
   * `list_reduce`), so double results are bit-identical and the oracle
   * contract is exact equality — no epsilon comparisons anywhere.
   *
-  * The LSH bucket comes from 4 deterministic pseudo-random hyperplanes
-  * (integer arithmetic on the dimension index — no stored random state),
-  * giving 16 buckets; candidate pairs are generated within buckets only,
-  * which is the O(n)/bucket scale path for ANN at 100 TB.
+  * LSH is BANDED hyperplane signatures (the OR-amplification scheme):
+  * `Bands` independent bands of `BandBits` deterministic pseudo-random
+  * hyperplanes each (integer arithmetic on (plane, dimension) — no
+  * stored random state). A vector lands in one `BandBits`-bit bucket
+  * PER BAND; candidate pairs are pairs sharing any band bucket. Two
+  * scale knobs, both parameters here rather than hard-coded shapes:
+  *  - `BandBits` sets bucket count per band (2^bits): raise it with
+  *    corpus size (16+ bits → 65k+ buckets at 100 TB) so per-bucket
+  *    population — and the within-bucket pair join — stays bounded;
+  *  - `Bands` sets recall (a true near-dup pair collides in ≥1 of the
+  *    independent bands with prob 1-(1-p^bits)^bands).
+  * On top of both, consumers cap degenerate buckets at [[MaxBucket]]
+  * (the d2/g7 skew-guard pattern), so worst-case pair volume is
+  * bounded even for adversarial corpora.
   */
 object VectorExprs {
+
+  /** Bands (recall knob) × bits per band (bucket-count knob). 8×8 =
+    * 64 hyperplanes, 256 buckets/band at test scale; at 100 TB raise
+    * BandBits so bucket count grows with the corpus. */
+  val Bands = 8
+  val BandBits = 8
+
+  /** Degenerate-bucket cap for pair enumeration (see DedupOps d2). */
+  val MaxBucket = 200
 
   /** float[] -> double[] (exact widening). */
   val castDoubleExpr = "transform(embedding, x -> cast(x as double))"
@@ -24,14 +43,15 @@ object VectorExprs {
   /** Squared L2 norm of `vd` (native codegen'd fold). */
   val n2Expr = "graft_dot(vd, vd)"
 
-  /** 4-hyperplane LSH bucket (0..15) of `vd`. */
-  val bucketExpr: String =
-    """aggregate(sequence(0, 3), 0,
-      |  (acc, p) -> acc + CASE WHEN
-      |    aggregate(sequence(1, 64), cast(0.0 as double),
-      |      (a, d) -> a + cast((p*131 + d)*2654435761 % 1000003 - 500000 as double)
-      |                    * element_at(vd, d)) > 0
-      |    THEN shiftleft(1, p) ELSE 0 END)""".stripMargin
+  /** Per-band bucket keys of `vd`: int array of length [[Bands]],
+    * bands[b] = Σ_j sign(h_{b·BandBits+j} · vd) << j. */
+  val bandsExpr: String =
+    s"""transform(sequence(0, ${Bands - 1}), b ->
+       |  aggregate(sequence(0, ${BandBits - 1}), 0, (acc, j) -> acc + CASE WHEN
+       |    aggregate(sequence(1, 64), cast(0.0 as double),
+       |      (a, d) -> a + cast(((b*$BandBits + j)*131 + d)*2654435761 % 1000003 - 500000 as double)
+       |                    * element_at(vd, d)) > 0
+       |    THEN shiftleft(1, j) ELSE 0 END))""".stripMargin
 
   /** Dot product of two qualified double-array columns — the native
     * [[graft.functions.DotProduct]] expression (same sequential fold
@@ -39,7 +59,7 @@ object VectorExprs {
   def dotExpr(a: String, b: String): String =
     s"graft_dot($a, $b)"
 
-  /** embeddings + (vd, bucket, n2) feature columns; one codegen'd
+  /** embeddings + (vd, bands, n2) feature columns; one codegen'd
     * scan, cached per (session, dir) — reused by both sides of every
     * similarity self-join and by the embedding-dedup operator. */
   def embFeatures(spark: SparkSession, dir: String): DataFrame = {
@@ -47,30 +67,65 @@ object VectorExprs {
     graft.util.DfCache.cached(spark, dir, "emb_features") {
       Tables.load(spark, dir, "embeddings")
         .withColumn("vd", expr(castDoubleExpr))
-        .withColumn("bucket", expr(bucketExpr))
+        .withColumn("bands", expr(bandsExpr))
         .withColumn("n2", expr(n2Expr))
-        .select(col("vec_id"), col("label"), col("vd"), col("bucket"), col("n2"))
+        .select(col("vec_id"), col("label"), col("vd"), col("bands"), col("n2"))
     }
   }
 
+  /** (vec_id, label, band, bkey): [[Bands]] rows per vector — the LSH
+    * shuffle key table, cached (d5, s2 and s3 all read it). */
+  def embBands(spark: SparkSession, dir: String): DataFrame =
+    graft.util.DfCache.cached(spark, dir, "emb_bands") {
+      embFeatures(spark, dir)
+        .select(col("vec_id"), col("label"),
+          posexplode(col("bands")).as(Seq("band", "bkey")))
+    }
+
+  /** Band rows with degenerate buckets (> [[MaxBucket]] members over
+    * the whole corpus) removed — the candidate-generation input for
+    * d5/s2. `perLabel = true` caps per (label, band, bkey) instead
+    * (s3's within-label pairing). */
+  def cappedBands(spark: SparkSession, dir: String, perLabel: Boolean = false): DataFrame = {
+    val b = embBands(spark, dir)
+    val keys = if (perLabel) Seq("label", "band", "bkey") else Seq("band", "bkey")
+    val ok = b.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("bn"))
+      .filter(col("bn") <= MaxBucket)
+      .drop("bn")
+    b.join(ok, keys, "left_semi")
+  }
+
   /** DuckDB CTEs mirroring [[embFeatures]]: views `ef` (vd) and `eb`
-    * (vd, label, bucket, n2). */
+    * (vd, label, bands, n2). */
   val embCtes: String =
-    """ef AS (
-      |  SELECT vec_id, label,
-      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
-      |  FROM embeddings),
-      |eb AS (
-      |  SELECT vec_id, label, vd,
-      |    list_reduce(list_prepend(CAST(0 AS INTEGER), [
-      |      CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-      |             [ CAST((p*131 + d)*2654435761 % 1000003 - 500000 AS DOUBLE) * vd[d]
-      |               for d in generate_series(1, 64) ]), (a, b) -> a + b) > 0
-      |           THEN (1 << p) ELSE 0 END
-      |      for p in generate_series(0, 3) ]), (a, b) -> a + b) AS bucket,
-      |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), [ x*x for x in vd ]),
-      |                (a, b) -> a + b) AS n2
-      |  FROM ef)""".stripMargin
+    s"""ef AS (
+       |  SELECT vec_id, label,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
+       |  FROM embeddings),
+       |eb AS (
+       |  SELECT vec_id, label, vd,
+       |    [ list_reduce(list_prepend(CAST(0 AS INTEGER), [
+       |        CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |               [ CAST(((b*$BandBits + j)*131 + d)*2654435761 % 1000003 - 500000 AS DOUBLE) * vd[d]
+       |                 for d in generate_series(1, 64) ]), (a, x) -> a + x) > 0
+       |             THEN (1 << j) ELSE 0 END
+       |        for j in generate_series(0, ${BandBits - 1}) ]), (a, x) -> a + x)
+       |      for b in generate_series(0, ${Bands - 1}) ] AS bands,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), [ x*x for x in vd ]),
+       |                (a, b) -> a + b) AS n2
+       |  FROM ef)""".stripMargin
+
+  /** DuckDB CTEs mirroring [[embBands]] + the global [[cappedBands]]:
+    * `ebb` (band rows) and `capped` (degenerate buckets removed). */
+  val bandCtes: String =
+    s"""$embCtes,
+       |ebb AS (SELECT vec_id, label, b - 1 AS band, bands[b] AS bkey
+       |        FROM eb, generate_series(1, $Bands) g(b)),
+       |ok_buckets AS (
+       |  SELECT band, bkey FROM ebb GROUP BY band, bkey HAVING count(*) <= $MaxBucket),
+       |capped AS (SELECT e.vec_id, e.label, e.band, e.bkey
+       |           FROM ebb e JOIN ok_buckets USING (band, bkey))""".stripMargin
 
   /** DuckDB dot product of two qualified list columns (sequential fold). */
   def duckDot(a: String, b: String): String =

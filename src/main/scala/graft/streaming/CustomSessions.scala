@@ -71,8 +71,14 @@ object CustomSessions {
     evs.foreach { case (_, ts, value) =>
       val us = toUs(ts)
       open match {
-        // within the gap of EITHER bound → extend (a late event may
-        // precede the open session's start; bounds stay consistent)
+        // within the gap of EITHER bound (inclusive) → extend. The
+        // inclusive bound is deliberate: Spark's built-in
+        // session_window merges an event landing EXACTLY `gap` after
+        // the previous one (windows [t, t+gap) and [t+gap, t+2gap)
+        // touch and are merged), and the e3/e6 gaps-and-islands
+        // oracle uses the same `diff > gap` new-session rule — all
+        // three semantics agree on every input, including exact-gap
+        // events (EventStreamsSpec pins the boundary case).
         case Some(s) if us >= s.startUs - GapMicros && us <= s.lastUs + GapMicros =>
           open = Some(SessionState(math.min(s.startUs, us), math.max(s.lastUs, us),
             s.n + 1, s.cents + cents(value)))

@@ -46,12 +46,18 @@ object EventOps {
     EventStreams.sessions(events(spark, dir))
       .orderBy(col("user_id"), col("session_start"))
 
+  // New session only when the gap EXCEEDS 30 minutes: an event exactly
+  // 30 minutes after the previous one extends the session, matching
+  // Spark's session_window merge rule (adjacent windows [t, t+gap) and
+  // [t+gap, t+2gap) touch and merge) and CustomSessions' inclusive
+  // bounds — oracle, builtin and custom state agree on every input,
+  // including exact-gap events (EventStreamsSpec pins the boundary).
   val e3Sql: String =
     """WITH marked AS (
       |  SELECT user_id, ts, value,
       |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
       |           OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
-      |              >= INTERVAL 30 MINUTE
+      |              > INTERVAL 30 MINUTE
       |         THEN 1 ELSE 0 END AS is_new
       |  FROM events),
       |islands AS (

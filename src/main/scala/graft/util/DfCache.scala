@@ -17,6 +17,7 @@ import org.apache.spark.storage.StorageLevel
   */
 object DfCache {
   private val cache = new java.util.HashMap[(SparkSession, String, String), DataFrame]()
+  private val hooked = new java.util.HashSet[SparkSession]()
 
   // Coarse reentrant lock, NOT ConcurrentHashMap.computeIfAbsent:
   // builds nest (pagerank's build caches the edge+degree table on the
@@ -25,6 +26,16 @@ object DfCache {
   // construction + persist marking — no job runs), so one lock is fine.
   def cached(spark: SparkSession, dir: String, name: String)(build: => DataFrame): DataFrame =
     synchronized {
+      // eviction hook: a long-lived multi-session cluster (e.g. a
+      // Spark Connect server) would otherwise leak every stopped
+      // session's DataFrames through this map forever
+      if (hooked.add(spark)) {
+        spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+          override def onApplicationEnd(
+              e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+            evict(spark)
+        })
+      }
       val key = (spark, dir, name)
       val hit = cache.get(key)
       if (hit != null) hit
@@ -34,4 +45,17 @@ object DfCache {
         df
       }
     }
+
+  /** Drop (and best-effort unpersist) every entry of one session. */
+  def evict(spark: SparkSession): Unit = synchronized {
+    val it = cache.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey._1 eq spark) {
+        try e.getValue.unpersist(blocking = false) catch { case _: Throwable => () }
+        it.remove()
+      }
+    }
+    hooked.remove(spark)
+  }
 }

@@ -68,8 +68,9 @@ class OperatorPropertiesSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("contract: every oracle key has a matching query") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
-    // every query is either oracled or a documented rows-only operator
+    // every query is hash-gated: no rows-only entries remain (m2's
+    // byte-histogram decode got a per-byte DuckDB oracle in round 2)
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(rowsOnly == Set("m2_feature_extract"), s"unexpected rows-only: $rowsOnly")
+    assert(rowsOnly.isEmpty, s"unexpected rows-only: $rowsOnly")
   }
 }

@@ -173,4 +173,26 @@ class EventStreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(out == Map("click" -> 2L, "view" -> 1L))
     } finally q.stop()
   }
+
+  test("exact 30-minute gap: custom state, session_window and oracle rule all merge") {
+    val sq = spark
+    import sq.implicits._
+    // Spark's session_window merges an event landing EXACTLY gap after
+    // the previous one (adjacent [t, t+gap) windows touch). The custom
+    // state and the gaps-and-islands oracle (`diff > gap` starts a new
+    // session) deliberately use the same inclusive bound, so all three
+    // agree on the boundary; an event 1 µs past the gap splits.
+    val rows = Seq(
+      (ts(0), 1L, "click", 1.0),
+      (ts(30), 1L, "click", 2.0),   // exactly the gap later -> merges
+      (ts(61), 1L, "click", 3.0))   // 31 min after ts(30) -> NEW session
+    val df = rows.toDF("ts", "user_id", "event_type", "value")
+    def shape(out: org.apache.spark.sql.DataFrame): Seq[(Timestamp, Long)] =
+      out.orderBy("session_start").collect()
+        .map(r => (r.getAs[Timestamp]("session_start"), r.getAs[Long]("n_events"))).toSeq
+    val custom = shape(CustomSessions.batchSessions(sq, df))
+    val builtin = shape(EventStreams.sessions(df))
+    assert(custom == Seq((ts(0), 2L), (ts(61), 1L)))
+    assert(custom == builtin)
+  }
 }
