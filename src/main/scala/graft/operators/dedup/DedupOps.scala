@@ -317,17 +317,60 @@ object DedupOps {
        |SELECT vec_a, vec_b, cosine FROM scored
        |WHERE cosine > 0.35 ORDER BY vec_a, vec_b""".stripMargin
 
+  // ---- d6: duplicate-cluster assignment (the dedup DECISION list) ----
+  // The output a dedup pipeline actually acts on: connected components
+  // over the Jaccard-verified candidate-pair graph (d4's edges), each
+  // doc labeled with its cluster id (= min doc_id of the cluster) and
+  // a keep/drop flag. Runs the same synchronous min-label fixpoint as
+  // g11 (per-round localCheckpoint, V-row label shuffles); dup
+  // clusters have tiny diameter, so it converges in a handful of
+  // rounds regardless of corpus size. Only docs that appear in some
+  // near-dup pair are emitted — singletons are implicitly kept.
+  def d6DupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = d4NgramJaccard(spark, dir).select(col("doc_a"), col("doc_b"))
+    val sym = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    val start = sym.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl"))
+    graft.operators.graph.GraphOps
+      .minLabelFixpoint(sym, start, maxIters = 50, untilConverged = true)
+      .select(col("node").as("doc_id"), col("lbl").as("cluster_id"),
+        (col("node") === col("lbl")).as("is_kept"))
+      .orderBy(col("doc_id"))
+  }
+
+  // Oracle: transitive closure over the (tiny) dup-pair graph —
+  // cluster id = min reachable doc_id (including self).
+  val d6Sql: String =
+    s"""WITH jp AS ($d4Sql),
+       |e AS (SELECT doc_a AS a, doc_b AS b FROM jp
+       |      UNION SELECT doc_b, doc_a FROM jp),
+       |nodes AS (SELECT DISTINCT a AS n FROM e),
+       |reach AS (
+       |  WITH RECURSIVE r(a, b) AS (
+       |    SELECT a, b FROM e
+       |    UNION
+       |    SELECT r.a, e.b FROM r JOIN e ON r.b = e.a)
+       |  SELECT a, b FROM r)
+       |SELECT n.n AS doc_id,
+       |  least(n.n, min(r.b)) AS cluster_id,
+       |  n.n = least(n.n, min(r.b)) AS is_kept
+       |FROM nodes n JOIN reach r ON r.a = n.n
+       |GROUP BY n.n ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_exact_dedup" -> (d1ExactDedup _),
     "d2_minhash_lsh" -> (d2MinhashLsh _),
     "d3_simhash" -> (d3Simhash _),
     "d4_ngram_jaccard" -> (d4NgramJaccard _),
-    "d5_embedding_dup" -> (d5EmbeddingDup _))
+    "d5_embedding_dup" -> (d5EmbeddingDup _),
+    "d6_dup_clusters" -> (d6DupClusters _))
 
   val oracles: Map[String, String] = Map(
     "d1_exact_dedup" -> d1Sql,
     "d2_minhash_lsh" -> d2Sql,
     "d3_simhash" -> d3Sql,
     "d4_ngram_jaccard" -> d4Sql,
-    "d5_embedding_dup" -> d5Sql)
+    "d5_embedding_dup" -> d5Sql,
+    "d6_dup_clusters" -> d6Sql)
 }

@@ -384,9 +384,12 @@ object GraphOps {
   // round-1 bench). Persisting the V-row vector each round makes every
   // round compute exactly once; the handle is dropped after the next
   // round is materialized.
-  private def componentRounds(spark: SparkSession, dir: String, start: DataFrame,
+  /** Synchronous min-label propagation over a symmetric (src, dst)
+    * edge table, starting from `start` (node, lbl). Generic: g10/g11
+    * run it on the derived graph, dedup's cluster assignment (d6) on
+    * the candidate-pair graph. */
+  def minLabelFixpoint(sym: DataFrame, start: DataFrame,
       maxIters: Int, untilConverged: Boolean): DataFrame = {
-    val sym = withSym(spark, dir)
     var labels = start.persist(StorageLevel.MEMORY_AND_DISK)
     var it = 0
     var done = false
@@ -415,7 +418,8 @@ object GraphOps {
       .select(col("node"), col("node").as("lbl"))
 
   def g10Components(spark: SparkSession, dir: String, iters: Int = 3): DataFrame =
-    componentRounds(spark, dir, initialLabels(spark, dir), iters, untilConverged = false)
+    minLabelFixpoint(withSym(spark, dir), initialLabels(spark, dir),
+        iters, untilConverged = false)
       .select(col("node").as("node_id"), col("lbl").as("component"))
       .orderBy(col("node_id"))
 
@@ -428,7 +432,7 @@ object GraphOps {
     val start = resumeFrom
       .map(_.select(col("node_id").as("node"), col("component").as("lbl")))
       .getOrElse(initialLabels(spark, dir))
-    componentRounds(spark, dir, start, maxIters, untilConverged = true)
+    minLabelFixpoint(withSym(spark, dir), start, maxIters, untilConverged = true)
       .select(col("node").as("node_id"), col("lbl").as("component"))
       .orderBy(col("node_id"))
   }
