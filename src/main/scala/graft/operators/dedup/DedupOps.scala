@@ -15,8 +15,9 @@ import graft.sources.Tables
   *
   * All hashing is explicit integer arithmetic mod 2^31-1, shared
   * verbatim with the DuckDB oracles — deterministic at any scale and on
-  * any engine (values kept < 2^63: wv≈2e5, wv*131*131≈3.4e9, mh<2^31,
-  * mh*31^3≈6.5e13).
+  * any engine. Multiplicands are mod-reduced below 2^31 before any
+  * large-constant multiply (max intermediate ≈ 5.7e18 < 2^63), so the
+  * arithmetic cannot wrap even on pathological inputs.
   */
 object DedupOps {
 
@@ -150,9 +151,13 @@ object DedupOps {
       val toks = docs(spark, dir)
         .withColumn("wvs", expr(wvsExpr))
         .select(col("doc_id"), explode(col("wvs")).as("v"))
+        // v mod-reduced BEFORE the multiply: word values are normally
+        // tiny (~2e5), but a pathological unbroken-token "word" grows
+        // with document size and v*2654435761 would wrap int64 —
+        // mathematically identical mod 2^31-1, shared with the oracle
         .select(col("doc_id"),
-          expr("(v*2654435761 + 101) % 2147483647").as("hlo"),
-          expr("(v*40503 + 7) % 2147483647").as("hhi"))
+          expr("((v % 2147483647)*2654435761 + 101) % 2147483647").as("hlo"),
+          expr("((v % 2147483647)*40503 + 7) % 2147483647").as("hhi"))
       val aggs = (0 to 30).flatMap(j => Seq(
         sum(expr(s"shiftright(hlo, $j) & 1")).as(s"clo_$j"),
         sum(expr(s"shiftright(hhi, $j) & 1")).as(s"chi_$j"))) :+
@@ -202,8 +207,8 @@ object DedupOps {
       |  FROM documents),
       |hs AS (
       |  SELECT doc_id,
-      |    list_transform(wvs, v -> (v*2654435761 + 101) % 2147483647) AS hlo,
-      |    list_transform(wvs, v -> (v*40503 + 7) % 2147483647) AS hhi
+      |    list_transform(wvs, v -> ((v % 2147483647)*2654435761 + 101) % 2147483647) AS hlo,
+      |    list_transform(wvs, v -> ((v % 2147483647)*40503 + 7) % 2147483647) AS hhi
       |  FROM wvs),
       |sim AS (
       |  SELECT doc_id,

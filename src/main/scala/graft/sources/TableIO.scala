@@ -37,4 +37,24 @@ object TableIO {
 
   def readParquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** Bucketed parquet write (external table at `path`): the persisted
+    * pre-shuffled layout for co-located joins/aggregations. A read of
+    * the table exposes `HashPartitioning(bucketCol, buckets)`, so every
+    * downstream `groupBy(bucketCol)` or equi-join on it runs with NO
+    * exchange — this is how the cached-in-session edge/feature layouts
+    * (DfCache) persist ACROSS sessions on a cluster: bucket the edge
+    * list by `src` once, and every traversal job of every session
+    * starts co-located (TableIOSpec proves the exchange-free plan). */
+  def writeBucketed(df: DataFrame, spark: SparkSession, table: String, path: String,
+      bucketCol: String, buckets: Int): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .option("path", path)
+      .bucketBy(buckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+      .saveAsTable(table)
+
+  def readTable(spark: SparkSession, table: String): DataFrame =
+    spark.table(table)
 }

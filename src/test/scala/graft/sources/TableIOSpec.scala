@@ -70,4 +70,31 @@ class TableIOSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("PartitionFilters") && plan.contains("n_regionkey"))
     assert(pruned.count() == nation.filter(col("n_regionkey") === 2).count())
   }
+
+  test("bucketed write: groupBy and self-join on the bucket column need no exchange") {
+    val path = tmp("graft_bucketed")
+    val customer = Tables.load(spark, "/root/testdata/sf0.001", "customer")
+      .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
+    TableIO.writeBucketed(customer, spark, "graft_cust_bucketed", path,
+      bucketCol = "c_custkey", buckets = 4)
+    val back = TableIO.readTable(spark, "graft_cust_bucketed")
+    assert(back.count() == customer.count())
+
+    val agg = back.groupBy(col("c_custkey")).agg(sum(col("c_acctbal")))
+    agg.collect()
+    val aggPlan = agg.queryExecution.executedPlan.toString
+    assert(!aggPlan.contains("Exchange"),
+      s"bucketed aggregation must not shuffle:\n$aggPlan")
+
+    // disable auto-broadcast so the planner exercises the bucketed
+    // path — at real fact-table scale neither side broadcasts anyway
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = back.as("a").join(back.as("b"), Seq("c_custkey"))
+      joined.collect()
+      val joinPlan = joined.queryExecution.executedPlan.toString
+      assert(joinPlan.contains("SortMergeJoin") && !joinPlan.contains("Exchange"),
+        s"bucketed co-located join must not shuffle:\n$joinPlan")
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
 }
