@@ -395,19 +395,24 @@ object GraphOps {
     var done = false
     while (it < maxIters && !done) {
       val viaNbr = sym.join(labels, col("src") === col("node"))
-        .select(col("dst").as("node"), col("lbl"))
+        .select(col("dst").as("node"), col("lbl"), lit(false).as("own"))
+      // Each node appears exactly ONCE in `labels`, so the previous
+      // label rides through the aggregate (min over the own-tagged
+      // row) — convergence detection costs a narrow filter over the
+      // materialized round instead of a V⋈V join per round.
       // localCheckpoint (eager): materializes the round AND cuts the
-      // lineage, so a convergence loop's plan doesn't grow with rounds
-      val next = labels.union(viaNbr)
-        .groupBy(col("node")).agg(min(col("lbl")).as("lbl"))
+      // lineage, so a convergence loop's plan doesn't grow with rounds.
+      val next = labels.select(col("node"), col("lbl"), lit(true).as("own"))
+        .union(viaNbr)
+        .groupBy(col("node"))
+        .agg(min(col("lbl")).as("lbl"),
+          min(when(col("own"), col("lbl"))).as("prev"))
         .localCheckpoint(true)
       if (untilConverged) {
-        val changed = next.join(labels.withColumnRenamed("lbl", "prev"), "node")
-          .filter(col("lbl") =!= col("prev")).limit(1).count()
-        done = changed == 0L
+        done = next.filter(col("lbl") < col("prev")).limit(1).count() == 0L
       }
       labels.unpersist()
-      labels = next
+      labels = next.select(col("node"), col("lbl"))
       it += 1
     }
     labels
