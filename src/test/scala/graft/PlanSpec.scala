@@ -83,4 +83,18 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     val plan = planOf(SparkEntry.queries("d2_minhash_lsh")(spark, dir))
     assert(!plan.contains("CartesianProduct"), "no O(n^2) cross join allowed")
   }
+
+  test("q17: the per-part aggregate input is semi-join-pruned to the one brand") {
+    val plan = planOf(SparkEntry.queries("q17_scalar_subquery")(spark, dir))
+    assert(plan.contains("LeftSemi"),
+      "lineitem must be pruned by the brand part list BEFORE the per-part aggregate")
+    assert(plan.contains("BroadcastHashJoin"), "the brand part list must broadcast")
+  }
+
+  test("g4: walk hop is a map-side-combined transition-table aggregate") {
+    val plan = planOf(SparkEntry.queries("g4_walk_visits")(spark, dir))
+    assert(plan.contains("partial_min"),
+      "per-hop src→next choice must partially aggregate (map-side combine)")
+    assert(!plan.contains("Window"), "no per-walker window sort in the walk")
+  }
 }
