@@ -248,7 +248,9 @@ object DedupOps {
   // shuffle, no per-row hash set. Arrays are bounded by document
   // length, so per-row cost is constant in corpus size; only
   // |candidates| rows flow.
-  def d4NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+  // cached: d6's cluster assignment consumes the verified pairs again
+  def d4NgramJaccard(spark: SparkSession, dir: String): DataFrame =
+    graft.util.DfCache.cached(spark, dir, "dedup_jaccard") {
     graft.functions.GraftFunctions.registerAll(spark)
     val sh = shingleFeatures(spark, dir)
     val cand = d2MinhashLsh(spark, dir)

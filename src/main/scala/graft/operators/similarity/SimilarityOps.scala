@@ -230,15 +230,94 @@ object SimilarityOps {
        |SELECT query_id, neighbor_id, cosine, rank FROM r
        |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
 
+  // ---- s5: distributed k-means codebook training (2 Lloyd rounds) ----
+  // The trained-codebook path that feeds an IVF index like s4's:
+  //  - assignment = corpus ⋈ broadcast(k centroids), argmax cosine via
+  //    the min-over-struct aggregate (map-side combine, no window);
+  //  - centroid update = dim-exploded integer sums (V×64 rows, map-side
+  //    combined, k×64 groups) then mean per dim — the standard
+  //    distributed Lloyd round, shuffling only pre-combined partials.
+  // Engine-exact by construction: vectors are quantized to integer
+  // micro-units, so centroid SUMS are order-independent exact longs;
+  // means divide those longs in double (deterministic — same IEEE ops
+  // on both engines), and scores reuse the shared sequential-fold dot.
+  def s5Kmeans(spark: SparkSession, dir: String): DataFrame = {
+    val qv = VectorExprs.embFeatures(spark, dir)
+      .select(col("vec_id"), col("vd"), col("n2"),
+        expr("transform(vd, x -> cast(round(x * 1000000) as bigint))").as("qv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val c0 = qv.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("mid"),
+        expr("transform(qv, x -> cast(x as double) / 1000000.0)").as("cm"))
+    def assign(cents: DataFrame): DataFrame = {
+      val score = expr("graft_dot(vd, cm)") /
+        (sqrt(col("n2")) * sqrt(expr("graft_dot(cm, cm)")))
+      qv.crossJoin(broadcast(cents))
+        .withColumn("ns", -score)
+        .groupBy(col("vec_id"))
+        .agg(min(struct(col("ns"), col("mid"))).as("pick"))
+        .select(col("vec_id"), col("pick.mid").as("cluster"))
+    }
+    val a1 = assign(c0)
+    val c1 = qv.join(a1, Seq("vec_id"))
+      .select(col("cluster"), posexplode(col("qv")).as(Seq("d", "val")))
+      .groupBy(col("cluster"), col("d"))
+      .agg(sum(col("val")).as("s"), count(lit(1)).as("n"))
+      .groupBy(col("cluster"))
+      .agg(expr(
+        "transform(sort_array(collect_list(struct(d, cast(s as double) / (n * 1000000.0)))), p -> p.col2)")
+        .as("cm"))
+      .select(col("cluster").as("mid"), col("cm"))
+    val a2 = assign(c1)
+    a2.join(qv, Seq("vec_id"))
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_members"),
+        sum(expr("aggregate(qv, 0L, (a, x) -> a + x)")).as("q_checksum"))
+      .select(col("cluster").as("cluster_id"), col("n_members"), col("q_checksum"))
+      .orderBy(col("cluster_id"))
+  }
+
+  private def duckCent(src: String): String =
+    s"""SELECT q.vec_id, c.mid,
+       |    ${VectorExprs.duckDot("q.vd", "c.cm")}
+       |      / (sqrt(q.n2) * sqrt(${VectorExprs.duckDot("c.cm", "c.cm")})) AS score
+       |  FROM qv q CROSS JOIN $src c""".stripMargin
+
+  val s5Sql: String =
+    s"""WITH ${VectorExprs.embCtes},
+       |qv AS (SELECT vec_id, vd, n2,
+       |  [CAST(round(x * 1000000) AS BIGINT) for x in vd] AS qv FROM eb),
+       |c0 AS MATERIALIZED (SELECT vec_id AS mid,
+       |  [CAST(x AS DOUBLE) / 1000000.0 for x in qv] AS cm FROM qv WHERE vec_id < 16),
+       |sc1 AS (${duckCent("c0")}),
+       |a1 AS MATERIALIZED (SELECT vec_id, mid AS cluster FROM (
+       |  SELECT vec_id, mid, row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY score DESC, mid) AS rn FROM sc1) x WHERE rn = 1),
+       |e1 AS (SELECT a1.cluster, d, q.qv[d] AS val
+       |  FROM qv q JOIN a1 ON q.vec_id = a1.vec_id, generate_series(1, 64) g(d)),
+       |s1 AS (SELECT cluster, d, sum(val) AS s, count(*) AS n FROM e1 GROUP BY cluster, d),
+       |c1 AS MATERIALIZED (SELECT cluster AS mid,
+       |  list(CAST(s AS DOUBLE) / (n * 1000000.0) ORDER BY d) AS cm FROM s1 GROUP BY cluster),
+       |sc2 AS (${duckCent("c1")}),
+       |a2 AS (SELECT vec_id, mid AS cluster FROM (
+       |  SELECT vec_id, mid, row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY score DESC, mid) AS rn FROM sc2) x WHERE rn = 1)
+       |SELECT a2.cluster AS cluster_id, count(*) AS n_members,
+       |  CAST(sum(list_sum(q.qv)) AS BIGINT) AS q_checksum
+       |FROM a2 JOIN qv q ON a2.vec_id = q.vec_id
+       |GROUP BY a2.cluster ORDER BY cluster_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_knn_brute" -> (s1KnnBrute _),
     "s2_knn_lsh" -> (s2KnnLsh _),
     "s3_pairwise_topk" -> (s3PairwiseTopk _),
-    "s4_ivf_knn" -> (s4IvfKnn _))
+    "s4_ivf_knn" -> (s4IvfKnn _),
+    "s5_kmeans" -> (s5Kmeans _))
 
   val oracles: Map[String, String] = Map(
     "s1_knn_brute" -> s1Sql,
     "s2_knn_lsh" -> s2Sql,
     "s3_pairwise_topk" -> s3Sql,
-    "s4_ivf_knn" -> s4Sql)
+    "s4_ivf_knn" -> s4Sql,
+    "s5_kmeans" -> s5Sql)
 }
