@@ -174,6 +174,37 @@ class EventStreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("parquet sink: streamed append lands in files under a recoverable checkpoint") {
+    val sq = spark
+    import sq.implicits._
+    implicit val ctx = sq.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val out = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_sink_ckpt").toString
+    // the cluster-shaped sink: readStream → dedup → parquet files +
+    // write-ahead checkpoint (exactly-once on restart)
+    val q = mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+      .withWatermark("ts", "2 hours")
+      .dropDuplicates("event_id")
+      .writeStream.format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .start()
+    try {
+      mem.addData(
+        (1L, ts(1), 1L, "click", 1.0), (1L, ts(1), 1L, "click", 1.0),
+        (2L, ts(2), 2L, "view", 2.0))
+      q.processAllAvailable()
+      mem.addData((3L, ts(3), 1L, "click", 3.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val back = spark.read.parquet(out)
+    assert(back.count() == 3, "duplicate must be dropped, both batches persisted")
+    assert(back.select("event_id").distinct().count() == 3)
+    assert(new java.io.File(ckpt, "offsets").exists(), "write-ahead offsets log expected")
+  }
+
   test("exact 30-minute gap: custom state, session_window and oracle rule all merge") {
     val sq = spark
     import sq.implicits._
