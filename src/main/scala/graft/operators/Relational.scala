@@ -354,9 +354,10 @@ object Relational {
     // per-part aggregate: p_partkey is unique, so the per-part avg over
     // the pruned rows is identical, and the aggregate input shrinks by
     // ~|parts|/|brand parts| (~500× at scale) instead of aggregating
-    // all of lineitem for a one-brand query.
+    // all of lineitem for a one-brand query. Used twice but NOT
+    // persisted: a second pruned broadcast-semi scan is cheaper than
+    // leaking an unmanaged cached copy per invocation.
     val lp = l.join(broadcast(p), col("l_partkey") === col("p_partkey"), "left_semi")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // per-part avg quantity via exact sum/count, then double division
     val avgQ = lp.groupBy(col("l_partkey").as("ap"))
       .agg((sum(dec(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"))

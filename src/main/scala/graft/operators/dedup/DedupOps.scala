@@ -100,12 +100,8 @@ object DedupOps {
   private val MaxBucket = 200
 
   def d2MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val b = bandTable(spark, dir)
-    val okBuckets = b.groupBy(col("band"), col("bkey"))
-      .agg(count(lit(1)).as("bn"))
-      .filter(col("bn") <= MaxBucket)
-      .select(col("band"), col("bkey"))
-    val capped = b.join(okBuckets, Seq("band", "bkey"), "left_semi")
+    val capped = graft.util.Buckets.cap(
+      bandTable(spark, dir), Seq("band", "bkey"), MaxBucket)
     capped.as("x").join(capped.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey")
           && col("x.doc_id") < col("y.doc_id"))
@@ -182,11 +178,7 @@ object DedupOps {
     // population grows ~n/65536 with corpus size, so the chunk
     // self-join is O(n²/65536) without it. Buckets past the cap are
     // dropped from pair enumeration (mirrored in the oracle).
-    val okChunks = chunks.groupBy(col("cpos"), col("cval"))
-      .agg(count(lit(1)).as("cn"))
-      .filter(col("cn") <= MaxBucket)
-      .select(col("cpos"), col("cval"))
-    val s = chunks.join(okChunks, Seq("cpos", "cval"), "left_semi")
+    val s = graft.util.Buckets.cap(chunks, Seq("cpos", "cval"), MaxBucket)
     s.as("x").join(s.as("y"),
         col("x.cpos") === col("y.cpos") && col("x.cval") === col("y.cval")
           && col("x.doc_id") < col("y.doc_id"))
@@ -199,7 +191,7 @@ object DedupOps {
   }
 
   private val simhashCtes =
-    """wvs AS (
+    s"""wvs AS (
       |  SELECT doc_id,
       |    list_transform(string_split(text,' '),
       |      w -> (CAST(length(w) AS BIGINT)*31 + ascii(substr(w,1,1)))*31
@@ -225,7 +217,7 @@ object DedupOps {
       |           WHEN 2 THEN simhash_hi % 65536 ELSE simhash_hi // 65536 END AS cval
       |  FROM sim, generate_series(0,3) g(c)),
       |ok_chunks AS (
-      |  SELECT cpos, cval FROM chunks0 GROUP BY cpos, cval HAVING count(*) <= 200),
+      |  SELECT cpos, cval FROM chunks0 GROUP BY cpos, cval HAVING count(*) <= $MaxBucket),
       |chunks AS (SELECT c.* FROM chunks0 c JOIN ok_chunks USING (cpos, cval))""".stripMargin
 
   val d3Sql: String =

@@ -171,10 +171,12 @@ object GraphOps {
   /** `iters` PageRank rounds starting from `start` (node_id, rank) —
     * the AnalysisRound warm-start (Runner.java:68 storeRound /
     * ArrayStore.java:27 readIn): iteration N+1 of a 100-TB run resumes
-    * from the iteration-N checkpoint instead of the uniform vector.
+    * from the iteration-N parquet instead of the uniform vector.
     * resumeFrom(k1) + k2 more rounds ≡ k1+k2 rounds from scratch,
     * bit-exact (integer micro-unit arithmetic, no float drift) —
-    * asserted by GraphOpsSpec. */
+    * asserted by GraphWarmStartSpec. The checkpoint must cover the
+    * current vertex set (same-graph resume); for a grown graph,
+    * restart or union missing nodes in with the uniform seed first. */
   def pagerankFrom(spark: SparkSession, dir: String, start: DataFrame, iters: Int): DataFrame = {
     val ew = edgesWithDeg(spark, dir)
     var r = start.select(col("node_id").as("node"), col("rank").as("r"))
@@ -415,6 +417,12 @@ object GraphOps {
       labels = next.select(col("node"), col("lbl"))
       it += 1
     }
+    if (untilConverged && !done) {
+      // fail loudly: a silently-unconverged label vector would hand
+      // wrong keep/drop or component decisions downstream
+      throw new IllegalStateException(
+        s"min-label propagation did not converge within $maxIters rounds")
+    }
     labels
   }
 
@@ -431,12 +439,21 @@ object GraphOps {
   /** Convergence-mode components: iterate until no label changes (the
     * reference's run-until-budget loop, Runner.java:31, done as a real
     * fixed point). Supports warm-start from a previous label vector
-    * (node_id, component) — the AnalysisRound resume. */
+    * (node_id, component) — the AnalysisRound resume. The checkpoint
+    * may be from a SMALLER graph: nodes that have appeared since
+    * (re)start from their own id (left join + coalesce), so every
+    * current node owns exactly one label row — the invariant both the
+    * aggregate-carried convergence check and correctness depend on. */
   def componentsConverged(spark: SparkSession, dir: String,
       resumeFrom: Option[DataFrame] = None, maxIters: Int = 100): DataFrame = {
-    val start = resumeFrom
-      .map(_.select(col("node_id").as("node"), col("component").as("lbl")))
-      .getOrElse(initialLabels(spark, dir))
+    val start = resumeFrom match {
+      case Some(ck) =>
+        val r = ck.select(col("node_id").as("node"), col("component").as("rlbl"))
+        initialLabels(spark, dir)
+          .join(r, Seq("node"), "left_outer")
+          .select(col("node"), coalesce(col("rlbl"), col("lbl")).as("lbl"))
+      case None => initialLabels(spark, dir)
+    }
     minLabelFixpoint(withSym(spark, dir), start, maxIters, untilConverged = true)
       .select(col("node").as("node_id"), col("lbl").as("component"))
       .orderBy(col("node_id"))

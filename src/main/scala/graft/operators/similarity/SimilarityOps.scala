@@ -241,11 +241,19 @@ object SimilarityOps {
   // micro-units, so centroid SUMS are order-independent exact longs;
   // means divide those longs in double (deterministic — same IEEE ops
   // on both engines), and scores reuse the shared sequential-fold dot.
+  /** Quantized corpus features — DfCache'd, not a bare persist: s5
+    * reads it 4× (two assignment rounds, centroid update, checksum),
+    * Bench warms it, and it's evicted with the session instead of
+    * leaking one full-corpus cached copy per call. */
+  def embQuantized(spark: SparkSession, dir: String): DataFrame =
+    graft.util.DfCache.cached(spark, dir, "emb_quantized") {
+      VectorExprs.embFeatures(spark, dir)
+        .select(col("vec_id"), col("vd"), col("n2"),
+          expr("transform(vd, x -> cast(round(x * 1000000) as bigint))").as("qv"))
+    }
+
   def s5Kmeans(spark: SparkSession, dir: String): DataFrame = {
-    val qv = VectorExprs.embFeatures(spark, dir)
-      .select(col("vec_id"), col("vd"), col("n2"),
-        expr("transform(vd, x -> cast(round(x * 1000000) as bigint))").as("qv"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val qv = embQuantized(spark, dir)
     val c0 = qv.filter(col("vec_id") < 16)
       .select(col("vec_id").as("mid"),
         expr("transform(qv, x -> cast(x as double) / 1000000.0)").as("cm"))

@@ -87,13 +87,8 @@ object VectorExprs {
     * d5/s2. `perLabel = true` caps per (label, band, bkey) instead
     * (s3's within-label pairing). */
   def cappedBands(spark: SparkSession, dir: String, perLabel: Boolean = false): DataFrame = {
-    val b = embBands(spark, dir)
     val keys = if (perLabel) Seq("label", "band", "bkey") else Seq("band", "bkey")
-    val ok = b.groupBy(keys.map(col): _*)
-      .agg(count(lit(1)).as("bn"))
-      .filter(col("bn") <= MaxBucket)
-      .drop("bn")
-    b.join(ok, keys, "left_semi")
+    graft.util.Buckets.cap(embBands(spark, dir), keys, MaxBucket)
   }
 
   /** DuckDB CTEs mirroring [[embFeatures]]: views `ef` (vd) and `eb`

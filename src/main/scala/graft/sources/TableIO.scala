@@ -46,7 +46,7 @@ object TableIO {
     * (DfCache) persist ACROSS sessions on a cluster: bucket the edge
     * list by `src` once, and every traversal job of every session
     * starts co-located (TableIOSpec proves the exchange-free plan). */
-  def writeBucketed(df: DataFrame, spark: SparkSession, table: String, path: String,
+  def writeBucketed(df: DataFrame, table: String, path: String,
       bucketCol: String, buckets: Int): Unit =
     df.write.mode(SaveMode.Overwrite)
       .option("path", path)

@@ -26,9 +26,12 @@ object DfCache {
   // construction + persist marking — no job runs), so one lock is fine.
   def cached(spark: SparkSession, dir: String, name: String)(build: => DataFrame): DataFrame =
     synchronized {
-      // eviction hook: a long-lived multi-session cluster (e.g. a
-      // Spark Connect server) would otherwise leak every stopped
-      // session's DataFrames through this map forever
+      // Eviction hook: frees this map when the underlying context
+      // stops. NOTE the listener fires on APPLICATION end, not on an
+      // individual session close — a long-lived server multiplexing
+      // many short-lived sessions over one context must call
+      // [[evict]](session) from its own session-close path; the hook
+      // alone only guarantees cleanup at context shutdown.
       if (hooked.add(spark)) {
         spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
           override def onApplicationEnd(

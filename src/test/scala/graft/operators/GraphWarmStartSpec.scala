@@ -42,6 +42,18 @@ class GraphWarmStartSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows(resumed) == rows(scratch))
   }
 
+  test("components: warm start from a PARTIAL checkpoint (grown graph) is still exact") {
+    import org.apache.spark.sql.functions.col
+    // checkpoint covers only half the nodes — the grown-graph resume:
+    // nodes that appeared since the checkpoint restart from their own
+    // id and must still converge to the true component minimum
+    val partial = GraphOps.g10Components(spark, dir)
+      .filter(col("node_id") % 2 === 0)
+    val resumed = GraphOps.componentsConverged(spark, dir, Some(partial))
+    val scratch = GraphOps.componentsConverged(spark, dir)
+    assert(rows(resumed) == rows(scratch))
+  }
+
   test("q23 KMV: plan is a partial object aggregate, not a global distinct+sort") {
     val df = graft.SparkEntry.queries("q23_kmv_sketch")(spark, dir)
     df.collect()

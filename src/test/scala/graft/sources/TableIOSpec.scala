@@ -75,7 +75,7 @@ class TableIOSpec extends AnyFunSuite with BeforeAndAfterAll {
     val path = tmp("graft_bucketed")
     val customer = Tables.load(spark, "/root/testdata/sf0.001", "customer")
       .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
-    TableIO.writeBucketed(customer, spark, "graft_cust_bucketed", path,
+    TableIO.writeBucketed(customer, "graft_cust_bucketed", path,
       bucketCol = "c_custkey", buckets = 4)
     val back = TableIO.readTable(spark, "graft_cust_bucketed")
     assert(back.count() == customer.count())
