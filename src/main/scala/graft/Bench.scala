@@ -28,9 +28,9 @@ object Bench {
       "dedup_bands" -> ((s, d) => graft.operators.dedup.DedupOps.bandTable(s, d)),
       "dedup_simhash" -> ((s, d) => graft.operators.dedup.DedupOps.simhashTable(s, d)),
       "dedup_jaccard" -> ((s, d) => graft.operators.dedup.DedupOps.d4NgramJaccard(s, d)),
-      "emb_quantized" -> ((s, d) => graft.operators.similarity.SimilarityOps.embQuantized(s, d)),
       "emb_features" -> ((s, d) => graft.operators.vector.VectorExprs.embFeatures(s, d)),
-      "emb_bands" -> ((s, d) => graft.operators.vector.VectorExprs.embBands(s, d)))
+      "emb_bands" -> ((s, d) => graft.operators.vector.VectorExprs.embBands(s, d)),
+      "emb_quantized" -> ((s, d) => graft.operators.similarity.SimilarityOps.embQuantized(s, d)))
 
     def timed(fn: => Long): (Double, Boolean) = {
       val t0 = System.nanoTime()

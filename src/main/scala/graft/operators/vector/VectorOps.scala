@@ -16,11 +16,23 @@ import org.apache.spark.sql.functions._
   */
 object VectorOps {
 
+  /** One-pass scan with just (vd, n2) — deliberately NOT the cached
+    * [[VectorExprs.embFeatures]]: that table also computes the 64
+    * hyperplane band signatures (64 dots per row), pure waste for a
+    * preprocessing pass. Uncached: each op reads the corpus exactly
+    * once, nothing worth keeping. */
+  private def embPlain(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(spark)
+    graft.sources.Tables.load(spark, dir, "embeddings")
+      .withColumn("vd", expr(VectorExprs.castDoubleExpr))
+      .withColumn("n2", expr(VectorExprs.n2Expr))
+  }
+
   /** v1: L2-normalization. Computes the full normalized vector; the
     * gate projects the norm and the first 4 normalized dims (scalar
     * columns compare robustly across engines). */
   def v1L2Normalize(spark: SparkSession, dir: String): DataFrame =
-    VectorExprs.embFeatures(spark, dir)
+    embPlain(spark, dir)
       .withColumn("norm", sqrt(col("n2")))
       .withColumn("nd", expr("transform(vd, x -> x / norm)"))
       .select(col("vec_id"), col("norm"),
@@ -40,7 +52,7 @@ object VectorOps {
     * stats of the quantized codes (sum/min/max — order-independent
     * integer arithmetic, exact on both engines). */
   def v2Int8Quantize(spark: SparkSession, dir: String): DataFrame =
-    VectorExprs.embFeatures(spark, dir)
+    embPlain(spark, dir)
       .withColumn("am", expr("array_max(transform(vd, x -> abs(x)))"))
       .filter(col("am") > 0.0)
       .withColumn("scale", lit(127.0) / col("am"))
