@@ -280,8 +280,14 @@ object GraphOps {
       .select(explode(expr(pairsExpr)).as("uv"))
       .select(col("uv.u").as("u"), col("uv.v").as("v")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // persisted: referenced twice (du/dv) — unpersisted, each join
+    // would re-run the 2E-row union+agg; materialized, AQE sees the
+    // true V-row size and broadcasts both orientation joins (at a
+    // scale where the projection's vertex set outgrows broadcast,
+    // AQE falls back to a shuffle join of the cached 20-byte rows)
     val deg = pp.select(col("u").as("n")).union(pp.select(col("v").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("dg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val ordEdges = pp
       .join(deg.as("du"), col("u") === col("du.n"))
       .join(deg.as("dv"), col("v") === col("dv.n"))
