@@ -198,6 +198,39 @@ object GraphOps {
       pagerankFrom(spark, dir, uniform, iters)
     }
 
+  /** PageRank until max |Δrank| ≤ `tolMicros` — the reference's
+    * run-until-budget loop (Runner.java:31 timeInSeconds) as a
+    * tolerance criterion. The integer map has no exact fixed point on
+    * near-bipartite graphs (the star-schema projection oscillates in
+    * a small limit cycle), but |Δ| decays ~0.85×/round, so any
+    * tolerance above the cycle amplitude terminates. Each round is
+    * materialized via localCheckpoint (plan size constant in round
+    * count) — the same mechanics as [[minLabelFixpoint]]. Returns the
+    * vector and the round count; fails loudly if the budget runs out.
+    * Not driver-gated (a ~67-round unrolled oracle would dominate the
+    * gate); GraphWarmStartSpec asserts it equals the same number of
+    * fixed rounds, bit-exact. */
+  def pagerankUntilDelta(spark: SparkSession, dir: String,
+      tolMicros: Long = 10000L, maxIters: Int = 200): (DataFrame, Int) = {
+    var r = edgesWithDeg(spark, dir)
+      .select(col("src").as("node_id")).distinct()
+      .select(col("node_id"), lit(1000000L).as("rank"))
+      .localCheckpoint(true)
+    var it = 0
+    var done = false
+    while (it < maxIters && !done) {
+      val next = pagerankFrom(spark, dir, r, 1).localCheckpoint(true)
+      val mx = next.join(r.select(col("node_id"), col("rank").as("prev")), "node_id")
+        .agg(max(abs(col("rank") - col("prev")))).collect()(0).getLong(0)
+      done = mx <= tolMicros
+      r = next
+      it += 1
+    }
+    if (!done) throw new IllegalStateException(
+      s"pagerank did not reach |delta| <= $tolMicros within $maxIters rounds")
+    (r, it)
+  }
+
   def g5Pagerank(spark: SparkSession, dir: String): DataFrame =
     pagerank(spark, dir).orderBy(col("node_id"))
 

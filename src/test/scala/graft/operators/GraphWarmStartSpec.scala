@@ -54,6 +54,15 @@ class GraphWarmStartSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows(resumed) == rows(scratch))
   }
 
+  test("pagerank-until-delta: stops at the tolerance and equals the same fixed rounds") {
+    // generous tolerance at sf0.001 so the spec stays fast; the decay
+    // rate (~damping/round) is scale-independent
+    val (df, rounds) = GraphOps.pagerankUntilDelta(spark, dir, tolMicros = 200000L)
+    assert(rounds > 1, "must take multiple rounds from the uniform vector")
+    assert(rows(df) == rows(GraphOps.pagerank(spark, dir, iters = rounds)),
+      "tolerance loop must be bit-exact with the same number of fixed rounds")
+  }
+
   test("q23 KMV: plan is a partial object aggregate, not a global distinct+sort") {
     val df = graft.SparkEntry.queries("q23_kmv_sketch")(spark, dir)
     df.collect()
