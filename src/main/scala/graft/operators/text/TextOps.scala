@@ -142,17 +142,79 @@ object TextOps {
       |SELECT ngram, count(*) AS freq FROM g
       |GROUP BY ngram ORDER BY freq DESC, ngram LIMIT 100""".stripMargin
 
+  // ---- t6: sequence packing (token-budget bins per source shard) ----
+  // The training-data step that turns documents into fixed-budget
+  // context windows: running token total per source (window partitioned
+  // by source — packing is per-shard, so the cumulative sum
+  // parallelizes across sources instead of forcing a global
+  // single-partition scan), bin = exclusive-prefix DIV budget. Output
+  // is per-bin occupancy, the packing manifest a loader consumes.
+  private val PackBudget = 4096
+
+  def t6PackSequences(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    docs(spark, dir)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).as("toks"))
+      .withColumn("cum", sum(col("toks")).over(w))
+      .withColumn("bin", expr(s"(cum - toks) DIV $PackBudget"))
+      .groupBy(col("source"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("bin_tokens"))
+      .orderBy(col("source"), col("bin"))
+  }
+
+  val t6Sql: String =
+    s"""WITH tk AS (
+       |  SELECT doc_id, source, len(string_split(text,' ')) AS toks FROM documents),
+       |c AS (
+       |  SELECT *, sum(toks) OVER (PARTITION BY source ORDER BY doc_id
+       |                            ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM tk)
+       |SELECT source, (cum - toks) // $PackBudget AS bin,
+       |  count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS bin_tokens
+       |FROM c GROUP BY source, bin ORDER BY source, bin""".stripMargin
+
+  // ---- t7: deterministic train/validation split ----
+  // Hash-based splitting (no stored random state, reproducible on any
+  // engine/cluster): 90/100 hash buckets → train. Pure map + aggregate
+  // — embarrassingly parallel; the key is mod-reduced before the
+  // multiply, so the arithmetic is overflow-safe at any id scale.
+  def t7SampleSplit(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .withColumn("h", expr("((doc_id % 2147483647) * 2654435761) % 2147483647"))
+      .withColumn("split", when(col("h") % 100 < 90, lit("train")).otherwise(lit("val")))
+      .groupBy(col("source"), col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " "))).as("n_tokens"))
+      .orderBy(col("source"), col("split"))
+
+  val t7Sql: String =
+    """WITH h AS (
+      |  SELECT source, text,
+      |    CASE WHEN ((doc_id % 2147483647) * 2654435761) % 2147483647 % 100 < 90
+      |         THEN 'train' ELSE 'val' END AS split
+      |  FROM documents)
+      |SELECT source, split, count(*) AS n_docs,
+      |  CAST(sum(len(string_split(text,' '))) AS BIGINT) AS n_tokens
+      |FROM h GROUP BY source, split ORDER BY source, split""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_lang_id" -> (t1LangId _),
     "t2_quality" -> (t2Quality _),
     "t3_tokens" -> (t3Tokens _),
     "t4_fingerprint" -> (t4Fingerprint _),
-    "t5_ngram_freq" -> (t5NgramFreq _))
+    "t5_ngram_freq" -> (t5NgramFreq _),
+    "t6_pack_sequences" -> (t6PackSequences _),
+    "t7_sample_split" -> (t7SampleSplit _))
 
   val oracles: Map[String, String] = Map(
     "t1_lang_id" -> t1Sql,
     "t2_quality" -> t2Sql,
     "t3_tokens" -> t3Sql,
     "t4_fingerprint" -> t4Sql,
-    "t5_ngram_freq" -> t5Sql)
+    "t5_ngram_freq" -> t5Sql,
+    "t6_pack_sequences" -> t6Sql,
+    "t7_sample_split" -> t7Sql)
 }
