@@ -357,7 +357,42 @@ object DedupOps {
        |FROM nodes n JOIN reach r ON r.a = n.n
        |GROUP BY n.n ORDER BY doc_id""".stripMargin
 
+  // ---- d7: train/val contamination screening ----
+  // The eval-integrity check an LLM pipeline runs before training:
+  // near-duplicate pairs that CROSS the train/validation split (a val
+  // doc near-duplicating a train doc leaks the benchmark). Pure
+  // composition of existing machinery — d4's Jaccard-verified LSH
+  // pairs (cached) + t7's deterministic hash split — so the screening
+  // inherits the bucketed, capped candidate generation: no new scan
+  // shape, no new shuffle class, scales exactly as d2/d4 do.
+  def d7Contamination(spark: SparkSession, dir: String): DataFrame = {
+    val sp = docs(spark, dir).select(col("doc_id"),
+      when(expr("((doc_id % 2147483647) * 2654435761) % 2147483647 % 100") < 90,
+        lit("train")).otherwise(lit("val")).as("split"))
+    d4NgramJaccard(spark, dir)
+      .join(sp.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sp.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .filter(col("sa.split") =!= col("sb.split"))
+      .select(col("doc_a"), col("sa.split").as("split_a"),
+        col("doc_b"), col("sb.split").as("split_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val d7Sql: String =
+    s"""WITH jp AS ($d4Sql),
+       |sp AS (
+       |  SELECT doc_id,
+       |    CASE WHEN ((doc_id % 2147483647) * 2654435761) % 2147483647 % 100 < 90
+       |         THEN 'train' ELSE 'val' END AS split
+       |  FROM documents)
+       |SELECT jp.doc_a, sa.split AS split_a, jp.doc_b, sb.split AS split_b, jp.jaccard
+       |FROM jp JOIN sp sa ON jp.doc_a = sa.doc_id
+       |        JOIN sp sb ON jp.doc_b = sb.doc_id
+       |WHERE sa.split <> sb.split
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d7_contamination" -> (d7Contamination _),
     "d1_exact_dedup" -> (d1ExactDedup _),
     "d2_minhash_lsh" -> (d2MinhashLsh _),
     "d3_simhash" -> (d3Simhash _),
@@ -366,6 +401,7 @@ object DedupOps {
     "d6_dup_clusters" -> (d6DupClusters _))
 
   val oracles: Map[String, String] = Map(
+    "d7_contamination" -> d7Sql,
     "d1_exact_dedup" -> d1Sql,
     "d2_minhash_lsh" -> d2Sql,
     "d3_simhash" -> d3Sql,
