@@ -144,21 +144,48 @@ object TextOps {
 
   // ---- t6: sequence packing (token-budget bins per source shard) ----
   // The training-data step that turns documents into fixed-budget
-  // context windows: running token total per source (window partitioned
-  // by source — packing is per-shard, so the cumulative sum
-  // parallelizes across sources instead of forcing a global
-  // single-partition scan), bin = exclusive-prefix DIV budget. Output
-  // is per-bin occupancy, the packing manifest a loader consumes.
+  // context windows: running token total per source ordered by doc_id,
+  // bin = exclusive-prefix DIV budget. Output is per-bin occupancy,
+  // the packing manifest a loader consumes.
+  //
+  // The prefix sum is TWO-PHASE so it parallelizes WITHIN a source
+  // (source cardinality is ~fixed, so a window partitioned by source
+  // alone would be one task scanning n/|sources| rows at 100 TB):
+  //   1. shard = doc_id DIV span — contiguous doc_id ranges, so shard
+  //      order ≡ doc_id order within a source; the heavy window
+  //      partitions by (source, shard) and shard COUNT grows with the
+  //      data, so parallelism does too;
+  //   2. per-(source, shard) token totals (one row per shard — the
+  //      only window over `source` alone runs on THIS tiny table) give
+  //      exclusive running offsets, broadcast-joined back.
+  // cum = local_cum + offset is bit-identical to the single-window
+  // formulation for ANY span, so `span` is a pure scale knob: offsets
+  // rows = n_docs/span; size it so that stays broadcastable
+  // (span ≈ n_docs / (100 × shuffle partitions) in production).
   private val PackBudget = 4096
+  private[text] val ShardSpan: Int =
+    sys.env.get("SPARK_GRAFT_PACK_SHARD_SPAN").map(_.toInt).getOrElse(128)
 
   def t6PackSequences(spark: SparkSession, dir: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("source")).orderBy(col("doc_id"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    docs(spark, dir)
+    import org.apache.spark.sql.expressions.Window
+    val tk = docs(spark, dir)
       .select(col("doc_id"), col("source"),
         size(split(col("text"), " ")).as("toks"))
-      .withColumn("cum", sum(col("toks")).over(w))
+      .withColumn("shard", expr(s"doc_id DIV $ShardSpan"))
+    // phase 1: intra-shard running totals (scales with shard count)
+    val wShard = Window.partitionBy(col("source"), col("shard"))
+      .orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val local = tk.withColumn("local_cum", sum(col("toks")).over(wShard))
+    // phase 2: exclusive per-shard offsets over the tiny totals table
+    val wOff = Window.partitionBy(col("source")).orderBy(col("shard"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = tk.groupBy(col("source"), col("shard"))
+      .agg(sum(col("toks")).as("shard_toks"))
+      .withColumn("offset", coalesce(sum(col("shard_toks")).over(wOff), lit(0L)))
+      .select(col("source"), col("shard"), col("offset"))
+    local.join(broadcast(offsets), Seq("source", "shard"))
+      .withColumn("cum", col("local_cum") + col("offset"))
       .withColumn("bin", expr(s"(cum - toks) DIV $PackBudget"))
       .groupBy(col("source"), col("bin"))
       .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("bin_tokens"))
@@ -172,7 +199,7 @@ object TextOps {
        |  SELECT *, sum(toks) OVER (PARTITION BY source ORDER BY doc_id
        |                            ROWS UNBOUNDED PRECEDING) AS cum
        |  FROM tk)
-       |SELECT source, (cum - toks) // $PackBudget AS bin,
+       |SELECT source, CAST((cum - toks) // $PackBudget AS BIGINT) AS bin,
        |  count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS bin_tokens
        |FROM c GROUP BY source, bin ORDER BY source, bin""".stripMargin
 

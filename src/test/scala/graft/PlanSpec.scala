@@ -91,6 +91,24 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("BroadcastHashJoin"), "the brand part list must broadcast")
   }
 
+  test("t6: no window partitioned by the low-cardinality source alone") {
+    // The heavy prefix-sum window must partition by (source, shard) —
+    // shard count grows with data — and the only source-alone window
+    // (the exclusive shard-offset scan) orders by shard over the tiny
+    // per-shard totals table. Either way every window spec in the plan
+    // must involve `shard`; the old scale-broken shape
+    // (windowspecdefinition(source, doc_id ASC ...)) does not.
+    val plan = planOf(SparkEntry.queries("t6_pack_sequences")(spark, dir))
+    val specs = plan.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(specs.nonEmpty, "expected window operators in the packing plan")
+    specs.foreach { l =>
+      assert(l.contains("shard"),
+        s"window spec without shard on the documents path: $l")
+    }
+    assert(plan.contains("BroadcastHashJoin"),
+      "per-shard offsets must broadcast back, not shuffle the documents")
+  }
+
   test("g4: walk hop is a map-side-combined transition-table aggregate") {
     val plan = planOf(SparkEntry.queries("g4_walk_visits")(spark, dir))
     assert(plan.contains("partial_min"),

@@ -51,6 +51,19 @@ def main():
             results[name] = f"ORACLE-ERR {type(e).__name__}: {e}"; continue
         if list(spark_df.columns) != list(duck_df.columns):
             results[name] = f"COLS spark={list(spark_df.columns)} duck={list(duck_df.columns)}"; continue
+        # Type-strict gate: the driver hashes typed values, so an int column
+        # on one side vs float on the other (DuckDB HUGEINT fetched as
+        # float64 — the m1/t6 bug class) must FAIL here even when the
+        # values compare equal numerically.
+        tbad = None
+        for c in spark_df.columns:
+            ka, kb = spark_df[c].dtype.kind, duck_df[c].dtype.kind
+            ints, floats = set("iu"), set("f")
+            if (ka in ints and kb in floats) or (ka in floats and kb in ints):
+                tbad = f"DTYPE col {c}: spark={spark_df[c].dtype} duck={duck_df[c].dtype} (int-vs-float — cast the oracle)"
+                break
+        if tbad:
+            results[name] = tbad; continue
         if len(spark_df) != len(duck_df):
             results[name] = f"ROWS spark={len(spark_df)} duck={len(duck_df)}"; continue
         bad = None
