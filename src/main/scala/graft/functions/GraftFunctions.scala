@@ -49,6 +49,12 @@ object GraftFunctions {
         org.apache.spark.sql.functions.udaf(new TopPairsAggregator(5),
           org.apache.spark.sql.Encoders.product[ScoredPair]))
     }
+    if (!spark.sessionState.functionRegistry
+        .functionExists(FunctionIdentifier("graft_top_neighbors5"))) {
+      spark.udf.register("graft_top_neighbors5",
+        org.apache.spark.sql.functions.udaf(new TopNeighborsAggregator(5),
+          org.apache.spark.sql.Encoders.product[ScoredNeighbor]))
+    }
   }
 
   private[functions] def inject(ext: SparkSessionExtensions): Unit = {

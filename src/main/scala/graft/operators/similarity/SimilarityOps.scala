@@ -25,11 +25,21 @@ object SimilarityOps {
 
   private def cosine = col("dot") / (sqrt(col("q.n2")) * sqrt(col("c.n2")))
 
+  /** Per-query top-K ranking shared by s1/s2/s4: a BOUNDED mergeable
+    * aggregate ([[graft.functions.TopNeighborsAggregator]]) — O(K)
+    * state per query, map-side combined, shuffles only K·P pre-trimmed
+    * rows. The row_number window it replaces funneled every scored
+    * (query, candidate) row of a query into ONE task's sort — for s1's
+    * brute-force scan that task sorts the whole corpus per query at
+    * 100 TB. Rank semantics are identical (cosine DESC, neighbor_id
+    * tie-break), so the window-based DuckDB oracles stay exact. */
   private def ranked(pairs: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    pairs.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= K)
+    graft.functions.GraftFunctions.registerAll(pairs.sparkSession)
+    pairs.groupBy(col("query_id"))
+      .agg(expr(s"graft_top_neighbors5(cosine, neighbor_id)").as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "p")))
+      .select(col("query_id"), col("p.neighbor_id").as("neighbor_id"),
+        col("p.cosine").as("cosine"), (col("pos") + 1).cast("int").as("rank"))
       .orderBy(col("query_id"), col("rank"))
   }
 

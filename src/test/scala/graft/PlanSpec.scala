@@ -77,6 +77,11 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     val plan = planOf(SparkEntry.queries("s1_knn_brute")(spark, dir))
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
       "query set must broadcast; corpus must not shuffle")
+    // top-k must be the bounded mergeable aggregate, not a per-query
+    // window sort of the full scored corpus (one task sorts N rows)
+    assert(plan.contains("ObjectHashAggregate"),
+      "per-query top-k must be the bounded aggregate")
+    assert(!plan.contains("Window"), "no per-query window sort in kNN ranking")
   }
 
   test("d2: LSH candidate join shuffles on the band key, not a cross join") {
