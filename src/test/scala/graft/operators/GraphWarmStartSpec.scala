@@ -63,6 +63,28 @@ class GraphWarmStartSpec extends AnyFunSuite with BeforeAndAfterAll {
       "tolerance loop must be bit-exact with the same number of fixed rounds")
   }
 
+  test("pagerank-until-delta: minIters floors the stop check (non-monotone early delta)") {
+    // a tolerance this loose is met at round 1 from the uniform vector
+    // (the delta only spikes at round 2) — the floor must carry the
+    // loop past the spurious early stop
+    val (df, rounds) = GraphOps.pagerankUntilDelta(
+      spark, dir, tolMicros = 999999999L, minIters = 4)
+    assert(rounds == 4, s"floor of 4 rounds expected, got $rounds")
+    assert(rows(df) == rows(GraphOps.pagerank(spark, dir, iters = 4)))
+  }
+
+  test("g9: checkpoint root honors spark.graft.checkpointDir") {
+    val root = java.nio.file.Files.createTempDirectory("graft_ckpt_root").toString
+    spark.conf.set("spark.graft.checkpointDir", root)
+    try {
+      val out = GraphOps.g9CheckpointRoundtrip(spark, dir)
+      assert(rows(out) == rows(GraphOps.pagerank(spark, dir)))
+      val dirKey = dir.replaceAll("[^A-Za-z0-9]", "_")
+      assert(new java.io.File(s"$root/graft_ckpt_g9_$dirKey").exists(),
+        "checkpoint must land under the configured root")
+    } finally spark.conf.unset("spark.graft.checkpointDir")
+  }
+
   test("q23 KMV: plan is a partial object aggregate, not a global distinct+sort") {
     val df = graft.SparkEntry.queries("q23_kmv_sketch")(spark, dir)
     df.collect()
