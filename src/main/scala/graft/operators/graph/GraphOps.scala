@@ -224,8 +224,11 @@ object GraphOps {
     var done = false
     while (it < maxIters && !done) {
       val next = pagerankFrom(spark, dir, r, 1).localCheckpoint(true)
+      // coalesce: max over zero rows is NULL — an empty vertex set is
+      // trivially converged (delta 0), not a crash
       val mx = next.join(r.select(col("node_id"), col("rank").as("prev")), "node_id")
-        .agg(max(abs(col("rank") - col("prev")))).collect()(0).getLong(0)
+        .agg(coalesce(max(abs(col("rank") - col("prev"))), lit(0L)))
+        .collect()(0).getLong(0)
       it += 1
       done = it >= minIters && mx <= tolMicros
       r = next
@@ -337,12 +340,18 @@ object GraphOps {
   // All four derived tables are DfCache-OWNED (not bare persists):
   // referenced multiply within one run, reused across runs, freed by
   // session eviction instead of stranding per-invocation cached RDDs.
-  def g7Triangles(spark: SparkSession, dir: String): DataFrame = {
-    val pairsExpr =
-      """flatten(transform(ps, (x, i) ->
-        |  transform(slice(ps, i + 2, size(ps) - i - 1),
-        |            y -> struct(x AS u, y AS v))))""".stripMargin
-    val pp = graft.util.DfCache.cached(spark, dir, "g7_pp") {
+  // Stage builders are named so the profiler / specs can attribute
+  // each stage's cost individually (SURVEY §6).
+
+  /** Stage 1: the part co-purchase projection — per-order distinct
+    * part sets in ONE collect_set aggregate, pairs generated IN-ROW
+    * from the sorted set (no self-join), then one distinct. */
+  private[graft] def g7Projection(spark: SparkSession, dir: String): DataFrame =
+    graft.util.DfCache.cached(spark, dir, "g7_pp") {
+      val pairsExpr =
+        """flatten(transform(ps, (x, i) ->
+          |  transform(slice(ps, i + 2, size(ps) - i - 1),
+          |            y -> struct(x AS u, y AS v))))""".stripMargin
       graft.sources.Tables.load(spark, dir, "lineitem")
         .groupBy(col("l_orderkey"))
         .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
@@ -350,16 +359,28 @@ object GraphOps {
         .select(explode(expr(pairsExpr)).as("uv"))
         .select(col("uv.u").as("u"), col("uv.v").as("v")).distinct()
     }
-    // cached: referenced twice (du/dv) — uncached, each join would
-    // re-run the 2E-row union+agg; materialized, AQE sees the true
-    // V-row size and broadcasts both orientation joins (at a scale
-    // where the projection's vertex set outgrows broadcast, AQE falls
-    // back to a shuffle join of the cached 20-byte rows)
-    val deg = graft.util.DfCache.cached(spark, dir, "g7_deg") {
+
+  /** Stage 2: projection degrees. Cached: referenced twice (du/dv) —
+    * uncached, each join would re-run the 2E-row union+agg;
+    * materialized, AQE sees the true V-row size and broadcasts both
+    * orientation joins (at a scale where the projection's vertex set
+    * outgrows broadcast, AQE falls back to a shuffle join of the
+    * cached 20-byte rows). */
+  private[graft] def g7Degrees(spark: SparkSession, dir: String): DataFrame = {
+    val pp = g7Projection(spark, dir)
+    graft.util.DfCache.cached(spark, dir, "g7_deg") {
       pp.select(col("u").as("n")).union(pp.select(col("v").as("n")))
         .groupBy(col("n")).agg(count(lit(1)).as("dg"))
     }
-    val ordEdges = graft.util.DfCache.cached(spark, dir, "g7_ord_edges") {
+  }
+
+  /** Stage 3: degree-ordered orientation (low→high by (degree, id)) —
+    * bounds out-degree by ~sqrt(E) regardless of skew — laid out
+    * ou-partitioned for the adjacency build and first probe. */
+  private[graft] def g7OrientedEdges(spark: SparkSession, dir: String): DataFrame = {
+    val pp = g7Projection(spark, dir)
+    val deg = g7Degrees(spark, dir)
+    graft.util.DfCache.cached(spark, dir, "g7_ord_edges") {
       pp.join(deg.as("du"), col("u") === col("du.n"))
         .join(deg.as("dv"), col("v") === col("dv.n"))
         .select(
@@ -370,12 +391,24 @@ object GraphOps {
         .select(col("e.ou").as("ou"), col("e.ov").as("ov"))
         .repartition(col("ou"))
     }
-    graft.functions.GraftFunctions.registerAll(spark)
-    val adj = graft.util.DfCache.cached(spark, dir, "g7_adj") {
+  }
+
+  /** Stage 4: compact out-adjacency arrays over the oriented edges
+    * (no exchange: reuses the cached ou-partitioned layout). */
+  private[graft] def g7Adjacency(spark: SparkSession, dir: String): DataFrame = {
+    val ordEdges = g7OrientedEdges(spark, dir)
+    graft.util.DfCache.cached(spark, dir, "g7_adj") {
       ordEdges.groupBy(col("ou"))
         .agg(sort_array(collect_list(col("ov"))).as("nbrs"))
         .select(col("ou").as("anode"), col("nbrs"))
     }
+  }
+
+  def g7Triangles(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(spark)
+    val pp = g7Projection(spark, dir)
+    val ordEdges = g7OrientedEdges(spark, dir)
+    val adj = g7Adjacency(spark, dir)
     ordEdges
       .join(adj.as("au"), col("ou") === col("au.anode"))
       .join(adj.as("av"), col("ov") === col("av.anode"))

@@ -30,6 +30,25 @@ class PersistHygieneSpec extends AnyFunSuite with BeforeAndAfterAll {
         "per-query persists must be DfCache-owned")
   }
 
+  test("two sessions: evicting one session's cache leaves the other's intact") {
+    // the documented multi-session caveat (DfCache.scala): a server
+    // multiplexing sessions over one context calls evict(session) on
+    // its session-close path — that must not touch sibling sessions
+    val s2 = spark.newSession()
+    def build(s: org.apache.spark.sql.SparkSession) =
+      graft.util.DfCache.cached(s, "multi", "shared")(s.range(100).toDF("id"))
+    val a1 = build(spark); a1.collect()
+    val b1 = build(s2); b1.collect()
+    assert(build(spark) eq a1, "same-session call must be a cache hit")
+    assert(build(s2) eq b1, "sibling session keeps its own entry")
+    graft.util.DfCache.evict(spark)
+    val a2 = build(spark)
+    assert(!(a2 eq a1), "evicted session must rebuild a fresh entry")
+    assert(build(s2) eq b1, "sibling entry must survive the other session's evict")
+    assert(b1.count() == 100, "sibling cached data still usable after evict")
+    graft.util.DfCache.evict(s2)
+  }
+
   test("DfCache.evict releases blocks and queries rebuild correctly") {
     val before = graft.SparkEntry.queries("g7_triangles")(spark, dir).collect()
     assert(spark.sparkContext.getPersistentRDDs.nonEmpty, "expected cached intermediates")
