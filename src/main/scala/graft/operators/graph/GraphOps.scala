@@ -190,12 +190,15 @@ object GraphOps {
     r.select(col("node").as("node_id"), col("r").as("rank"))
   }
 
+  /** The uniform start vector: every vertex at 1.0 (micro-units). */
+  private[graft] def uniformRanks(spark: SparkSession, dir: String): DataFrame =
+    edgesWithDeg(spark, dir)
+      .select(col("src").as("node_id")).distinct()
+      .select(col("node_id"), lit(1000000L).as("rank"))
+
   def pagerank(spark: SparkSession, dir: String, iters: Int = 3): DataFrame =
     graft.util.DfCache.cached(spark, dir, s"graph_pagerank_$iters") {
-      val uniform = edgesWithDeg(spark, dir)
-        .select(col("src").as("node_id")).distinct()
-        .select(col("node_id"), lit(1000000L).as("rank"))
-      pagerankFrom(spark, dir, uniform, iters)
+      pagerankFrom(spark, dir, uniformRanks(spark, dir), iters)
     }
 
   /** PageRank until max |Δrank| ≤ `tolMicros` — the reference's
@@ -216,10 +219,7 @@ object GraphOps {
   def pagerankUntilDelta(spark: SparkSession, dir: String,
       tolMicros: Long = 10000L, maxIters: Int = 200,
       minIters: Int = 1): (DataFrame, Int) = {
-    var r = edgesWithDeg(spark, dir)
-      .select(col("src").as("node_id")).distinct()
-      .select(col("node_id"), lit(1000000L).as("rank"))
-      .localCheckpoint(true)
+    var r = uniformRanks(spark, dir).localCheckpoint(true)
     var it = 0
     var done = false
     while (it < maxIters && !done) {
@@ -238,18 +238,48 @@ object GraphOps {
     (r, it)
   }
 
+  /** PageRank for a WALL-CLOCK budget — the reference's literal
+    * AnalysisRound contract (Runner.java:31 `timeInSeconds`): run
+    * complete rounds until the budget is exhausted, always finishing
+    * the round in flight (whole iterations only, minimum one). The
+    * round count is wall-clock-dependent, so the RESULT of a budget
+    * run is not reproducible across hosts — reproducibility comes
+    * from the returned round count plus [[pagerankFrom]]: re-running
+    * the same count from scratch is bit-exact, and a budget run can
+    * be resumed from its own output (`start`) exactly as if the two
+    * budgets had been one (the warm-start law GraphWarmStartSpec
+    * pins). Tolerance ([[pagerankUntilDelta]]) is the better stop
+    * criterion for convergence; this mode exists for deadline-bounded
+    * scheduling, e.g. "refresh ranks for at most N minutes". Each
+    * round is localCheckpoint-materialized so the plan stays constant
+    * in round count — a budget can span hundreds of rounds. */
+  def pagerankForBudget(spark: SparkSession, dir: String, budgetMillis: Long,
+      start: Option[DataFrame] = None, maxIters: Int = 10000): (DataFrame, Int) = {
+    val deadline = System.nanoTime() + budgetMillis * 1000000L
+    var r = start.getOrElse(uniformRanks(spark, dir))
+      .select(col("node_id"), col("rank")).localCheckpoint(true)
+    var it = 0
+    var timeLeft = true
+    while (timeLeft && it < maxIters) {
+      r = pagerankFrom(spark, dir, r, 1).localCheckpoint(true)
+      it += 1
+      timeLeft = System.nanoTime() < deadline
+    }
+    (r, it)
+  }
+
   def g5Pagerank(spark: SparkSession, dir: String): DataFrame =
     pagerank(spark, dir).orderBy(col("node_id"))
 
   // ---- g12: tolerance-mode PageRank, driver-gated ----
   // The reference's run-until-budget loop (Runner.java:31) on the
-  // board: iterate until max |Δrank| ≤ tol. Tolerance 17.4e6 micros
-  // sits mid-gap between the measured round-6 (18.9e6) and round-7
-  // (16.0e6) deltas at gate scale (sf0.01) — integer arithmetic is
-  // deterministic, so the loop stops after EXACTLY 7 rounds there and
-  // the oracle unrolls the same 7 (the g11 pattern: pin the measured
-  // round count, MATERIALIZED CTE per round). minIters=4 skips the
-  // non-monotone warm-up region of the delta curve.
+  // board: iterate until max |Δrank| ≤ tol. Integer arithmetic is
+  // deterministic, so the loop's round count is a pure function of
+  // (data, tol) — 4 rounds at sf0.001, 7 at sf0.01, 8 at sf0.1 — and
+  // the oracle below re-derives it from the same stop rule rather
+  // than pinning one scale's count. minIters=4 skips the non-monotone
+  // warm-up region of the delta curve (it spikes at round 2-3 as mass
+  // concentrates before decaying ~0.85×/round).
   private val G12Tol = 17400000L
 
   def g12PagerankConverged(spark: SparkSession, dir: String): DataFrame =
@@ -276,11 +306,37 @@ object GraphOps {
        |$prSqlCtes
        |SELECT node AS node_id, r AS rank FROM r3 ORDER BY node_id""".stripMargin
 
-  // 7 = the measured round count of the tolerance loop at gate scale
-  val g12Sql: String =
+  // The g12 oracle implements the SAME stop rule as the loop instead
+  // of pinning a measured round count: unroll a generous fixed number
+  // of rounds (24 — the tolerance loop stops at 4/7/8 rounds at
+  // sf0.001/0.01/0.1; delta decays ~0.85×/round so 24 has multiples
+  // of headroom), compute each round's max |Δ|, and select the vector
+  // at the FIRST round satisfying (t ≥ minIters AND Δ ≤ tol). That
+  // makes the oracle scale-adaptive — the same SQL is exact at every
+  // test scale — where a pinned unroll is only right at one. Every
+  // round CTE is referenced three times (next round, its delta, the
+  // tagged union), so MATERIALIZED is load-bearing: inlined, the
+  // recompute is 2^k (the g10 lesson).
+  private val G12UnrollRounds = 24
+  private val G12MinIters = 4
+
+  val g12Sql: String = {
+    val rounds = prSqlCtesN(G12UnrollRounds, materialized = true)
+    val deltas = (1 to G12UnrollRounds).map(t =>
+      s"SELECT $t AS t, (SELECT max(abs(a.r - b.r)) FROM r$t a JOIN r${t - 1} b USING (node)) AS mx")
+      .mkString(" UNION ALL ")
+    val tagged = (1 to G12UnrollRounds).map(t =>
+      s"SELECT $t AS t, node, r FROM r$t").mkString(" UNION ALL ")
     s"""WITH ${GraphTables.symSqlCtes.replace("sym AS (", "sym AS MATERIALIZED (")},
-       |${prSqlCtesN(7, materialized = true)}
-       |SELECT node AS node_id, r AS rank FROM r7 ORDER BY node_id""".stripMargin
+       |$rounds,
+       |ds AS MATERIALIZED ($deltas),
+       |kstop AS (SELECT coalesce(
+       |  min(CASE WHEN t >= $G12MinIters AND mx <= $G12Tol THEN t END),
+       |  $G12UnrollRounds) AS k FROM ds),
+       |allr AS ($tagged)
+       |SELECT node AS node_id, r AS rank FROM allr
+       |WHERE t = (SELECT k FROM kstop) ORDER BY node_id""".stripMargin
+  }
 
   // ---- g6: multi-source k-hop BFS distances from region nodes ----
   // Frontier BFS: each level is cached once; the cumulative

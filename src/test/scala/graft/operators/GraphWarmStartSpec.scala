@@ -73,6 +73,20 @@ class GraphWarmStartSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows(df) == rows(GraphOps.pagerank(spark, dir, iters = 4)))
   }
 
+  test("pagerank-for-budget: rounds reproducible via fixed loop, resumable across budgets") {
+    // the wall-clock mode's determinism contract: the ROUND COUNT is
+    // host-dependent, but (a) re-running that count fixed is bit-exact
+    // and (b) two consecutive budget runs chain exactly like one
+    val (v1, k1) = GraphOps.pagerankForBudget(spark, dir, budgetMillis = 1500L)
+    assert(k1 >= 1, "a budget run always completes at least one round")
+    assert(rows(v1) == rows(GraphOps.pagerank(spark, dir, iters = k1)),
+      "budget run must equal the same number of fixed rounds, bit-exact")
+    val (v2, k2) = GraphOps.pagerankForBudget(spark, dir, budgetMillis = 1L,
+      start = Some(v1))
+    assert(rows(v2) == rows(GraphOps.pagerank(spark, dir, iters = k1 + k2)),
+      "resuming a budget run from its output must chain bit-exact")
+  }
+
   test("g9: checkpoint root honors spark.graft.checkpointDir") {
     val root = java.nio.file.Files.createTempDirectory("graft_ckpt_root").toString
     spark.conf.set("spark.graft.checkpointDir", root)
