@@ -453,6 +453,46 @@ object Relational {
       |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
       |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
 
+  // ---- q25: explicit GROUPING SETS (the general form of q20/q21) ----
+  // rollup/cube are fixed lattices; GROUPING SETS picks arbitrary ones
+  // — here the two single-column marginals plus the grand total,
+  // skipping the (flag, status) cross that a cube would also compute.
+  // Same execution shape as rollup: one Expand + one hash aggregate.
+  // l_quantity is integral in TPC-H, so BIGINT sums are exact.
+  def q25GroupingSets(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_quantity").cast("long")).as("qty"), count(lit(1)).as("cnt"))
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+
+  val q25Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      | CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty, count(*) AS cnt
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+      |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+
+  // ---- q26: pivot (wide aggregate over an enumerated domain) ----
+  // Values are ENUMERATED (Seq("F","O")) so the pivot compiles to
+  // CASE-filtered aggregates in ONE pass — no extra distinct-values
+  // job, no second scan; at scale this is just a hash aggregate whose
+  // row width is the domain size.
+  def q26Pivot(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(sum(col("l_quantity").cast("long")))
+      .select(col("l_returnflag"), col("F").as("qty_f"), col("O").as("qty_o"))
+      .orderBy(col("l_returnflag"))
+
+  val q26Sql: String =
+    """SELECT l_returnflag,
+      | CAST(sum(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS BIGINT) END) AS BIGINT) AS qty_f,
+      | CAST(sum(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS BIGINT) END) AS BIGINT) AS qty_o
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   // ---- q22: string ops + anti join + global-avg filter (Q22 flavor) ----
   def q22StringOps(spark: SparkSession, dir: String): DataFrame = {
     val c = t(spark, dir, "customer")
@@ -559,7 +599,9 @@ object Relational {
     "q19_complex_pred" -> (q19ComplexPred _),
     "q20_rollup" -> (q20Rollup _),
     "q21_cube" -> (q21Cube _),
-    "q22_string_ops" -> (q22StringOps _))
+    "q22_string_ops" -> (q22StringOps _),
+    "q25_grouping_sets" -> (q25GroupingSets _),
+    "q26_pivot" -> (q26Pivot _))
 
   /** oracle-map fragment: name → DuckDB SQL */
   val oracles: Map[String, String] = Map(
@@ -586,5 +628,7 @@ object Relational {
     "q19_complex_pred" -> q19Sql,
     "q20_rollup" -> q20Sql,
     "q21_cube" -> q21Sql,
-    "q22_string_ops" -> q22Sql)
+    "q22_string_ops" -> q22Sql,
+    "q25_grouping_sets" -> q25Sql,
+    "q26_pivot" -> q26Sql)
 }

@@ -223,15 +223,30 @@ object GraphOps {
     var it = 0
     var done = false
     while (it < maxIters && !done) {
-      val next = pagerankFrom(spark, dir, r, 1).localCheckpoint(true)
-      // coalesce: max over zero rows is NULL — an empty vertex set is
-      // trivially converged (delta 0), not a crash
-      val mx = next.join(r.select(col("node_id"), col("rank").as("prev")), "node_id")
-        .agg(coalesce(max(abs(col("rank") - col("prev"))), lit(0L)))
-        .collect()(0).getLong(0)
-      it += 1
-      done = it >= minIters && mx <= tolMicros
-      r = next
+      val stepped = pagerankFrom(spark, dir, r, 1)
+      if (it + 1 < minIters) {
+        // below the minIters floor the stop check can't fire — skip
+        // the delta entirely: these rounds cost only the rank step
+        r = stepped.localCheckpoint(true)
+        it += 1
+      } else {
+        // FUSE the delta into the round's materialization: one
+        // checkpoint job computes (rank, |Δ|), and the stop check is
+        // then a cheap scan of the cached V rows — not a second
+        // join job recomputing next⋈prev per round
+        val nd = stepped
+          .join(r.select(col("node_id"), col("rank").as("prev")), "node_id")
+          .select(col("node_id"), col("rank"),
+            abs(col("rank") - col("prev")).as("delta"))
+          .localCheckpoint(true)
+        // coalesce: max over zero rows is NULL — an empty vertex set
+        // is trivially converged (delta 0), not a crash
+        val mx = nd.agg(coalesce(max(col("delta")), lit(0L)))
+          .collect()(0).getLong(0)
+        it += 1
+        done = mx <= tolMicros
+        r = nd.select(col("node_id"), col("rank"))
+      }
     }
     if (!done) throw new IllegalStateException(
       s"pagerank did not reach |delta| <= $tolMicros within $maxIters rounds")
@@ -285,6 +300,48 @@ object GraphOps {
   def g12PagerankConverged(spark: SparkSession, dir: String): DataFrame =
     pagerankUntilDelta(spark, dir, tolMicros = G12Tol, minIters = 4)
       ._1.orderBy(col("node_id"))
+
+  // ---- g13: personalized PageRank (teleport to a source set) ----
+  // Random-walk-with-restart relevance scores relative to the 5 region
+  // nodes (tag 5): the teleport term lands ONLY on sources — the
+  // uniform base of g5 becomes source-conditional, everything else
+  // (integer micro-unit map, E-row shuffle per round, deterministic
+  // DIV arithmetic) is identical, so the oracle is the same unrolled
+  // CTE chain with a CASE base. Membership is the id-namespace tag
+  // (node % 8 = 5) — an expression, not a join, on both engines.
+  def g13PersonalizedPagerank(spark: SparkSession, dir: String): DataFrame = {
+    val ew = edgesWithDeg(spark, dir)
+    def base(n: org.apache.spark.sql.Column) =
+      when(n % 8 === 5, lit(150000L)).otherwise(lit(0L))
+    var r = ew.select(col("src").as("node")).distinct()
+      .select(col("node"),
+        when(col("node") % 8 === 5, lit(1000000L)).otherwise(lit(0L)).as("r"))
+    for (_ <- 1 to 3) {
+      r = ew
+        .join(r, col("src") === col("node"))
+        .select(col("dst"), expr("r DIV d").as("contrib"))
+        .groupBy(col("dst").as("node"))
+        .agg((base(col("dst")) + expr("85 * sum(contrib) DIV 100")).as("r"))
+    }
+    r.select(col("node").as("node_id"), col("r").as("rank"))
+      .orderBy(col("node_id"))
+  }
+
+  val g13Sql: String = {
+    def iter(t: Int, prev: String) =
+      s"""p$t AS (
+         |  SELECT s.dst AS node,
+         |    CAST(CASE WHEN s.dst % 8 = 5 THEN 150000 ELSE 0 END
+         |      + (85 * CAST(sum(p.r // g.d) AS BIGINT)) // 100 AS BIGINT) AS r
+         |  FROM sym s JOIN $prev p ON s.src = p.node JOIN deg g ON s.src = g.node
+         |  GROUP BY s.dst)""".stripMargin
+    s"""WITH ${GraphTables.symSqlCtes},
+       |deg AS (SELECT src AS node, count(*) AS d FROM sym GROUP BY src),
+       |p0 AS (SELECT node,
+       |  CAST(CASE WHEN node % 8 = 5 THEN 1000000 ELSE 0 END AS BIGINT) AS r FROM deg),
+       |${(1 to 3).map(t => iter(t, s"p${t - 1}")).mkString(",\n")}
+       |SELECT node AS node_id, r AS rank FROM p3 ORDER BY node_id""".stripMargin
+  }
 
   private def prSqlCtesN(rounds: Int, materialized: Boolean): String = {
     val m = if (materialized) " MATERIALIZED" else ""
@@ -693,6 +750,7 @@ object GraphOps {
     "g10_components" -> ((s: SparkSession, d: String) => g10Components(s, d)),
     "g11_components_converged" -> (g11ComponentsConverged _),
     "g12_pagerank_converged" -> (g12PagerankConverged _),
+    "g13_personalized_pagerank" -> (g13PersonalizedPagerank _),
     "g1_degree" -> (g1Degree _),
     "g2_degree_distribution" -> (g2DegreeDistribution _),
     "g3_top_visited" -> (g3TopVisited _),
@@ -707,6 +765,7 @@ object GraphOps {
     "g10_components" -> g10Sql,
     "g11_components_converged" -> g11Sql,
     "g12_pagerank_converged" -> g12Sql,
+    "g13_personalized_pagerank" -> g13Sql,
     "g1_degree" -> g1Sql,
     "g2_degree_distribution" -> g2Sql,
     "g3_top_visited" -> g3Sql,

@@ -240,6 +240,40 @@ object SimilarityOps {
        |SELECT query_id, neighbor_id, cosine, rank FROM r
        |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
 
+  // ---- s6: exact radius (range) search — all neighbors ≥ θ ----
+  // The threshold-dual of s1's top-k: return EVERY corpus vector whose
+  // cosine with a query clears θ, not a fixed count. Same broadcast-
+  // queries × corpus-scan shape (linear, no corpus shuffle, no top-k
+  // state at all — the predicate is evaluated inside the scan's
+  // codegen stage and the output is bounded by the threshold). This is
+  // the exact baseline; at scale the recall-bounded candidate path is
+  // the same LSH machinery s2 uses (probe band buckets, verify with
+  // the exact predicate).
+  private val RangeTheta = 0.35
+
+  def s6RangeSearch(spark: SparkSession, dir: String): DataFrame = {
+    val e = VectorExprs.embFeatures(spark, dir)
+    val q = e.filter(col("vec_id") < 10)
+    broadcast(q.as("q"))
+      .join(e.as("c"), col("q.vec_id") =!= col("c.vec_id"))
+      .withColumn("dot", expr(VectorExprs.dotExpr("q.vd", "c.vd")))
+      .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"),
+        cosine.as("cosine"))
+      .filter(col("cosine") >= RangeTheta)
+      .orderBy(col("query_id"), col("neighbor_id"))
+  }
+
+  val s6Sql: String =
+    s"""WITH ${VectorExprs.embCtes}
+       |SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |  ${VectorExprs.duckDot("q.vd", "c.vd")}
+       |    / (sqrt(q.n2) * sqrt(c.n2)) AS cosine
+       |FROM eb q, eb c
+       |WHERE q.vec_id < 10 AND q.vec_id != c.vec_id
+       |  AND ${VectorExprs.duckDot("q.vd", "c.vd")}
+       |    / (sqrt(q.n2) * sqrt(c.n2)) >= $RangeTheta
+       |ORDER BY query_id, neighbor_id""".stripMargin
+
   // ---- s5: distributed k-means codebook training (2 Lloyd rounds) ----
   // The trained-codebook path that feeds an IVF index like s4's:
   //  - assignment = corpus ⋈ broadcast(k centroids), argmax cosine via
@@ -330,12 +364,14 @@ object SimilarityOps {
     "s2_knn_lsh" -> (s2KnnLsh _),
     "s3_pairwise_topk" -> (s3PairwiseTopk _),
     "s4_ivf_knn" -> (s4IvfKnn _),
-    "s5_kmeans" -> (s5Kmeans _))
+    "s5_kmeans" -> (s5Kmeans _),
+    "s6_range_search" -> (s6RangeSearch _))
 
   val oracles: Map[String, String] = Map(
     "s1_knn_brute" -> s1Sql,
     "s2_knn_lsh" -> s2Sql,
     "s3_pairwise_topk" -> s3Sql,
     "s4_ivf_knn" -> s4Sql,
-    "s5_kmeans" -> s5Sql)
+    "s5_kmeans" -> s5Sql,
+    "s6_range_search" -> s6Sql)
 }

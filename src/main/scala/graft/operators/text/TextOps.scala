@@ -227,6 +227,55 @@ object TextOps {
       |  CAST(sum(len(string_split(text,' '))) AS BIGINT) AS n_tokens
       |FROM h GROUP BY source, split ORDER BY source, split""".stripMargin
 
+  // ---- t8: end-to-end quality filter (the curation pipeline step) ----
+  // Composes t1's language ID and t2's quality score in ONE scan —
+  // predicates and per-row features all evaluate inside the same
+  // codegen stage, then a single (source, lang) aggregate reports what
+  // survives. This is the shape of a real corpus-curation pass: at
+  // 100 TB the filter runs as a narrow map over the documents scan and
+  // only retained-row STATISTICS shuffle, never the text itself.
+  private val QualityFloor = 0.25
+
+  def t8QualityFilter(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        size(split(col("text"), " ")).as("n_tokens"),
+        hits(EN).as("en_hits"), hits(DE).as("de_hits"), hits(FR).as("fr_hits"))
+      .withColumn("pred_lang",
+        when(col("en_hits") + col("de_hits") + col("fr_hits") === 0, lit("unknown"))
+          .when(col("en_hits") >= col("de_hits") && col("en_hits") >= col("fr_hits"), lit("en"))
+          .when(col("de_hits") >= col("fr_hits"), lit("de"))
+          .otherwise(lit("fr")))
+      .withColumn("quality_score",
+        when(col("n_chars").between(100, 2000), lit(0.5)).otherwise(lit(0.0))
+          + lit(0.5) * (col("en_hits").cast("double") / col("n_tokens")))
+      .filter(col("pred_lang") =!= "unknown" && col("quality_score") >= QualityFloor)
+      .groupBy(col("source"), col("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+      .orderBy(col("source"), col("pred_lang"))
+
+  val t8Sql: String =
+    s"""WITH f AS (
+       |  SELECT doc_id, source, n_chars,
+       |    len(string_split(text,' ')) AS n_tokens,
+       |    len(list_filter(string_split(text,' '), w -> w IN ${sqlSet(EN)})) AS en_hits,
+       |    len(list_filter(string_split(text,' '), w -> w IN ${sqlSet(DE)})) AS de_hits,
+       |    len(list_filter(string_split(text,' '), w -> w IN ${sqlSet(FR)})) AS fr_hits
+       |  FROM documents),
+       |scored AS (
+       |  SELECT source, n_tokens,
+       |    CASE WHEN en_hits + de_hits + fr_hits = 0 THEN 'unknown'
+       |         WHEN en_hits >= de_hits AND en_hits >= fr_hits THEN 'en'
+       |         WHEN de_hits >= fr_hits THEN 'de' ELSE 'fr' END AS pred_lang,
+       |    (CASE WHEN n_chars BETWEEN 100 AND 2000 THEN 0.5 ELSE 0.0 END)
+       |      + 0.5 * (CAST(en_hits AS DOUBLE) / n_tokens) AS quality_score
+       |  FROM f)
+       |SELECT source, pred_lang, count(*) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+       |FROM scored
+       |WHERE pred_lang != 'unknown' AND quality_score >= $QualityFloor
+       |GROUP BY source, pred_lang ORDER BY source, pred_lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_lang_id" -> (t1LangId _),
     "t2_quality" -> (t2Quality _),
@@ -234,7 +283,8 @@ object TextOps {
     "t4_fingerprint" -> (t4Fingerprint _),
     "t5_ngram_freq" -> (t5NgramFreq _),
     "t6_pack_sequences" -> (t6PackSequences _),
-    "t7_sample_split" -> (t7SampleSplit _))
+    "t7_sample_split" -> (t7SampleSplit _),
+    "t8_quality_filter" -> (t8QualityFilter _))
 
   val oracles: Map[String, String] = Map(
     "t1_lang_id" -> t1Sql,
@@ -243,5 +293,6 @@ object TextOps {
     "t4_fingerprint" -> t4Sql,
     "t5_ngram_freq" -> t5Sql,
     "t6_pack_sequences" -> t6Sql,
-    "t7_sample_split" -> t7Sql)
+    "t7_sample_split" -> t7Sql,
+    "t8_quality_filter" -> t8Sql)
 }

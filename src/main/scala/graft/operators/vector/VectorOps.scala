@@ -75,11 +75,50 @@ object VectorOps {
        |  list_min(q) AS q_min, list_max(q) AS q_max
        |FROM qd ORDER BY vec_id""".stripMargin
 
+  /** v3: deterministic random projection 64 → 8 dims (the
+    * Johnson-Lindenstrauss dimensionality-reduction step before
+    * storage/indexing). The projection matrix is the same stateless
+    * integer-hash construction as the LSH hyperplanes
+    * ([[VectorExprs.bandsExpr]]) — w(j,d) is a pure function of
+    * (plane, dimension), so no trained matrix is stored and any
+    * engine reproduces it exactly. One narrow codegen'd scan, zero
+    * shuffle; sequential folds keep doubles bit-identical to the
+    * oracle. The gate projects the first 4 output dims. */
+  private val ProjDims = 8
+
+  def v3RandomProjection(spark: SparkSession, dir: String): DataFrame = {
+    val projExpr =
+      s"""transform(sequence(0, ${ProjDims - 1}), j ->
+         |  aggregate(sequence(1, 64), cast(0.0 as double),
+         |    (a, d) -> a + cast((j*131 + d)*2654435761 % 1000003 - 500000 as double)
+         |                  * element_at(vd, d)))""".stripMargin
+    embPlain(spark, dir)
+      .withColumn("proj", expr(projExpr))
+      .select(col("vec_id"),
+        element_at(col("proj"), 1).as("p1"), element_at(col("proj"), 2).as("p2"),
+        element_at(col("proj"), 3).as("p3"), element_at(col("proj"), 4).as("p4"))
+      .orderBy(col("vec_id"))
+  }
+
+  val v3Sql: String =
+    s"""WITH ${VectorExprs.embCtes},
+       |pr AS (
+       |  SELECT vec_id,
+       |    [ list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |        [ CAST((j*131 + d)*2654435761 % 1000003 - 500000 AS DOUBLE) * vd[d]
+       |          for d in generate_series(1, 64) ]), (a, x) -> a + x)
+       |      for j in generate_series(0, ${ProjDims - 1}) ] AS proj
+       |  FROM eb)
+       |SELECT vec_id, proj[1] AS p1, proj[2] AS p2, proj[3] AS p3, proj[4] AS p4
+       |FROM pr ORDER BY vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v1_l2_normalize" -> (v1L2Normalize _),
-    "v2_int8_quantize" -> (v2Int8Quantize _))
+    "v2_int8_quantize" -> (v2Int8Quantize _),
+    "v3_random_projection" -> (v3RandomProjection _))
 
   val oracles: Map[String, String] = Map(
     "v1_l2_normalize" -> v1Sql,
-    "v2_int8_quantize" -> v2Sql)
+    "v2_int8_quantize" -> v2Sql,
+    "v3_random_projection" -> v3Sql)
 }

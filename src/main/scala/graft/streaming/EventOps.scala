@@ -155,6 +155,45 @@ object EventOps {
       | AND c.ts <= p.ts AND c.ts > p.ts - INTERVAL 30 MINUTE
       |ORDER BY purchase_id, click_id""".stripMargin
 
+  // ---- e8: conversion funnel (view → first purchase after it) ----
+  // The order-dependent pattern aggregate session analytics runs on
+  // event streams: per user, the first 'view' and the first 'purchase'
+  // AT OR AFTER it. Two key-partitioned aggregations and one co-
+  // partitioned equi-join on user_id — both stages map-side combine,
+  // nothing is ordered globally, so the plan is two shuffles of
+  // pre-combined user rows at any scale. Delays are integer epoch
+  // microseconds (exact on both engines; no interval arithmetic).
+  def e8Funnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val firstView = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("view_ts"))
+    val conv = ev.filter(col("event_type") === "purchase").as("p")
+      .join(firstView.as("v"),
+        col("p.user_id") === col("v.user_id") && col("p.ts") >= col("v.view_ts"))
+      .groupBy(col("v.user_id"), col("v.view_ts"))
+      .agg(min(col("p.ts")).as("purchase_ts"))
+    firstView.agg(count(lit(1)).as("n_viewers")).crossJoin(
+      conv.agg(count(lit(1)).as("n_converted"),
+        sum(unix_micros(col("purchase_ts")) - unix_micros(col("view_ts")))
+          .as("delay_us_total")))
+  }
+
+  val e8Sql: String =
+    """WITH v AS (
+      |  SELECT user_id, min(ts) AS view_ts FROM events
+      |  WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (
+      |  SELECT v.user_id, v.view_ts, min(p.ts) AS purchase_ts
+      |  FROM v JOIN events p
+      |    ON p.user_id = v.user_id AND p.event_type = 'purchase'
+      |   AND p.ts >= v.view_ts
+      |  GROUP BY v.user_id, v.view_ts)
+      |SELECT (SELECT count(*) FROM v) AS n_viewers,
+      |  count(*) AS n_converted,
+      |  CAST(sum(epoch_us(CAST(purchase_ts AS TIMESTAMP))
+      |         - epoch_us(CAST(view_ts AS TIMESTAMP))) AS BIGINT) AS delay_us_total
+      |FROM c""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e1_tumbling_agg" -> (e1TumblingAgg _),
     "e2_sliding_agg" -> (e2SlidingAgg _),
@@ -162,7 +201,8 @@ object EventOps {
     "e4_stream_dedup" -> (e4StreamDedup _),
     "e5_asof_join" -> (e5AsofJoin _),
     "e6_custom_sessions" -> (e6CustomSessions _),
-    "e7_stream_join" -> (e7StreamJoin _))
+    "e7_stream_join" -> (e7StreamJoin _),
+    "e8_funnel" -> (e8Funnel _))
 
   val oracles: Map[String, String] = Map(
     "e1_tumbling_agg" -> e1Sql,
@@ -171,5 +211,6 @@ object EventOps {
     "e4_stream_dedup" -> e4Sql,
     "e5_asof_join" -> e5Sql,
     "e6_custom_sessions" -> e3Sql,
-    "e7_stream_join" -> e7Sql)
+    "e7_stream_join" -> e7Sql,
+    "e8_funnel" -> e8Sql)
 }
