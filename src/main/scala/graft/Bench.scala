@@ -30,7 +30,8 @@ object Bench {
       "dedup_jaccard" -> ((s, d) => graft.operators.dedup.DedupOps.d4NgramJaccard(s, d)),
       "emb_features" -> ((s, d) => graft.operators.vector.VectorExprs.embFeatures(s, d)),
       "emb_bands" -> ((s, d) => graft.operators.vector.VectorExprs.embBands(s, d)),
-      "emb_quantized" -> ((s, d) => graft.operators.similarity.SimilarityOps.embQuantized(s, d)))
+      "emb_quantized" -> ((s, d) => graft.operators.similarity.SimilarityOps.embQuantized(s, d)),
+      "ivf_codebook" -> ((s, d) => graft.operators.similarity.SimilarityOps.ivfCodebook(s, d)))
 
     def timed(fn: => Long): (Double, Boolean) = {
       val t0 = System.nanoTime()
@@ -48,16 +49,33 @@ object Bench {
       (name, sec, ok)
     }
 
-    def obj(entries: Seq[(String, Double, Boolean)]): String =
-      entries.map { case (k, v, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    // The driver captures only the LAST 2000 chars of output and greps
+    // the {"metric"...} line out of that tail; sbt appends a ~75-char
+    // [success] line after us. A 74-query map at full double precision
+    // is ~2400 chars, so the line's head gets truncated and the round's
+    // bench silently records parsed:null (happened rounds 3 AND 4).
+    // Fix: the PRINTED line carries 2-decimal times (10 ms resolution —
+    // sf0.1 queries are 0.1-11 s) and totals only for warm-ups; the
+    // full-precision per-entry detail goes to bench_detail.json.
+    def r2(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+    def obj(entries: Seq[(String, Double, Boolean)], f: Double => String): String =
+      entries.map { case (k, v, _) => "\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
     val warmTotal = warm.map(_._2).sum
     val queryTotal = results.map(_._2).sum
     val failed = (warm ++ results).collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${warmTotal + queryTotal},"unit":"sec",""" +
+    val detail = s"""{"metric":"total","value":${warmTotal + queryTotal},"unit":"sec",""" +
       s""""warmup_total":$warmTotal,"query_total":$queryTotal,""" +
-      s""""warmup":${obj(warm)},"queries":${obj(results)},""" +
-      s""""failed":$failed,"sf":"$sfDir"}""")
+      s""""warmup":${obj(warm, _.toString)},"queries":${obj(results, _.toString)},""" +
+      s""""failed":$failed,"sf":"$sfDir"}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get("bench_detail.json"),
+      detail.getBytes("UTF-8"))
+    val line = s"""{"metric":"total","value":${r2(warmTotal + queryTotal)},"unit":"sec",""" +
+      s""""warmup_total":${r2(warmTotal)},"query_total":${r2(queryTotal)},""" +
+      s""""queries":${obj(results, r2)},"failed":$failed,"sf":"$sfDir"}"""
+    require(line.length <= 1900,
+      s"bench line ${line.length} chars — exceeds the driver's tail-capture budget")
+    println(line)
     spark.stop()
   }
 }

@@ -296,31 +296,48 @@ object SimilarityOps {
           expr("transform(vd, x -> cast(round(x * 1000000) as bigint))").as("qv"))
     }
 
+  /** Nearest-centroid assignment: corpus ⋈ broadcast(centroids),
+    * argmax cosine via the min-over-struct aggregate (map-side
+    * combine, no window sort) — shared by s5's Lloyd rounds and s7's
+    * inverted-list build. `cents` must have (mid, cm: array<double>);
+    * `qv` must carry (vec_id, vd, n2). */
+  private def assignTo(qv: DataFrame, cents: DataFrame): DataFrame = {
+    val score = expr("graft_dot(vd, cm)") /
+      (sqrt(col("n2")) * sqrt(expr("graft_dot(cm, cm)")))
+    qv.crossJoin(broadcast(cents))
+      .withColumn("ns", -score)
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("ns"), col("mid"))).as("pick"))
+      .select(col("vec_id"), col("pick.mid").as("cluster"))
+  }
+
+  /** The TRAINED coarse codebook: one distributed Lloyd update from
+    * the deterministic c0 seed (16 lowest vec_ids) — exactly s5's c1
+    * round, factored out and DfCache'd so s5 (round-2 assignment) and
+    * s7 (IVF probe) train it once per session. Centroid sums are
+    * exact integer micro-units, so the codebook is bit-identical on
+    * both engines — the oracle chains the same CTEs. */
+  def ivfCodebook(spark: SparkSession, dir: String): DataFrame =
+    graft.util.DfCache.cached(spark, dir, "ivf_codebook") {
+      val qv = embQuantized(spark, dir)
+      val c0 = qv.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("mid"),
+          expr("transform(qv, x -> cast(x as double) / 1000000.0)").as("cm"))
+      val a1 = assignTo(qv, c0)
+      qv.join(a1, Seq("vec_id"))
+        .select(col("cluster"), posexplode(col("qv")).as(Seq("d", "val")))
+        .groupBy(col("cluster"), col("d"))
+        .agg(sum(col("val")).as("s"), count(lit(1)).as("n"))
+        .groupBy(col("cluster"))
+        .agg(expr(
+          "transform(sort_array(collect_list(struct(d, cast(s as double) / (n * 1000000.0)))), p -> p.col2)")
+          .as("cm"))
+        .select(col("cluster").as("mid"), col("cm"))
+    }
+
   def s5Kmeans(spark: SparkSession, dir: String): DataFrame = {
     val qv = embQuantized(spark, dir)
-    val c0 = qv.filter(col("vec_id") < 16)
-      .select(col("vec_id").as("mid"),
-        expr("transform(qv, x -> cast(x as double) / 1000000.0)").as("cm"))
-    def assign(cents: DataFrame): DataFrame = {
-      val score = expr("graft_dot(vd, cm)") /
-        (sqrt(col("n2")) * sqrt(expr("graft_dot(cm, cm)")))
-      qv.crossJoin(broadcast(cents))
-        .withColumn("ns", -score)
-        .groupBy(col("vec_id"))
-        .agg(min(struct(col("ns"), col("mid"))).as("pick"))
-        .select(col("vec_id"), col("pick.mid").as("cluster"))
-    }
-    val a1 = assign(c0)
-    val c1 = qv.join(a1, Seq("vec_id"))
-      .select(col("cluster"), posexplode(col("qv")).as(Seq("d", "val")))
-      .groupBy(col("cluster"), col("d"))
-      .agg(sum(col("val")).as("s"), count(lit(1)).as("n"))
-      .groupBy(col("cluster"))
-      .agg(expr(
-        "transform(sort_array(collect_list(struct(d, cast(s as double) / (n * 1000000.0)))), p -> p.col2)")
-        .as("cm"))
-      .select(col("cluster").as("mid"), col("cm"))
-    val a2 = assign(c1)
+    val a2 = assignTo(qv, ivfCodebook(spark, dir))
     a2.join(qv, Seq("vec_id"))
       .groupBy(col("cluster"))
       .agg(count(lit(1)).as("n_members"),
@@ -335,8 +352,10 @@ object SimilarityOps {
        |      / (sqrt(q.n2) * sqrt(${VectorExprs.duckDot("c.cm", "c.cm")})) AS score
        |  FROM qv q CROSS JOIN $src c""".stripMargin
 
-  val s5Sql: String =
-    s"""WITH ${VectorExprs.embCtes},
+  /** s5's CTE chain up through the trained codebook `c1` — mirrors
+    * [[ivfCodebook]]; shared by the s5 and s7 oracles. */
+  private def codebookCtes: String =
+    s"""${VectorExprs.embCtes},
        |qv AS (SELECT vec_id, vd, n2,
        |  [CAST(round(x * 1000000) AS BIGINT) for x in vd] AS qv FROM eb),
        |c0 AS MATERIALIZED (SELECT vec_id AS mid,
@@ -349,7 +368,10 @@ object SimilarityOps {
        |  FROM qv q JOIN a1 ON q.vec_id = a1.vec_id, generate_series(1, 64) g(d)),
        |s1 AS (SELECT cluster, d, sum(val) AS s, count(*) AS n FROM e1 GROUP BY cluster, d),
        |c1 AS MATERIALIZED (SELECT cluster AS mid,
-       |  list(CAST(s AS DOUBLE) / (n * 1000000.0) ORDER BY d) AS cm FROM s1 GROUP BY cluster),
+       |  list(CAST(s AS DOUBLE) / (n * 1000000.0) ORDER BY d) AS cm FROM s1 GROUP BY cluster)""".stripMargin
+
+  val s5Sql: String =
+    s"""WITH $codebookCtes,
        |sc2 AS (${duckCent("c1")}),
        |a2 AS (SELECT vec_id, mid AS cluster FROM (
        |  SELECT vec_id, mid, row_number() OVER (PARTITION BY vec_id
@@ -359,13 +381,73 @@ object SimilarityOps {
        |FROM a2 JOIN qv q ON a2.vec_id = q.vec_id
        |GROUP BY a2.cluster ORDER BY cluster_id""".stripMargin
 
+  // ---- s7: IVF over the TRAINED codebook — s5 composed into s4 ----
+  // The end-to-end operator the stand-in s4 only sketched: train the
+  // coarse quantizer (s5's Lloyd round, [[ivfCodebook]]), build the
+  // inverted lists by assigning the corpus to trained centroids, probe
+  // the query's NPROBE nearest lists. Same plan skeleton as s4 —
+  // assignment is one shuffle of pre-combined argmin rows, probe is a
+  // broadcast of (query × probed lists) against the assigned corpus —
+  // but the centroids are the learned ones, so this is the real
+  // trained-IVF index, not a plan-shape demonstration. Oracle = s5's
+  // codebook CTEs chained into s4's probe SQL.
+  def s7IvfTrained(spark: SparkSession, dir: String): DataFrame = {
+    val e = embQuantized(spark, dir)
+    val cents = ivfCodebook(spark, dir)
+    val corpus = e.join(assignTo(e, cents), Seq("vec_id"))
+      .select(col("vec_id"), col("vd"), col("n2"), col("cluster"))
+    val score = expr("graft_dot(vd, cm)") /
+      (sqrt(col("n2")) * sqrt(expr("graft_dot(cm, cm)")))
+    val qw = Window.partitionBy(col("vec_id")).orderBy(col("ns"), col("mid"))
+    // the window ranks only the 16 centroid scores of each of the 10
+    // query vectors — bounded by k·|queries|, never corpus-sized
+    val qprobe = e.filter(col("vec_id") < 10).crossJoin(broadcast(cents))
+      .withColumn("ns", -score)
+      .withColumn("prn", row_number().over(qw))
+      .filter(col("prn") <= NPROBE)
+      .select(col("vec_id").as("qid"), col("vd").as("qvd"),
+        col("n2").as("qn2"), col("mid").as("qcluster"))
+    val pairs = broadcast(qprobe)
+      .join(corpus.as("c"),
+        col("qcluster") === col("c.cluster") && col("qid") =!= col("c.vec_id"))
+      .withColumn("dot", expr(VectorExprs.dotExpr("qvd", "c.vd")))
+      .select(col("qid").as("query_id"), col("c.vec_id").as("neighbor_id"),
+        (col("dot") / (sqrt(col("qn2")) * sqrt(col("c.n2")))).as("cosine"))
+    ranked(pairs)
+  }
+
+  val s7Sql: String =
+    s"""WITH $codebookCtes,
+       |psc AS (${duckCent("c1")}),
+       |passign AS (SELECT vec_id AS cvec, mid AS cluster FROM (
+       |  SELECT vec_id, mid, row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY score DESC, mid) AS rn FROM psc) x WHERE rn = 1),
+       |qprobe AS (
+       |  SELECT p.vec_id AS qid, e.vd AS qvd, e.n2 AS qn2, p.mid AS qcluster FROM (
+       |    SELECT vec_id, mid, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY score DESC, mid) AS rn FROM psc WHERE vec_id < 10) p
+       |  JOIN eb e ON p.vec_id = e.vec_id WHERE p.rn <= $NPROBE),
+       |pairs AS (
+       |  SELECT q.qid AS query_id, c.vec_id AS neighbor_id,
+       |    ${VectorExprs.duckDot("q.qvd", "c.vd")}
+       |      / (sqrt(q.qn2) * sqrt(c.n2)) AS cosine
+       |  FROM qprobe q
+       |  JOIN passign a ON a.cluster = q.qcluster
+       |  JOIN eb c ON c.vec_id = a.cvec
+       |  WHERE c.vec_id != q.qid),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |        ORDER BY cosine DESC, neighbor_id) AS rank FROM pairs)
+       |SELECT query_id, neighbor_id, cosine, rank FROM r
+       |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_knn_brute" -> (s1KnnBrute _),
     "s2_knn_lsh" -> (s2KnnLsh _),
     "s3_pairwise_topk" -> (s3PairwiseTopk _),
     "s4_ivf_knn" -> (s4IvfKnn _),
     "s5_kmeans" -> (s5Kmeans _),
-    "s6_range_search" -> (s6RangeSearch _))
+    "s6_range_search" -> (s6RangeSearch _),
+    "s7_ivf_trained" -> (s7IvfTrained _))
 
   val oracles: Map[String, String] = Map(
     "s1_knn_brute" -> s1Sql,
@@ -373,5 +455,6 @@ object SimilarityOps {
     "s3_pairwise_topk" -> s3Sql,
     "s4_ivf_knn" -> s4Sql,
     "s5_kmeans" -> s5Sql,
-    "s6_range_search" -> s6Sql)
+    "s6_range_search" -> s6Sql,
+    "s7_ivf_trained" -> s7Sql)
 }
