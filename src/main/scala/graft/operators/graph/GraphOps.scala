@@ -517,61 +517,90 @@ object GraphOps {
         .select(col("uv.u").as("u"), col("uv.v").as("v")).distinct()
     }
 
-  /** Stage 2: projection degrees. Cached: referenced twice (du/dv) —
-    * uncached, each join would re-run the 2E-row union+agg;
-    * materialized, AQE sees the true V-row size and broadcasts both
-    * orientation joins (at a scale where the projection's vertex set
-    * outgrows broadcast, AQE falls back to a shuffle join of the
-    * cached 20-byte rows). */
-  private[graft] def g7Degrees(spark: SparkSession, dir: String): DataFrame = {
-    val pp = g7Projection(spark, dir)
-    graft.util.DfCache.cached(spark, dir, "g7_deg") {
-      pp.select(col("u").as("n")).union(pp.select(col("v").as("n")))
-        .groupBy(col("n")).agg(count(lit(1)).as("dg"))
-    }
-  }
+  // The stage BUILDERS take the projected edge list as a DataFrame so
+  // correctness can be probed on arbitrary graphs (TriangleSkewSpec
+  // feeds a hub-heavy star: one vertex at 2000× median degree); the
+  // dir-keyed wrappers below add the DfCache ownership the gated g7
+  // uses. Skew posture: the degree orientation bounds out-adjacency
+  // by ~sqrt(E) REGARDLESS of in-degree skew (a hub sorts HIGH, so
+  // edges point at it and its own out-list stays empty); the one
+  // remaining skew surface is the ov-side probe join, where a hub key
+  // repeats once per incident edge — that join carries only (ou, ov)
+  // + the hub's (short) adjacency array, and AQE's skew-join split
+  // (spark.sql.adaptive.skewJoin, on by default) re-splits an
+  // oversized ov partition at runtime.
 
-  /** Stage 3: degree-ordered orientation (low→high by (degree, id)) —
-    * bounds out-degree by ~sqrt(E) regardless of skew — laid out
+  /** Projection degrees over an arbitrary (u, v) edge list. */
+  private[graft] def degreesOf(pp: DataFrame): DataFrame =
+    pp.select(col("u").as("n")).union(pp.select(col("v").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("dg"))
+
+  /** Degree-ordered orientation (low→high by (degree, id)) — bounds
+    * out-degree by ~sqrt(E) regardless of skew — laid out
     * ou-partitioned for the adjacency build and first probe. */
-  private[graft] def g7OrientedEdges(spark: SparkSession, dir: String): DataFrame = {
-    val pp = g7Projection(spark, dir)
-    val deg = g7Degrees(spark, dir)
-    graft.util.DfCache.cached(spark, dir, "g7_ord_edges") {
-      pp.join(deg.as("du"), col("u") === col("du.n"))
-        .join(deg.as("dv"), col("v") === col("dv.n"))
-        .select(
-          when(struct(col("du.dg"), col("u")) < struct(col("dv.dg"), col("v")),
-            struct(col("u").as("ou"), col("v").as("ov")))
-            .otherwise(struct(col("v").as("ou"), col("u").as("ov")))
-            .as("e"))
-        .select(col("e.ou").as("ou"), col("e.ov").as("ov"))
-        .repartition(col("ou"))
-    }
-  }
+  private[graft] def orientEdgesOf(pp: DataFrame, deg: DataFrame): DataFrame =
+    pp.join(deg.as("du"), col("u") === col("du.n"))
+      .join(deg.as("dv"), col("v") === col("dv.n"))
+      .select(
+        when(struct(col("du.dg"), col("u")) < struct(col("dv.dg"), col("v")),
+          struct(col("u").as("ou"), col("v").as("ov")))
+          .otherwise(struct(col("v").as("ou"), col("u").as("ov")))
+          .as("e"))
+      .select(col("e.ou").as("ou"), col("e.ov").as("ov"))
+      .repartition(col("ou"))
 
-  /** Stage 4: compact out-adjacency arrays over the oriented edges
-    * (no exchange: reuses the cached ou-partitioned layout). */
-  private[graft] def g7Adjacency(spark: SparkSession, dir: String): DataFrame = {
-    val ordEdges = g7OrientedEdges(spark, dir)
-    graft.util.DfCache.cached(spark, dir, "g7_adj") {
-      ordEdges.groupBy(col("ou"))
-        .agg(sort_array(collect_list(col("ov"))).as("nbrs"))
-        .select(col("ou").as("anode"), col("nbrs"))
-    }
-  }
+  /** Compact out-adjacency arrays over the oriented edges (no
+    * exchange: reuses the ou-partitioned layout). */
+  private[graft] def adjacencyOf(ordEdges: DataFrame): DataFrame =
+    ordEdges.groupBy(col("ou"))
+      .agg(sort_array(collect_list(col("ov"))).as("nbrs"))
+      .select(col("ou").as("anode"), col("nbrs"))
 
-  def g7Triangles(spark: SparkSession, dir: String): DataFrame = {
-    graft.functions.GraftFunctions.registerAll(spark)
-    val pp = g7Projection(spark, dir)
-    val ordEdges = g7OrientedEdges(spark, dir)
-    val adj = g7Adjacency(spark, dir)
+  private def triangleCountOf(pp: DataFrame, ordEdges: DataFrame,
+      adj: DataFrame): DataFrame =
     ordEdges
       .join(adj.as("au"), col("ou") === col("au.anode"))
       .join(adj.as("av"), col("ov") === col("av.anode"))
       .select(expr("graft_sorted_intersect_count(au.nbrs, av.nbrs)").as("c"))
       .agg(coalesce(sum(col("c")), lit(0L)).as("triangles"))  // 0, not NULL, on triangle-free input
       .crossJoin(broadcast(pp.agg(count(lit(1)).as("n_proj_edges"))))
+
+  /** Edge-iterator triangle count of an arbitrary undirected distinct
+    * (u, v) edge list — the full uncached pipeline, for callers that
+    * bring their own graph. */
+  def trianglesOf(pp: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(pp.sparkSession)
+    val ordEdges = orientEdgesOf(pp, degreesOf(pp))
+    triangleCountOf(pp, ordEdges, adjacencyOf(ordEdges))
+  }
+
+  /** Stage 2 (cached): referenced twice (du/dv) — uncached, each join
+    * would re-run the 2E-row union+agg; materialized, AQE sees the
+    * true V-row size and broadcasts both orientation joins (at a
+    * scale where the projection's vertex set outgrows broadcast, AQE
+    * falls back to a shuffle join of the cached 20-byte rows). */
+  private[graft] def g7Degrees(spark: SparkSession, dir: String): DataFrame = {
+    val pp = g7Projection(spark, dir)
+    graft.util.DfCache.cached(spark, dir, "g7_deg") { degreesOf(pp) }
+  }
+
+  /** Stage 3 (cached): see [[orientEdgesOf]]. */
+  private[graft] def g7OrientedEdges(spark: SparkSession, dir: String): DataFrame = {
+    val pp = g7Projection(spark, dir)
+    val deg = g7Degrees(spark, dir)
+    graft.util.DfCache.cached(spark, dir, "g7_ord_edges") { orientEdgesOf(pp, deg) }
+  }
+
+  /** Stage 4 (cached): see [[adjacencyOf]]. */
+  private[graft] def g7Adjacency(spark: SparkSession, dir: String): DataFrame = {
+    val ordEdges = g7OrientedEdges(spark, dir)
+    graft.util.DfCache.cached(spark, dir, "g7_adj") { adjacencyOf(ordEdges) }
+  }
+
+  def g7Triangles(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(spark)
+    triangleCountOf(g7Projection(spark, dir), g7OrientedEdges(spark, dir),
+      g7Adjacency(spark, dir))
   }
 
   val g7Sql: String =
