@@ -166,12 +166,15 @@ object TextOps {
   private[text] val ShardSpan: Int =
     sys.env.get("SPARK_GRAFT_PACK_SHARD_SPAN").map(_.toInt).getOrElse(128)
 
-  def t6PackSequences(spark: SparkSession, dir: String): DataFrame = {
+  /** The two-phase packing manifest over any (doc_id, source, toks)
+    * table — t6's core, factored so the composed curation pipeline
+    * (t9) can pack its curated subset. Sparse doc_ids (post-filter,
+    * post-dedup) are fine: shard order ≡ doc_id order within a source
+    * regardless of gaps, so the two-phase sum stays bit-identical to
+    * the single-window formulation. */
+  private[text] def packManifest(tk0: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val tk = docs(spark, dir)
-      .select(col("doc_id"), col("source"),
-        size(split(col("text"), " ")).as("toks"))
-      .withColumn("shard", expr(s"doc_id DIV $ShardSpan"))
+    val tk = tk0.withColumn("shard", expr(s"doc_id DIV $ShardSpan"))
     // phase 1: intra-shard running totals (scales with shard count)
     val wShard = Window.partitionBy(col("source"), col("shard"))
       .orderBy(col("doc_id"))
@@ -191,6 +194,11 @@ object TextOps {
       .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("bin_tokens"))
       .orderBy(col("source"), col("bin"))
   }
+
+  def t6PackSequences(spark: SparkSession, dir: String): DataFrame =
+    packManifest(docs(spark, dir)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).as("toks")))
 
   val t6Sql: String =
     s"""WITH tk AS (
@@ -276,6 +284,71 @@ object TextOps {
        |WHERE pred_lang != 'unknown' AND quality_score >= $QualityFloor
        |GROUP BY source, pred_lang ORDER BY source, pred_lang""".stripMargin
 
+  // ---- t9: the END-TO-END curation pipeline, one gated query ----
+  // The full pass a training-data build runs, composed from the gated
+  // pieces: t8's language/quality filter → d1's exact dedup (keep the
+  // min doc_id per md5 group, over the SURVIVORS) → t7's deterministic
+  // hash split (train side) → t6's two-phase packing manifest. At
+  // 100 TB this is one narrow scan computing all per-doc features in
+  // codegen, then exactly three bounded shuffles: the md5-group dedup
+  // (combine shrinks to distinct volume), the (source, shard) packing
+  // window, and the final (source, bin) aggregate — the split is a
+  // map-side predicate and the shard offsets broadcast.
+  def t9CurationPipeline(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val feat = docs(spark, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"), col("text"),
+        size(split(col("text"), " ")).as("toks"),
+        hits(EN).as("en_hits"), hits(DE).as("de_hits"), hits(FR).as("fr_hits"))
+      .withColumn("pred_lang",
+        when(col("en_hits") + col("de_hits") + col("fr_hits") === 0, lit("unknown"))
+          .when(col("en_hits") >= col("de_hits") && col("en_hits") >= col("fr_hits"), lit("en"))
+          .when(col("de_hits") >= col("fr_hits"), lit("de"))
+          .otherwise(lit("fr")))
+      .withColumn("quality_score",
+        when(col("n_chars").between(100, 2000), lit(0.5)).otherwise(lit(0.0))
+          + lit(0.5) * (col("en_hits").cast("double") / col("toks")))
+      .filter(col("pred_lang") =!= "unknown" && col("quality_score") >= QualityFloor)
+    val kept = feat
+      .withColumn("keep_id", min(col("doc_id")).over(Window.partitionBy(md5(col("text")))))
+      .filter(col("doc_id") === col("keep_id"))
+    val train = kept
+      .withColumn("h", expr("((doc_id % 2147483647) * 2654435761) % 2147483647"))
+      .filter(col("h") % 100 < 90)
+    packManifest(train.select(col("doc_id"), col("source"), col("toks")))
+  }
+
+  val t9Sql: String =
+    s"""WITH f AS (
+       |  SELECT doc_id, source, n_chars, text,
+       |    len(string_split(text,' ')) AS toks,
+       |    len(list_filter(string_split(text,' '), w -> w IN ${sqlSet(EN)})) AS en_hits,
+       |    len(list_filter(string_split(text,' '), w -> w IN ${sqlSet(DE)})) AS de_hits,
+       |    len(list_filter(string_split(text,' '), w -> w IN ${sqlSet(FR)})) AS fr_hits
+       |  FROM documents),
+       |scored AS (
+       |  SELECT doc_id, source, text, toks,
+       |    CASE WHEN en_hits + de_hits + fr_hits = 0 THEN 'unknown'
+       |         WHEN en_hits >= de_hits AND en_hits >= fr_hits THEN 'en'
+       |         WHEN de_hits >= fr_hits THEN 'de' ELSE 'fr' END AS pred_lang,
+       |    (CASE WHEN n_chars BETWEEN 100 AND 2000 THEN 0.5 ELSE 0.0 END)
+       |      + 0.5 * (CAST(en_hits AS DOUBLE) / toks) AS quality_score
+       |  FROM f),
+       |kept AS (
+       |  SELECT doc_id, source, toks FROM scored
+       |  WHERE pred_lang != 'unknown' AND quality_score >= $QualityFloor
+       |  QUALIFY doc_id = min(doc_id) OVER (PARTITION BY md5(text))),
+       |train AS (
+       |  SELECT * FROM kept
+       |  WHERE ((doc_id % 2147483647) * 2654435761) % 2147483647 % 100 < 90),
+       |c AS (
+       |  SELECT *, sum(toks) OVER (PARTITION BY source ORDER BY doc_id
+       |                            ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM train)
+       |SELECT source, CAST((cum - toks) // $PackBudget AS BIGINT) AS bin,
+       |  count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS bin_tokens
+       |FROM c GROUP BY source, bin ORDER BY source, bin""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_lang_id" -> (t1LangId _),
     "t2_quality" -> (t2Quality _),
@@ -284,7 +357,8 @@ object TextOps {
     "t5_ngram_freq" -> (t5NgramFreq _),
     "t6_pack_sequences" -> (t6PackSequences _),
     "t7_sample_split" -> (t7SampleSplit _),
-    "t8_quality_filter" -> (t8QualityFilter _))
+    "t8_quality_filter" -> (t8QualityFilter _),
+    "t9_curation_pipeline" -> (t9CurationPipeline _))
 
   val oracles: Map[String, String] = Map(
     "t1_lang_id" -> t1Sql,
@@ -294,5 +368,6 @@ object TextOps {
     "t5_ngram_freq" -> t5Sql,
     "t6_pack_sequences" -> t6Sql,
     "t7_sample_split" -> t7Sql,
-    "t8_quality_filter" -> t8Sql)
+    "t8_quality_filter" -> t8Sql,
+    "t9_curation_pipeline" -> t9Sql)
 }
