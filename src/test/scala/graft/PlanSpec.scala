@@ -114,6 +114,48 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "per-shard offsets must broadcast back, not shuffle the documents")
   }
 
+  test("s7: trained IVF keeps the s4 shape — broadcast probe, partial argmin, bounded top-k") {
+    val plan = planOf(SparkEntry.queries("s7_ivf_trained")(spark, dir))
+    assert(plan.contains("partial_min"),
+      "corpus→centroid assignment must partially aggregate (map-side argmin)")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      "centroids and the probe set must broadcast; the corpus must not shuffle for them")
+    assert(plan.contains("ObjectHashAggregate"),
+      "per-query top-k must be the bounded mergeable aggregate")
+    // the only window ranks |centroids| rows per query vector — make
+    // sure no window runs over the corpus-sized pair stream
+    val specs = plan.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    specs.foreach(l => assert(!l.contains("neighbor_id"),
+      s"corpus-sized window leaked into the probe path: $l"))
+  }
+
+  test("t9: curation pipeline windows all key on grow-with-data columns") {
+    // dedup window partitions by md5(text) (distinct-text cardinality),
+    // packing windows by (source, shard) / shard — never by the
+    // low-cardinality source alone over document rows
+    val plan = planOf(SparkEntry.queries("t9_curation_pipeline")(spark, dir))
+    val specs = plan.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(specs.nonEmpty, "expected dedup + packing windows")
+    // the md5 partition key is pre-projected to a _w0 alias — require
+    // the projection itself to be the md5, then accept either key
+    assert(plan.contains("md5("), "dedup window must partition by md5(text)")
+    specs.foreach { l =>
+      assert(l.contains("shard") || l.contains("_w"),
+        s"window keyed only on low-cardinality columns: $l")
+    }
+    assert(plan.contains("BroadcastHashJoin"),
+      "per-shard offsets must broadcast back, not shuffle the documents")
+    assert(!plan.contains("CartesianProduct"), "no cross join anywhere in the pipeline")
+  }
+
+  test("g13: repeated invocation serves the personalized vector from cache") {
+    val df1 = SparkEntry.queries("g13_personalized_pagerank")(spark, dir)
+    df1.collect()
+    val plan = planOf(SparkEntry.queries("g13_personalized_pagerank")(spark, dir))
+    assert(plan.contains("InMemoryTableScan") || plan.contains("TableCacheQueryStage"),
+      "second g13 call must reuse the DfCache'd rank vector")
+  }
+
   test("g4: walk hop is a map-side-combined transition-table aggregate") {
     val plan = planOf(SparkEntry.queries("g4_walk_visits")(spark, dir))
     assert(plan.contains("partial_min"),
