@@ -40,16 +40,25 @@ object Relational {
       .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
 
+  // The sums are exact decimals on BOTH engines; the final double is
+  // produced via a VARCHAR hop on the DuckDB side because its direct
+  // DECIMAL(38,s)→DOUBLE cast is not correctly rounded once the
+  // scaled integer exceeds 2^53 (1 ulp off at sf≥1 — caught by the
+  // round-5 scale trail), while Spark's BigDecimal.doubleValue and
+  // DuckDB's string→double parse are both correctly rounded at any
+  // scale.
+  private def d2d(sum: String) = s"CAST(CAST($sum AS VARCHAR) AS DOUBLE)"
+
   val q1Sql: String =
-    """SELECT l_returnflag, l_linestatus,
-      | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-      | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-      | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
-      | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
-      | count(*) AS count_order
-      |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
-      |GROUP BY l_returnflag, l_linestatus
-      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+    s"""SELECT l_returnflag, l_linestatus,
+       | ${d2d("sum(CAST(l_quantity AS DECIMAL(18,2)))")} AS sum_qty,
+       | ${d2d("sum(CAST(l_extendedprice AS DECIMAL(18,2)))")} AS sum_base_price,
+       | ${d2d("sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))")} AS sum_disc_price,
+       | ${d2d("sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2))))")} AS sum_charge,
+       | count(*) AS count_order
+       |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+       |GROUP BY l_returnflag, l_linestatus
+       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
   // ---- q2: filter + projection pushdown ----
   def q2FilterProject(spark: SparkSession, dir: String): DataFrame =
@@ -82,7 +91,7 @@ object Relational {
 
   val q3Sql: String =
     """SELECT l_orderkey,
-      | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+      | CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS VARCHAR) AS DOUBLE) AS revenue,
       | strftime(o_orderdate, '%Y-%m-%d') AS orderdate
       |FROM customer, orders, lineitem
       |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND l_orderkey = o_orderkey
@@ -133,7 +142,7 @@ object Relational {
 
   val q5Sql: String =
     """SELECT n_name,
-      | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      | CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS VARCHAR) AS DOUBLE) AS revenue
       |FROM customer, orders, lineitem, supplier, nation, region
       |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey AND l_suppkey = s_suppkey
       |  AND c_nationkey = s_nationkey AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
@@ -149,7 +158,7 @@ object Relational {
       .agg(sum(dec(col("l_extendedprice")) * dec(col("l_discount"))).cast("double").as("revenue"))
 
   val q6Sql: String =
-    """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    """SELECT CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS revenue
       |FROM lineitem
       |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
       |  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""".stripMargin
@@ -174,7 +183,7 @@ object Relational {
     """SELECT o_custkey, o_orderkey, rnk, running_spend FROM (
       |  SELECT o_custkey, o_orderkey,
       |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rnk,
-      |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+      |    CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE) AS running_spend
       |  FROM orders) w
       |WHERE rnk <= 3 ORDER BY o_custkey, rnk""".stripMargin
 
@@ -226,10 +235,10 @@ object Relational {
       .orderBy(col("l_partkey"))
 
   val q11Sql: String =
-    """SELECT l_partkey, CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty,
+    """SELECT l_partkey, CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS qty,
       |       count(*) AS n_lines
       |FROM lineitem GROUP BY l_partkey
-      |HAVING CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 500.0
+      |HAVING CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) > 500.0
       |ORDER BY l_partkey""".stripMargin
 
   // ---- q12: conditional (CASE) aggregation (Q12 flavor) ----
@@ -294,7 +303,7 @@ object Relational {
       |   CAST(sum(CASE WHEN p_type = 'PROMO'
       |        THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
       |        ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS promo_revenue,
-      |   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS total_revenue
+      |   CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS VARCHAR) AS DOUBLE) AS total_revenue
       |  FROM lineitem, part
       |  WHERE l_partkey = p_partkey
       |    AND l_shipdate >= TIMESTAMP '1997-09-01' AND l_shipdate < TIMESTAMP '1997-10-01') x""".stripMargin
@@ -317,7 +326,7 @@ object Relational {
   val q15Sql: String =
     """WITH revenue AS (
       |  SELECT l_suppkey,
-      |   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS total_revenue
+      |   CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS VARCHAR) AS DOUBLE) AS total_revenue
       |  FROM lineitem
       |  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
       |  GROUP BY l_suppkey)
@@ -367,11 +376,11 @@ object Relational {
   }
 
   val q17Sql: String =
-    """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly
+    """SELECT CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) / 7.0 AS avg_yearly
       |FROM lineitem, part
       |WHERE p_partkey = l_partkey AND p_brand = 'Brand#23'
       |  AND l_quantity < 0.5 * (
-      |    SELECT CAST(sum(CAST(l2.l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+      |    SELECT CAST(CAST(sum(CAST(l2.l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) / count(*)
       |    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""".stripMargin
 
   // ---- q18: IN subquery over grouped HAVING (Q18 flavor) ----
@@ -393,11 +402,11 @@ object Relational {
   }
 
   val q18Sql: String =
-    """SELECT c_custkey, o_orderkey, CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+    """SELECT c_custkey, o_orderkey, CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS total_qty
       |FROM customer, orders, lineitem
       |WHERE o_orderkey IN (
       |    SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
-      |    HAVING CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 150.0)
+      |    HAVING CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) > 150.0)
       |  AND c_custkey = o_custkey AND o_orderkey = l_orderkey
       |GROUP BY c_custkey, o_orderkey
       |ORDER BY total_qty DESC, o_orderkey LIMIT 20""".stripMargin
@@ -419,7 +428,7 @@ object Relational {
 
   val q19Sql: String =
     """SELECT
-      | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+      | CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS VARCHAR) AS DOUBLE) AS revenue,
       | count(*) AS n_lines
       |FROM lineitem, part
       |WHERE l_partkey = p_partkey AND (
@@ -436,7 +445,7 @@ object Relational {
 
   val q20Sql: String =
     """SELECT l_returnflag, l_linestatus,
-      | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty, count(*) AS cnt
+      | CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS qty, count(*) AS cnt
       |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
       |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
 
@@ -449,7 +458,7 @@ object Relational {
 
   val q21Sql: String =
     """SELECT o_orderstatus, o_orderpriority,
-      | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total, count(*) AS cnt
+      | CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS total, count(*) AS cnt
       |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
       |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
 
@@ -511,12 +520,12 @@ object Relational {
 
   val q22Sql: String =
     """SELECT tail, count(*) AS numcust,
-      | CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+      | CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS totacctbal
       |FROM (
       |  SELECT c_custkey, c_acctbal, substring(c_name, length(c_name) - 1, 2) AS tail
       |  FROM customer
       |  WHERE c_acctbal > (
-      |      SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+      |      SELECT CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) / count(*)
       |      FROM customer WHERE c_acctbal > 0.0)
       |    AND c_name LIKE 'Customer%'
       |    AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F')) x

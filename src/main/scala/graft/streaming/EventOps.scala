@@ -21,7 +21,7 @@ object EventOps {
   val e1Sql: String =
     """SELECT date_trunc('hour', ts) AS window_start, event_type,
       |  count(*) AS n_events,
-      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |  CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
 
   // ---- e2: sliding 1h windows every 30min ----
@@ -38,7 +38,7 @@ object EventOps {
       |  SELECT date_trunc('hour', ts - INTERVAL 30 MINUTE) + INTERVAL 30 MINUTE,
       |         event_type, value FROM events)
       |SELECT window_start, event_type, count(*) AS n_events,
-      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |  CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_value
       |FROM assigned GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
 
   // ---- e3: 30-min-gap sessions per user (gaps-and-islands oracle) ----
@@ -68,7 +68,7 @@ object EventOps {
       |SELECT user_id, min(ts) AS session_start,
       |  max(ts) + INTERVAL 30 MINUTE AS session_end,
       |  count(*) AS n_events,
-      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |  CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_value
       |FROM islands GROUP BY user_id, session_id
       |ORDER BY user_id, session_start""".stripMargin
 

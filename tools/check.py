@@ -66,15 +66,28 @@ def main():
             results[name] = tbad; continue
         if len(spark_df) != len(duck_df):
             results[name] = f"ROWS spark={len(spark_df)} duck={len(duck_df)}"; continue
+        # Vectorized per-column compare with the same semantics as
+        # cmp_vals (exact float equality, NaN==NaN, str() otherwise):
+        # the per-cell iloc loop was O(rows*cols) python — a full sf1
+        # sweep spent dozens of CPU-minutes in it.
         bad = None
-        for i in range(len(spark_df)):
-            for c in spark_df.columns:
-                a, b = spark_df.iloc[i][c], duck_df.iloc[i][c]
-                if not cmp_vals(a, b):
-                    bad = f"VAL row{i} col {c}: spark={a!r} duck={b!r}"
+        for c in spark_df.columns:
+            a, b = spark_df[c], duck_df[c]
+            if len(a) == 0: continue
+            if a.dtype.kind == "f" or b.dtype.kind == "f":
+                eq = (a.astype(float).values == b.astype(float).values) \
+                    | (a.isna().values & b.isna().values)
+            else:
+                eq = (a.astype(str).values == b.astype(str).values) \
+                    | (a.isna().values & b.isna().values)
+            if not eq.all():
+                i = int((~eq).argmax())
+                av, bv = spark_df.iloc[i][c], duck_df.iloc[i][c]
+                if not cmp_vals(av, bv):  # confirm via the reference rule
+                    bad = f"VAL row{i} col {c}: spark={av!r} duck={bv!r}"
                     break
-            if bad: break
         results[name] = bad or f"OK ({len(spark_df)} rows)"
+        print("done " + name + ": " + results[name], file=sys.stderr, flush=True)
     n_ok = sum(1 for v in results.values() if v.startswith("OK"))
     for k, v in sorted(results.items()):
         print(("PASS " if v.startswith("OK") else "FAIL ") + k + ": " + v)
