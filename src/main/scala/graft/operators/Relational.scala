@@ -583,8 +583,113 @@ object Relational {
       |  count(*) AS cnt
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // ---- q27: lead/lag — inter-order gaps per customer ----
+  // The offset-window family (lag/lead) q7's rank/frame windows don't
+  // cover: per customer ordered by (date, key), days since the
+  // previous order and until the next. One shuffle on o_custkey (a
+  // grow-with-data key), no frame state — offset windows are O(1) per
+  // row. Gap arithmetic is integer day counts (exact on both engines).
+  def q27LeadLag(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    t(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+        datediff(col("o_orderdate"), lag(col("o_orderdate"), 1).over(w))
+          .as("gap_days"),
+        datediff(lead(col("o_orderdate"), 1).over(w), col("o_orderdate"))
+          .as("next_gap_days"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  val q27Sql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+      |  CAST(date_diff('day',
+      |    lag(o_orderdate, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+      |    o_orderdate) AS INTEGER) AS gap_days,
+      |  CAST(date_diff('day', o_orderdate,
+      |    lead(o_orderdate, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)) AS INTEGER) AS next_gap_days
+      |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  // ---- q28: frame-bounded moving aggregates (trailing 3 orders) ----
+  // Bounded ROWS frames — q7's running sum is unbounded-preceding;
+  // here the frame is the last 3 rows, so window state is O(frame) per
+  // partition. Moving sum is an exact decimal; the moving average
+  // divides that decimal's double by the frame row count (single IEEE
+  // division — deterministic across engines).
+  def q28MovingFrames(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(-2, Window.currentRow)
+    t(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        sum(dec(col("o_totalprice"))).over(w).cast("double").as("mov_sum"),
+        (sum(dec(col("o_totalprice"))).over(w).cast("double")
+          / count(lit(1)).over(w)).as("mov_avg"),
+        max(col("o_totalprice").cast("double")).over(w).as("mov_max"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  val q28Sql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS VARCHAR) AS DOUBLE) AS mov_sum,
+      |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS VARCHAR) AS DOUBLE)
+      |    / count(*) OVER w AS mov_avg,
+      |  max(CAST(o_totalprice AS DOUBLE)) OVER w AS mov_max
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  // ---- q29: ntile quartiles + first_value per partition ----
+  // Distribution windows: ntile(4) buckets each order within its
+  // priority class by price (ties broken by o_orderkey, so bucket
+  // assignment is a pure function of the sort — deterministic), and
+  // first_value pins the top order key per class. Output is the
+  // quartile summary (bounded by |priorities| × 4 rows at any scale);
+  // the window shuffles on o_orderpriority — a fixed-cardinality
+  // partition key, fine HERE because ntile is a distribution over the
+  // whole class by definition; for grow-with-data variants see t6's
+  // sharded two-phase pattern.
+  def q29Ntile(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byPrice = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t(spark, dir, "orders")
+      .select(col("o_orderpriority"),
+        col("o_totalprice").cast("double").as("price"),
+        ntile(4).over(byPrice).as("quartile"),
+        first(col("o_orderkey")).over(byPrice).as("top_order"))
+      .groupBy(col("o_orderpriority"), col("quartile"))
+      .agg(count(lit(1)).as("n_orders"),
+        min(col("price")).as("min_price"),
+        max(col("price")).as("max_price"),
+        min(col("top_order")).as("top_order"))
+      .orderBy(col("o_orderpriority"), col("quartile"))
+  }
+
+  val q29Sql: String =
+    """WITH q AS (
+      |  SELECT o_orderpriority, CAST(o_totalprice AS DOUBLE) AS price,
+      |    ntile(4) OVER (PARTITION BY o_orderpriority
+      |                   ORDER BY o_totalprice DESC, o_orderkey) AS quartile,
+      |    first_value(o_orderkey) OVER (PARTITION BY o_orderpriority
+      |                   ORDER BY o_totalprice DESC, o_orderkey) AS top_order
+      |  FROM orders)
+      |SELECT o_orderpriority, quartile, count(*) AS n_orders,
+      |  min(price) AS min_price, max(price) AS max_price,
+      |  min(top_order) AS top_order
+      |FROM q GROUP BY o_orderpriority, quartile
+      |ORDER BY o_orderpriority, quartile""".stripMargin
+
   /** queries-map fragment: name → builder */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q27_lead_lag" -> (q27LeadLag _),
+    "q28_moving_frames" -> (q28MovingFrames _),
+    "q29_ntile" -> (q29Ntile _),
     "q23_kmv_sketch" -> (q23KmvSketch _),
     "q24_percentile" -> (q24Percentile _),
     "q1_agg" -> (q1Agg _),
@@ -614,6 +719,9 @@ object Relational {
 
   /** oracle-map fragment: name → DuckDB SQL */
   val oracles: Map[String, String] = Map(
+    "q27_lead_lag" -> q27Sql,
+    "q28_moving_frames" -> q28Sql,
+    "q29_ntile" -> q29Sql,
     "q23_kmv_sketch" -> q23Sql,
     "q24_percentile" -> q24Sql,
     "q1_agg" -> q1Sql,

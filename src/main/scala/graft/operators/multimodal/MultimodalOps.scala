@@ -136,12 +136,62 @@ object MultimodalOps {
        |  md5(substring(text, CAST(frame_idx * $FrameLen + 1 AS INTEGER), $FrameLen)) AS frame_md5
        |FROM frames ORDER BY doc_id, frame_idx""".stripMargin
 
+  // ---- m4: resize (block-average downsample) over the payload ----
+  // The resize step of an image pipeline, on the 1-D byte payload: a
+  // 4:1 block-average (each output unit = integer mean of 4 input
+  // bytes — the box filter a real resize kernel generalizes), then a
+  // polynomial fingerprint of the resized signal. Fully columnar —
+  // one narrow codegen'd scan, sequence/transform/aggregate over byte
+  // offsets, zero shuffle; swap the ascii-block mean for a pixel-block
+  // kernel over decoded rows and the plan is unchanged. Text payloads
+  // are ASCII (m2/m3's contract), so character offsets = byte offsets
+  // on both engines; all arithmetic is integer → bit-exact.
+  private val ResizeFactor = 4
+
+  def m4Resize(spark: SparkSession, dir: String): DataFrame = {
+    val f = ResizeFactor
+    val blockMean = (0 until f)
+      .map(o => s"ascii(substring(text, cast(b * $f + $o + 1 as int), 1))")
+      .mkString("(", " + ", s") DIV $f")
+    withBlob(spark, dir)
+      .withColumn("n_out", floor(octet_length(col("payload")) / f).cast("long"))
+      .filter(col("n_out") >= 1)
+      .select(col("doc_id"), col("n_out"),
+        expr(s"""aggregate(
+                |  transform(sequence(0, cast(n_out - 1 as int)), b -> $blockMean),
+                |  cast(0 as bigint),
+                |  (acc, x) -> (acc*1000003 + x) % 2147483647)""".stripMargin)
+          .as("resized_fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  val m4Sql: String = {
+    val f = ResizeFactor
+    val blockMean = (0 until f)
+      .map(o => s"ascii(substr(text, b * $f + $o + 1, 1))")
+      .mkString("(", " + ", s") // $f")
+    s"""WITH sized AS (
+       |  SELECT doc_id, text,
+       |    CAST(floor(octet_length(CAST(text AS BLOB)) / $f) AS BIGINT) AS n_out
+       |  FROM documents
+       |  WHERE octet_length(CAST(text AS BLOB)) >= $f)
+       |SELECT doc_id, n_out,
+       |  list_reduce(
+       |    list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(generate_series(0, CAST(n_out - 1 AS INTEGER)),
+       |                     b -> CAST($blockMean AS BIGINT))),
+       |    (acc, x) -> (acc*1000003 + x) % 2147483647) AS resized_fp
+       |FROM sized ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m4_resize" -> (m4Resize _),
     "m1_blob_stats" -> (m1BlobStats _),
     "m2_feature_extract" -> (m2FeatureExtract _),
     "m3_frame_sample" -> (m3FrameSample _))
 
   val oracles: Map[String, String] = Map(
+    "m4_resize" -> m4Sql,
     "m1_blob_stats" -> m1Sql,
     "m2_feature_extract" -> m2Sql,
     "m3_frame_sample" -> m3Sql)

@@ -440,7 +440,67 @@ object SimilarityOps {
        |SELECT query_id, neighbor_id, cosine, rank FROM r
        |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
 
+  // ---- s8: ANN recall evaluation — s2's LSH vs s1's exact top-k ----
+  // The quality gauge every approximate index needs next to its speed
+  // number: per query, how many of the exact top-K did the LSH probe
+  // recover? Composes the two gated operators as-is — the exact side
+  // is the (tiny) per-query top-K, so the join is K·|queries| rows on
+  // both sides regardless of corpus size; recall divides two small
+  // exact counts in one IEEE op. This is how the BandBits/Bands knobs
+  // get tuned at scale: recall from s8, cost from the bench.
+  def s8RecallEval(spark: SparkSession, dir: String): DataFrame = {
+    val exact = s1KnnBrute(spark, dir)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = s2KnnLsh(spark, dir)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+    exact.join(approx, Seq("query_id", "neighbor_id"), "left_outer")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_exact"),
+        coalesce(sum(col("hit")), lit(0L)).as("n_hit"))
+      .withColumn("recall", col("n_hit").cast("double") / col("n_exact"))
+      .orderBy(col("query_id"))
+  }
+
+  // Oracle: s1's pair/rank CTEs and s2's candidate/rank CTEs chained
+  // off the shared band CTEs, joined exactly like the Spark plan.
+  val s8Sql: String =
+    s"""WITH ${VectorExprs.bandCtes},
+       |xpairs AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    ${VectorExprs.duckDot("q.vd", "c.vd")}
+       |      / (sqrt(q.n2) * sqrt(c.n2)) AS cosine
+       |  FROM eb q, eb c
+       |  WHERE q.vec_id < 10 AND q.vec_id != c.vec_id),
+       |exact AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cosine DESC, neighbor_id) AS rank FROM xpairs) x
+       |  WHERE rank <= $K),
+       |cand AS (
+       |  SELECT DISTINCT q.vec_id AS qid, c.vec_id AS cid
+       |  FROM capped q JOIN capped c
+       |    ON q.band = c.band AND q.bkey = c.bkey AND q.vec_id != c.vec_id
+       |  WHERE q.vec_id < 10),
+       |apairs AS (
+       |  SELECT d.qid AS query_id, d.cid AS neighbor_id,
+       |    ${VectorExprs.duckDot("q.vd", "c.vd")}
+       |      / (sqrt(q.n2) * sqrt(c.n2)) AS cosine
+       |  FROM cand d JOIN eb q ON d.qid = q.vec_id JOIN eb c ON d.cid = c.vec_id),
+       |approx AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cosine DESC, neighbor_id) AS rank FROM apairs) x
+       |  WHERE rank <= $K)
+       |SELECT e.query_id, count(*) AS n_exact,
+       |  CAST(coalesce(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 END), 0) AS BIGINT) AS n_hit,
+       |  CAST(coalesce(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 END), 0) AS DOUBLE)
+       |    / count(*) AS recall
+       |FROM exact e LEFT JOIN approx a
+       |  ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+       |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s8_recall_eval" -> (s8RecallEval _),
     "s1_knn_brute" -> (s1KnnBrute _),
     "s2_knn_lsh" -> (s2KnnLsh _),
     "s3_pairwise_topk" -> (s3PairwiseTopk _),
@@ -450,6 +510,7 @@ object SimilarityOps {
     "s7_ivf_trained" -> (s7IvfTrained _))
 
   val oracles: Map[String, String] = Map(
+    "s8_recall_eval" -> s8Sql,
     "s1_knn_brute" -> s1Sql,
     "s2_knn_lsh" -> s2Sql,
     "s3_pairwise_topk" -> s3Sql,

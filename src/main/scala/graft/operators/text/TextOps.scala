@@ -349,7 +349,58 @@ object TextOps {
        |  count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS bin_tokens
        |FROM c GROUP BY source, bin ORDER BY source, bin""".stripMargin
 
+  // ---- t10: per-document top-k TF-IDF terms ----
+  // The keyword-extraction pass of a corpus pipeline: term frequency
+  // per (doc, word), document frequency per word, score = tf·N/df.
+  // The idf factor is the exact rational N/df folded into ONE double
+  // division (CAST(tf·N AS DOUBLE)/df — a single correctly-rounded
+  // IEEE op on both engines) instead of log(N/df): same ranking
+  // (log is monotone), none of libm's cross-engine drift.
+  // Plan at scale: explode → (doc_id, word) counts (map-side
+  // combined), df = one more aggregate over the distinct pairs, join
+  // back on word (vocabulary-keyed — Zipf-bounded, far below corpus
+  // row count), then the top-k window partitioned by doc_id — a
+  // grow-with-data key with per-doc row count bounded by doc length.
+  private val TfIdfK = 3
+
+  def t10Tfidf(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = docs(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+    val tf = words.groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val n = docs(spark, dir).agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("word"))
+    tf.join(df, Seq("word"))
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        (col("tf") * col("n_docs")).cast("double") / col("df"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TfIdfK)
+      .select(col("doc_id"), col("word"), col("tf"), col("df"),
+        col("score"), col("rank"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
+  val t10Sql: String =
+    s"""WITH words AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+       |tf AS (SELECT doc_id, word, count(*) AS tf FROM words GROUP BY doc_id, word),
+       |df AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+       |n AS (SELECT count(*) AS n_docs FROM documents),
+       |scored AS (
+       |  SELECT tf.doc_id, tf.word, tf.tf, df.df,
+       |    CAST(tf.tf * n.n_docs AS DOUBLE) / df.df AS score
+       |  FROM tf JOIN df USING (word) CROSS JOIN n),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+       |        ORDER BY score DESC, word) AS rank FROM scored)
+       |SELECT doc_id, word, tf, df, score, CAST(rank AS INTEGER) AS rank
+       |FROM r WHERE rank <= $TfIdfK ORDER BY doc_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t10_tfidf" -> (t10Tfidf _),
     "t1_lang_id" -> (t1LangId _),
     "t2_quality" -> (t2Quality _),
     "t3_tokens" -> (t3Tokens _),
@@ -361,6 +412,7 @@ object TextOps {
     "t9_curation_pipeline" -> (t9CurationPipeline _))
 
   val oracles: Map[String, String] = Map(
+    "t10_tfidf" -> t10Sql,
     "t1_lang_id" -> t1Sql,
     "t2_quality" -> t2Sql,
     "t3_tokens" -> t3Sql,

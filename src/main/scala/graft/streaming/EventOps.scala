@@ -194,7 +194,63 @@ object EventOps {
       |         - epoch_us(CAST(view_ts AS TIMESTAMP))) AS BIGINT) AS delay_us_total
       |FROM c""".stripMargin
 
+  // ---- e9: weekly cohort retention ----
+  // The batch-analytics staple over event streams: users are grouped
+  // into cohorts by their first-seen week; retention[k] = how many of
+  // a cohort were active k weeks later. Plan shape at any scale:
+  //  1. first-seen per user — one map-side-combined aggregate;
+  //  2. activity join — events ⋈ cohorts co-partitioned on user_id
+  //     (the same key both sides just shuffled on);
+  //  3. distinct (cohort, week_n, user) then the count aggregate —
+  //     both map-side combined.
+  // Week arithmetic: both engines truncate to Monday (ISO), so the
+  // day difference is a multiple of 7 and week_n = days DIV 7 is
+  // exact; retention divides two exact longs in double (one IEEE op).
+  def e9CohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val cohorts = ev.groupBy(col("user_id"))
+      .agg(date_trunc("week", min(col("ts"))).as("cohort_week"))
+    val sizes = cohorts.groupBy(col("cohort_week"))
+      .agg(count(lit(1)).as("cohort_size"))
+    val active = ev
+      .select(col("user_id"), date_trunc("week", col("ts")).as("act_week"))
+      .join(cohorts, Seq("user_id"))
+      .select(col("cohort_week"),
+        expr("CAST(datediff(act_week, cohort_week) DIV 7 AS BIGINT)").as("week_n"),
+        col("user_id"))
+      .distinct()
+      .groupBy(col("cohort_week"), col("week_n"))
+      .agg(count(lit(1)).as("n_active"))
+    active.join(broadcast(sizes), Seq("cohort_week"))
+      .select(
+        date_format(col("cohort_week"), "yyyy-MM-dd").as("cohort_week"),
+        col("week_n"), col("n_active"), col("cohort_size"),
+        (col("n_active").cast("double") / col("cohort_size")).as("retention"))
+      .orderBy(col("cohort_week"), col("week_n"))
+  }
+
+  val e9Sql: String =
+    """WITH cohorts AS (
+      |  SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+      |  FROM events GROUP BY user_id),
+      |sizes AS (
+      |  SELECT cohort_week, count(*) AS cohort_size FROM cohorts GROUP BY cohort_week),
+      |active AS (
+      |  SELECT DISTINCT c.cohort_week,
+      |    date_diff('day', c.cohort_week, date_trunc('week', e.ts)) // 7 AS week_n,
+      |    e.user_id
+      |  FROM events e JOIN cohorts c USING (user_id)),
+      |counts AS (
+      |  SELECT cohort_week, week_n, count(*) AS n_active
+      |  FROM active GROUP BY cohort_week, week_n)
+      |SELECT strftime(a.cohort_week, '%Y-%m-%d') AS cohort_week,
+      |  CAST(a.week_n AS BIGINT) AS week_n, a.n_active, s.cohort_size,
+      |  CAST(a.n_active AS DOUBLE) / s.cohort_size AS retention
+      |FROM counts a JOIN sizes s USING (cohort_week)
+      |ORDER BY cohort_week, week_n""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e9_cohort_retention" -> (e9CohortRetention _),
     "e1_tumbling_agg" -> (e1TumblingAgg _),
     "e2_sliding_agg" -> (e2SlidingAgg _),
     "e3_sessionize" -> (e3Sessionize _),
@@ -205,6 +261,7 @@ object EventOps {
     "e8_funnel" -> (e8Funnel _))
 
   val oracles: Map[String, String] = Map(
+    "e9_cohort_retention" -> e9Sql,
     "e1_tumbling_agg" -> e1Sql,
     "e2_sliding_agg" -> e2Sql,
     "e3_sessionize" -> e3Sql,
