@@ -286,6 +286,49 @@ object GraphOps {
   def g5Pagerank(spark: SparkSession, dir: String): DataFrame =
     pagerank(spark, dir).orderBy(col("node_id"))
 
+  /** PageRank until max |Δrank| ≤ relPpm·max(rank)/10⁶ — the
+    * RELATIVE-tolerance stop rule. [[pagerankUntilDelta]]'s absolute
+    * `tolMicros` is the right knob only at one graph scale: the sf10
+    * scale trail showed hub ranks (and so hub deltas) grow with
+    * degree skew, so a fixed absolute tolerance runs ever more rounds
+    * on bigger graphs chasing deltas that are already proportionally
+    * tiny. Anchoring the tolerance to the vector's own max rank makes
+    * the stop rule scale-free: the loop runs the same number of
+    * rounds whatever the rank scale, because both sides of the
+    * comparison grow together. All-integer comparison
+    * (Δ·10⁶ ≤ relPpm·maxRank — no division, no floats), fused into
+    * the same per-round checkpoint job as the absolute loop: the
+    * round materializes (rank, Δ) once, and the stop check scans the
+    * cached V rows for the two maxima. */
+  def pagerankUntilRelDelta(spark: SparkSession, dir: String,
+      relPpm: Long, maxIters: Int = 200, minIters: Int = 1): (DataFrame, Int) = {
+    var r = uniformRanks(spark, dir).localCheckpoint(true)
+    var it = 0
+    var done = false
+    while (it < maxIters && !done) {
+      val stepped = pagerankFrom(spark, dir, r, 1)
+      if (it + 1 < minIters) {
+        r = stepped.localCheckpoint(true)
+        it += 1
+      } else {
+        val nd = stepped
+          .join(r.select(col("node_id"), col("rank").as("prev")), "node_id")
+          .select(col("node_id"), col("rank"),
+            abs(col("rank") - col("prev")).as("delta"))
+          .localCheckpoint(true)
+        val row = nd.agg(coalesce(max(col("delta")), lit(0L)),
+          coalesce(max(col("rank")), lit(0L))).collect()(0)
+        val (mxDelta, mxRank) = (row.getLong(0), row.getLong(1))
+        it += 1
+        done = mxDelta * 1000000L <= relPpm * mxRank
+        r = nd.select(col("node_id"), col("rank"))
+      }
+    }
+    if (!done) throw new IllegalStateException(
+      s"pagerank did not reach relative |delta| <= $relPpm ppm within $maxIters rounds")
+    (r, it)
+  }
+
   // ---- g12: tolerance-mode PageRank, driver-gated ----
   // The reference's run-until-budget loop (Runner.java:31) on the
   // board: iterate until max |Δrank| ≤ tol. Integer arithmetic is
@@ -299,6 +342,20 @@ object GraphOps {
 
   def g12PagerankConverged(spark: SparkSession, dir: String): DataFrame =
     pagerankUntilDelta(spark, dir, tolMicros = G12Tol, minIters = 4)
+      ._1.orderBy(col("node_id"))
+
+  // ---- g14: RELATIVE-tolerance PageRank, driver-gated ----
+  // The scale-free stop rule on the board: iterate until
+  // max |Δ|·10⁶ ≤ relPpm·max(rank). Probed round counts are nearly
+  // scale-invariant (14 at sf0.001, 14 at sf0.01, 10 at sf0.1 — vs
+  // the absolute rule's count growing with graph scale), which is the
+  // property that makes this the production knob at 100 TB: no
+  // re-tuning per corpus. Oracle = the same scale-adaptive machinery
+  // as g12, with the per-round max rank joined into the stop rule.
+  private val G14RelPpm = 200000L
+
+  def g14PagerankRelConverged(spark: SparkSession, dir: String): DataFrame =
+    pagerankUntilRelDelta(spark, dir, relPpm = G14RelPpm, minIters = 4)
       ._1.orderBy(col("node_id"))
 
   // ---- g13: personalized PageRank (teleport to a source set) ----
@@ -433,6 +490,32 @@ object GraphOps {
        |ds AS MATERIALIZED ($deltas),
        |kstop AS (SELECT coalesce(
        |  min(CASE WHEN t >= $G12MinIters AND mx <= $G12Tol THEN t END),
+       |  $G12UnrollRounds) AS k FROM ds),
+       |allr AS ($tagged)
+       |SELECT node AS node_id, r AS rank FROM allr
+       |WHERE t = (SELECT k FROM kstop) ORDER BY node_id""".stripMargin
+  }
+
+  // The g14 oracle mirrors g12's scale-adaptive form: unroll 24
+  // MATERIALIZED rounds, compute every round's max |Δ| AND max rank,
+  // select the vector at the FIRST round satisfying the RELATIVE stop
+  // rule (t ≥ minIters AND Δ·10⁶ ≤ relPpm·maxRank) — exact at every
+  // test scale because the oracle re-derives the round count from the
+  // same rule the loop runs.
+  val g14Sql: String = {
+    val rounds = prSqlCtesN(G12UnrollRounds, materialized = true)
+    val deltas = (1 to G12UnrollRounds).map(t =>
+      s"""SELECT $t AS t,
+         | (SELECT max(abs(a.r - b.r)) FROM r$t a JOIN r${t - 1} b USING (node)) AS mx,
+         | (SELECT max(r) FROM r$t) AS mxr""".stripMargin)
+      .mkString(" UNION ALL ")
+    val tagged = (1 to G12UnrollRounds).map(t =>
+      s"SELECT $t AS t, node, r FROM r$t").mkString(" UNION ALL ")
+    s"""WITH ${GraphTables.symSqlCtes.replace("sym AS (", "sym AS MATERIALIZED (")},
+       |$rounds,
+       |ds AS MATERIALIZED ($deltas),
+       |kstop AS (SELECT coalesce(
+       |  min(CASE WHEN t >= $G12MinIters AND mx * 1000000 <= $G14RelPpm * mxr THEN t END),
        |  $G12UnrollRounds) AS k FROM ds),
        |allr AS ($tagged)
        |SELECT node AS node_id, r AS rank FROM allr
@@ -824,6 +907,7 @@ object GraphOps {
     "g11_components_converged" -> (g11ComponentsConverged _),
     "g12_pagerank_converged" -> (g12PagerankConverged _),
     "g13_personalized_pagerank" -> (g13PersonalizedPagerank _),
+    "g14_pagerank_rel_converged" -> (g14PagerankRelConverged _),
     "g1_degree" -> (g1Degree _),
     "g2_degree_distribution" -> (g2DegreeDistribution _),
     "g3_top_visited" -> (g3TopVisited _),
@@ -839,6 +923,7 @@ object GraphOps {
     "g11_components_converged" -> g11Sql,
     "g12_pagerank_converged" -> g12Sql,
     "g13_personalized_pagerank" -> g13Sql,
+    "g14_pagerank_rel_converged" -> g14Sql,
     "g1_degree" -> g1Sql,
     "g2_degree_distribution" -> g2Sql,
     "g3_top_visited" -> g3Sql,
