@@ -58,9 +58,18 @@ object Bench {
     // Fix: the PRINTED line carries 2-decimal times (10 ms resolution —
     // sf0.1 queries are 0.1-11 s) and totals only for warm-ups; the
     // full-precision per-entry detail goes to bench_detail.json.
+    // The printed line also shortens query keys to their unique prefix
+    // ("q27_lead_lag" → "q27" — every operator id is unique before the
+    // first underscore): at 84 queries the full-name map alone is
+    // ~2000 chars, so names live in bench_detail.json and the wire
+    // line stays a fraction of the tail budget.
     def r2(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
-    def obj(entries: Seq[(String, Double, Boolean)], f: Double => String): String =
-      entries.map { case (k, v, _) => "\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
+    def short(k: String): String = k.takeWhile(_ != '_')
+    def obj(entries: Seq[(String, Double, Boolean)], f: Double => String,
+        key: String => String = identity): String =
+      entries.map { case (k, v, _) => "\"" + key(k) + "\":" + f(v) }.mkString("{", ",", "}")
+    require(results.map(p => short(p._1)).distinct.size == results.size,
+      "query-id prefixes must stay unique — a colliding name would merge two bench entries")
     val warmTotal = warm.map(_._2).sum
     val queryTotal = results.map(_._2).sum
     val failed = (warm ++ results).collect { case (k, _, false) => "\"" + k + "\"" }
@@ -73,7 +82,7 @@ object Bench {
       detail.getBytes("UTF-8"))
     val line = s"""{"metric":"total","value":${r2(warmTotal + queryTotal)},"unit":"sec",""" +
       s""""warmup_total":${r2(warmTotal)},"query_total":${r2(queryTotal)},""" +
-      s""""queries":${obj(results, r2)},"failed":$failed,"sf":"$sfDir"}"""
+      s""""queries":${obj(results, r2, short)},"failed":$failed,"sf":"$sfDir"}"""
     require(line.length <= 1900,
       s"bench line ${line.length} chars — exceeds the driver's tail-capture budget")
     println(line)

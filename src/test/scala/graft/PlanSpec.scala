@@ -156,6 +156,50 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "second g13 call must reuse the DfCache'd rank vector")
   }
 
+  test("q27/q28: offset and frame windows share ONE exchange+sort on the customer key") {
+    // lag, lead (q27) and the three frame aggregates (q28) all use the
+    // same (partition, order) spec — Spark must evaluate each query's
+    // windows in a single Window operator over a single shuffle; a
+    // second non-reused exchange means the specs diverged
+    for (q <- Seq("q27_lead_lag", "q28_moving_frames")) {
+      // AQE's toString appends the pre-adaptive "Initial Plan" section
+      // — count operators in the final plan only
+      val plan = planOf(SparkEntry.queries(q)(spark, dir))
+        .split("== Initial Plan ==")(0)
+      val windows = "Window \\[".r.findAllIn(plan).length
+      assert(windows == 1, s"$q: expected one fused Window operator, got $windows")
+      val exchanges = plan.linesIterator.count(l =>
+        l.contains("Exchange hashpartitioning") && !l.contains("ReusedExchange"))
+      assert(exchanges == 1, s"$q: expected one hash exchange, got $exchanges")
+    }
+  }
+
+  test("t10: tf-idf windows partition by doc_id and the doc count broadcasts") {
+    val plan = planOf(SparkEntry.queries("t10_tfidf")(spark, dir))
+    val specs = plan.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(specs.nonEmpty)
+    specs.foreach(l => assert(l.contains("doc_id"),
+      s"top-k window must partition by the grow-with-data doc_id: $l"))
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      "the corpus-size scalar must broadcast")
+    assert("HashAggregate".r.findAllIn(plan).length >= 4,
+      "tf and df aggregates must both map-side combine")
+  }
+
+  test("s8: recall join joins two K-row sides — no corpus-sized shuffle, no cross join") {
+    val plan = planOf(SparkEntry.queries("s8_recall_eval")(spark, dir))
+    assert(!plan.contains("CartesianProduct"), "no cross join in the evaluator")
+    assert(plan.contains("ObjectHashAggregate"),
+      "both inputs keep the bounded top-k aggregate shape")
+  }
+
+  test("m4: resize is one narrow scan — no shuffle at all") {
+    val plan = planOf(SparkEntry.queries("m4_resize")(spark, dir))
+    assert(!plan.contains("Exchange hashpartitioning"),
+      "block-average resize must not shuffle")
+    assert(plan.contains("*("), "resize arithmetic must stay in codegen")
+  }
+
   test("g4: walk hop is a map-side-combined transition-table aggregate") {
     val plan = planOf(SparkEntry.queries("g4_walk_visits")(spark, dir))
     assert(plan.contains("partial_min"),
