@@ -32,7 +32,9 @@ object Bench {
       "emb_bands" -> ((s, d) => graft.operators.vector.VectorExprs.embBands(s, d)),
       "emb_quantized" -> ((s, d) => graft.operators.similarity.SimilarityOps.embQuantized(s, d)),
       "ivf_codebook" -> ((s, d) => graft.operators.similarity.SimilarityOps.ivfCodebook(s, d)),
-      "graph_ppr_tag5" -> ((s, d) => graft.operators.graph.GraphOps.g13PersonalizedPagerank(s, d)))
+      "graph_ppr_tag5" -> ((s, d) => graft.operators.graph.GraphOps.g13PersonalizedPagerank(s, d)),
+      "graph_wedges" -> ((s, d) => graft.operators.graph.GraphTables.weightedEdges(s, d)),
+      "graph_wpr" -> ((s, d) => graft.operators.graph.GraphOps.g15WeightedPagerank(s, d)))
 
     def timed(fn: => Long): (Double, Boolean) = {
       val t0 = System.nanoTime()

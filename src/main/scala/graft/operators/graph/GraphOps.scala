@@ -344,6 +344,50 @@ object GraphOps {
     pagerankUntilDelta(spark, dir, tolMicros = G12Tol, minIters = 4)
       ._1.orderBy(col("node_id"))
 
+  // ---- g15: WEIGHTED PageRank over edge multiplicities ----
+  // The weighted random surfer: each neighbor receives rank in
+  // proportion to its edge weight (contrib = r·w DIV wsum per edge —
+  // integer floor, exact on both engines) instead of the uniform
+  // 1/deg split. Weights are the edge multiplicities the distinct
+  // edge list collapses ([[GraphTables.weightedEdges]]): co-purchase
+  // intensity, not mere adjacency. Same loop mechanics as g5 — the
+  // (edge, weight, weight-sum) table is loop-invariant, cached,
+  // src-partitioned; each round shuffles only the V-row vector.
+  /** `iters` weighted rounds from `start` over any (src, dst, w,
+    * wsum) edge table — callers can bring their own weights. */
+  def weightedPagerankFrom(wed: DataFrame, start: DataFrame, iters: Int): DataFrame = {
+    var r = start.select(col("node_id").as("node"), col("rank").as("r"))
+    for (_ <- 1 to iters) {
+      r = wed
+        .join(r, col("src") === col("node"))
+        .select(col("dst"), expr("(r * w) DIV wsum").as("contrib"))
+        .groupBy(col("dst").as("node"))
+        .agg((lit(150000L) + expr("85 * sum(contrib) DIV 100")).as("r"))
+    }
+    r.select(col("node").as("node_id"), col("r").as("rank"))
+  }
+
+  def g15WeightedPagerank(spark: SparkSession, dir: String): DataFrame =
+    graft.util.DfCache.cached(spark, dir, "graph_wpr_3") {
+      val wed = GraphTables.weightedEdges(spark, dir)
+      val start = wed.select(col("src").as("node_id")).distinct()
+        .select(col("node_id"), lit(1000000L).as("rank"))
+      weightedPagerankFrom(wed, start, 3)
+    }.orderBy(col("node_id"))
+
+  val g15Sql: String = {
+    def iter(t: Int, prev: String) =
+      s"""w$t AS (
+         |  SELECT e.dst AS node,
+         |    CAST(150000 + (85 * CAST(sum((p.r * e.w) // g.wsum) AS BIGINT)) // 100 AS BIGINT) AS r
+         |  FROM wed e JOIN wdeg g ON e.src = g.wnode JOIN $prev p ON e.src = p.node
+         |  GROUP BY e.dst)""".stripMargin
+    s"""WITH ${GraphTables.wedgeSqlCtes.replace("wed AS (", "wed AS MATERIALIZED (")},
+       |w0 AS (SELECT wnode AS node, CAST(1000000 AS BIGINT) AS r FROM wdeg),
+       |${(1 to 3).map(t => iter(t, s"w${t - 1}")).mkString(",\n")}
+       |SELECT node AS node_id, r AS rank FROM w3 ORDER BY node_id""".stripMargin
+  }
+
   // ---- g14: RELATIVE-tolerance PageRank, driver-gated ----
   // The scale-free stop rule on the board: iterate until
   // max |Δ|·10⁶ ≤ relPpm·max(rank). Probed round counts are nearly
@@ -908,6 +952,7 @@ object GraphOps {
     "g12_pagerank_converged" -> (g12PagerankConverged _),
     "g13_personalized_pagerank" -> (g13PersonalizedPagerank _),
     "g14_pagerank_rel_converged" -> (g14PagerankRelConverged _),
+    "g15_weighted_pagerank" -> (g15WeightedPagerank _),
     "g1_degree" -> (g1Degree _),
     "g2_degree_distribution" -> (g2DegreeDistribution _),
     "g3_top_visited" -> (g3TopVisited _),
@@ -924,6 +969,7 @@ object GraphOps {
     "g12_pagerank_converged" -> g12Sql,
     "g13_personalized_pagerank" -> g13Sql,
     "g14_pagerank_rel_converged" -> g14Sql,
+    "g15_weighted_pagerank" -> g15Sql,
     "g1_degree" -> g1Sql,
     "g2_degree_distribution" -> g2Sql,
     "g3_top_visited" -> g3Sql,

@@ -64,6 +64,48 @@ object GraphTables {
     * traversal stages co-located on it (the reference's preloaded
     * relationship cache, Preloader.java:16, re-expressed as a stable
     * partitioning). */
+  /** DuckDB CTE text equivalent of [[weightedEdges]]. */
+  val wedgeSqlCtes: String =
+    """wbase AS (
+      |  SELECT CAST(o_custkey*8+0 AS BIGINT) AS src, CAST(o_orderkey*8+1 AS BIGINT) AS dst FROM orders
+      |  UNION ALL SELECT CAST(l_orderkey*8+1 AS BIGINT), CAST(l_partkey*8+2 AS BIGINT) FROM lineitem
+      |  UNION ALL SELECT CAST(l_partkey*8+2 AS BIGINT), CAST(l_suppkey*8+3 AS BIGINT) FROM lineitem
+      |  UNION ALL SELECT CAST(c_custkey*8+0 AS BIGINT), CAST(c_nationkey*8+4 AS BIGINT) FROM customer
+      |  UNION ALL SELECT CAST(s_suppkey*8+3 AS BIGINT), CAST(s_nationkey*8+4 AS BIGINT) FROM supplier
+      |  UNION ALL SELECT CAST(n_nationkey*8+4 AS BIGINT), CAST(n_regionkey*8+5 AS BIGINT) FROM nation),
+      |wboth AS (SELECT src, dst FROM wbase UNION ALL SELECT dst, src FROM wbase),
+      |wed AS (SELECT src, dst, count(*) AS w FROM wboth GROUP BY src, dst),
+      |wdeg AS (SELECT src AS wnode, CAST(sum(w) AS BIGINT) AS wsum FROM wed GROUP BY src)""".stripMargin
+
+  /** Edge MULTIPLICITIES as weights: the duplication [[sym]] dedups
+    * away (each (part, supplier) pair recurs once per lineitem, each
+    * (order, part) once per line) is a genuine intensity signal — a
+    * supplier shipping a part 50× is a 50× stronger tie than a
+    * one-off. One groupBy over the raw symmetric union (map-side
+    * combine shrinks the duplicate-heavy stream to distinct volume —
+    * the same shuffle [[sym]]'s dedup pays), per-src weight totals
+    * joined in, laid out src-partitioned+sorted like [[GraphOps
+    * .edgesWithDeg]] so weighted rounds shuffle only the rank vector. */
+  def weightedEdges(spark: SparkSession, dir: String): DataFrame =
+    graft.util.DfCache.cached(spark, dir, "graph_wedges") {
+      def t(n: String) = Tables.load(spark, dir, n)
+      val fwd = Seq(
+        t("orders").select(vid(col("o_custkey"), 0).as("src"), vid(col("o_orderkey"), 1).as("dst")),
+        t("lineitem").select(vid(col("l_orderkey"), 1).as("src"), vid(col("l_partkey"), 2).as("dst")),
+        t("lineitem").select(vid(col("l_partkey"), 2).as("src"), vid(col("l_suppkey"), 3).as("dst")),
+        t("customer").select(vid(col("c_custkey"), 0).as("src"), vid(col("c_nationkey"), 4).as("dst")),
+        t("supplier").select(vid(col("s_suppkey"), 3).as("src"), vid(col("s_nationkey"), 4).as("dst")),
+        t("nation").select(vid(col("n_nationkey"), 4).as("src"), vid(col("n_regionkey"), 5).as("dst")))
+        .reduce(_.union(_))
+      val wed = fwd.union(flip(fwd))
+        .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+      val wdeg = wed.groupBy(col("src").as("wnode")).agg(sum(col("w")).as("wsum"))
+      wed.join(wdeg, col("src") === col("wnode"))
+        .select(col("src"), col("dst"), col("w"), col("wsum"))
+        .repartition(col("src"))
+        .sortWithinPartitions(col("src"))
+    }
+
   def sym(spark: SparkSession, dir: String): DataFrame =
     graft.util.DfCache.cached(spark, dir, "graph_sym") {
       def t(n: String) = Tables.load(spark, dir, n)

@@ -140,6 +140,34 @@ class Round5OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.getLong(2) == acc)
   }
 
+  test("g15: unit weights reduce weighted pagerank to the unweighted one, bit-exact") {
+    // w ≡ 1 ⇒ wsum = deg ⇒ contrib = r DIV deg — the weighted round
+    // must degenerate to g5's exactly
+    val sym = graft.operators.graph.GraphTables.sym(spark, dir)
+    val deg = sym.groupBy(col("src").as("wnode")).agg(count(lit(1)).as("wsum"))
+    val unit = sym.join(deg, col("src") === col("wnode"))
+      .select(col("src"), col("dst"), lit(1L).as("w"), col("wsum"))
+    val start = GraphOps.uniformRanks(spark, dir)
+    val a = GraphOps.weightedPagerankFrom(unit, start, 3)
+      .orderBy(col("node_id")).collect().toSeq
+    val b = GraphOps.pagerankFrom(spark, dir, start, 3)
+      .orderBy(col("node_id")).collect().toSeq
+    assert(a == b)
+  }
+
+  test("g15: weights steer rank — doubling one edge's weight raises its head's rank") {
+    import spark.implicits._
+    // tiny 3-node line a-b, b-c with a heavy b→c edge: c must outrank a
+    val wed = Seq(
+      (1L, 2L, 1L, 1L), (2L, 1L, 1L, 5L), (2L, 3L, 4L, 5L), (3L, 2L, 1L, 1L))
+      .toDF("src", "dst", "w", "wsum")
+    val start = Seq((1L, 1000000L), (2L, 1000000L), (3L, 1000000L))
+      .toDF("node_id", "rank")
+    val r = GraphOps.weightedPagerankFrom(wed, start, 3)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r(3L) > r(1L), s"heavier in-edge must yield higher rank: $r")
+  }
+
   test("g14: relative-tolerance run equals the same number of fixed rounds, bit-exact") {
     val (v, n) = GraphOps.pagerankUntilRelDelta(spark, dir, relPpm = 200000L, minIters = 4)
     assert(n >= 4)
