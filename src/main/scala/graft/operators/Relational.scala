@@ -685,8 +685,36 @@ object Relational {
       |FROM q GROUP BY o_orderpriority, quartile
       |ORDER BY o_orderpriority, quartile""".stripMargin
 
+  // ---- q30: fixed-width histogram (width_bucket shape) ----
+  // Bin by integer CENT arithmetic — price×100 is exact in cents, the
+  // bucket is a pure integer floor-division, so bin assignment is
+  // bit-identical on both engines at any value (a double-division
+  // binning would disagree exactly at bucket edges). One map-side-
+  // combined aggregate over the scan; output is |buckets| rows.
+  private val HistWidthCents = 5000000L  // $50k buckets
+
+  def q30Histogram(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .withColumn("cents", (dec(col("o_totalprice")) * 100).cast("long"))
+      .withColumn("bin", expr(s"cents DIV $HistWidthCents"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_orders"),
+        (min(col("cents")).cast("double") / 100).as("min_price"),
+        (max(col("cents")).cast("double") / 100).as("max_price"))
+      .orderBy(col("bin"))
+
+  val q30Sql: String =
+    s"""WITH c AS (
+       |  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+       |  FROM orders)
+       |SELECT cents // $HistWidthCents AS bin, count(*) AS n_orders,
+       |  CAST(min(cents) AS DOUBLE) / 100 AS min_price,
+       |  CAST(max(cents) AS DOUBLE) / 100 AS max_price
+       |FROM c GROUP BY bin ORDER BY bin""".stripMargin
+
   /** queries-map fragment: name → builder */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q30_histogram" -> (q30Histogram _),
     "q27_lead_lag" -> (q27LeadLag _),
     "q28_moving_frames" -> (q28MovingFrames _),
     "q29_ntile" -> (q29Ntile _),
@@ -719,6 +747,7 @@ object Relational {
 
   /** oracle-map fragment: name → DuckDB SQL */
   val oracles: Map[String, String] = Map(
+    "q30_histogram" -> q30Sql,
     "q27_lead_lag" -> q27Sql,
     "q28_moving_frames" -> q28Sql,
     "q29_ntile" -> q29Sql,

@@ -249,7 +249,40 @@ object EventOps {
       |FROM counts a JOIN sizes s USING (cohort_week)
       |ORDER BY cohort_week, week_n""".stripMargin
 
+  // ---- e10: trending — top-k event types per tumbling window ----
+  // The per-window leaderboard pattern: reuse e1's tumbling counts
+  // (one map-side-combined aggregate), then rank WITHIN each window.
+  // The ranking window partitions by window_start — window count
+  // grows with the stream's lifetime, and rows per window are bounded
+  // by the event-type vocabulary, so the sort inside each partition
+  // is O(|types| log |types|) regardless of event volume. In the
+  // streaming runtime the same plan runs per finalized watermark
+  // window (rank-on-emit), state bounded exactly like e1's.
+  private val TrendK = 3
+
+  def e10Trending(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("window_start"))
+      .orderBy(col("n_events").desc, col("event_type"))
+    EventStreams.tumbling(events(spark, dir))
+      .select(col("window_start"), col("event_type"), col("n_events"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TrendK)
+      .orderBy(col("window_start"), col("rank"))
+  }
+
+  val e10Sql: String =
+    s"""WITH counts AS (
+       |  SELECT date_trunc('hour', ts) AS window_start, event_type,
+       |    count(*) AS n_events
+       |  FROM events GROUP BY 1, 2),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY window_start
+       |        ORDER BY n_events DESC, event_type) AS rank FROM counts)
+       |SELECT window_start, event_type, n_events, CAST(rank AS INTEGER) AS rank
+       |FROM r WHERE rank <= $TrendK ORDER BY window_start, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e10_trending" -> (e10Trending _),
     "e9_cohort_retention" -> (e9CohortRetention _),
     "e1_tumbling_agg" -> (e1TumblingAgg _),
     "e2_sliding_agg" -> (e2SlidingAgg _),
@@ -261,6 +294,7 @@ object EventOps {
     "e8_funnel" -> (e8Funnel _))
 
   val oracles: Map[String, String] = Map(
+    "e10_trending" -> e10Sql,
     "e9_cohort_retention" -> e9Sql,
     "e1_tumbling_agg" -> e1Sql,
     "e2_sliding_agg" -> e2Sql,

@@ -140,6 +140,30 @@ class Round5OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.getLong(2) == acc)
   }
 
+  test("e10: per-window leaderboard has ranks 1..k with non-increasing counts") {
+    val rows = EventOps.e10Trending(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.get(0)).foreach { case (_, win) =>
+      val byRank = win.sortBy(_.getInt(3))
+      assert(byRank.map(_.getInt(3)).toSeq == (1 to byRank.length))
+      assert(byRank.length <= 3)
+      val counts = byRank.map(_.getLong(2))
+      assert(counts.zip(counts.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("q30: histogram bins partition the orders and bound their members") {
+    val rows = Relational.q30Histogram(spark, dir).collect()
+    val total = graft.sources.Tables.load(spark, dir, "orders").count()
+    assert(rows.map(_.getLong(1)).sum == total, "bins must partition all orders")
+    rows.foreach { r =>
+      val (bin, lo, hi) = (r.getLong(0), r.getDouble(2), r.getDouble(3))
+      assert(lo >= bin * 50000.0 && hi < (bin + 1) * 50000.0,
+        s"bin $bin bounds violated: [$lo, $hi]")
+      assert(lo <= hi)
+    }
+  }
+
   test("g15: unit weights reduce weighted pagerank to the unweighted one, bit-exact") {
     // w ≡ 1 ⇒ wsum = deg ⇒ contrib = r DIV deg — the weighted round
     // must degenerate to g5's exactly
