@@ -646,28 +646,66 @@ object Relational {
 
   // ---- q29: ntile quartiles + first_value per partition ----
   // Distribution windows: ntile(4) buckets each order within its
-  // priority class by price (ties broken by o_orderkey, so bucket
-  // assignment is a pure function of the sort — deterministic), and
-  // first_value pins the top order key per class. Output is the
-  // quartile summary (bounded by |priorities| × 4 rows at any scale);
-  // the window shuffles on o_orderpriority — a fixed-cardinality
-  // partition key, fine HERE because ntile is a distribution over the
-  // whole class by definition; for grow-with-data variants see t6's
-  // sharded two-phase pattern.
+  // priority class by price (ties broken by o_orderkey — bucket
+  // assignment is a pure function of the total order, deterministic).
+  //
+  // A literal `ntile(4) OVER (PARTITION BY priority ...)` funnels each
+  // class into ONE task's sort — |classes| is FIXED (5), so at sf10
+  // that was five 3M-row sorts (33 s, the round's one measured
+  // scale-killer). ntile is a pure function of (rank within class,
+  // class size), so compute the DISTRIBUTED rank instead — the t6
+  // two-phase pattern applied to ordering:
+  //  1. ONE range exchange on (class, price DESC, key) + in-partition
+  //     sort — parallelism = partition count, which grows with data;
+  //  2. local position via monotonically_increasing_id (ids ascend in
+  //     partition order within a partition — ONLY position
+  //     DIFFERENCES are used, never id values);
+  //  3. per-(partition, class) counts → class totals + exclusive
+  //     offsets (a P×|classes| table: map-side combined, broadcast
+  //     back); rank = local_pos + offset is INVARIANT to where the
+  //     range boundaries fell, so sampling nondeterminism in the
+  //     partitioner cannot leak into the result;
+  //  4. ntile/first_value from (rank, n) by the SQL-standard formula
+  //     (first n%4 buckets get one extra row).
   def q29Ntile(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+      .select(col("o_orderpriority").as("cls"), col("o_orderkey"),
+        col("o_totalprice").cast("double").as("price"))
+    val sorted = o
+      .repartitionByRange(col("cls"), col("price").desc, col("o_orderkey"))
+      .sortWithinPartitions(col("cls"), col("price").desc, col("o_orderkey"))
+      .withColumn("mid", monotonically_increasing_id())
+      .withColumn("pid", spark_partition_id())
+    val parts = sorted.groupBy(col("pid"), col("cls"))
+      .agg(count(lit(1)).as("c"), min(col("mid")).as("min_mid"))
     import org.apache.spark.sql.expressions.Window
-    val byPrice = Window.partitionBy(col("o_orderpriority"))
-      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
-    t(spark, dir, "orders")
-      .select(col("o_orderpriority"),
-        col("o_totalprice").cast("double").as("price"),
-        ntile(4).over(byPrice).as("quartile"),
-        first(col("o_orderkey")).over(byPrice).as("top_order"))
-      .groupBy(col("o_orderpriority"), col("quartile"))
+    val wOff = Window.partitionBy(col("cls")).orderBy(col("pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = parts
+      .withColumn("off", coalesce(sum(col("c")).over(wOff), lit(0L)))
+    val totals = parts.groupBy(col("cls")).agg(sum(col("c")).as("n"))
+    val ranked = sorted
+      .join(broadcast(offsets.select(col("pid"), col("cls"), col("min_mid"), col("off"))),
+        Seq("pid", "cls"))
+      .join(broadcast(totals), Seq("cls"))
+      .withColumn("r", col("mid") - col("min_mid") + 1 + col("off"))
+    // SQL-standard ntile: base = n DIV k, extra = n % k; the first
+    // `extra` buckets carry base+1 rows
+    val q = expr("""CASE WHEN r <= (n DIV 4 + 1) * (n % 4)
+                   |  THEN (r - 1) DIV (n DIV 4 + 1) + 1
+                   |  ELSE n % 4 + (r - 1 - (n DIV 4 + 1) * (n % 4)) DIV (n DIV 4) + 1
+                   |END""".stripMargin)
+    val tops = ranked.filter(col("r") === 1)
+      .select(col("cls"), col("o_orderkey").as("top_order"))
+    ranked
+      .withColumn("quartile", q.cast("int"))
+      .groupBy(col("cls"), col("quartile"))
       .agg(count(lit(1)).as("n_orders"),
         min(col("price")).as("min_price"),
-        max(col("price")).as("max_price"),
-        min(col("top_order")).as("top_order"))
+        max(col("price")).as("max_price"))
+      .join(broadcast(tops), Seq("cls"))
+      .select(col("cls").as("o_orderpriority"), col("quartile"),
+        col("n_orders"), col("min_price"), col("max_price"), col("top_order"))
       .orderBy(col("o_orderpriority"), col("quartile"))
   }
 

@@ -174,6 +174,21 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q29: ntile is the two-phase distributed rank — range exchange, no class-only window") {
+    // a ntile window partitioned by the 5-value priority class would
+    // serialize each class into one task's sort; the rewrite must
+    // range-partition on (cls, price, key) and keep every window over
+    // the tiny per-(partition, class) offsets table (keyed by pid)
+    val plan = planOf(SparkEntry.queries("q29_ntile")(spark, dir))
+    assert(plan.contains("rangepartitioning"),
+      "rank must come from a range exchange over (cls, price, key)")
+    val specs = plan.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    specs.foreach(l => assert(l.contains("pid"),
+      s"window not keyed by partition id (class-only sort leaked back): $l"))
+    assert(plan.contains("BroadcastHashJoin"),
+      "offsets and totals must broadcast back")
+  }
+
   test("t10: tf-idf windows partition by doc_id and the doc count broadcasts") {
     val plan = planOf(SparkEntry.queries("t10_tfidf")(spark, dir))
     val specs = plan.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
