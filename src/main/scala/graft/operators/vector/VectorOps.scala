@@ -112,12 +112,85 @@ object VectorOps {
        |SELECT vec_id, proj[1] AS p1, proj[2] AS p2, proj[3] AS p3, proj[4] AS p4
        |FROM pr ORDER BY vec_id""".stripMargin
 
+  /** v4: product quantization — the vector-COMPRESSION index step
+    * (after v3's dimensionality reduction, the other axis): split the
+    * 64-dim vector into M=8 subvectors of 8 dims; quantize each
+    * against a 16-entry per-subspace codebook (deterministically
+    * seeded from the 16 lowest vec_ids, the s4/s5 seed pattern);
+    * emit the packed 32-bit code word (8 × 4-bit codes) and the
+    * reconstruction error. Compresses 256 bytes of float32 to 4
+    * bytes/vector — the memory math that makes billion-vector ANN
+    * fit RAM.
+    *
+    * Plan: corpus ⋈ broadcast(16 codebook rows) scored map-side (8
+    * subspace L2 distances per pair via one fold expression), then
+    * ONE map-side-combined aggregate takes the per-subspace argmin
+    * (8 min-over-struct columns) — shuffling |corpus| pre-combined
+    * rows, no window. Distances are sequential folds, the error sum
+    * is a fixed-order + chain, tie on equal distance → lowest code:
+    * everything bit-identical to the oracle. */
+  private val PqM = 8        // subspaces
+  private val PqD = 8        // dims per subspace
+  private val PqK = 16       // codebook entries per subspace (4 bits)
+
+  def v4PqCodes(spark: SparkSession, dir: String): DataFrame = {
+    val e = embPlain(spark, dir).select(col("vec_id"), col("vd"))
+    val cents = e.filter(col("vec_id") < PqK)
+      .select(col("vec_id").as("mid"), col("vd").as("cvd"))
+    // per (vector, codebook row): the M per-subspace squared-L2
+    // distances, each an ordered fold over its 8 dims
+    val distsExpr =
+      s"""transform(sequence(0, ${PqM - 1}), m ->
+         |  aggregate(sequence(1, $PqD), cast(0.0 as double),
+         |    (a, d) -> a + (element_at(vd, m*$PqD + d) - element_at(cvd, m*$PqD + d))
+         |                * (element_at(vd, m*$PqD + d) - element_at(cvd, m*$PqD + d))))""".stripMargin
+    val scored = e.crossJoin(broadcast(cents))
+      .withColumn("dists", expr(distsExpr))
+    val picks = (0 until PqM).map(m =>
+      min(struct(element_at(col("dists"), m + 1).as("d"), col("mid").as("c")))
+        .as(s"p$m"))
+    val g = scored.groupBy(col("vec_id")).agg(picks.head, picks.tail: _*)
+    val code = (0 until PqM).map(m => col(s"p$m.c") * (1L << (4 * m)))
+      .reduce(_ + _)
+    val err = (0 until PqM).map(m => col(s"p$m.d")).reduce(_ + _)
+    g.select(col("vec_id"), code.cast("long").as("pq_code"),
+        err.as("recon_err"))
+      .orderBy(col("vec_id"))
+  }
+
+  val v4Sql: String = {
+    val dist = (m: String) =>
+      s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |  [ (e.vd[$m*$PqD + d] - c.cvd[$m*$PqD + d]) * (e.vd[$m*$PqD + d] - c.cvd[$m*$PqD + d])
+         |    for d in generate_series(1, $PqD) ]), (a, x) -> a + x)""".stripMargin
+    s"""WITH ${VectorExprs.embCtes},
+       |cents AS (SELECT vec_id AS mid, vd AS cvd FROM eb WHERE vec_id < $PqK),
+       |sc AS (
+       |  SELECT e.vec_id, c.mid,
+       |    [ ${dist("(m - 1)")} for m in generate_series(1, $PqM) ] AS dists
+       |  FROM eb e CROSS JOIN cents c),
+       |su AS (
+       |  SELECT vec_id, mid, m - 1 AS m, dists[m] AS dist
+       |  FROM sc, generate_series(1, $PqM) g(m)),
+       |pick AS (
+       |  SELECT vec_id, m, mid AS code, dist FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id, m
+       |      ORDER BY dist, mid) AS rn FROM su) x WHERE rn = 1)
+       |SELECT vec_id,
+       |  CAST(sum(code * (1 << (4 * CAST(m AS INTEGER)))) AS BIGINT) AS pq_code,
+       |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(dist ORDER BY m)),
+       |              (a, x) -> a + x) AS recon_err
+       |FROM pick GROUP BY vec_id ORDER BY vec_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v4_pq_codes" -> (v4PqCodes _),
     "v1_l2_normalize" -> (v1L2Normalize _),
     "v2_int8_quantize" -> (v2Int8Quantize _),
     "v3_random_projection" -> (v3RandomProjection _))
 
   val oracles: Map[String, String] = Map(
+    "v4_pq_codes" -> v4Sql,
     "v1_l2_normalize" -> v1Sql,
     "v2_int8_quantize" -> v2Sql,
     "v3_random_projection" -> v3Sql)

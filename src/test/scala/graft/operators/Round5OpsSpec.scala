@@ -192,6 +192,20 @@ class Round5OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r(3L) > r(1L), s"heavier in-edge must yield higher rank: $r")
   }
 
+  test("v4: PQ codes are 32-bit, errors non-negative, codebook vectors reconstruct exactly") {
+    val rows = graft.operators.vector.VectorOps.v4PqCodes(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 0L && r.getLong(1) < (1L << 32), "8 packed 4-bit codes")
+      assert(r.getDouble(2) >= 0.0, "squared error")
+    }
+    // a codebook seed vector is its own nearest centroid in every
+    // subspace — zero reconstruction error by construction
+    rows.filter(_.getLong(0) < 16).foreach { r =>
+      assert(r.getDouble(2) == 0.0, s"seed vector ${r.getLong(0)} must reconstruct exactly")
+    }
+  }
+
   test("g14: relative-tolerance run equals the same number of fixed rounds, bit-exact") {
     val (v, n) = GraphOps.pagerankUntilRelDelta(spark, dir, relPpm = 200000L, minIters = 4)
     assert(n >= 4)
