@@ -654,41 +654,43 @@ object Relational {
   // that was five 3M-row sorts (33 s, the round's one measured
   // scale-killer). ntile is a pure function of (rank within class,
   // class size), so compute the DISTRIBUTED rank instead — the t6
-  // two-phase pattern applied to ordering:
-  //  1. ONE range exchange on (class, price DESC, key) + in-partition
-  //     sort — parallelism = partition count, which grows with data;
-  //  2. local position via monotonically_increasing_id (ids ascend in
-  //     partition order within a partition — ONLY position
-  //     DIFFERENCES are used, never id values);
-  //  3. per-(partition, class) counts → class totals + exclusive
-  //     offsets (a P×|classes| table: map-side combined, broadcast
-  //     back); rank = local_pos + offset is INVARIANT to where the
-  //     range boundaries fell, so sampling nondeterminism in the
-  //     partitioner cannot leak into the result;
-  //  4. ntile/first_value from (rank, n) by the SQL-standard formula
+  // two-phase pattern applied to ordering, with a DETERMINISTIC
+  // shard key (integer price buckets), so no sampled range
+  // boundaries and no dependency on exchange reuse between the two
+  // consumers of the sharded table:
+  //  1. bin = -(cents DIV BinWidth) — ascending bin ≡ descending
+  //     price, bit-identical bucket edges on any engine; the heavy
+  //     window partitions by (class, bin) and sorts only a bucket's
+  //     rows (BinWidth is the scale knob, t6's span analog: shrink
+  //     it to raise parallelism / bound the per-bucket sort);
+  //  2. per-(class, bin) counts → class totals + exclusive running
+  //     offsets over the tiny counts table, broadcast back;
+  //     rank = local row_number + offset;
+  //  3. ntile/first_value from (rank, n) by the SQL-standard formula
   //     (first n%4 buckets get one extra row).
+  private val NtileBinCents = 1000000L  // $10k rank shards
+
   def q29Ntile(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val o = t(spark, dir, "orders")
       .select(col("o_orderpriority").as("cls"), col("o_orderkey"),
-        col("o_totalprice").cast("double").as("price"))
-    val sorted = o
-      .repartitionByRange(col("cls"), col("price").desc, col("o_orderkey"))
-      .sortWithinPartitions(col("cls"), col("price").desc, col("o_orderkey"))
-      .withColumn("mid", monotonically_increasing_id())
-      .withColumn("pid", spark_partition_id())
-    val parts = sorted.groupBy(col("pid"), col("cls"))
-      .agg(count(lit(1)).as("c"), min(col("mid")).as("min_mid"))
-    import org.apache.spark.sql.expressions.Window
-    val wOff = Window.partitionBy(col("cls")).orderBy(col("pid"))
+        col("o_totalprice").cast("double").as("price"),
+        (dec(col("o_totalprice")) * 100).cast("long").as("cents"))
+      .withColumn("bin", expr(s"-(cents DIV $NtileBinCents)"))
+    val wLocal = Window.partitionBy(col("cls"), col("bin"))
+      .orderBy(col("price").desc, col("o_orderkey"))
+    val local = o.withColumn("lr", row_number().over(wLocal))
+    val parts = o.groupBy(col("cls"), col("bin")).agg(count(lit(1)).as("c"))
+    val wOff = Window.partitionBy(col("cls")).orderBy(col("bin"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = parts
       .withColumn("off", coalesce(sum(col("c")).over(wOff), lit(0L)))
+      .select(col("cls"), col("bin"), col("off"))
     val totals = parts.groupBy(col("cls")).agg(sum(col("c")).as("n"))
-    val ranked = sorted
-      .join(broadcast(offsets.select(col("pid"), col("cls"), col("min_mid"), col("off"))),
-        Seq("pid", "cls"))
+    val ranked = local
+      .join(broadcast(offsets), Seq("cls", "bin"))
       .join(broadcast(totals), Seq("cls"))
-      .withColumn("r", col("mid") - col("min_mid") + 1 + col("off"))
+      .withColumn("r", col("lr") + col("off"))
     // SQL-standard ntile: base = n DIV k, extra = n % k; the first
     // `extra` buckets carry base+1 rows
     val q = expr("""CASE WHEN r <= (n DIV 4 + 1) * (n % 4)

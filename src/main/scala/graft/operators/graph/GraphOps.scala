@@ -218,22 +218,31 @@ object GraphOps {
     * asserts it equals the same number of fixed rounds, bit-exact. */
   def pagerankUntilDelta(spark: SparkSession, dir: String,
       tolMicros: Long = 10000L, maxIters: Int = 200,
-      minIters: Int = 1): (DataFrame, Int) = {
+      minIters: Int = 1): (DataFrame, Int) =
+    pagerankUntilStop(spark, dir, maxIters, minIters,
+      (mxDelta, _) => mxDelta <= tolMicros,
+      s"|delta| <= $tolMicros micros")
+
+  /** The shared tolerance-loop machinery behind [[pagerankUntilDelta]]
+    * (absolute) and [[pagerankUntilRelDelta]] (relative): run rounds,
+    * FUSE (rank, |Δ|) into each round's localCheckpoint job, and stop
+    * when `stop(maxDelta, maxRank)` first holds at or after round
+    * `minIters` (below the floor the check can't fire, so those
+    * rounds skip the delta join entirely and cost only the rank
+    * step). The stop check itself scans the cached V rows — one cheap
+    * aggregate, never a second join job recomputing next⋈prev. */
+  private def pagerankUntilStop(spark: SparkSession, dir: String,
+      maxIters: Int, minIters: Int, stop: (Long, Long) => Boolean,
+      ruleDesc: String): (DataFrame, Int) = {
     var r = uniformRanks(spark, dir).localCheckpoint(true)
     var it = 0
     var done = false
     while (it < maxIters && !done) {
       val stepped = pagerankFrom(spark, dir, r, 1)
       if (it + 1 < minIters) {
-        // below the minIters floor the stop check can't fire — skip
-        // the delta entirely: these rounds cost only the rank step
         r = stepped.localCheckpoint(true)
         it += 1
       } else {
-        // FUSE the delta into the round's materialization: one
-        // checkpoint job computes (rank, |Δ|), and the stop check is
-        // then a cheap scan of the cached V rows — not a second
-        // join job recomputing next⋈prev per round
         val nd = stepped
           .join(r.select(col("node_id"), col("rank").as("prev")), "node_id")
           .select(col("node_id"), col("rank"),
@@ -241,15 +250,15 @@ object GraphOps {
           .localCheckpoint(true)
         // coalesce: max over zero rows is NULL — an empty vertex set
         // is trivially converged (delta 0), not a crash
-        val mx = nd.agg(coalesce(max(col("delta")), lit(0L)))
-          .collect()(0).getLong(0)
+        val row = nd.agg(coalesce(max(col("delta")), lit(0L)),
+          coalesce(max(col("rank")), lit(0L))).collect()(0)
         it += 1
-        done = mx <= tolMicros
+        done = stop(row.getLong(0), row.getLong(1))
         r = nd.select(col("node_id"), col("rank"))
       }
     }
     if (!done) throw new IllegalStateException(
-      s"pagerank did not reach |delta| <= $tolMicros within $maxIters rounds")
+      s"pagerank did not reach $ruleDesc within $maxIters rounds")
     (r, it)
   }
 
@@ -296,38 +305,19 @@ object GraphOps {
     * the stop rule scale-free: the loop runs the same number of
     * rounds whatever the rank scale, because both sides of the
     * comparison grow together. All-integer comparison
-    * (Δ·10⁶ ≤ relPpm·maxRank — no division, no floats), fused into
-    * the same per-round checkpoint job as the absolute loop: the
-    * round materializes (rank, Δ) once, and the stop check scans the
-    * cached V rows for the two maxima. */
+    * (Δ·10⁶ ≤ relPpm·maxRank), evaluated in BigInt on the driver —
+    * it runs once per round on two scalars, and a raw Long product
+    * would wrap once hub deltas pass ~9.2e12 micro-units (plausible
+    * at billion-node scale), silently declaring convergence at the
+    * minIters floor. Fused into the same per-round checkpoint job as
+    * the absolute loop: the round materializes (rank, Δ) once, and
+    * the stop check scans the cached V rows for the two maxima. */
   def pagerankUntilRelDelta(spark: SparkSession, dir: String,
-      relPpm: Long, maxIters: Int = 200, minIters: Int = 1): (DataFrame, Int) = {
-    var r = uniformRanks(spark, dir).localCheckpoint(true)
-    var it = 0
-    var done = false
-    while (it < maxIters && !done) {
-      val stepped = pagerankFrom(spark, dir, r, 1)
-      if (it + 1 < minIters) {
-        r = stepped.localCheckpoint(true)
-        it += 1
-      } else {
-        val nd = stepped
-          .join(r.select(col("node_id"), col("rank").as("prev")), "node_id")
-          .select(col("node_id"), col("rank"),
-            abs(col("rank") - col("prev")).as("delta"))
-          .localCheckpoint(true)
-        val row = nd.agg(coalesce(max(col("delta")), lit(0L)),
-          coalesce(max(col("rank")), lit(0L))).collect()(0)
-        val (mxDelta, mxRank) = (row.getLong(0), row.getLong(1))
-        it += 1
-        done = mxDelta * 1000000L <= relPpm * mxRank
-        r = nd.select(col("node_id"), col("rank"))
-      }
-    }
-    if (!done) throw new IllegalStateException(
-      s"pagerank did not reach relative |delta| <= $relPpm ppm within $maxIters rounds")
-    (r, it)
-  }
+      relPpm: Long, maxIters: Int = 200, minIters: Int = 1): (DataFrame, Int) =
+    pagerankUntilStop(spark, dir, maxIters, minIters,
+      (mxDelta, mxRank) =>
+        BigInt(mxDelta) * 1000000 <= BigInt(relPpm) * BigInt(mxRank),
+      s"relative |delta| <= $relPpm ppm")
 
   // ---- g12: tolerance-mode PageRank, driver-gated ----
   // The reference's run-until-budget loop (Runner.java:31) on the
@@ -559,7 +549,9 @@ object GraphOps {
        |$rounds,
        |ds AS MATERIALIZED ($deltas),
        |kstop AS (SELECT coalesce(
-       |  min(CASE WHEN t >= $G12MinIters AND mx * 1000000 <= $G14RelPpm * mxr THEN t END),
+       |  min(CASE WHEN t >= $G12MinIters
+       |    AND CAST(mx AS HUGEINT) * 1000000 <= $G14RelPpm * CAST(mxr AS HUGEINT)
+       |    THEN t END),
        |  $G12UnrollRounds) AS k FROM ds),
        |allr AS ($tagged)
        |SELECT node AS node_id, r AS rank FROM allr

@@ -20,23 +20,54 @@ import graft.sources.Tables
   */
 object GraphTables {
 
-  /** DuckDB CTE text equivalent of [[sym]]; prefix for graph oracles. */
-  val symSqlCtes: String =
-    """base AS (
-      |  SELECT DISTINCT CAST(o_custkey*8+0 AS BIGINT) AS src, CAST(o_orderkey*8+1 AS BIGINT) AS dst FROM orders
-      |  UNION ALL SELECT DISTINCT CAST(l_orderkey*8+1 AS BIGINT), CAST(l_partkey*8+2 AS BIGINT) FROM lineitem
-      |  UNION ALL SELECT DISTINCT CAST(l_partkey*8+2 AS BIGINT), CAST(l_suppkey*8+3 AS BIGINT) FROM lineitem
-      |  UNION ALL SELECT DISTINCT CAST(c_custkey*8+0 AS BIGINT), CAST(c_nationkey*8+4 AS BIGINT) FROM customer
-      |  UNION ALL SELECT DISTINCT CAST(s_suppkey*8+3 AS BIGINT), CAST(s_nationkey*8+4 AS BIGINT) FROM supplier
-      |  UNION ALL SELECT DISTINCT CAST(n_nationkey*8+4 AS BIGINT), CAST(n_regionkey*8+5 AS BIGINT) FROM nation),
-      |edges AS (SELECT DISTINCT src, dst FROM base),
-      |sym AS (SELECT src, dst FROM edges UNION SELECT dst AS src, src AS dst FROM edges)""".stripMargin
+  /** One derivation branch: rows of `table` contribute the edge
+    * (srcCol·8+srcTag) → (dstCol·8+dstTag). THE single source of
+    * truth for the graph's topology — the Scala builders ([[sym]],
+    * [[weightedEdges]]) and the DuckDB CTE strings ([[symSqlCtes]],
+    * [[wedgeSqlCtes]]) are all generated from this list, so the
+    * unweighted and weighted graphs (and their oracles) cannot
+    * silently diverge over different branch sets. */
+  private case class EdgeBranch(table: String,
+      srcCol: String, srcTag: Int, dstCol: String, dstTag: Int)
+
+  private val Branches = Seq(
+    EdgeBranch("orders", "o_custkey", 0, "o_orderkey", 1),
+    EdgeBranch("lineitem", "l_orderkey", 1, "l_partkey", 2),
+    EdgeBranch("lineitem", "l_partkey", 2, "l_suppkey", 3),
+    EdgeBranch("customer", "c_custkey", 0, "c_nationkey", 4),
+    EdgeBranch("supplier", "s_suppkey", 3, "s_nationkey", 4),
+    EdgeBranch("nation", "n_nationkey", 4, "n_regionkey", 5))
+
+  /** The part→supplier branch — the one with heavy duplication at
+    * scale (each pair recurs once per lineitem), special-cased by
+    * [[sym]]'s two-exchange build. */
+  private val PsBranch = Branches(2)
 
   private def vid(c: org.apache.spark.sql.Column, tag: Int) =
     c.cast("long") * 8 + tag
 
   private def flip(df: DataFrame): DataFrame =
     df.select(col("dst").as("src"), col("src").as("dst"))
+
+  private def branchDf(spark: SparkSession, dir: String, b: EdgeBranch): DataFrame =
+    Tables.load(spark, dir, b.table)
+      .select(vid(col(b.srcCol), b.srcTag).as("src"),
+        vid(col(b.dstCol), b.dstTag).as("dst"))
+
+  private def branchSql(b: EdgeBranch, distinct: Boolean, aliased: Boolean): String = {
+    val d = if (distinct) "DISTINCT " else ""
+    val (a1, a2) = if (aliased) (" AS src", " AS dst") else ("", "")
+    s"SELECT ${d}CAST(${b.srcCol}*8+${b.srcTag} AS BIGINT)$a1, " +
+      s"CAST(${b.dstCol}*8+${b.dstTag} AS BIGINT)$a2 FROM ${b.table}"
+  }
+
+  /** DuckDB CTE text equivalent of [[sym]]; prefix for graph oracles. */
+  val symSqlCtes: String =
+    s"""base AS (
+       |  ${branchSql(Branches.head, distinct = true, aliased = true)}
+       |  ${Branches.tail.map(b => "UNION ALL " + branchSql(b, distinct = true, aliased = false)).mkString("\n  ")}),
+       |edges AS (SELECT DISTINCT src, dst FROM base),
+       |sym AS (SELECT src, dst FROM edges UNION SELECT dst AS src, src AS dst FROM edges)""".stripMargin
 
   /** Symmetrized distinct adjacency (both directions), cached once per
     * (session, dir) — every graph query reuses the same persisted copy.
@@ -64,18 +95,26 @@ object GraphTables {
     * traversal stages co-located on it (the reference's preloaded
     * relationship cache, Preloader.java:16, re-expressed as a stable
     * partitioning). */
+  def sym(spark: SparkSession, dir: String): DataFrame =
+    graft.util.DfCache.cached(spark, dir, "graph_sym") {
+      val fwd = Branches.filterNot(_ == PsBranch)
+        .map(branchDf(spark, dir, _)).reduce(_.union(_))
+      val ps = branchDf(spark, dir, PsBranch)
+      val psBoth = ps.union(flip(ps)).distinct()
+      fwd.union(flip(fwd)).union(psBoth)
+        .repartition(col("src"))
+        .distinct()
+        .sortWithinPartitions(col("src"))
+    }
+
   /** DuckDB CTE text equivalent of [[weightedEdges]]. */
   val wedgeSqlCtes: String =
-    """wbase AS (
-      |  SELECT CAST(o_custkey*8+0 AS BIGINT) AS src, CAST(o_orderkey*8+1 AS BIGINT) AS dst FROM orders
-      |  UNION ALL SELECT CAST(l_orderkey*8+1 AS BIGINT), CAST(l_partkey*8+2 AS BIGINT) FROM lineitem
-      |  UNION ALL SELECT CAST(l_partkey*8+2 AS BIGINT), CAST(l_suppkey*8+3 AS BIGINT) FROM lineitem
-      |  UNION ALL SELECT CAST(c_custkey*8+0 AS BIGINT), CAST(c_nationkey*8+4 AS BIGINT) FROM customer
-      |  UNION ALL SELECT CAST(s_suppkey*8+3 AS BIGINT), CAST(s_nationkey*8+4 AS BIGINT) FROM supplier
-      |  UNION ALL SELECT CAST(n_nationkey*8+4 AS BIGINT), CAST(n_regionkey*8+5 AS BIGINT) FROM nation),
-      |wboth AS (SELECT src, dst FROM wbase UNION ALL SELECT dst, src FROM wbase),
-      |wed AS (SELECT src, dst, count(*) AS w FROM wboth GROUP BY src, dst),
-      |wdeg AS (SELECT src AS wnode, CAST(sum(w) AS BIGINT) AS wsum FROM wed GROUP BY src)""".stripMargin
+    s"""wbase AS (
+       |  ${branchSql(Branches.head, distinct = false, aliased = true)}
+       |  ${Branches.tail.map(b => "UNION ALL " + branchSql(b, distinct = false, aliased = false)).mkString("\n  ")}),
+       |wboth AS (SELECT src, dst FROM wbase UNION ALL SELECT dst, src FROM wbase),
+       |wed AS (SELECT src, dst, count(*) AS w FROM wboth GROUP BY src, dst),
+       |wdeg AS (SELECT src AS wnode, CAST(sum(w) AS BIGINT) AS wsum FROM wed GROUP BY src)""".stripMargin
 
   /** Edge MULTIPLICITIES as weights: the duplication [[sym]] dedups
     * away (each (part, supplier) pair recurs once per lineitem, each
@@ -88,40 +127,13 @@ object GraphTables {
     * .edgesWithDeg]] so weighted rounds shuffle only the rank vector. */
   def weightedEdges(spark: SparkSession, dir: String): DataFrame =
     graft.util.DfCache.cached(spark, dir, "graph_wedges") {
-      def t(n: String) = Tables.load(spark, dir, n)
-      val fwd = Seq(
-        t("orders").select(vid(col("o_custkey"), 0).as("src"), vid(col("o_orderkey"), 1).as("dst")),
-        t("lineitem").select(vid(col("l_orderkey"), 1).as("src"), vid(col("l_partkey"), 2).as("dst")),
-        t("lineitem").select(vid(col("l_partkey"), 2).as("src"), vid(col("l_suppkey"), 3).as("dst")),
-        t("customer").select(vid(col("c_custkey"), 0).as("src"), vid(col("c_nationkey"), 4).as("dst")),
-        t("supplier").select(vid(col("s_suppkey"), 3).as("src"), vid(col("s_nationkey"), 4).as("dst")),
-        t("nation").select(vid(col("n_nationkey"), 4).as("src"), vid(col("n_regionkey"), 5).as("dst")))
-        .reduce(_.union(_))
+      val fwd = Branches.map(branchDf(spark, dir, _)).reduce(_.union(_))
       val wed = fwd.union(flip(fwd))
         .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
       val wdeg = wed.groupBy(col("src").as("wnode")).agg(sum(col("w")).as("wsum"))
       wed.join(wdeg, col("src") === col("wnode"))
         .select(col("src"), col("dst"), col("w"), col("wsum"))
         .repartition(col("src"))
-        .sortWithinPartitions(col("src"))
-    }
-
-  def sym(spark: SparkSession, dir: String): DataFrame =
-    graft.util.DfCache.cached(spark, dir, "graph_sym") {
-      def t(n: String) = Tables.load(spark, dir, n)
-      val fwd = Seq(
-        t("orders").select(vid(col("o_custkey"), 0).as("src"), vid(col("o_orderkey"), 1).as("dst")),
-        t("lineitem").select(vid(col("l_orderkey"), 1).as("src"), vid(col("l_partkey"), 2).as("dst")),
-        t("customer").select(vid(col("c_custkey"), 0).as("src"), vid(col("c_nationkey"), 4).as("dst")),
-        t("supplier").select(vid(col("s_suppkey"), 3).as("src"), vid(col("s_nationkey"), 4).as("dst")),
-        t("nation").select(vid(col("n_nationkey"), 4).as("src"), vid(col("n_regionkey"), 5).as("dst")))
-        .reduce(_.union(_))
-      val ps = t("lineitem")
-        .select(vid(col("l_partkey"), 2).as("src"), vid(col("l_suppkey"), 3).as("dst"))
-      val psBoth = ps.union(flip(ps)).distinct()
-      fwd.union(flip(fwd)).union(psBoth)
-        .repartition(col("src"))
-        .distinct()
         .sortWithinPartitions(col("src"))
     }
 }

@@ -43,6 +43,35 @@ object SimilarityOps {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  // Shared oracle CTE bodies: s1's exact pair scoring, s2's LSH
+  // candidate generation + scoring, and the per-query top-K rank —
+  // consumed by s1Sql, s2Sql AND the s8 recall oracle, so a tuning
+  // change to either index updates the recall gate in lockstep
+  // instead of leaving a stale inlined copy behind.
+  private def exactPairsCte(name: String): String =
+    s"""$name AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    ${VectorExprs.duckDot("q.vd", "c.vd")}
+       |      / (sqrt(q.n2) * sqrt(c.n2)) AS cosine
+       |  FROM eb q, eb c
+       |  WHERE q.vec_id < 10 AND q.vec_id != c.vec_id)""".stripMargin
+
+  private def lshPairsCtes(candName: String, pairsName: String): String =
+    s"""$candName AS (
+       |  SELECT DISTINCT q.vec_id AS qid, c.vec_id AS cid
+       |  FROM capped q JOIN capped c
+       |    ON q.band = c.band AND q.bkey = c.bkey AND q.vec_id != c.vec_id
+       |  WHERE q.vec_id < 10),
+       |$pairsName AS (
+       |  SELECT d.qid AS query_id, d.cid AS neighbor_id,
+       |    ${VectorExprs.duckDot("q.vd", "c.vd")}
+       |      / (sqrt(q.n2) * sqrt(c.n2)) AS cosine
+       |  FROM $candName d JOIN eb q ON d.qid = q.vec_id JOIN eb c ON d.cid = c.vec_id)""".stripMargin
+
+  private def topkCte(name: String, from: String): String =
+    s"""$name AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |        ORDER BY cosine DESC, neighbor_id) AS rank FROM $from)""".stripMargin
+
   // ---- s1: exact top-k cosine, broadcast queries x corpus scan ----
   def s1KnnBrute(spark: SparkSession, dir: String): DataFrame = {
     val e = VectorExprs.embFeatures(spark, dir)
@@ -57,14 +86,8 @@ object SimilarityOps {
 
   val s1Sql: String =
     s"""WITH ${VectorExprs.embCtes},
-       |pairs AS (
-       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-       |    ${VectorExprs.duckDot("q.vd", "c.vd")}
-       |      / (sqrt(q.n2) * sqrt(c.n2)) AS cosine
-       |  FROM eb q, eb c
-       |  WHERE q.vec_id < 10 AND q.vec_id != c.vec_id),
-       |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
-       |        ORDER BY cosine DESC, neighbor_id) AS rank FROM pairs)
+       |${exactPairsCte("pairs")},
+       |${topkCte("r", "pairs")}
        |SELECT query_id, neighbor_id, cosine, rank FROM r
        |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
 
@@ -93,18 +116,8 @@ object SimilarityOps {
 
   val s2Sql: String =
     s"""WITH ${VectorExprs.bandCtes},
-       |cand AS (
-       |  SELECT DISTINCT q.vec_id AS qid, c.vec_id AS cid
-       |  FROM capped q JOIN capped c
-       |    ON q.band = c.band AND q.bkey = c.bkey AND q.vec_id != c.vec_id
-       |  WHERE q.vec_id < 10),
-       |pairs AS (
-       |  SELECT d.qid AS query_id, d.cid AS neighbor_id,
-       |    ${VectorExprs.duckDot("q.vd", "c.vd")}
-       |      / (sqrt(q.n2) * sqrt(c.n2)) AS cosine
-       |  FROM cand d JOIN eb q ON d.qid = q.vec_id JOIN eb c ON d.cid = c.vec_id),
-       |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
-       |        ORDER BY cosine DESC, neighbor_id) AS rank FROM pairs)
+       |${lshPairsCtes("cand", "pairs")},
+       |${topkCte("r", "pairs")}
        |SELECT query_id, neighbor_id, cosine, rank FROM r
        |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
 
@@ -461,36 +474,17 @@ object SimilarityOps {
       .orderBy(col("query_id"))
   }
 
-  // Oracle: s1's pair/rank CTEs and s2's candidate/rank CTEs chained
-  // off the shared band CTEs, joined exactly like the Spark plan.
+  // Oracle: s1's pair CTE and s2's candidate/pair CTEs — the SAME
+  // shared bodies s1Sql/s2Sql are built from — chained off the band
+  // CTEs and joined exactly like the Spark plan.
   val s8Sql: String =
     s"""WITH ${VectorExprs.bandCtes},
-       |xpairs AS (
-       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-       |    ${VectorExprs.duckDot("q.vd", "c.vd")}
-       |      / (sqrt(q.n2) * sqrt(c.n2)) AS cosine
-       |  FROM eb q, eb c
-       |  WHERE q.vec_id < 10 AND q.vec_id != c.vec_id),
-       |exact AS (
-       |  SELECT query_id, neighbor_id FROM (
-       |    SELECT *, row_number() OVER (PARTITION BY query_id
-       |      ORDER BY cosine DESC, neighbor_id) AS rank FROM xpairs) x
-       |  WHERE rank <= $K),
-       |cand AS (
-       |  SELECT DISTINCT q.vec_id AS qid, c.vec_id AS cid
-       |  FROM capped q JOIN capped c
-       |    ON q.band = c.band AND q.bkey = c.bkey AND q.vec_id != c.vec_id
-       |  WHERE q.vec_id < 10),
-       |apairs AS (
-       |  SELECT d.qid AS query_id, d.cid AS neighbor_id,
-       |    ${VectorExprs.duckDot("q.vd", "c.vd")}
-       |      / (sqrt(q.n2) * sqrt(c.n2)) AS cosine
-       |  FROM cand d JOIN eb q ON d.qid = q.vec_id JOIN eb c ON d.cid = c.vec_id),
-       |approx AS (
-       |  SELECT query_id, neighbor_id FROM (
-       |    SELECT *, row_number() OVER (PARTITION BY query_id
-       |      ORDER BY cosine DESC, neighbor_id) AS rank FROM apairs) x
-       |  WHERE rank <= $K)
+       |${exactPairsCte("xpairs")},
+       |${topkCte("xr", "xpairs")},
+       |exact AS (SELECT query_id, neighbor_id FROM xr WHERE rank <= $K),
+       |${lshPairsCtes("cand", "apairs")},
+       |${topkCte("ar", "apairs")},
+       |approx AS (SELECT query_id, neighbor_id FROM ar WHERE rank <= $K)
        |SELECT e.query_id, count(*) AS n_exact,
        |  CAST(coalesce(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 END), 0) AS BIGINT) AS n_hit,
        |  CAST(coalesce(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 END), 0) AS DOUBLE)

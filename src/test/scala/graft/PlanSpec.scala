@@ -174,17 +174,17 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
-  test("q29: ntile is the two-phase distributed rank — range exchange, no class-only window") {
+  test("q29: ntile is the two-phase distributed rank — no class-only window sort") {
     // a ntile window partitioned by the 5-value priority class would
-    // serialize each class into one task's sort; the rewrite must
-    // range-partition on (cls, price, key) and keep every window over
-    // the tiny per-(partition, class) offsets table (keyed by pid)
+    // serialize each class into one task's sort; the rewrite shards
+    // the rank by deterministic price buckets, so every window spec
+    // must involve `bin` (the heavy one partitions by (cls, bin); the
+    // offsets window orders the tiny counts table by bin)
     val plan = planOf(SparkEntry.queries("q29_ntile")(spark, dir))
-    assert(plan.contains("rangepartitioning"),
-      "rank must come from a range exchange over (cls, price, key)")
     val specs = plan.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
-    specs.foreach(l => assert(l.contains("pid"),
-      s"window not keyed by partition id (class-only sort leaked back): $l"))
+    assert(specs.nonEmpty, "expected the sharded rank windows")
+    specs.foreach(l => assert(l.contains("bin"),
+      s"window without the bin shard key (class-only sort leaked back): $l"))
     assert(plan.contains("BroadcastHashJoin"),
       "offsets and totals must broadcast back")
   }
