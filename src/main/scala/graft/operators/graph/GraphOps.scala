@@ -223,22 +223,30 @@ object GraphOps {
       (mxDelta, _) => mxDelta <= tolMicros,
       s"|delta| <= $tolMicros micros")
 
-  /** The shared tolerance-loop machinery behind [[pagerankUntilDelta]]
-    * (absolute) and [[pagerankUntilRelDelta]] (relative): run rounds,
-    * FUSE (rank, |Δ|) into each round's localCheckpoint job, and stop
-    * when `stop(maxDelta, maxRank)` first holds at or after round
-    * `minIters` (below the floor the check can't fire, so those
-    * rounds skip the delta join entirely and cost only the rank
-    * step). The stop check itself scans the cached V rows — one cheap
-    * aggregate, never a second join job recomputing next⋈prev. */
   private def pagerankUntilStop(spark: SparkSession, dir: String,
       maxIters: Int, minIters: Int, stop: (Long, Long) => Boolean,
+      ruleDesc: String): (DataFrame, Int) =
+    rankLoopUntilStop(uniformRanks(spark, dir),
+      r => pagerankFrom(spark, dir, r, 1), maxIters, minIters, stop, ruleDesc)
+
+  /** The shared tolerance-loop machinery behind [[pagerankUntilDelta]]
+    * (absolute), [[pagerankUntilRelDelta]] (relative) and
+    * [[weightedPagerankUntilRelDelta]]: from `start`, apply `step`
+    * per round, FUSE (rank, |Δ|) into each round's localCheckpoint
+    * job, and stop when `stop(maxDelta, maxRank)` first holds at or
+    * after round `minIters` (below the floor the check can't fire,
+    * so those rounds skip the delta join entirely and cost only the
+    * rank step). The stop check itself scans the cached V rows — one
+    * cheap aggregate, never a second join job recomputing
+    * next⋈prev. */
+  private def rankLoopUntilStop(start: DataFrame, step: DataFrame => DataFrame,
+      maxIters: Int, minIters: Int, stop: (Long, Long) => Boolean,
       ruleDesc: String): (DataFrame, Int) = {
-    var r = uniformRanks(spark, dir).localCheckpoint(true)
+    var r = start.localCheckpoint(true)
     var it = 0
     var done = false
     while (it < maxIters && !done) {
-      val stepped = pagerankFrom(spark, dir, r, 1)
+      val stepped = step(r)
       if (it + 1 < minIters) {
         r = stepped.localCheckpoint(true)
         it += 1
@@ -355,6 +363,25 @@ object GraphOps {
         .agg((lit(150000L) + expr("85 * sum(contrib) DIV 100")).as("r"))
     }
     r.select(col("node").as("node_id"), col("r").as("rank"))
+  }
+
+  /** The relative-tolerance loop over the WEIGHTED graph — g14's
+    * scale-free stop rule composed with g15's weighted rounds (both
+    * delegate to the same [[rankLoopUntilStop]] machinery, so the
+    * checkpoint/minIters/fused-delta mechanics cannot drift between
+    * the weighted and unweighted variants; spec-pinned: with unit
+    * weights this is bit-exact the unweighted relative loop,
+    * including the round count). */
+  def weightedPagerankUntilRelDelta(spark: SparkSession, dir: String,
+      relPpm: Long, maxIters: Int = 200, minIters: Int = 1): (DataFrame, Int) = {
+    val wed = GraphTables.weightedEdges(spark, dir)
+    val start = wed.select(col("src").as("node_id")).distinct()
+      .select(col("node_id"), lit(1000000L).as("rank"))
+    rankLoopUntilStop(start, r => weightedPagerankFrom(wed, r, 1),
+      maxIters, minIters,
+      (mxDelta, mxRank) =>
+        BigInt(mxDelta) * 1000000 <= BigInt(relPpm) * BigInt(mxRank),
+      s"weighted relative |delta| <= $relPpm ppm")
   }
 
   def g15WeightedPagerank(spark: SparkSession, dir: String): DataFrame =

@@ -429,9 +429,11 @@ object SimilarityOps {
     ranked(pairs)
   }
 
-  val s7Sql: String =
-    s"""WITH $codebookCtes,
-       |psc AS (${duckCent("c1")}),
+  /** s7's trained-IVF probe CTEs (assignment + nprobe + scored
+    * pairs) over the codebook CTEs — shared by s7Sql and the s9
+    * recall oracle, so index tuning updates both in lockstep. */
+  private def ivfProbePairsCtes(pairsName: String): String =
+    s"""psc AS (${duckCent("c1")}),
        |passign AS (SELECT vec_id AS cvec, mid AS cluster FROM (
        |  SELECT vec_id, mid, row_number() OVER (PARTITION BY vec_id
        |    ORDER BY score DESC, mid) AS rn FROM psc) x WHERE rn = 1),
@@ -440,18 +442,39 @@ object SimilarityOps {
        |    SELECT vec_id, mid, row_number() OVER (PARTITION BY vec_id
        |      ORDER BY score DESC, mid) AS rn FROM psc WHERE vec_id < 10) p
        |  JOIN eb e ON p.vec_id = e.vec_id WHERE p.rn <= $NPROBE),
-       |pairs AS (
+       |$pairsName AS (
        |  SELECT q.qid AS query_id, c.vec_id AS neighbor_id,
        |    ${VectorExprs.duckDot("q.qvd", "c.vd")}
        |      / (sqrt(q.qn2) * sqrt(c.n2)) AS cosine
        |  FROM qprobe q
        |  JOIN passign a ON a.cluster = q.qcluster
        |  JOIN eb c ON c.vec_id = a.cvec
-       |  WHERE c.vec_id != q.qid),
-       |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
-       |        ORDER BY cosine DESC, neighbor_id) AS rank FROM pairs)
+       |  WHERE c.vec_id != q.qid)""".stripMargin
+
+  val s7Sql: String =
+    s"""WITH $codebookCtes,
+       |${ivfProbePairsCtes("pairs")},
+       |${topkCte("r", "pairs")}
        |SELECT query_id, neighbor_id, cosine, rank FROM r
        |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
+
+  // ---- s9: recall of the TRAINED IVF index vs the exact baseline ----
+  // s8's evaluator pointed at the real index: how much recall does
+  // nprobe=2 over the trained codebook give up? Same bounded
+  // K·|queries| join; together with s8 this is the quality side of
+  // the ANN tuning loop (nprobe/k for IVF, BandBits/Bands for LSH).
+  def s9IvfRecall(spark: SparkSession, dir: String): DataFrame =
+    recallOf(s1KnnBrute(spark, dir), s7IvfTrained(spark, dir))
+
+  val s9Sql: String =
+    s"""WITH $codebookCtes,
+       |${exactPairsCte("xpairs")},
+       |${topkCte("xr", "xpairs")},
+       |exact AS (SELECT query_id, neighbor_id FROM xr WHERE rank <= $K),
+       |${ivfProbePairsCtes("apairs")},
+       |${topkCte("ar", "apairs")},
+       |approx AS (SELECT query_id, neighbor_id FROM ar WHERE rank <= $K)
+       |$recallTailSql""".stripMargin
 
   // ---- s8: ANN recall evaluation — s2's LSH vs s1's exact top-k ----
   // The quality gauge every approximate index needs next to its speed
@@ -461,18 +484,32 @@ object SimilarityOps {
   // both sides regardless of corpus size; recall divides two small
   // exact counts in one IEEE op. This is how the BandBits/Bands knobs
   // get tuned at scale: recall from s8, cost from the bench.
-  def s8RecallEval(spark: SparkSession, dir: String): DataFrame = {
-    val exact = s1KnnBrute(spark, dir)
-      .select(col("query_id"), col("neighbor_id"))
-    val approx = s2KnnLsh(spark, dir)
-      .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
-    exact.join(approx, Seq("query_id", "neighbor_id"), "left_outer")
+  /** Per-query recall of `approx` against `exact` (both (query_id,
+    * neighbor_id, …) top-K results) — shared by s8 (LSH) and s9
+    * (trained IVF). */
+  private def recallOf(exact: DataFrame, approx: DataFrame): DataFrame =
+    exact.select(col("query_id"), col("neighbor_id"))
+      .join(approx.select(col("query_id"), col("neighbor_id"), lit(1L).as("hit")),
+        Seq("query_id", "neighbor_id"), "left_outer")
       .groupBy(col("query_id"))
       .agg(count(lit(1)).as("n_exact"),
         coalesce(sum(col("hit")), lit(0L)).as("n_hit"))
       .withColumn("recall", col("n_hit").cast("double") / col("n_exact"))
       .orderBy(col("query_id"))
-  }
+
+  def s8RecallEval(spark: SparkSession, dir: String): DataFrame =
+    recallOf(s1KnnBrute(spark, dir), s2KnnLsh(spark, dir))
+
+  /** The recall join+aggregate over CTEs named `exact`/`approx` —
+    * the shared oracle tail of s8 and s9, mirroring [[recallOf]]. */
+  private def recallTailSql: String =
+    """SELECT e.query_id, count(*) AS n_exact,
+      |  CAST(coalesce(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 END), 0) AS BIGINT) AS n_hit,
+      |  CAST(coalesce(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 END), 0) AS DOUBLE)
+      |    / count(*) AS recall
+      |FROM exact e LEFT JOIN approx a
+      |  ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+      |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin
 
   // Oracle: s1's pair CTE and s2's candidate/pair CTEs — the SAME
   // shared bodies s1Sql/s2Sql are built from — chained off the band
@@ -485,16 +522,11 @@ object SimilarityOps {
        |${lshPairsCtes("cand", "apairs")},
        |${topkCte("ar", "apairs")},
        |approx AS (SELECT query_id, neighbor_id FROM ar WHERE rank <= $K)
-       |SELECT e.query_id, count(*) AS n_exact,
-       |  CAST(coalesce(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 END), 0) AS BIGINT) AS n_hit,
-       |  CAST(coalesce(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 END), 0) AS DOUBLE)
-       |    / count(*) AS recall
-       |FROM exact e LEFT JOIN approx a
-       |  ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
-       |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin
+       |$recallTailSql""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s8_recall_eval" -> (s8RecallEval _),
+    "s9_ivf_recall" -> (s9IvfRecall _),
     "s1_knn_brute" -> (s1KnnBrute _),
     "s2_knn_lsh" -> (s2KnnLsh _),
     "s3_pairwise_topk" -> (s3PairwiseTopk _),
@@ -505,6 +537,7 @@ object SimilarityOps {
 
   val oracles: Map[String, String] = Map(
     "s8_recall_eval" -> s8Sql,
+    "s9_ivf_recall" -> s9Sql,
     "s1_knn_brute" -> s1Sql,
     "s2_knn_lsh" -> s2Sql,
     "s3_pairwise_topk" -> s3Sql,

@@ -206,6 +206,27 @@ class Round5OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("weighted relative-tolerance loop equals the same number of fixed weighted rounds") {
+    val (v, n) = GraphOps.weightedPagerankUntilRelDelta(spark, dir,
+      relPpm = 200000L, minIters = 4)
+    assert(n >= 4)
+    val wed = graft.operators.graph.GraphTables.weightedEdges(spark, dir)
+    val start = wed.select(col("src").as("node_id")).distinct()
+      .select(col("node_id"), lit(1000000L).as("rank"))
+    val fixed = GraphOps.weightedPagerankFrom(wed, start, n)
+    assert(v.orderBy(col("node_id")).collect().toSeq ==
+      fixed.orderBy(col("node_id")).collect().toSeq)
+  }
+
+  test("s9: trained-IVF recall is in [0,1] over exactly K exact neighbors") {
+    val rows = SimilarityOps.s9IvfRecall(spark, dir).collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      assert(r.getLong(1) == 5)
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+    }
+  }
+
   test("g14: relative-tolerance run equals the same number of fixed rounds, bit-exact") {
     val (v, n) = GraphOps.pagerankUntilRelDelta(spark, dir, relPpm = 200000L, minIters = 4)
     assert(n >= 4)
