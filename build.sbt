@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The forked run's stdout must reach the console as BARE bytes: sbt's
+// default LoggedOutput re-logs every forked line as "[info] <line>",
+// which broke the driver's per-line JSON parse of Bench's wire line
+// three rounds running (BENCH parsed:null). StdoutOutput makes the
+// child inherit sbt's own stdout/stderr — nothing rewrites the line.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -87,7 +87,22 @@ object Bench {
       s""""queries":${obj(results, r2, short)},"failed":$failed,"sf":"$sfDir"}"""
     require(line.length <= 1900,
       s"bench line ${line.length} chars — exceeds the driver's tail-capture budget")
-    println(line)
+    java.nio.file.Files.write(java.nio.file.Paths.get("bench_wire.json"),
+      (line + "\n").getBytes("UTF-8"))
     spark.stop()
+    // r5 postmortem: the line survived the driver's 2000-char tail
+    // intact but STILL recorded parsed:null — the suspect is sbt's
+    // logger wrapping unforked-run stdout as "[info] {...}", which a
+    // per-line json.loads rejects. Writing straight to file descriptor
+    // 1 bypasses any in-JVM System.out/Console.out redirection, so the
+    // emitted line is bare bytes no logger can prefix; it is printed
+    // ONCE (a println copy would double ~1200 chars and overflow the
+    // tail) and LAST (after spark.stop(), so no shutdown chatter can
+    // interleave). bench_wire.json holds the same line as a file
+    // artifact either way.
+    val fd1 = new java.io.PrintStream(
+      new java.io.FileOutputStream(java.io.FileDescriptor.out), true, "UTF-8")
+    fd1.println(line)
+    fd1.flush()
   }
 }

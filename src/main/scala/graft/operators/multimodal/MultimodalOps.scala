@@ -143,9 +143,13 @@ object MultimodalOps {
   // polynomial fingerprint of the resized signal. Fully columnar —
   // one narrow codegen'd scan, sequence/transform/aggregate over byte
   // offsets, zero shuffle; swap the ascii-block mean for a pixel-block
-  // kernel over decoded rows and the plan is unchanged. Text payloads
-  // are ASCII (m2/m3's contract), so character offsets = byte offsets
-  // on both engines; all arithmetic is integer → bit-exact.
+  // kernel over decoded rows and the plan is unchanged. All indexing
+  // AND sizing is in CHARACTER units (`length(text)`, substring
+  // offsets) — r5 advice: the earlier octet_length-based n_out mixed
+  // byte sizing with character indexing, which two engines would
+  // miscount identically on non-ASCII text and the gate could never
+  // catch; one unit end-to-end removes the ASCII assumption from the
+  // arithmetic entirely. All arithmetic is integer → bit-exact.
   private val ResizeFactor = 4
 
   def m4Resize(spark: SparkSession, dir: String): DataFrame = {
@@ -154,7 +158,7 @@ object MultimodalOps {
       .map(o => s"ascii(substring(text, cast(b * $f + $o + 1 as int), 1))")
       .mkString("(", " + ", s") DIV $f")
     withBlob(spark, dir)
-      .withColumn("n_out", floor(octet_length(col("payload")) / f).cast("long"))
+      .withColumn("n_out", floor(length(col("text")) / f).cast("long"))
       .filter(col("n_out") >= 1)
       .select(col("doc_id"), col("n_out"),
         expr(s"""aggregate(
@@ -172,9 +176,9 @@ object MultimodalOps {
       .mkString("(", " + ", s") // $f")
     s"""WITH sized AS (
        |  SELECT doc_id, text,
-       |    CAST(floor(octet_length(CAST(text AS BLOB)) / $f) AS BIGINT) AS n_out
+       |    CAST(floor(length(text) / $f) AS BIGINT) AS n_out
        |  FROM documents
-       |  WHERE octet_length(CAST(text AS BLOB)) >= $f)
+       |  WHERE length(text) >= $f)
        |SELECT doc_id, n_out,
        |  list_reduce(
        |    list_prepend(CAST(0 AS BIGINT),

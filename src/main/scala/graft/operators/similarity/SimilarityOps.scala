@@ -485,11 +485,16 @@ object SimilarityOps {
   // exact counts in one IEEE op. This is how the BandBits/Bands knobs
   // get tuned at scale: recall from s8, cost from the bench.
   /** Per-query recall of `approx` against `exact` (both (query_id,
-    * neighbor_id, …) top-K results) — shared by s8 (LSH) and s9
-    * (trained IVF). */
-  private def recallOf(exact: DataFrame, approx: DataFrame): DataFrame =
+    * neighbor_id, …) top-K results) — shared by s8 (LSH), s9
+    * (trained IVF) and s11 (PQ/ADC). The approx side is `.distinct()`
+    * defensively (r5 advice): today's indexes emit unique pairs, but a
+    * future multi-probe variant emitting duplicates would inflate both
+    * join multiplicity and n_hit, letting recall silently exceed 1.0 —
+    * the dedup costs K·|queries| rows and makes that impossible. */
+  def recallOf(exact: DataFrame, approx: DataFrame): DataFrame =
     exact.select(col("query_id"), col("neighbor_id"))
-      .join(approx.select(col("query_id"), col("neighbor_id"), lit(1L).as("hit")),
+      .join(approx.select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+          .distinct(),
         Seq("query_id", "neighbor_id"), "left_outer")
       .groupBy(col("query_id"))
       .agg(count(lit(1)).as("n_exact"),
@@ -501,13 +506,14 @@ object SimilarityOps {
     recallOf(s1KnnBrute(spark, dir), s2KnnLsh(spark, dir))
 
   /** The recall join+aggregate over CTEs named `exact`/`approx` —
-    * the shared oracle tail of s8 and s9, mirroring [[recallOf]]. */
-  private def recallTailSql: String =
+    * the shared oracle tail of s8/s9/s11, mirroring [[recallOf]]
+    * (including its defensive DISTINCT on the approx side). */
+  def recallTailSql: String =
     """SELECT e.query_id, count(*) AS n_exact,
       |  CAST(coalesce(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 END), 0) AS BIGINT) AS n_hit,
       |  CAST(coalesce(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 END), 0) AS DOUBLE)
       |    / count(*) AS recall
-      |FROM exact e LEFT JOIN approx a
+      |FROM exact e LEFT JOIN (SELECT DISTINCT query_id, neighbor_id FROM approx) a
       |  ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
       |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin
 

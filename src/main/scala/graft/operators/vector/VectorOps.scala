@@ -129,59 +129,79 @@ object VectorOps {
     * rows, no window. Distances are sequential folds, the error sum
     * is a fixed-order + chain, tie on equal distance → lowest code:
     * everything bit-identical to the oracle. */
-  private val PqM = 8        // subspaces
-  private val PqD = 8        // dims per subspace
-  private val PqK = 16       // codebook entries per subspace (4 bits)
+  val PqM = 8        // subspaces
+  val PqD = 8        // dims per subspace
+  val PqK = 16       // codebook entries per subspace (4 bits)
 
-  def v4PqCodes(spark: SparkSession, dir: String): DataFrame = {
-    val e = embPlain(spark, dir).select(col("vec_id"), col("vd"))
-    val cents = e.filter(col("vec_id") < PqK)
+  /** The PQ codebook: PqK deterministic rows (the s4/s5 seed pattern)
+    * as (mid, cvd). Broadcast-sized by construction. */
+  def pqCents(spark: SparkSession, dir: String): DataFrame =
+    embPlain(spark, dir).filter(col("vec_id") < PqK)
       .select(col("vec_id").as("mid"), col("vd").as("cvd"))
-    // per (vector, codebook row): the M per-subspace squared-L2
-    // distances, each an ordered fold over its 8 dims
-    val distsExpr =
-      s"""transform(sequence(0, ${PqM - 1}), m ->
-         |  aggregate(sequence(1, $PqD), cast(0.0 as double),
-         |    (a, d) -> a + (element_at(vd, m*$PqD + d) - element_at(cvd, m*$PqD + d))
-         |                * (element_at(vd, m*$PqD + d) - element_at(cvd, m*$PqD + d))))""".stripMargin
-    val scored = e.crossJoin(broadcast(cents))
-      .withColumn("dists", expr(distsExpr))
-    val picks = (0 until PqM).map(m =>
-      min(struct(element_at(col("dists"), m + 1).as("d"), col("mid").as("c")))
-        .as(s"p$m"))
-    val g = scored.groupBy(col("vec_id")).agg(picks.head, picks.tail: _*)
-    val code = (0 until PqM).map(m => col(s"p$m.c") * (1L << (4 * m)))
-      .reduce(_ + _)
-    val err = (0 until PqM).map(m => col(s"p$m.d")).reduce(_ + _)
-    g.select(col("vec_id"), code.cast("long").as("pq_code"),
-        err.as("recon_err"))
-      .orderBy(col("vec_id"))
-  }
 
-  val v4Sql: String = {
+  /** The built PQ index: (vec_id, pq_code, recon_err) — DfCache'd
+    * because it is both v4's gated output AND the corpus side of
+    * s10's ADC search (the whole point of PQ: the search path scans
+    * 12 bytes/vector, never the raw embeddings). */
+  def pqAssigned(spark: SparkSession, dir: String): DataFrame =
+    graft.util.DfCache.cached(spark, dir, "pq_codes") {
+      val e = embPlain(spark, dir).select(col("vec_id"), col("vd"))
+      // per (vector, codebook row): the M per-subspace squared-L2
+      // distances, each an ordered fold over its 8 dims
+      val distsExpr =
+        s"""transform(sequence(0, ${PqM - 1}), m ->
+           |  aggregate(sequence(1, $PqD), cast(0.0 as double),
+           |    (a, d) -> a + (element_at(vd, m*$PqD + d) - element_at(cvd, m*$PqD + d))
+           |                * (element_at(vd, m*$PqD + d) - element_at(cvd, m*$PqD + d))))""".stripMargin
+      val scored = e.crossJoin(broadcast(pqCents(spark, dir)))
+        .withColumn("dists", expr(distsExpr))
+      val picks = (0 until PqM).map(m =>
+        min(struct(element_at(col("dists"), m + 1).as("d"), col("mid").as("c")))
+          .as(s"p$m"))
+      val g = scored.groupBy(col("vec_id")).agg(picks.head, picks.tail: _*)
+      val code = (0 until PqM).map(m => col(s"p$m.c") * (1L << (4 * m)))
+        .reduce(_ + _)
+      val err = (0 until PqM).map(m => col(s"p$m.d")).reduce(_ + _)
+      g.select(col("vec_id"), code.cast("long").as("pq_code"),
+        err.as("recon_err"))
+    }
+
+  def v4PqCodes(spark: SparkSession, dir: String): DataFrame =
+    pqAssigned(spark, dir).orderBy(col("vec_id"))
+
+  /** Oracle CTEs mirroring [[pqAssigned]] up through the per-subspace
+    * argmin `pick` (vec_id, m, code, dist) — chained after
+    * [[VectorExprs.embCtes]]; shared by v4Sql and the s10/s11 ADC
+    * oracles so a codebook change updates the search gate in
+    * lockstep. `pick` is MATERIALIZED: s10/s11 join it per query and
+    * DuckDB would otherwise re-derive the full cross-join per use. */
+  val pqPickCtes: String = {
     val dist = (m: String) =>
       s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
          |  [ (e.vd[$m*$PqD + d] - c.cvd[$m*$PqD + d]) * (e.vd[$m*$PqD + d] - c.cvd[$m*$PqD + d])
          |    for d in generate_series(1, $PqD) ]), (a, x) -> a + x)""".stripMargin
-    s"""WITH ${VectorExprs.embCtes},
-       |cents AS (SELECT vec_id AS mid, vd AS cvd FROM eb WHERE vec_id < $PqK),
-       |sc AS (
+    s"""pqcents AS (SELECT vec_id AS mid, vd AS cvd FROM eb WHERE vec_id < $PqK),
+       |pqsc AS (
        |  SELECT e.vec_id, c.mid,
        |    [ ${dist("(m - 1)")} for m in generate_series(1, $PqM) ] AS dists
-       |  FROM eb e CROSS JOIN cents c),
-       |su AS (
+       |  FROM eb e CROSS JOIN pqcents c),
+       |pqsu AS (
        |  SELECT vec_id, mid, m - 1 AS m, dists[m] AS dist
-       |  FROM sc, generate_series(1, $PqM) g(m)),
-       |pick AS (
+       |  FROM pqsc, generate_series(1, $PqM) g(m)),
+       |pick AS MATERIALIZED (
        |  SELECT vec_id, m, mid AS code, dist FROM (
        |    SELECT *, row_number() OVER (PARTITION BY vec_id, m
-       |      ORDER BY dist, mid) AS rn FROM su) x WHERE rn = 1)
+       |      ORDER BY dist, mid) AS rn FROM pqsu) x WHERE rn = 1)""".stripMargin
+  }
+
+  val v4Sql: String =
+    s"""WITH ${VectorExprs.embCtes},
+       |$pqPickCtes
        |SELECT vec_id,
        |  CAST(sum(code * (1 << (4 * CAST(m AS INTEGER)))) AS BIGINT) AS pq_code,
        |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(dist ORDER BY m)),
        |              (a, x) -> a + x) AS recon_err
        |FROM pick GROUP BY vec_id ORDER BY vec_id""".stripMargin
-  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v4_pq_codes" -> (v4PqCodes _),
