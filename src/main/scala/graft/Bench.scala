@@ -31,6 +31,7 @@ object Bench {
       "emb_features" -> ((s, d) => graft.operators.vector.VectorExprs.embFeatures(s, d)),
       "emb_bands" -> ((s, d) => graft.operators.vector.VectorExprs.embBands(s, d)),
       "emb_quantized" -> ((s, d) => graft.operators.similarity.SimilarityOps.embQuantized(s, d)),
+      "pq_codes" -> ((s, d) => graft.operators.vector.VectorOps.pqAssigned(s, d)),
       "ivf_codebook" -> ((s, d) => graft.operators.similarity.SimilarityOps.ivfCodebook(s, d)),
       "graph_ppr_tag5" -> ((s, d) => graft.operators.graph.GraphOps.g13PersonalizedPagerank(s, d)),
       "graph_wedges" -> ((s, d) => graft.operators.graph.GraphTables.weightedEdges(s, d)),

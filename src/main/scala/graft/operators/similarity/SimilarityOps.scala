@@ -530,7 +530,122 @@ object SimilarityOps {
        |approx AS (SELECT query_id, neighbor_id FROM ar WHERE rank <= $K)
        |$recallTailSql""".stripMargin
 
+  // ---- s10: PQ asymmetric-distance (ADC) search over v4's codes ----
+  // The search half of the product-quantization index: the corpus side
+  // is ONLY [[VectorOps.pqAssigned]]'s packed codes (12 bytes/vector —
+  // at 1B vectors a 12 GB scan instead of 256 GB of raw float32; that
+  // is the reason PQ exists), the query side is a broadcast per-query
+  // lookup table. Per (query, centroid, subspace) we precompute
+  //   dot(q_m, c_m)  and  |c_m|²   (16×8 entries per query, ~2 KB)
+  // and the ADC score of a packed code is 8 nibble-indexed table
+  // lookups summed in subspace order:
+  //   approx_cos = Σ_m LUT[m][code_m].dot
+  //              / (|q| · sqrt(Σ_m LUT[m][code_m].cn2)),
+  // i.e. cosine against the RECONSTRUCTED vector without ever touching
+  // it — the |recon|² term is itself code-only lookups. Everything is
+  // one codegen'd stage over the codes scan (no join on the corpus
+  // side beyond the broadcast), then the bounded top-k aggregate; at
+  // 100 TB the plan is scan-codes → map → map-side-combined top-k, no
+  // shuffle of anything corpus-sized. Folds are sequential on both
+  // engines, so the gate stays exact equality.
+  def s10PqKnn(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.vector.VectorOps.{PqM, PqD, PqK, pqAssigned, pqCents}
+    graft.functions.GraftFunctions.registerAll(spark)
+    val codes = pqAssigned(spark, dir).select(col("vec_id"), col("pq_code"))
+    val q = VectorExprs.embFeatures(spark, dir).filter(col("vec_id") < 10)
+      .select(col("vec_id"), col("vd"), col("n2"))
+    def subFold(a: String, b: String) =
+      s"""transform(sequence(0, ${PqM - 1}), m ->
+         |  aggregate(sequence(1, $PqD), cast(0.0 as double),
+         |    (a, d) -> a + element_at($a, m*$PqD + d) * element_at($b, m*$PqD + d)))""".stripMargin
+    val qlut = q.crossJoin(broadcast(pqCents(spark, dir)))
+      .withColumn("subdot", expr(subFold("vd", "cvd")))
+      .withColumn("subn2", expr(subFold("cvd", "cvd")))
+      .select(col("vec_id"), col("n2"), col("mid"),
+        posexplode(arrays_zip(col("subdot"), col("subn2"))).as(Seq("m", "s")))
+      .select(col("vec_id"), col("n2"),
+        (col("m") * PqK + col("mid")).as("idx"),
+        col("s.subdot").as("dot"), col("s.subn2").as("cn2"))
+      .groupBy(col("vec_id"), col("n2"))
+      .agg(expr(
+        "transform(sort_array(collect_list(struct(idx, dot, cn2))), p -> named_struct('dot', p.dot, 'cn2', p.cn2))")
+        .as("lut"))
+      .select(col("vec_id").as("qid"), col("n2").as("qn2"), col("lut"))
+    // nibble m of the packed code word indexes subspace m's 16 LUT rows
+    def lutAt(field: String) =
+      s"element_at(lut, cast(m*$PqK + shiftright(pq_code, 4*m) % $PqK + 1 as int)).$field"
+    def adcFold(field: String) =
+      s"""aggregate(sequence(0, ${PqM - 1}), cast(0.0 as double),
+         |  (a, m) -> a + ${lutAt(field)})""".stripMargin
+    val pairs = codes.crossJoin(broadcast(qlut))
+      .filter(col("qid") =!= col("vec_id"))
+      .withColumn("adot", expr(adcFold("dot")))
+      .withColumn("an2", expr(adcFold("cn2")))
+      .select(col("qid").as("query_id"), col("vec_id").as("neighbor_id"),
+        (col("adot") / (sqrt(col("qn2")) * sqrt(col("an2")))).as("cosine"))
+    ranked(pairs)
+  }
+
+  /** s10's ADC CTEs (query LUT rows + scored pairs) over
+    * [[graft.operators.vector.VectorOps.pqPickCtes]] — shared by
+    * s10Sql and the s11 recall oracle. The oracle scores via the
+    * pick table's per-subspace codes (provably the nibbles of
+    * pq_code), with both folds in subspace order like the Spark
+    * side's `aggregate` over m. */
+  private def pqAdcPairsCtes(pairsName: String): String = {
+    import graft.operators.vector.VectorOps.{PqM, PqD}
+    def subFold(a: String, b: String) =
+      s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |  [ $a[g.m*$PqD + d] * $b[g.m*$PqD + d] for d in generate_series(1, $PqD) ]),
+         |  (a, x) -> a + x)""".stripMargin
+    def mFold(v: String) =
+      s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list($v ORDER BY p.m)),
+         |    (a, x) -> a + x)""".stripMargin
+    s"""qlut AS (
+       |  SELECT q.vec_id AS qid, q.n2 AS qn2, c.mid, g.m,
+       |    ${subFold("q.vd", "c.cvd")} AS subdot,
+       |    ${subFold("c.cvd", "c.cvd")} AS subn2
+       |  FROM eb q CROSS JOIN pqcents c, generate_series(0, ${PqM - 1}) g(m)
+       |  WHERE q.vec_id < 10),
+       |$pairsName AS (
+       |  SELECT l.qid AS query_id, p.vec_id AS neighbor_id,
+       |    ${mFold("l.subdot")}
+       |      / (sqrt(l.qn2) * sqrt(${mFold("l.subn2")})) AS cosine
+       |  FROM pick p JOIN qlut l ON l.m = p.m AND l.mid = p.code
+       |  WHERE l.qid != p.vec_id
+       |  GROUP BY l.qid, p.vec_id, l.qn2)""".stripMargin
+  }
+
+  val s10Sql: String =
+    s"""WITH ${VectorExprs.embCtes},
+       |${graft.operators.vector.VectorOps.pqPickCtes},
+       |${pqAdcPairsCtes("pairs")},
+       |${topkCte("r", "pairs")}
+       |SELECT query_id, neighbor_id, cosine, rank FROM r
+       |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
+
+  // ---- s11: recall of the PQ/ADC index vs the exact baseline ----
+  // The third row of the ANN quality board (s8 LSH, s9 trained IVF,
+  // s11 PQ): how much of the exact cosine top-K survives 64×
+  // compression? This is the number that prices v4's 4-byte codes —
+  // compression ratio from v4, recall from here, cost from bench.
+  def s11PqRecall(spark: SparkSession, dir: String): DataFrame =
+    recallOf(s1KnnBrute(spark, dir), s10PqKnn(spark, dir))
+
+  val s11Sql: String =
+    s"""WITH ${VectorExprs.embCtes},
+       |${exactPairsCte("xpairs")},
+       |${topkCte("xr", "xpairs")},
+       |exact AS (SELECT query_id, neighbor_id FROM xr WHERE rank <= $K),
+       |${graft.operators.vector.VectorOps.pqPickCtes},
+       |${pqAdcPairsCtes("apairs")},
+       |${topkCte("ar", "apairs")},
+       |approx AS (SELECT query_id, neighbor_id FROM ar WHERE rank <= $K)
+       |$recallTailSql""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s10_pq_knn" -> (s10PqKnn _),
+    "s11_pq_recall" -> (s11PqRecall _),
     "s8_recall_eval" -> (s8RecallEval _),
     "s9_ivf_recall" -> (s9IvfRecall _),
     "s1_knn_brute" -> (s1KnnBrute _),
@@ -542,6 +657,8 @@ object SimilarityOps {
     "s7_ivf_trained" -> (s7IvfTrained _))
 
   val oracles: Map[String, String] = Map(
+    "s10_pq_knn" -> s10Sql,
+    "s11_pq_recall" -> s11Sql,
     "s8_recall_eval" -> s8Sql,
     "s9_ivf_recall" -> s9Sql,
     "s1_knn_brute" -> s1Sql,
