@@ -284,7 +284,14 @@ object DedupOps {
   // through the 8-way band explosion.
   import graft.operators.vector.VectorExprs
 
-  def d5EmbeddingDup(spark: SparkSession, dir: String): DataFrame = {
+  /** d5's near-dup decision threshold — shared with d8's exact ground
+    * truth so the recall gauge measures exactly the pairs d5 is
+    * supposed to find. */
+  private val DupTheta = 0.35
+
+  /** d5's verified pair set WITHOUT the presentation orderBy — reused
+    * by d8, which re-aggregates it. */
+  private def d5Pairs(spark: SparkSession, dir: String): DataFrame = {
     val capped = VectorExprs.cappedBands(spark, dir)
     val cand = capped.as("x").join(capped.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey")
@@ -298,13 +305,18 @@ object DedupOps {
       .withColumn("dot", expr(VectorExprs.dotExpr("a.vd", "b.vd")))
       .select(col("vec_a"), col("vec_b"),
         (col("dot") / (sqrt(col("a.n2")) * sqrt(col("b.n2")))).as("cosine"))
-      .filter(col("cosine") > 0.35)
-      .orderBy(col("vec_a"), col("vec_b"))
+      .filter(col("cosine") > DupTheta)
   }
 
-  val d5Sql: String =
-    s"""WITH ${VectorExprs.bandCtes},
-       |cand AS (
+  def d5EmbeddingDup(spark: SparkSession, dir: String): DataFrame =
+    d5Pairs(spark, dir).orderBy(col("vec_a"), col("vec_b"))
+
+  /** d5's candidate + verified-pair CTEs (`cand`, `scored`, `dp`) over
+    * [[VectorExprs.bandCtes]] — shared by d5Sql and the d8 recall
+    * oracle, so a band/cap tuning change moves the gauge in
+    * lockstep. */
+  private val d5PairCtes: String =
+    s"""cand AS (
        |  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
        |  FROM capped x JOIN capped y
        |    ON x.band = y.band AND x.bkey = y.bkey AND x.vec_id < y.vec_id),
@@ -312,9 +324,60 @@ object DedupOps {
        |  SELECT c.vec_a, c.vec_b,
        |    ${VectorExprs.duckDot("a.vd", "b.vd")}
        |      / (sqrt(a.n2) * sqrt(b.n2)) AS cosine
-       |  FROM cand c JOIN eb a ON c.vec_a = a.vec_id JOIN eb b ON c.vec_b = b.vec_id)
-       |SELECT vec_a, vec_b, cosine FROM scored
-       |WHERE cosine > 0.35 ORDER BY vec_a, vec_b""".stripMargin
+       |  FROM cand c JOIN eb a ON c.vec_a = a.vec_id JOIN eb b ON c.vec_b = b.vec_id),
+       |dp AS (SELECT vec_a, vec_b, cosine FROM scored WHERE cosine > $DupTheta)""".stripMargin
+
+  val d5Sql: String =
+    s"""WITH ${VectorExprs.bandCtes},
+       |$d5PairCtes
+       |SELECT vec_a, vec_b, cosine FROM dp ORDER BY vec_a, vec_b""".stripMargin
+
+  // ---- d8: measured recall of the banded-LSH near-dup pass ----
+  // The quality gauge d5 was missing (s8/s9's counterpart for the
+  // dedup family): of the TRUE cosine>θ near-dup pairs, how many does
+  // the banded-LSH candidate path actually surface? Ground truth is
+  // computed for a fixed probe sample (25 vectors) as broadcast(probes)
+  // × corpus — LINEAR in the corpus like s1, never all-pairs, so the
+  // evaluator itself holds at 100 TB (probe count is the precision
+  // knob of the estimate, not a scale limit). The approx side is d5's
+  // verified output restricted to the probes, symmetrized (d5 stores
+  // each pair once, a < b), through the shared recallOf — so
+  // BandBits/Bands/MaxBucket are now tuned against a measured miss
+  // rate: recall here, cost from bench, exactly how s8 prices s2.
+  private val RecallProbes = 25
+
+  def d8DedupRecall(spark: SparkSession, dir: String): DataFrame = {
+    val e = VectorExprs.embFeatures(spark, dir)
+    val exact = broadcast(e.filter(col("vec_id") < RecallProbes).as("q"))
+      .join(e.as("c"), col("q.vec_id") =!= col("c.vec_id"))
+      .withColumn("dot", expr(VectorExprs.dotExpr("q.vd", "c.vd")))
+      .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"),
+        (col("dot") / (sqrt(col("q.n2")) * sqrt(col("c.n2")))).as("cosine"))
+      .filter(col("cosine") > DupTheta)
+    val dp = d5Pairs(spark, dir)
+    val approx = dp.select(col("vec_a").as("query_id"), col("vec_b").as("neighbor_id"))
+      .union(dp.select(col("vec_b").as("query_id"), col("vec_a").as("neighbor_id")))
+      .filter(col("query_id") < RecallProbes)
+    graft.operators.similarity.SimilarityOps.recallOf(exact, approx)
+  }
+
+  val d8Sql: String =
+    s"""WITH ${VectorExprs.bandCtes},
+       |$d5PairCtes,
+       |xp AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    ${VectorExprs.duckDot("q.vd", "c.vd")}
+       |      / (sqrt(q.n2) * sqrt(c.n2)) AS cosine
+       |  FROM eb q, eb c
+       |  WHERE q.vec_id < $RecallProbes AND q.vec_id != c.vec_id),
+       |exact AS (SELECT query_id, neighbor_id FROM xp WHERE cosine > $DupTheta),
+       |approx AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT vec_a AS query_id, vec_b AS neighbor_id FROM dp
+       |    UNION ALL
+       |    SELECT vec_b AS query_id, vec_a AS neighbor_id FROM dp) u
+       |  WHERE query_id < $RecallProbes)
+       |${graft.operators.similarity.SimilarityOps.recallTailSql}""".stripMargin
 
   // ---- d6: duplicate-cluster assignment (the dedup DECISION list) ----
   // The output a dedup pipeline actually acts on: connected components
@@ -398,7 +461,8 @@ object DedupOps {
     "d3_simhash" -> (d3Simhash _),
     "d4_ngram_jaccard" -> (d4NgramJaccard _),
     "d5_embedding_dup" -> (d5EmbeddingDup _),
-    "d6_dup_clusters" -> (d6DupClusters _))
+    "d6_dup_clusters" -> (d6DupClusters _),
+    "d8_dedup_recall" -> (d8DedupRecall _))
 
   val oracles: Map[String, String] = Map(
     "d7_contamination" -> d7Sql,
@@ -407,5 +471,6 @@ object DedupOps {
     "d3_simhash" -> d3Sql,
     "d4_ngram_jaccard" -> d4Sql,
     "d5_embedding_dup" -> d5Sql,
-    "d6_dup_clusters" -> d6Sql)
+    "d6_dup_clusters" -> d6Sql,
+    "d8_dedup_recall" -> d8Sql)
 }
