@@ -255,21 +255,16 @@ object EventOps {
   // The ranking window partitions by window_start — window count
   // grows with the stream's lifetime, and rows per window are bounded
   // by the event-type vocabulary, so the sort inside each partition
-  // is O(|types| log |types|) regardless of event volume. In the
-  // streaming runtime the same plan runs per finalized watermark
-  // window (rank-on-emit), state bounded exactly like e1's.
+  // is O(|types| log |types|) regardless of event volume. The stream
+  // mode is [[EventStreams.trendingStream]] — the SAME rankWindows
+  // body run per finalized watermark window (rank-on-emit, state
+  // bounded exactly like e1's; TrendingStreamSpec proves the
+  // exactly-once-per-window emission equals this batch rank).
   private val TrendK = 3
 
-  def e10Trending(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("window_start"))
-      .orderBy(col("n_events").desc, col("event_type"))
-    EventStreams.tumbling(events(spark, dir))
-      .select(col("window_start"), col("event_type"), col("n_events"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= TrendK)
+  def e10Trending(spark: SparkSession, dir: String): DataFrame =
+    EventStreams.rankWindows(EventStreams.tumbling(events(spark, dir)), TrendK)
       .orderBy(col("window_start"), col("rank"))
-  }
 
   val e10Sql: String =
     s"""WITH counts AS (

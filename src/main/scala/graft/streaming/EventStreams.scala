@@ -46,6 +46,34 @@ object EventStreams {
         col("session_window.end").as("session_end"), col("n_events"), col("sum_value"))
   }
 
+  /** Per-batch ranking body of the trending leaderboard (e10): top-k
+    * event types within each window of `counts`. Shared verbatim by
+    * the batch gate and [[trendingStream]]'s foreachBatch — in stream
+    * mode the input holds only windows the watermark just FINALIZED,
+    * so the rank sort covers |types| rows per closed window, never
+    * open state. */
+  def rankWindows(counts: DataFrame, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("window_start"))
+      .orderBy(col("n_events").desc, col("event_type"))
+    counts.select(col("window_start"), col("event_type"), col("n_events"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** e10 as a stream: watermarked tumbling counts in APPEND mode —
+    * each window emits exactly once, when the watermark passes its
+    * end — ranked per emitted window in foreachBatch (rank-on-
+    * finalized-window). State is exactly e1's watermark-bounded
+    * window state; the leaderboard step itself is stateless, so the
+    * streaming cost profile is the tumbling aggregate's. The sink
+    * callback receives each batch's ranked leaderboard rows. */
+  def trendingStream(stream: DataFrame, k: Int)(
+      sink: DataFrame => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    tumbling(stream, withWatermark = true)
+      .writeStream.outputMode("append")
+      .foreachBatch((batch: DataFrame, _: Long) => sink(rankWindows(batch, k)))
+
   /** Interval join: purchase ⋈ clicks of the same user in the 30
     * minutes up to (and including) the purchase. On streams both sides
     * carry watermarks and the time-range bound lets Spark evict join

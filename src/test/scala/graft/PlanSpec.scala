@@ -148,6 +148,25 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("CartesianProduct"), "no cross join anywhere in the pipeline")
   }
 
+  test("t9: text is pruned below the dedup window's exchange") {
+    // the dedup stage windows over md5(text); ExtractWindowExpressions
+    // must project the hash to a _w alias and column pruning must drop
+    // `text` itself before the window — otherwise the full surviving
+    // corpus text rides the dedup shuffle at 100 TB. Pinned on the
+    // optimized logical plan: the physical exchange's input is exactly
+    // the window child's output, so text absent here ⇒ text not
+    // shuffled (robust to AQE's stage wrapping).
+    val df = SparkEntry.queries("t9_curation_pipeline")(spark, dir)
+    val windows = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.nonEmpty, "expected the dedup + packing windows")
+    windows.foreach { w =>
+      assert(!w.child.output.map(_.name).contains("text"),
+        s"text must not ride a window exchange: ${w.child.output.map(_.name)}")
+    }
+  }
+
   test("g13: repeated invocation serves the personalized vector from cache") {
     val df1 = SparkEntry.queries("g13_personalized_pagerank")(spark, dir)
     df1.collect()
