@@ -505,6 +505,82 @@ object GraphOps {
        |SELECT node AS node_id, r AS rank FROM p3 ORDER BY node_id""".stripMargin
   }
 
+  // ---- g16: WEIGHTED personalized PageRank ----
+  // The last uncomposed corner of the rank family: g13's source-
+  // conditional teleport over g15's weight-proportional rounds. The
+  // composition is literal — base(dst) from g13, contrib = r·w DIV
+  // wsum from g15 — and both parents' invariants pin it: with unit
+  // weights (w=1, wsum=deg) the round map reduces to g13's exactly
+  // (r·1 DIV d = r DIV d), asserted bit-exact by
+  // PersonalizedPagerankSpec. Same scale posture as both parents:
+  // loop-invariant cached src-partitioned edge table, one V-row
+  // shuffle per round, teleport membership is a predicate in the
+  // aggregate projection — never a join.
+  /** Weighted personalized rounds from `start` (node_id, rank) over
+    * any (src, dst, w, wsum) edge table — the composable core. */
+  def weightedPersonalizedFrom(wed: DataFrame,
+      isSource: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+      start: DataFrame, iters: Int): DataFrame = {
+    def base(n: org.apache.spark.sql.Column) =
+      when(isSource(n), lit(150000L)).otherwise(lit(0L))
+    var r = start.select(col("node_id").as("node"), col("rank").as("r"))
+    for (_ <- 1 to iters) {
+      r = wed
+        .join(r, col("src") === col("node"))
+        .select(col("dst"), expr("(r * w) DIV wsum").as("contrib"))
+        .groupBy(col("dst").as("node"))
+        .agg((base(col("dst")) + expr("85 * sum(contrib) DIV 100")).as("r"))
+    }
+    r.select(col("node").as("node_id"), col("r").as("rank"))
+  }
+
+  /** Personalized start vector (teleport mass on sources only) over
+    * an edge table's vertex set. */
+  private[graft] def personalizedStart(edges: DataFrame,
+      isSource: org.apache.spark.sql.Column => org.apache.spark.sql.Column): DataFrame =
+    edges.select(col("src").as("node_id")).distinct()
+      .select(col("node_id"),
+        when(isSource(col("node_id")), lit(1000000L)).otherwise(lit(0L)).as("rank"))
+
+  /** g14's relative stop rule over the weighted personalized rounds —
+    * with this, every (weighted × personalized) combination runs
+    * through the one [[rankLoopUntilStop]] machinery. */
+  def weightedPersonalizedUntilRelDelta(spark: SparkSession, dir: String,
+      isSource: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+      relPpm: Long, maxIters: Int = 200, minIters: Int = 1): (DataFrame, Int) = {
+    val wed = GraphTables.weightedEdges(spark, dir)
+    rankLoopUntilStop(personalizedStart(wed, isSource),
+      r => weightedPersonalizedFrom(wed, isSource, r, 1),
+      maxIters, minIters,
+      (mxDelta, mxRank) =>
+        BigInt(mxDelta) * 1000000 <= BigInt(relPpm) * BigInt(mxRank),
+      s"weighted personalized relative |delta| <= $relPpm ppm")
+  }
+
+  /** The driver-gated instance: same tag source set as g13 (node % 8
+    * = 5), 3 weighted rounds, DfCache'd like its parents. */
+  def g16WeightedPersonalized(spark: SparkSession, dir: String): DataFrame =
+    graft.util.DfCache.cached(spark, dir, "graph_wppr_tag5") {
+      val wed = GraphTables.weightedEdges(spark, dir)
+      weightedPersonalizedFrom(wed, n => n % 8 === 5,
+        personalizedStart(wed, n => n % 8 === 5), 3)
+    }.orderBy(col("node_id"))
+
+  val g16Sql: String = {
+    def iter(t: Int, prev: String) =
+      s"""v$t AS (
+         |  SELECT e.dst AS node,
+         |    CAST(CASE WHEN e.dst % 8 = 5 THEN 150000 ELSE 0 END
+         |      + (85 * CAST(sum((p.r * e.w) // g.wsum) AS BIGINT)) // 100 AS BIGINT) AS r
+         |  FROM wed e JOIN wdeg g ON e.src = g.wnode JOIN $prev p ON e.src = p.node
+         |  GROUP BY e.dst)""".stripMargin
+    s"""WITH ${GraphTables.wedgeSqlCtes.replace("wed AS (", "wed AS MATERIALIZED (")},
+       |v0 AS (SELECT wnode AS node,
+       |  CAST(CASE WHEN wnode % 8 = 5 THEN 1000000 ELSE 0 END AS BIGINT) AS r FROM wdeg),
+       |${(1 to 3).map(t => iter(t, s"v${t - 1}")).mkString(",\n")}
+       |SELECT node AS node_id, r AS rank FROM v3 ORDER BY node_id""".stripMargin
+  }
+
   private def prSqlCtesN(rounds: Int, materialized: Boolean): String = {
     val m = if (materialized) " MATERIALIZED" else ""
     def iter(t: Int, prev: String) =
@@ -972,6 +1048,7 @@ object GraphOps {
     "g13_personalized_pagerank" -> (g13PersonalizedPagerank _),
     "g14_pagerank_rel_converged" -> (g14PagerankRelConverged _),
     "g15_weighted_pagerank" -> (g15WeightedPagerank _),
+    "g16_weighted_ppr" -> (g16WeightedPersonalized _),
     "g1_degree" -> (g1Degree _),
     "g2_degree_distribution" -> (g2DegreeDistribution _),
     "g3_top_visited" -> (g3TopVisited _),
@@ -989,6 +1066,7 @@ object GraphOps {
     "g13_personalized_pagerank" -> g13Sql,
     "g14_pagerank_rel_converged" -> g14Sql,
     "g15_weighted_pagerank" -> g15Sql,
+    "g16_weighted_ppr" -> g16Sql,
     "g1_degree" -> g1Sql,
     "g2_degree_distribution" -> g2Sql,
     "g3_top_visited" -> g3Sql,

@@ -81,4 +81,41 @@ class PersonalizedPagerankSpec extends AnyFunSuite with BeforeAndAfterAll {
     val got = rows(GraphOps.personalizedPagerank(spark, dir, _ => org.apache.spark.sql.functions.lit(false)))
     assert(got.nonEmpty && got.forall(_._2 == 0L))
   }
+
+  // ---- g16: the weighted × personalized composition ----
+
+  test("g16 with unit weights == unweighted personalized (g13 core), bit-exact") {
+    // w=1, wsum=deg makes the weighted round map r·1 DIV d = r DIV d —
+    // the composition must collapse to g13's operator exactly
+    val ew = GraphOps.edgesWithDeg(spark, dir)
+    val unitWed = ew.select(col("src"), col("dst"),
+      org.apache.spark.sql.functions.lit(1L).as("w"), col("d").as("wsum"))
+    val isSource = (n: org.apache.spark.sql.Column) => n % 8 === 5
+    val weighted = rows(GraphOps.weightedPersonalizedFrom(unitWed, isSource,
+      GraphOps.personalizedStart(unitWed, isSource), 3))
+    val unweighted = rows(GraphOps.personalizedPagerank(spark, dir, isSource, 3))
+    assert(weighted == unweighted)
+  }
+
+  test("gated g16 == composable core over the weighted edge table") {
+    val wed = graft.operators.graph.GraphTables.weightedEdges(spark, dir)
+    val isSource = (n: org.apache.spark.sql.Column) => n % 8 === 5
+    val gated = rows(GraphOps.g16WeightedPersonalized(spark, dir))
+    val generic = rows(GraphOps.weightedPersonalizedFrom(wed, isSource,
+      GraphOps.personalizedStart(wed, isSource), 3))
+    assert(gated == generic)
+  }
+
+  test("g16 relative-tolerance loop == the same number of unrolled rounds") {
+    // the rankLoopUntilStop composition obeys the same loop ≡ unroll
+    // law as g12/g14 (GraphWarmStartSpec's pattern): the converged
+    // vector is bit-exactly k fixed rounds for the returned k
+    val isSource = (n: org.apache.spark.sql.Column) => n % 8 === 5
+    val (df, k) = GraphOps.weightedPersonalizedUntilRelDelta(
+      spark, dir, isSource, relPpm = 200000L, minIters = 4)
+    val wed = graft.operators.graph.GraphTables.weightedEdges(spark, dir)
+    val unrolled = rows(GraphOps.weightedPersonalizedFrom(wed, isSource,
+      GraphOps.personalizedStart(wed, isSource), k))
+    assert(k >= 4 && rows(df) == unrolled)
+  }
 }
