@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.graph.GraphOps
+
+/** Scale-trail pin for the tolerance-loop operators (g12/g14) at
+  * scales where their unrolled 24-round MATERIALIZED DuckDB oracles
+  * are infeasible (sf10+): run the gated loop, record its stopping
+  * round k, and value-compare the converged vector against
+  * `pagerankFrom(uniform, k)` — the loop ≡ unroll law that
+  * GraphWarmStartSpec pins bit-exactly at spec scale and the DuckDB
+  * gate re-proves at sf0.001–sf1, re-executed at the target scale.
+  * A zero mismatch count means the loop's checkpoint/fused-delta
+  * machinery did not perturb a single rank at that scale.
+  *
+  * Usage: SPARK_GRAFT_CPUS=32 sbt "runMain graft.ScaleTrail <sfDir>"
+  * Prints one JSON line per operator.
+  */
+object ScaleTrail {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = GraftSession.local(cpus, cpus)
+    val probes: Seq[(String, () => (org.apache.spark.sql.DataFrame, Int))] = Seq(
+      "g14_pagerank_rel_converged" -> (() => GraphOps.g14Probe(spark, dir)),
+      "g12_pagerank_converged" -> (() => GraphOps.g12Probe(spark, dir)))
+    probes.foreach { case (name, probe) =>
+      val t0 = System.nanoTime()
+      val (loopDf, k) = probe()
+      val loopSec = (System.nanoTime() - t0) / 1e9
+      val unrolled = GraphOps.pagerankFrom(
+        spark, dir, GraphOps.uniformRanks(spark, dir), k)
+      val joined = loopDf.as("a")
+        .join(unrolled.as("b"), Seq("node_id"), "full_outer")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("a.rank") === col("b.rank"), 0L).otherwise(1L)).as("bad"))
+        .collect()(0)
+      val totalSec = (System.nanoTime() - t0) / 1e9
+      println(
+        s"""{"op":"$name","sf":"$dir","rounds":$k,"rows":${joined.getLong(0)},""" +
+          s""""mismatches":${joined.getLong(1)},"loop_sec":${"%.1f".format(loopSec)},""" +
+          s""""total_sec":${"%.1f".format(totalSec)}}""")
+    }
+    spark.stop()
+  }
+}

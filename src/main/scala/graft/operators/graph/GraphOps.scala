@@ -338,9 +338,15 @@ object GraphOps {
   // concentrates before decaying ~0.85×/round).
   private val G12Tol = 17400000L
 
-  def g12PagerankConverged(spark: SparkSession, dir: String): DataFrame =
+  /** The gated g12 loop WITH its stopping round — the scale-trail
+    * probe surface (graft.ScaleTrail): at scales where the unrolled
+    * DuckDB oracle is infeasible, correctness is pinned by comparing
+    * the converged vector against pagerankFrom(uniform, k). */
+  def g12Probe(spark: SparkSession, dir: String): (DataFrame, Int) =
     pagerankUntilDelta(spark, dir, tolMicros = G12Tol, minIters = 4)
-      ._1.orderBy(col("node_id"))
+
+  def g12PagerankConverged(spark: SparkSession, dir: String): DataFrame =
+    g12Probe(spark, dir)._1.orderBy(col("node_id"))
 
   // ---- g15: WEIGHTED PageRank over edge multiplicities ----
   // The weighted random surfer: each neighbor receives rank in
@@ -415,9 +421,12 @@ object GraphOps {
   // as g12, with the per-round max rank joined into the stop rule.
   private val G14RelPpm = 200000L
 
-  def g14PagerankRelConverged(spark: SparkSession, dir: String): DataFrame =
+  /** The gated g14 loop WITH its stopping round (see [[g12Probe]]). */
+  def g14Probe(spark: SparkSession, dir: String): (DataFrame, Int) =
     pagerankUntilRelDelta(spark, dir, relPpm = G14RelPpm, minIters = 4)
-      ._1.orderBy(col("node_id"))
+
+  def g14PagerankRelConverged(spark: SparkSession, dir: String): DataFrame =
+    g14Probe(spark, dir)._1.orderBy(col("node_id"))
 
   // ---- g13: personalized PageRank (teleport to a source set) ----
   // Random-walk-with-restart relevance scores relative to an arbitrary
@@ -611,7 +620,12 @@ object GraphOps {
   // test scale — where a pinned unroll is only right at one. Every
   // round CTE is referenced three times (next round, its delta, the
   // tagged union), so MATERIALIZED is load-bearing: inlined, the
-  // recompute is 2^k (the g10 lesson).
+  // recompute is 2^k (the g10 lesson). If NO unrolled round satisfies
+  // the rule (a scale converging in 25..maxIters rounds), the oracle
+  // RAISES via error() instead of silently selecting round 24 — the
+  // driver loop would legitimately pass there, and a loud oracle
+  // failure saying "raise G12UnrollRounds" beats a spurious hash
+  // mismatch (r5 advice).
   private val G12UnrollRounds = 24
   private val G12MinIters = 4
 
@@ -625,9 +639,11 @@ object GraphOps {
     s"""WITH ${GraphTables.symSqlCtes.replace("sym AS (", "sym AS MATERIALIZED (")},
        |$rounds,
        |ds AS MATERIALIZED ($deltas),
-       |kstop AS (SELECT coalesce(
-       |  min(CASE WHEN t >= $G12MinIters AND mx <= $G12Tol THEN t END),
-       |  $G12UnrollRounds) AS k FROM ds),
+       |kstop AS (SELECT CASE
+       |  WHEN min(CASE WHEN t >= $G12MinIters AND mx <= $G12Tol THEN t END) IS NULL
+       |  THEN CAST(error('g12 oracle: no round <= $G12UnrollRounds satisfied the absolute stop rule - raise G12UnrollRounds') AS INTEGER)
+       |  ELSE min(CASE WHEN t >= $G12MinIters AND mx <= $G12Tol THEN t END)
+       |  END AS k FROM ds),
        |allr AS ($tagged)
        |SELECT node AS node_id, r AS rank FROM allr
        |WHERE t = (SELECT k FROM kstop) ORDER BY node_id""".stripMargin
@@ -651,11 +667,15 @@ object GraphOps {
     s"""WITH ${GraphTables.symSqlCtes.replace("sym AS (", "sym AS MATERIALIZED (")},
        |$rounds,
        |ds AS MATERIALIZED ($deltas),
-       |kstop AS (SELECT coalesce(
-       |  min(CASE WHEN t >= $G12MinIters
+       |kstop AS (SELECT CASE
+       |  WHEN min(CASE WHEN t >= $G12MinIters
        |    AND CAST(mx AS HUGEINT) * 1000000 <= $G14RelPpm * CAST(mxr AS HUGEINT)
-       |    THEN t END),
-       |  $G12UnrollRounds) AS k FROM ds),
+       |    THEN t END) IS NULL
+       |  THEN CAST(error('g14 oracle: no round <= $G12UnrollRounds satisfied the relative stop rule - raise G12UnrollRounds') AS INTEGER)
+       |  ELSE min(CASE WHEN t >= $G12MinIters
+       |    AND CAST(mx AS HUGEINT) * 1000000 <= $G14RelPpm * CAST(mxr AS HUGEINT)
+       |    THEN t END)
+       |  END AS k FROM ds),
        |allr AS ($tagged)
        |SELECT node AS node_id, r AS rank FROM allr
        |WHERE t = (SELECT k FROM kstop) ORDER BY node_id""".stripMargin
