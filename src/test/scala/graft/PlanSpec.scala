@@ -227,6 +227,20 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "both inputs keep the bounded top-k aggregate shape")
   }
 
+  test("s10: ADC search broadcasts the query LUTs over the codes scan — no corpus shuffle, no window") {
+    // the entire point of PQ search: the corpus side is the 12 B/row
+    // codes table consumed map-side; ranking is the bounded top-k
+    // aggregate. A SortMergeJoin or Window here means something
+    // corpus-sized shuffled or sorted.
+    val plan = planOf(SparkEntry.queries("s10_pq_knn")(spark, dir))
+      .split("== Initial Plan ==").head
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      "per-query lookup tables must broadcast over the codes scan")
+    assert(!plan.contains("SortMergeJoin"), "no corpus-sized join shuffle")
+    assert(!plan.contains("Window"),
+      "top-k must be the bounded mergeable aggregate, not a window sort")
+  }
+
   test("m4: resize is one narrow scan — no shuffle at all") {
     val plan = planOf(SparkEntry.queries("m4_resize")(spark, dir))
     assert(!plan.contains("Exchange hashpartitioning"),
