@@ -567,13 +567,17 @@ object SimilarityOps {
         (col("m") * PqK + col("mid")).as("idx"),
         col("s.subdot").as("dot"), col("s.subn2").as("cn2"))
       .groupBy(col("vec_id"), col("n2"))
+      // a MAP keyed by m·PqK+mid, not a dense array: a degenerate
+      // corpus with fewer than PqK vectors has a sparse codebook, and
+      // positional indexing would read past the array's end — codes
+      // only ever reference existing mids, so map lookups always hit
       .agg(expr(
-        "transform(sort_array(collect_list(struct(idx, dot, cn2))), p -> named_struct('dot', p.dot, 'cn2', p.cn2))")
+        "map_from_entries(collect_list(struct(idx, named_struct('dot', dot, 'cn2', cn2))))")
         .as("lut"))
       .select(col("vec_id").as("qid"), col("n2").as("qn2"), col("lut"))
-    // nibble m of the packed code word indexes subspace m's 16 LUT rows
+    // nibble m of the packed code word keys subspace m's LUT rows
     def lutAt(field: String) =
-      s"element_at(lut, cast(m*$PqK + shiftright(pq_code, 4*m) % $PqK + 1 as int)).$field"
+      s"element_at(lut, cast(m*$PqK + shiftright(pq_code, 4*m) % $PqK as int)).$field"
     def adcFold(field: String) =
       s"""aggregate(sequence(0, ${PqM - 1}), cast(0.0 as double),
          |  (a, m) -> a + ${lutAt(field)})""".stripMargin
