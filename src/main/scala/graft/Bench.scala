@@ -28,6 +28,8 @@ object Bench {
       "dedup_bands" -> ((s, d) => graft.operators.dedup.DedupOps.bandTable(s, d)),
       "dedup_simhash" -> ((s, d) => graft.operators.dedup.DedupOps.simhashTable(s, d)),
       "dedup_jaccard" -> ((s, d) => graft.operators.dedup.DedupOps.d4NgramJaccard(s, d)),
+      "dedup_index" -> ((s, d) =>
+        s.table(graft.operators.dedup.DedupOps.gatedDedupIndex(s, d) + "_bands")),
       "emb_features" -> ((s, d) => graft.operators.vector.VectorExprs.embFeatures(s, d)),
       "emb_bands" -> ((s, d) => graft.operators.vector.VectorExprs.embBands(s, d)),
       "emb_quantized" -> ((s, d) => graft.operators.similarity.SimilarityOps.embQuantized(s, d)),
