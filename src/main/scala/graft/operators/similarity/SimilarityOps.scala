@@ -404,22 +404,31 @@ object SimilarityOps {
   // but the centroids are the learned ones, so this is the real
   // trained-IVF index, not a plan-shape demonstration. Oracle = s5's
   // codebook CTEs chained into s4's probe SQL.
-  def s7IvfTrained(spark: SparkSession, dir: String): DataFrame = {
+  /** The query side of a trained-IVF probe: each query's NPROBE
+    * nearest trained centroids, as (qid, qvd, qn2, qcluster). The
+    * window ranks only the 16 centroid scores of each of the 10 query
+    * vectors — bounded by k·|queries|, never corpus-sized. Shared by
+    * s7 (raw-vector rescoring) and s12 (ADC rescoring). */
+  private def ivfQueryProbes(spark: SparkSession, dir: String): DataFrame = {
     val e = embQuantized(spark, dir)
     val cents = ivfCodebook(spark, dir)
-    val corpus = e.join(assignTo(e, cents), Seq("vec_id"))
-      .select(col("vec_id"), col("vd"), col("n2"), col("cluster"))
     val score = expr("graft_dot(vd, cm)") /
       (sqrt(col("n2")) * sqrt(expr("graft_dot(cm, cm)")))
     val qw = Window.partitionBy(col("vec_id")).orderBy(col("ns"), col("mid"))
-    // the window ranks only the 16 centroid scores of each of the 10
-    // query vectors — bounded by k·|queries|, never corpus-sized
-    val qprobe = e.filter(col("vec_id") < 10).crossJoin(broadcast(cents))
+    e.filter(col("vec_id") < 10).crossJoin(broadcast(cents))
       .withColumn("ns", -score)
       .withColumn("prn", row_number().over(qw))
       .filter(col("prn") <= NPROBE)
       .select(col("vec_id").as("qid"), col("vd").as("qvd"),
         col("n2").as("qn2"), col("mid").as("qcluster"))
+  }
+
+  def s7IvfTrained(spark: SparkSession, dir: String): DataFrame = {
+    val e = embQuantized(spark, dir)
+    val cents = ivfCodebook(spark, dir)
+    val corpus = e.join(assignTo(e, cents), Seq("vec_id"))
+      .select(col("vec_id"), col("vd"), col("n2"), col("cluster"))
+    val qprobe = ivfQueryProbes(spark, dir)
     val pairs = broadcast(qprobe)
       .join(corpus.as("c"),
         col("qcluster") === col("c.cluster") && col("qid") =!= col("c.vec_id"))
@@ -548,17 +557,20 @@ object SimilarityOps {
   // 100 TB the plan is scan-codes → map → map-side-combined top-k, no
   // shuffle of anything corpus-sized. Folds are sequential on both
   // engines, so the gate stays exact equality.
-  def s10PqKnn(spark: SparkSession, dir: String): DataFrame = {
-    import graft.operators.vector.VectorOps.{PqM, PqD, PqK, pqAssigned, pqCents}
-    graft.functions.GraftFunctions.registerAll(spark)
-    val codes = pqAssigned(spark, dir).select(col("vec_id"), col("pq_code"))
+  /** The per-query ADC lookup table (qid, qn2, lut): for each
+    * (subspace m, codebook row mid), dot(q_m, c_m) and |c_m|² —
+    * 16×8 entries (~2 KB) per query, broadcast to wherever packed
+    * codes are scored. Shared by s10 (full-corpus ADC) and s12
+    * (IVF-restricted ADC). */
+  private def pqQueryLut(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.vector.VectorOps.{PqM, PqD, PqK, pqCents}
     val q = VectorExprs.embFeatures(spark, dir).filter(col("vec_id") < 10)
       .select(col("vec_id"), col("vd"), col("n2"))
     def subFold(a: String, b: String) =
       s"""transform(sequence(0, ${PqM - 1}), m ->
          |  aggregate(sequence(1, $PqD), cast(0.0 as double),
          |    (a, d) -> a + element_at($a, m*$PqD + d) * element_at($b, m*$PqD + d)))""".stripMargin
-    val qlut = q.crossJoin(broadcast(pqCents(spark, dir)))
+    q.crossJoin(broadcast(pqCents(spark, dir)))
       .withColumn("subdot", expr(subFold("vd", "cvd")))
       .withColumn("subn2", expr(subFold("cvd", "cvd")))
       .select(col("vec_id"), col("n2"), col("mid"),
@@ -575,19 +587,34 @@ object SimilarityOps {
         "map_from_entries(collect_list(struct(idx, named_struct('dot', dot, 'cn2', cn2))))")
         .as("lut"))
       .select(col("vec_id").as("qid"), col("n2").as("qn2"), col("lut"))
+  }
+
+  /** ADC-score and rank rows carrying (qid, qn2, lut, vec_id,
+    * pq_code): the cosine against the RECONSTRUCTED corpus vector is
+    * 2×8 nibble-indexed lookups summed in subspace order — one
+    * codegen'd projection, then the bounded top-K aggregate. */
+  private def adcRanked(joined: DataFrame): DataFrame = {
+    import graft.operators.vector.VectorOps.{PqM, PqK}
     // nibble m of the packed code word keys subspace m's LUT rows
     def lutAt(field: String) =
       s"element_at(lut, cast(m*$PqK + shiftright(pq_code, 4*m) % $PqK as int)).$field"
     def adcFold(field: String) =
       s"""aggregate(sequence(0, ${PqM - 1}), cast(0.0 as double),
          |  (a, m) -> a + ${lutAt(field)})""".stripMargin
-    val pairs = codes.crossJoin(broadcast(qlut))
-      .filter(col("qid") =!= col("vec_id"))
+    val pairs = joined
       .withColumn("adot", expr(adcFold("dot")))
       .withColumn("an2", expr(adcFold("cn2")))
       .select(col("qid").as("query_id"), col("vec_id").as("neighbor_id"),
         (col("adot") / (sqrt(col("qn2")) * sqrt(col("an2")))).as("cosine"))
     ranked(pairs)
+  }
+
+  def s10PqKnn(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.vector.VectorOps.pqAssigned
+    graft.functions.GraftFunctions.registerAll(spark)
+    val codes = pqAssigned(spark, dir).select(col("vec_id"), col("pq_code"))
+    adcRanked(codes.crossJoin(broadcast(pqQueryLut(spark, dir)))
+      .filter(col("qid") =!= col("vec_id")))
   }
 
   /** s10's ADC CTEs (query LUT rows + scored pairs) over
@@ -596,7 +623,7 @@ object SimilarityOps {
     * pick table's per-subspace codes (provably the nibbles of
     * pq_code), with both folds in subspace order like the Spark
     * side's `aggregate` over m. */
-  private def pqAdcPairsCtes(pairsName: String): String = {
+  private def pqAdcPairsCtes(pairsName: String, probed: Boolean = false): String = {
     import graft.operators.vector.VectorOps.{PqM, PqD}
     def subFold(a: String, b: String) =
       s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
@@ -605,6 +632,14 @@ object SimilarityOps {
     def mFold(v: String) =
       s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list($v ORDER BY p.m)),
          |    (a, x) -> a + x)""".stripMargin
+    // probed = s12's IVF restriction: the corpus vector's coarse
+    // cluster (passign) must be one the query probed (qpr) — at most
+    // one matching qpr row per (query, vector), so no multiplicity
+    val probeJoin = if (probed)
+      s"""
+         |  JOIN passign pa ON pa.cvec = p.vec_id
+         |  JOIN qpr ON qpr.qcluster = pa.cluster AND qpr.qid = l.qid""".stripMargin
+    else ""
     s"""qlut AS (
        |  SELECT q.vec_id AS qid, q.n2 AS qn2, c.mid, g.m,
        |    ${subFold("q.vd", "c.cvd")} AS subdot,
@@ -615,7 +650,7 @@ object SimilarityOps {
        |  SELECT l.qid AS query_id, p.vec_id AS neighbor_id,
        |    ${mFold("l.subdot")}
        |      / (sqrt(l.qn2) * sqrt(${mFold("l.subn2")})) AS cosine
-       |  FROM pick p JOIN qlut l ON l.m = p.m AND l.mid = p.code
+       |  FROM pick p JOIN qlut l ON l.m = p.m AND l.mid = p.code$probeJoin
        |  WHERE l.qid != p.vec_id
        |  GROUP BY l.qid, p.vec_id, l.qn2)""".stripMargin
   }
@@ -647,9 +682,89 @@ object SimilarityOps {
        |approx AS (SELECT query_id, neighbor_id FROM ar WHERE rank <= $K)
        |$recallTailSql""".stripMargin
 
+  // ---- s12: IVF-PQ — the composed billion-vector index ----
+  // The two halves finally composed the way a production ANN system
+  // ships them (FAISS's IVFPQ): the trained coarse quantizer
+  // ([[ivfCodebook]]) partitions the corpus into inverted lists, and
+  // within the probed lists candidates are scored by ADC over v4's
+  // packed codes — never touching a raw corpus vector. The index row
+  // is (vec_id, cluster, pq_code): ~16 bytes/vector. At 1B vectors
+  // that's a 16 GB index; a query reads only the NPROBE/16 of it in
+  // its probed lists and the scoring scan is the same codegen'd
+  // lookup-table fold as s10 — IVF bounds the candidates, PQ bounds
+  // the bytes. Plan: broadcast(probes ⋈ LUTs — tiny) against the
+  // cached index scan, filter on cluster match, ADC fold, bounded
+  // top-k; no corpus-sized shuffle anywhere. Recall is priced by s13
+  // exactly like s9 priced the raw-vector IVF.
+  /** The IVF-PQ index: coarse cluster + packed PQ code per corpus
+    * vector — DfCache'd (built once per session, probed by s12/s13;
+    * at scale this is the persisted artifact, cf. d9's band index). */
+  def ivfPqIndex(spark: SparkSession, dir: String): DataFrame =
+    graft.util.DfCache.cached(spark, dir, "ivfpq_index") {
+      import graft.operators.vector.VectorOps.pqAssigned
+      val e = embQuantized(spark, dir)
+      assignTo(e, ivfCodebook(spark, dir))
+        .join(pqAssigned(spark, dir), Seq("vec_id"))
+        .select(col("vec_id"), col("cluster"), col("pq_code"))
+    }
+
+  def s12IvfPq(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(spark)
+    val qp = ivfQueryProbes(spark, dir).select(col("qid"), col("qcluster"))
+      .join(pqQueryLut(spark, dir), Seq("qid"))
+    adcRanked(ivfPqIndex(spark, dir).join(broadcast(qp),
+      col("qcluster") === col("cluster") && col("qid") =!= col("vec_id")))
+  }
+
+  /** s12's coarse-quantizer CTEs: corpus assignment to the trained
+    * codebook and the query's NPROBE probed clusters — the same
+    * psc/row_number shapes as [[ivfProbePairsCtes]], exposing
+    * (cvec, cluster) and (qid, qcluster) for the ADC pair join. */
+  private def ivfCoarseCtes: String =
+    s"""psc AS (${duckCent("c1")}),
+       |passign AS (SELECT vec_id AS cvec, mid AS cluster FROM (
+       |  SELECT vec_id, mid, row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY score DESC, mid) AS rn FROM psc) x WHERE rn = 1),
+       |qpr AS (SELECT vec_id AS qid, mid AS qcluster FROM (
+       |  SELECT vec_id, mid, row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY score DESC, mid) AS rn FROM psc WHERE vec_id < 10) p
+       |  WHERE rn <= $NPROBE)""".stripMargin
+
+  val s12Sql: String =
+    s"""WITH $codebookCtes,
+       |${graft.operators.vector.VectorOps.pqPickCtes},
+       |$ivfCoarseCtes,
+       |${pqAdcPairsCtes("pairs", probed = true)},
+       |${topkCte("r", "pairs")}
+       |SELECT query_id, neighbor_id, cosine, rank FROM r
+       |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
+
+  // ---- s13: recall of the IVF-PQ index vs the exact baseline ----
+  // The fourth row of the ANN quality board (s8 LSH, s9 IVF, s11 PQ,
+  // s13 IVF-PQ): the composed index loses recall BOTH ways — probes
+  // miss lists (s9's loss) and ADC mis-ranks within lists (s11's
+  // loss) — so this is the number that tunes NPROBE against the
+  // compression, and the one a production deployment watches.
+  def s13IvfPqRecall(spark: SparkSession, dir: String): DataFrame =
+    recallOf(s1KnnBrute(spark, dir), s12IvfPq(spark, dir))
+
+  val s13Sql: String =
+    s"""WITH $codebookCtes,
+       |${exactPairsCte("xpairs")},
+       |${topkCte("xr", "xpairs")},
+       |exact AS (SELECT query_id, neighbor_id FROM xr WHERE rank <= $K),
+       |${graft.operators.vector.VectorOps.pqPickCtes},
+       |$ivfCoarseCtes,
+       |${pqAdcPairsCtes("apairs", probed = true)},
+       |${topkCte("ar", "apairs")},
+       |approx AS (SELECT query_id, neighbor_id FROM ar WHERE rank <= $K)
+       |$recallTailSql""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s10_pq_knn" -> (s10PqKnn _),
     "s11_pq_recall" -> (s11PqRecall _),
+    "s12_ivfpq" -> (s12IvfPq _),
+    "s13_ivfpq_recall" -> (s13IvfPqRecall _),
     "s8_recall_eval" -> (s8RecallEval _),
     "s9_ivf_recall" -> (s9IvfRecall _),
     "s1_knn_brute" -> (s1KnnBrute _),
@@ -663,6 +778,8 @@ object SimilarityOps {
   val oracles: Map[String, String] = Map(
     "s10_pq_knn" -> s10Sql,
     "s11_pq_recall" -> s11Sql,
+    "s12_ivfpq" -> s12Sql,
+    "s13_ivfpq_recall" -> s13Sql,
     "s8_recall_eval" -> s8Sql,
     "s9_ivf_recall" -> s9Sql,
     "s1_knn_brute" -> s1Sql,
