@@ -630,7 +630,92 @@ object DedupOps {
        |WHERE CAST(i.inter AS DOUBLE) / (na.n + nb.n - i.inter) >= $JaccardTheta
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  // ---- d10: span-level exact duplication (repeated n-gram spans) ----
+  // The dedup the whole-doc family (d1–d9) cannot see: training
+  // corpora are full of documents that are globally unique but carry
+  // long VERBATIM spans repeated across documents (boilerplate,
+  // licenses, quoted posts) — the case for substring-level dedup in
+  // Lee et al., "Deduplicating Training Data Makes Language Models
+  // Better" (ACL 2022). Per document: how many of its positional
+  // SpanN-word spans (rolling base-131 hash over the d2 word values —
+  // positional, NOT the distinct/sorted shingle set) also occur in at
+  // least one OTHER document, and what fraction of the document that
+  // is. A curation pass drops or trims docs by `dup_frac` exactly
+  // like t8 drops by quality score.
+  //
+  // Scale: the explode is one positional span row per token — linear,
+  // like t5. Then three bounded shuffles: (1) groupBy (h, doc_id)
+  // with map-side combine collapses repeats within a doc; (2) the
+  // duplicated-hash table `dup` keeps ONLY hashes seen in ≥2 docs —
+  // at 100 TB that's the boilerplate minority, far smaller than the
+  // span table, so the join back is a hash join whose build side AQE
+  // can broadcast, and a hot span (site-wide boilerplate) is a skewed
+  // JOIN key AQE skew-splits, not a window partition it can't;
+  // (3) the per-doc rollup. No suffix array, no sort of the corpus —
+  // the hash join IS the suffix-match at fixed span length.
+  private val SpanN = 8
+
+  /** Positional span hashes of each ≥SpanN-word doc: spans[i] =
+    * fold(base 131, wvs[i..i+SpanN-1]) mod 2^31-1 — each step stays
+    * < 2^31·131, so the Long arithmetic cannot wrap and the DuckDB
+    * fold is bit-identical. */
+  private val spanHashesExpr =
+    s"""transform(sequence(1, size(wvs) - ${SpanN - 1}), i ->
+       |  aggregate(sequence(i, i + ${SpanN - 1}), cast(0 as bigint),
+       |    (a, j) -> (a*131 + element_at(wvs, j)) % 2147483647))""".stripMargin
+
+  /** d10's body over an arbitrary documents-shaped DataFrame (needs
+    * doc_id, text) — the spec feeds synthetic corpora with known
+    * span overlap. */
+  def spanDedupOf(docsDf: DataFrame): DataFrame = {
+    val sp = docsDf
+      .filter(size(split(col("text"), " ")) >= SpanN)
+      .withColumn("wvs", expr(wvsExpr))
+      .select(col("doc_id"), explode(expr(spanHashesExpr)).as("h"))
+    val g = sp.groupBy(col("h"), col("doc_id"))
+      .agg(count(lit(1)).as("n_pos"))
+    val dup = g.groupBy(col("h"))
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= 2)
+      .select(col("h"), lit(true).as("is_dup"))
+    g.join(dup, Seq("h"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n_pos")).as("n_spans"),
+        coalesce(sum(when(col("is_dup"), col("n_pos"))), lit(0L)).as("n_dup_spans"))
+      .withColumn("dup_frac",
+        col("n_dup_spans").cast("double") / col("n_spans"))
+      .orderBy(col("doc_id"))
+  }
+
+  def d10SpanDedup(spark: SparkSession, dir: String): DataFrame =
+    spanDedupOf(docs(spark, dir))
+
+  val d10Sql: String =
+    s"""WITH wv AS (
+       |  SELECT doc_id,
+       |    list_transform(string_split(text,' '),
+       |      w -> (CAST(length(w) AS BIGINT)*31 + ascii(substr(w,1,1)))*31
+       |           + ascii(substr(w,-1,1))) AS wvs
+       |  FROM documents WHERE len(string_split(text,' ')) >= $SpanN),
+       |sp AS (
+       |  SELECT doc_id,
+       |    unnest([ list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      [ wvs[j] for j in generate_series(i, i + ${SpanN - 1}) ]),
+       |      (a, x) -> (a*131 + x) % 2147483647)
+       |      for i in generate_series(1, len(wvs) - ${SpanN - 1}) ]) AS h
+       |  FROM wv),
+       |gp AS (SELECT h, doc_id, count(*) AS n_pos FROM sp GROUP BY h, doc_id),
+       |dup AS (SELECT h FROM gp GROUP BY h HAVING count(*) >= 2)
+       |SELECT gp.doc_id, CAST(sum(gp.n_pos) AS BIGINT) AS n_spans,
+       |  CAST(coalesce(sum(CASE WHEN d.h IS NOT NULL THEN gp.n_pos END), 0) AS BIGINT)
+       |    AS n_dup_spans,
+       |  CAST(coalesce(sum(CASE WHEN d.h IS NOT NULL THEN gp.n_pos END), 0) AS DOUBLE)
+       |    / sum(gp.n_pos) AS dup_frac
+       |FROM gp LEFT JOIN dup d ON gp.h = d.h
+       |GROUP BY gp.doc_id ORDER BY gp.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d10_span_dedup" -> (d10SpanDedup _),
     "d7_contamination" -> (d7Contamination _),
     "d1_exact_dedup" -> (d1ExactDedup _),
     "d2_minhash_lsh" -> (d2MinhashLsh _),
@@ -642,6 +727,7 @@ object DedupOps {
     "d9_incremental_dedup" -> (d9IncrementalDedup _))
 
   val oracles: Map[String, String] = Map(
+    "d10_span_dedup" -> d10Sql,
     "d7_contamination" -> d7Sql,
     "d1_exact_dedup" -> d1Sql,
     "d2_minhash_lsh" -> d2Sql,

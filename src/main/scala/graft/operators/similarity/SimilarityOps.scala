@@ -409,7 +409,8 @@ object SimilarityOps {
     * window ranks only the 16 centroid scores of each of the 10 query
     * vectors — bounded by k·|queries|, never corpus-sized. Shared by
     * s7 (raw-vector rescoring) and s12 (ADC rescoring). */
-  private def ivfQueryProbes(spark: SparkSession, dir: String): DataFrame = {
+  private def ivfQueryProbes(spark: SparkSession, dir: String,
+      nprobe: Int = NPROBE): DataFrame = {
     val e = embQuantized(spark, dir)
     val cents = ivfCodebook(spark, dir)
     val score = expr("graft_dot(vd, cm)") /
@@ -418,7 +419,7 @@ object SimilarityOps {
     e.filter(col("vec_id") < 10).crossJoin(broadcast(cents))
       .withColumn("ns", -score)
       .withColumn("prn", row_number().over(qw))
-      .filter(col("prn") <= NPROBE)
+      .filter(col("prn") <= nprobe)
       .select(col("vec_id").as("qid"), col("vd").as("qvd"),
         col("n2").as("qn2"), col("mid").as("qcluster"))
   }
@@ -708,13 +709,19 @@ object SimilarityOps {
         .select(col("vec_id"), col("cluster"), col("pq_code"))
     }
 
-  def s12IvfPq(spark: SparkSession, dir: String): DataFrame = {
+  /** nprobe-parameterized body of s12 — `nprobe = #clusters` probes
+    * everything, collapsing IVF-PQ to s10's full ADC scan (the
+    * composition law the spec pins). */
+  def s12IvfPqWith(spark: SparkSession, dir: String, nprobe: Int): DataFrame = {
     graft.functions.GraftFunctions.registerAll(spark)
-    val qp = ivfQueryProbes(spark, dir).select(col("qid"), col("qcluster"))
+    val qp = ivfQueryProbes(spark, dir, nprobe).select(col("qid"), col("qcluster"))
       .join(pqQueryLut(spark, dir), Seq("qid"))
     adcRanked(ivfPqIndex(spark, dir).join(broadcast(qp),
       col("qcluster") === col("cluster") && col("qid") =!= col("vec_id")))
   }
+
+  def s12IvfPq(spark: SparkSession, dir: String): DataFrame =
+    s12IvfPqWith(spark, dir, NPROBE)
 
   /** s12's coarse-quantizer CTEs: corpus assignment to the trained
     * codebook and the query's NPROBE probed clusters — the same

@@ -399,7 +399,88 @@ object TextOps {
        |SELECT doc_id, word, tf, df, score, CAST(rank AS INTEGER) AS rank
        |FROM r WHERE rank <= $TfIdfK ORDER BY doc_id, rank""".stripMargin
 
+  // ---- t11: stratified mixture sampling (corpus re-balancing) ----
+  // The mixture-construction step after curation: a raw crawl is
+  // wildly imbalanced across (source, language) strata, and training
+  // recipes re-balance it (cap the dominant strata / temperature-
+  // sample the tail — the multilingual sampling trick). Two passes,
+  // exactly like a production mixture builder:
+  //   1. count each (source, pred_lang) stratum — a tiny aggregate
+  //      (stratum cardinality, not corpus-sized);
+  //   2. re-scan with the per-stratum keep-rate BROADCAST back and
+  //      keep doc iff hash(doc_id) mod 1e6 < rate_ppm — the same
+  //      deterministic splitter hash as t7, so the sample is
+  //      reproducible run-to-run and engine-to-engine.
+  // rate_ppm = min(1e6, cap·1e6 div n_stratum) in pure integer
+  // arithmetic (no float rounding to disagree on). At 100 TB pass 1
+  // is a map-side-combined agg shuffling |strata| rows and pass 2 is
+  // a narrow codegen'd scan against a broadcast map — nothing
+  // corpus-sized ever shuffles, and the expected output per stratum
+  // is ≤ StratumCap docs, which is the point of the operator.
+  // 15 bites at every scale ≥ sf0.01 (dominant strata hold ~25 docs
+  // at the gate scale and grow from there) while sf0.001's ~3-doc
+  // strata stay uncapped — both branches of the rate are gated
+  private val StratumCap = 15L
+
+  def t11MixtureSample(spark: SparkSession, dir: String): DataFrame = {
+    val f = docs(spark, dir)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).as("n_tokens"),
+        hits(EN).as("en_hits"), hits(DE).as("de_hits"), hits(FR).as("fr_hits"))
+      .withColumn("pred_lang",
+        when(col("en_hits") + col("de_hits") + col("fr_hits") === 0, lit("unknown"))
+          .when(col("en_hits") >= col("de_hits") && col("en_hits") >= col("fr_hits"), lit("en"))
+          .when(col("de_hits") >= col("fr_hits"), lit("de"))
+          .otherwise(lit("fr")))
+      .select(col("doc_id"), col("source"), col("pred_lang"), col("n_tokens"))
+    val rates = f.groupBy(col("source"), col("pred_lang"))
+      .agg(count(lit(1)).as("n_stratum"))
+      .withColumn("rate_ppm",
+        expr(s"least(1000000L, ${StratumCap}000000L div n_stratum)"))
+    f.join(broadcast(rates), Seq("source", "pred_lang"))
+      .withColumn("h", expr("((doc_id % 2147483647) * 2654435761) % 2147483647"))
+      .withColumn("keep", col("h") % 1000000 < col("rate_ppm"))
+      .groupBy(col("source"), col("pred_lang"))
+      .agg(min(col("n_stratum")).as("n_stratum"),
+        min(col("rate_ppm")).as("rate_ppm"),
+        coalesce(sum(when(col("keep"), 1L)), lit(0L)).as("n_sampled"),
+        coalesce(sum(when(col("keep"), col("n_tokens"))), lit(0L)).as("tok_sampled"))
+      .orderBy(col("source"), col("pred_lang"))
+  }
+
+  val t11Sql: String =
+    s"""WITH f AS (
+       |  SELECT doc_id, source,
+       |    len(string_split(text,' ')) AS n_tokens,
+       |    len(list_filter(string_split(text,' '), w -> w IN ${sqlSet(EN)})) AS en_hits,
+       |    len(list_filter(string_split(text,' '), w -> w IN ${sqlSet(DE)})) AS de_hits,
+       |    len(list_filter(string_split(text,' '), w -> w IN ${sqlSet(FR)})) AS fr_hits
+       |  FROM documents),
+       |lf AS (
+       |  SELECT doc_id, source, n_tokens,
+       |    CASE WHEN en_hits + de_hits + fr_hits = 0 THEN 'unknown'
+       |         WHEN en_hits >= de_hits AND en_hits >= fr_hits THEN 'en'
+       |         WHEN de_hits >= fr_hits THEN 'de' ELSE 'fr' END AS pred_lang
+       |  FROM f),
+       |rates AS (
+       |  SELECT source, pred_lang, count(*) AS n_stratum,
+       |    least(1000000, ${StratumCap}000000 // count(*)) AS rate_ppm
+       |  FROM lf GROUP BY source, pred_lang)
+       |SELECT lf.source, lf.pred_lang,
+       |  CAST(min(r.n_stratum) AS BIGINT) AS n_stratum,
+       |  CAST(min(r.rate_ppm) AS BIGINT) AS rate_ppm,
+       |  CAST(coalesce(sum(CASE WHEN
+       |    ((lf.doc_id % 2147483647) * 2654435761) % 2147483647 % 1000000
+       |      < r.rate_ppm THEN 1 END), 0) AS BIGINT) AS n_sampled,
+       |  CAST(coalesce(sum(CASE WHEN
+       |    ((lf.doc_id % 2147483647) * 2654435761) % 2147483647 % 1000000
+       |      < r.rate_ppm THEN lf.n_tokens END), 0) AS BIGINT) AS tok_sampled
+       |FROM lf JOIN rates r ON lf.source = r.source AND lf.pred_lang = r.pred_lang
+       |GROUP BY lf.source, lf.pred_lang
+       |ORDER BY lf.source, lf.pred_lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t11_mixture_sample" -> (t11MixtureSample _),
     "t10_tfidf" -> (t10Tfidf _),
     "t1_lang_id" -> (t1LangId _),
     "t2_quality" -> (t2Quality _),
@@ -412,6 +493,7 @@ object TextOps {
     "t9_curation_pipeline" -> (t9CurationPipeline _))
 
   val oracles: Map[String, String] = Map(
+    "t11_mixture_sample" -> t11Sql,
     "t10_tfidf" -> t10Sql,
     "t1_lang_id" -> t1Sql,
     "t2_quality" -> t2Sql,
