@@ -664,16 +664,24 @@ object DedupOps {
        |  aggregate(sequence(i, i + ${SpanN - 1}), cast(0 as bigint),
        |    (a, j) -> (a*131 + element_at(wvs, j)) % 2147483647))""".stripMargin
 
-  /** d10's body over an arbitrary documents-shaped DataFrame (needs
-    * doc_id, text) — the spec feeds synthetic corpora with known
-    * span overlap. */
-  def spanDedupOf(docsDf: DataFrame): DataFrame = {
-    val sp = docsDf
+  /** The span-group table (h, doc_id, n_pos): one row per distinct
+    * (span hash, doc) with its positional multiplicity. Both d10
+    * consumers (the per-doc rollup's probe side and the
+    * duplicated-hash build side) read it — without materialization
+    * Catalyst column-prunes the two subtrees differently (`n_pos`
+    * survives only one), ReuseExchange can't unify them, and the
+    * corpus is scanned + exploded twice. */
+  def spanGroupsOf(docsDf: DataFrame): DataFrame =
+    docsDf
       .filter(size(split(col("text"), " ")) >= SpanN)
       .withColumn("wvs", expr(wvsExpr))
       .select(col("doc_id"), explode(expr(spanHashesExpr)).as("h"))
-    val g = sp.groupBy(col("h"), col("doc_id"))
+      .groupBy(col("h"), col("doc_id"))
       .agg(count(lit(1)).as("n_pos"))
+
+  /** d10's rollup over a span-group table — `g` is read twice, so the
+    * gated path hands in the DfCache'd instance. */
+  def spanDedupFromGroups(g: DataFrame): DataFrame = {
     val dup = g.groupBy(col("h"))
       .agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") >= 2)
@@ -687,8 +695,16 @@ object DedupOps {
       .orderBy(col("doc_id"))
   }
 
+  /** d10's body over an arbitrary documents-shaped DataFrame (needs
+    * doc_id, text) — the spec feeds synthetic corpora with known
+    * span overlap. Uncached: spec corpora are rows, not tables. */
+  def spanDedupOf(docsDf: DataFrame): DataFrame =
+    spanDedupFromGroups(spanGroupsOf(docsDf))
+
   def d10SpanDedup(spark: SparkSession, dir: String): DataFrame =
-    spanDedupOf(docs(spark, dir))
+    spanDedupFromGroups(graft.util.DfCache.cached(spark, dir, "span_groups") {
+      spanGroupsOf(docs(spark, dir))
+    })
 
   val d10Sql: String =
     s"""WITH wv AS (
