@@ -544,6 +544,30 @@ object DedupOps {
     jaccardVerified(cand, oldSh.unionByName(newSh))
   }
 
+  /** Fold a processed shard INTO the persisted index (band + shingle
+    * rows appended in their bucket lanes) so later shards dedup
+    * against it too — with [[dedupNewShard]] this is the full
+    * incremental loop: probe, emit pairs, accumulate. The bucket
+    * count is read from the existing table, so appends always match
+    * the layout the index was built with. */
+  def appendToDedupIndex(spark: SparkSession, shardDocs: DataFrame,
+      name: String): Unit = {
+    def bucketsOf(table: String): Int = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+      .bucketSpec.map(_.numBuckets)
+      .getOrElse(sys.error(s"$table is not a bucketed table"))
+    graft.sources.TableIO.appendBucketed(
+      bandIndexRows(shardDocs), s"${name}_bands", "bk", bucketsOf(s"${name}_bands"))
+    graft.sources.TableIO.appendBucketed(
+      shinglesOf(shardDocs), s"${name}_shingles", "doc_id",
+      bucketsOf(s"${name}_shingles"))
+    // the session caches each catalog table's resolved relation (file
+    // listing included); without the refresh a later probe in the
+    // SAME session silently reads the pre-append file set
+    spark.catalog.refreshTable(s"${name}_bands")
+    spark.catalog.refreshTable(s"${name}_shingles")
+  }
+
   /** Full-pipeline verified pairs of an arbitrary documents DataFrame
     * (d2 candidates + d4 verification, one call) — the reference side
     * of IncrementalDedupSpec's corpus∪shard ≡ full equivalence. */

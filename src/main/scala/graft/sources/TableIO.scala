@@ -57,4 +57,19 @@ object TableIO {
 
   def readTable(spark: SparkSession, table: String): DataFrame =
     spark.table(table)
+
+  /** Append into an existing bucketed table with the SAME bucket
+    * spec — new files land in their bucket lanes, so the table keeps
+    * its exchange-free read property as it grows. This is the
+    * accumulation half of the incremental-dedup index: each arriving
+    * shard's band rows join the persisted layout without rewriting
+    * it (the streaming analog of AnalysisRound's storeRound,
+    * Runner.java:68). */
+  def appendBucketed(df: DataFrame, table: String,
+      bucketCol: String, buckets: Int): Unit =
+    df.write.mode(SaveMode.Append)
+      .bucketBy(buckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+      .saveAsTable(table)
 }
