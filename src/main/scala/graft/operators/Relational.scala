@@ -752,8 +752,73 @@ object Relational {
        |  CAST(max(cents) AS DOUBLE) / 100 AS max_price
        |FROM c GROUP BY bin ORDER BY bin""".stripMargin
 
+  // ---- q31: count-min sketch — bounded-memory heavy-hitter counts ----
+  // The frequency-sketch sibling of q23's KMV distinct sketch: a
+  // d×w counter grid where cell (r, h_r(k)) accumulates every
+  // occurrence of key k, and est(k) = min_r grid[r][h_r(k)] ≥ true
+  // count (overcounts only — collisions add, never subtract). The
+  // sketch is O(d·w) CONSTANT memory at any stream size and merges by
+  // cell-wise sum, so at 100 TB it's one map-side-combined aggregate
+  // shuffling ≤ d·w pre-combined rows per partition — the streaming/
+  // distributed answer to "top keys without a full groupBy". Here the
+  // gate builds the grid, then audits it against the EXACT top-20
+  // heavy hitters (TakeOrdered — no global window): est ≥ exact always,
+  // and `overcount` exposes the collision error the d/w knobs price.
+  // The row hashes are the shared (k + r·131)·2654435761 integer
+  // construction (exact on both engines; products stay < 2^63 for
+  // keys < ~3.4e9 — at larger key domains widen to the 128-bit hash).
+  private val CmsRows = 4
+  private val CmsWidth = 64
+
+  private def cmsBucket(kCol: String, rCol: String): String =
+    s"(($kCol + $rCol * 131) * 2654435761L) % 1000003 % $CmsWidth"
+
+  def q31CountMin(spark: SparkSession, dir: String): DataFrame = {
+    val items = t(spark, dir, "lineitem")
+      .select(col("l_partkey").cast("long").as("k"))
+    // the sketch: d·w cells, map-side combined (256 rows total here)
+    val cells = items
+      .select(col("k"), explode(expr(s"sequence(0, ${CmsRows - 1})")).as("r"))
+      .withColumn("bucket", expr(cmsBucket("k", "r")))
+      .groupBy(col("r"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+    // exact top-20 heavy hitters via TakeOrderedAndProject — a
+    // distributed bounded top-k, NOT a single-partition window sort
+    val top = items.groupBy(col("k")).agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("k")).limit(20)
+    val probes = top
+      .select(col("k"), col("exact_cnt"),
+        explode(expr(s"sequence(0, ${CmsRows - 1})")).as("r"))
+      .withColumn("bucket", expr(cmsBucket("k", "r")))
+    probes.join(broadcast(cells), Seq("r", "bucket"))
+      .groupBy(col("k"), col("exact_cnt"))
+      .agg(min(col("c")).as("cms_est"))
+      .select(col("k").as("part_key"), col("exact_cnt"), col("cms_est"),
+        (col("cms_est") - col("exact_cnt")).as("overcount"))
+      .orderBy(col("part_key"))
+  }
+
+  val q31Sql: String =
+    s"""WITH items AS (SELECT CAST(l_partkey AS BIGINT) AS k FROM lineitem),
+       |cells AS (
+       |  SELECT g.r, ((k + g.r * 131) * 2654435761) % 1000003 % $CmsWidth AS bucket,
+       |    count(*) AS c
+       |  FROM items, generate_series(0, ${CmsRows - 1}) g(r) GROUP BY 1, 2),
+       |top AS (
+       |  SELECT k, count(*) AS exact_cnt FROM items GROUP BY k
+       |  ORDER BY exact_cnt DESC, k LIMIT 20),
+       |probes AS (
+       |  SELECT t.k, t.exact_cnt, g.r,
+       |    ((t.k + g.r * 131) * 2654435761) % 1000003 % $CmsWidth AS bucket
+       |  FROM top t, generate_series(0, ${CmsRows - 1}) g(r))
+       |SELECT p.k AS part_key, p.exact_cnt, min(c.c) AS cms_est,
+       |  min(c.c) - p.exact_cnt AS overcount
+       |FROM probes p JOIN cells c ON c.r = p.r AND c.bucket = p.bucket
+       |GROUP BY p.k, p.exact_cnt ORDER BY part_key""".stripMargin
+
   /** queries-map fragment: name → builder */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q31_countmin" -> (q31CountMin _),
     "q30_histogram" -> (q30Histogram _),
     "q27_lead_lag" -> (q27LeadLag _),
     "q28_moving_frames" -> (q28MovingFrames _),
@@ -787,6 +852,7 @@ object Relational {
 
   /** oracle-map fragment: name → DuckDB SQL */
   val oracles: Map[String, String] = Map(
+    "q31_countmin" -> q31Sql,
     "q30_histogram" -> q30Sql,
     "q27_lead_lag" -> q27Sql,
     "q28_moving_frames" -> q28Sql,

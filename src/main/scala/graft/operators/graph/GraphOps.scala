@@ -1061,6 +1061,72 @@ object GraphOps {
        |${ccConvergedSqlCtes(8)}
        |SELECT node AS node_id, lbl AS component FROM l8 ORDER BY node_id""".stripMargin
 
+  // ---- g17: label-propagation communities (synchronous LPA) ----
+  // l_{t+1}(v) = the label held by the MOST of v's neighbors at round
+  // t, ties to the smaller label (the deterministic synchronous
+  // variant of Raghavan et al. 2007). Where g10's min-label fixpoint
+  // finds CONNECTED components, LPA finds densely-knit communities
+  // inside them — a label wins a node by neighbor majority, not by
+  // mere reachability. A fixed round count keeps the oracle exact
+  // (unrolled CTEs like g10); determinism needs nothing more than the
+  // synchronous update plus the (count DESC, label ASC) total order.
+  //
+  // Per-round plan: the cached src-partitioned edge table never moves
+  // — the V-row label vector joins INTO it, then two map-side-
+  // combinable aggregates: count per (dst, lbl), argmax per dst via
+  // min(struct(-cnt, lbl)). Shuffled volume per round is bounded by
+  // the (dst, lbl) distinct pairs — at most E, typically ≪ E once
+  // labels coalesce — never raw adjacency. localCheckpoint per round
+  // keeps the plan constant in round count (the g10 lesson); at 100 TB
+  // this is the same V-row AnalysisRound shape as pagerank/components.
+  private val LpaRounds = 3
+
+  /** Synchronous LPA over a symmetric (src, dst) edge table from
+    * `start` (node, lbl) — the community counterpart of
+    * [[minLabelFixpoint]]. */
+  def labelPropagation(sym: DataFrame, start: DataFrame,
+      rounds: Int): DataFrame = {
+    var labels = start.persist(StorageLevel.MEMORY_AND_DISK)
+    for (_ <- 1 to rounds) {
+      val next = sym.join(labels, col("src") === col("node"))
+        .groupBy(col("dst"), col("lbl"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("dst"))
+        .agg(min(struct((-col("c")).as("nc"), col("lbl").as("l"))).as("pick"))
+        .select(col("dst").as("node"), col("pick.l").as("lbl"))
+        .localCheckpoint(true)
+      labels.unpersist()
+      labels = next
+    }
+    labels
+  }
+
+  def g17LabelPropagation(spark: SparkSession, dir: String): DataFrame =
+    labelPropagation(withSym(spark, dir), initialLabels(spark, dir), LpaRounds)
+      .select(col("node").as("node_id"), col("lbl").as("community"))
+      .orderBy(col("node_id"))
+
+  // Oracle: the same synchronous rounds unrolled — neighbor-label
+  // counts then the (c DESC, lbl) argmax per node. Every l{t} is
+  // MATERIALIZED (referenced by the next round's count CTE).
+  private def lpaSqlCtes(rounds: Int): String = {
+    def iter(t: Int, prev: String) =
+      s"""p$t AS MATERIALIZED (
+         |  SELECT s.dst AS node, p.lbl, count(*) AS c
+         |  FROM sym s JOIN $prev p ON s.src = p.node GROUP BY s.dst, p.lbl),
+         |l$t AS MATERIALIZED (
+         |  SELECT node, lbl FROM (
+         |    SELECT node, lbl, row_number() OVER (PARTITION BY node
+         |      ORDER BY c DESC, lbl) AS rn FROM p$t) x WHERE rn = 1)""".stripMargin
+    (s"""l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS lbl FROM sym)""" +:
+      (1 to rounds).map(t => iter(t, s"l${t - 1}"))).mkString(",\n")
+  }
+
+  val g17Sql: String =
+    s"""WITH ${GraphTables.symSqlCtes.replace("sym AS (", "sym AS MATERIALIZED (")},
+       |${lpaSqlCtes(LpaRounds)}
+       |SELECT node AS node_id, lbl AS community FROM l$LpaRounds ORDER BY node_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g10_components" -> ((s: SparkSession, d: String) => g10Components(s, d)),
     "g11_components_converged" -> (g11ComponentsConverged _),
@@ -1069,6 +1135,7 @@ object GraphOps {
     "g14_pagerank_rel_converged" -> (g14PagerankRelConverged _),
     "g15_weighted_pagerank" -> (g15WeightedPagerank _),
     "g16_weighted_ppr" -> (g16WeightedPersonalized _),
+    "g17_label_propagation" -> (g17LabelPropagation _),
     "g1_degree" -> (g1Degree _),
     "g2_degree_distribution" -> (g2DegreeDistribution _),
     "g3_top_visited" -> (g3TopVisited _),
@@ -1087,6 +1154,7 @@ object GraphOps {
     "g14_pagerank_rel_converged" -> g14Sql,
     "g15_weighted_pagerank" -> g15Sql,
     "g16_weighted_ppr" -> g16Sql,
+    "g17_label_propagation" -> g17Sql,
     "g1_degree" -> g1Sql,
     "g2_degree_distribution" -> g2Sql,
     "g3_top_visited" -> g3Sql,

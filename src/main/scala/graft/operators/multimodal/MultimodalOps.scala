@@ -188,13 +188,163 @@ object MultimodalOps {
        |FROM sized ORDER BY doc_id""".stripMargin
   }
 
+  // ---- m5: perceptual hash (aHash) + hamming near-dup pairs ----
+  // The image-dedup step of a multimodal pipeline: a 64-bit
+  // average-hash over the payload — split the signal into 64 blocks,
+  // bit b = 1 iff block b's mean exceeds the global mean — then
+  // near-dup pairs by hamming distance. A real pipeline runs this
+  // over decoded 8×8 luma grids; here the blocks are character runs
+  // of the payload (the m4 convention: character units end-to-end),
+  // and swapping in a pixel decode changes only the block expression.
+  // The mean comparison is cross-multiplied (block_sum·n >
+  // total·block_len) so everything stays integer-exact, and the hash
+  // is stored as two 32-bit halves (the d3 convention — no sign-bit
+  // games at bit 63 on either engine).
+  //
+  // Pair generation is the d3 machinery verbatim: 4 × 16-bit chunk
+  // buckets ([[graft.util.Buckets.cap]] bounds degenerate buckets),
+  // then two codegen'd bit_count(xor) verify each candidate — never
+  // an all-pairs join. Pigeonhole over 4 chunks GUARANTEES recall
+  // only for hamming ≤ 3; at HamMax 16 the chunk buckets are an
+  // honest partial-recall candidate generator (d5's banded-LSH
+  // class — and like d5, d8's gauge pattern is how you'd measure the
+  // miss rate). HamMax is set from the measured pair-distance
+  // distribution of the corpus (nearest non-identical aHash pair sits
+  // at hamming 9 at gate scale — global char statistics separate even
+  // near-dup texts); real 8×8 luma aHash pairs cluster much tighter,
+  // so a pixel pipeline would run HamMax ~5 with the same plan.
+  // Everything after the one O(payload) hash scan is bounded by
+  // bucket population. 100 TB-safe by the same argument as d3.
+  private val AHashBlocks = 64
+  private val AHashHamMax = 16
+  private val AHashMaxBucket = 200
+
+  /** (doc_id, ah_lo, ah_hi): the 64-bit average-hash as two 32-bit
+    * halves.
+    *
+    * Built RELATIONALLY — explode to one row per character, then two
+    * map-side-combined aggregates — NOT as one nested fold expression
+    * per doc: a single expression computing all 64 block means forces
+    * Catalyst's CollapseProject to inline the per-block fold into
+    * every downstream bit lookup (64 bits × 64 blocks × O(n) chars =
+    * an interpreted 10^8-op row — measured wedged at sf0.001). The
+    * exploded form keeps every step inside whole-stage codegen, the
+    * combiners collapse each doc's chars before any exchange, and the
+    * per-doc window below ranks exactly 64 block rows — bounded by
+    * AHashBlocks, never by payload size.
+    *
+    * Block b covers chars (b·n) DIV nb + 1 .. ((b+1)·n) DIV nb; the
+    * per-char inverse is b = (j·nb − 1) DIV n (same boundaries —
+    * j ≤ (b+1)·n DIV nb ⟺ ⌈j·nb/n⌉ ≤ b+1). `substring(text, j, 1)`
+    * is O(j) on UTF8 bytes, so the hash build is O(n²/doc) in char
+    * units — the price of the m-family's stub "decode by character"
+    * convention; a real pixel decode indexes bytes O(1). */
+  def aHashes(spark: SparkSession, dir: String): DataFrame =
+    aHashesOf(withBlob(spark, dir))
+
+  /** The hash build over any (doc_id, text) frame — factored for
+    * specs with known-identical payloads. */
+  def aHashesOf(d: DataFrame): DataFrame = {
+    val nb = AHashBlocks
+    val perChar = d
+      .withColumn("n", length(col("text")).cast("long"))
+      .filter(col("n") >= nb)
+      .select(col("doc_id"), col("n"), col("text"))
+      .withColumn("j", explode(expr("sequence(1, n)")))
+      .select(col("doc_id"), col("n"),
+        expr(s"(j * $nb - 1) div n").as("b"),
+        expr("cast(ascii(substring(text, cast(j as int), 1)) as bigint)").as("code"))
+    val g = perChar.groupBy(col("doc_id"), col("n"), col("b"))
+      .agg(sum(col("code")).as("bsum"), count(lit(1)).as("blen"))
+    val dw = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+    g.withColumn("total", sum(col("bsum")).over(dw))
+      .withColumn("bit",
+        (col("bsum") * col("n") > col("total") * col("blen")).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(when(col("b") < 32,
+          col("bit") * expr("shiftleft(cast(1 as bigint), cast(b as int))"))
+          .otherwise(lit(0L))).as("ah_lo"),
+        sum(when(col("b") >= 32,
+          col("bit") * expr("shiftleft(cast(1 as bigint), cast(b as int) - 32)"))
+          .otherwise(lit(0L))).as("ah_hi"))
+  }
+
+  def m5AHashDup(spark: SparkSession, dir: String): DataFrame = {
+    val chunks = aHashes(spark, dir)
+      .withColumn("chunks", expr(
+        """array(ah_lo % 65536, ah_lo div 65536,
+          |      ah_hi % 65536, ah_hi div 65536)""".stripMargin))
+      .select(col("doc_id"), col("ah_lo"), col("ah_hi"),
+        posexplode(col("chunks")).as(Seq("cpos", "cval")))
+    val s = graft.util.Buckets.cap(chunks, Seq("cpos", "cval"), AHashMaxBucket)
+    s.as("x").join(s.as("y"),
+        col("x.cpos") === col("y.cpos") && col("x.cval") === col("y.cval")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        (expr("bit_count(x.ah_lo ^ y.ah_lo)")
+          + expr("bit_count(x.ah_hi ^ y.ah_hi)")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= AHashHamMax)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val m5Sql: String = {
+    val nb = AHashBlocks
+    s"""WITH sized AS (
+       |  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n
+       |  FROM documents WHERE length(text) >= $nb),
+       |jx AS (
+       |  SELECT doc_id, n, text, unnest(generate_series(1, n)) AS j
+       |  FROM sized),
+       |chars AS (
+       |  SELECT doc_id, n, (j * $nb - 1) // n AS b,
+       |    CAST(ascii(substr(text, CAST(j AS INTEGER), 1)) AS BIGINT) AS code
+       |  FROM jx),
+       |blk AS (
+       |  SELECT doc_id, n, b, CAST(sum(code) AS BIGINT) AS bsum,
+       |    count(*) AS blen
+       |  FROM chars GROUP BY doc_id, n, b),
+       |tot AS (
+       |  SELECT doc_id, n, b, bsum, blen,
+       |    CAST(sum(bsum) OVER (PARTITION BY doc_id) AS BIGINT) AS total
+       |  FROM blk),
+       |ah AS (
+       |  SELECT doc_id,
+       |    CAST(sum(CASE WHEN b < 32 AND bsum * n > total * blen
+       |                  THEN CAST(1 AS BIGINT) << CAST(b AS INTEGER)
+       |                  ELSE 0 END) AS BIGINT) AS ah_lo,
+       |    CAST(sum(CASE WHEN b >= 32 AND bsum * n > total * blen
+       |                  THEN CAST(1 AS BIGINT) << (CAST(b AS INTEGER) - 32)
+       |                  ELSE 0 END) AS BIGINT) AS ah_hi
+       |  FROM tot GROUP BY doc_id),
+       |chunks0 AS (
+       |  SELECT doc_id, ah_lo, ah_hi, c AS cpos,
+       |    CASE c WHEN 0 THEN ah_lo % 65536 WHEN 1 THEN ah_lo // 65536
+       |           WHEN 2 THEN ah_hi % 65536 ELSE ah_hi // 65536 END AS cval
+       |  FROM ah, generate_series(0, 3) g(c)),
+       |ok_chunks AS (
+       |  SELECT cpos, cval FROM chunks0 GROUP BY cpos, cval
+       |  HAVING count(*) <= $AHashMaxBucket),
+       |chunks AS (SELECT c.* FROM chunks0 c JOIN ok_chunks USING (cpos, cval))
+       |SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       |  bit_count(xor(x.ah_lo, y.ah_lo)) + bit_count(xor(x.ah_hi, y.ah_hi)) AS hamming
+       |FROM chunks x JOIN chunks y
+       |  ON x.cpos = y.cpos AND x.cval = y.cval AND x.doc_id < y.doc_id
+       |WHERE bit_count(xor(x.ah_lo, y.ah_lo)) + bit_count(xor(x.ah_hi, y.ah_hi))
+       |      <= $AHashHamMax
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m5_ahash_dup" -> (m5AHashDup _),
     "m4_resize" -> (m4Resize _),
     "m1_blob_stats" -> (m1BlobStats _),
     "m2_feature_extract" -> (m2FeatureExtract _),
     "m3_frame_sample" -> (m3FrameSample _))
 
   val oracles: Map[String, String] = Map(
+    "m5_ahash_dup" -> m5Sql,
     "m4_resize" -> m4Sql,
     "m1_blob_stats" -> m1Sql,
     "m2_feature_extract" -> m2Sql,

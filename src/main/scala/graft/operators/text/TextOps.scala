@@ -479,7 +479,91 @@ object TextOps {
        |GROUP BY lf.source, lf.pred_lang
        |ORDER BY lf.source, lf.pred_lang""".stripMargin
 
+  // ---- t12: repetition metrics — the Gopher/MassiveText filter class ----
+  // The quality signals t2's surface ratios can't see: INTERNAL
+  // repetition. Per doc, (a) the most-frequent-word fraction and (b)
+  // the duplicate-2-gram fraction — boilerplate, keyword stuffing and
+  // degenerate generations score high on both, and production corpus
+  // curation (Gopher's repetition rules) drops on thresholds exactly
+  // like `keep` here. Both are exact integer ratios (one IEEE division
+  // each at the end), so the gate is exact.
+  //
+  // Scale shape: the top-word count goes through explode + TWO
+  // map-side-combined aggregates keyed by doc_id — never an in-row
+  // O(words·distinct) fold, and never a corpus-wide vocabulary
+  // shuffle (the key is (doc_id, word): cardinality ≤ total tokens,
+  // combiners collapse within-doc repeats before the exchange). The
+  // 2-gram dedup stays IN-ROW (size − size∘array_distinct — Spark's
+  // array_distinct is a linear hash-set pass), so the join back is
+  // doc_id ⋈ doc_id, co-partitioned with the aggregate's own output.
+  private val TopWordMax = 0.2
+  private val Dup2gramMax = 0.2
+
+  def t12Repetition(spark: SparkSession, dir: String): DataFrame =
+    repetitionOf(docs(spark, dir))
+
+  /** The repetition metrics over any (doc_id, text) frame — factored
+    * so specs can feed synthetic corpora with known repetition. */
+  def repetitionOf(d: DataFrame): DataFrame = {
+    val base = d
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+    val top = base.select(col("doc_id"), explode(col("ws")).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).as("top_word_cnt"))
+    val g2 = when(size(col("ws")) >= 2,
+        transform(sequence(lit(1), size(col("ws")) - 1),
+          i => concat_ws(" ", element_at(col("ws"), i), element_at(col("ws"), i + 1))))
+      .otherwise(array().cast("array<string>"))
+    base
+      .withColumn("g2", g2)
+      .select(col("doc_id"), size(col("ws")).as("n_words"),
+        size(col("g2")).as("n_2grams"),
+        (size(col("g2")) - size(array_distinct(col("g2")))).as("dup_2gram"))
+      .join(top, Seq("doc_id"))
+      .withColumn("top_frac",
+        col("top_word_cnt").cast("double") / col("n_words"))
+      .withColumn("dup2_frac",
+        when(col("n_2grams") > 0,
+          col("dup_2gram").cast("double") / col("n_2grams")).otherwise(lit(0.0)))
+      .withColumn("keep",
+        col("top_frac") <= TopWordMax && col("dup2_frac") <= Dup2gramMax)
+      .select(col("doc_id"), col("n_words"), col("top_word_cnt"), col("top_frac"),
+        col("dup_2gram"), col("dup2_frac"), col("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  val t12Sql: String =
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |top AS (
+       |  SELECT doc_id, max(c) AS top_word_cnt FROM (
+       |    SELECT doc_id, wrd, count(*) AS c FROM (
+       |      SELECT doc_id, unnest(ws) AS wrd FROM w) u
+       |    GROUP BY doc_id, wrd) x
+       |  GROUP BY doc_id),
+       |g AS (
+       |  SELECT doc_id, len(ws) AS n_words,
+       |    CASE WHEN len(ws) >= 2
+       |         THEN list_transform(generate_series(1, len(ws) - 1),
+       |                             i -> ws[i] || ' ' || ws[i + 1])
+       |         ELSE [] END AS g2
+       |  FROM w),
+       |d AS (
+       |  SELECT doc_id, n_words, len(g2) AS n_2grams,
+       |    len(g2) - len(list_distinct(g2)) AS dup_2gram
+       |  FROM g)
+       |SELECT d.doc_id, d.n_words, t.top_word_cnt,
+       |  CAST(t.top_word_cnt AS DOUBLE) / d.n_words AS top_frac,
+       |  d.dup_2gram,
+       |  CASE WHEN d.n_2grams > 0
+       |       THEN CAST(d.dup_2gram AS DOUBLE) / d.n_2grams ELSE 0.0 END AS dup2_frac,
+       |  (CAST(t.top_word_cnt AS DOUBLE) / d.n_words <= $TopWordMax
+       |   AND (CASE WHEN d.n_2grams > 0
+       |             THEN CAST(d.dup_2gram AS DOUBLE) / d.n_2grams
+       |             ELSE 0.0 END) <= $Dup2gramMax) AS keep
+       |FROM d JOIN top t USING (doc_id) ORDER BY d.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t12_repetition" -> (t12Repetition _),
     "t11_mixture_sample" -> (t11MixtureSample _),
     "t10_tfidf" -> (t10Tfidf _),
     "t1_lang_id" -> (t1LangId _),
@@ -493,6 +577,7 @@ object TextOps {
     "t9_curation_pipeline" -> (t9CurationPipeline _))
 
   val oracles: Map[String, String] = Map(
+    "t12_repetition" -> t12Sql,
     "t11_mixture_sample" -> t11Sql,
     "t10_tfidf" -> t10Sql,
     "t1_lang_id" -> t1Sql,

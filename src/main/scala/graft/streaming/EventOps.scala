@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 
@@ -276,7 +277,79 @@ object EventOps {
        |SELECT window_start, event_type, n_events, CAST(rank AS INTEGER) AS rank
        |FROM r WHERE rank <= $TrendK ORDER BY window_start, rank""".stripMargin
 
+  // ---- e11: windowed anomaly detection — z-score vs trailing baseline ----
+  // The monitoring op every event pipeline runs next to its
+  // leaderboard: flag (type, hour) windows whose event count deviates
+  // from the type's own trailing history. A window is anomalous when
+  //   (x − μ)² > Z²·σ²   over the previous `AnomalyHist` OBSERVED
+  // windows of that type (μ, σ² = trailing mean/population variance),
+  // with at least `AnomalyMinHist` windows of history. The comparison
+  // is done ENTIRELY in integer arithmetic — multiply through by n²:
+  //   (n·x − s)² > Z²·(n·ssq − s²),  s = Σc, ssq = Σc² —
+  // so the gate is exact (no IEEE variance whose value depends on
+  // accumulation order). Counts are BIGINT; at extreme per-window
+  // volumes (c ~ 1e9, n·ssq ~ 2^63) widen s/ssq to DECIMAL(38,0) —
+  // same plan, wider cells.
+  //
+  // Scale shape: one map-side-combined count aggregate (e1's shape),
+  // then a window partitioned by event_type ordered by window_start —
+  // rows per partition are bounded by the stream's LIFETIME IN HOURS
+  // (like e10's rank), never by event volume; the per-type sort is
+  // O(#windows log #windows). In stream mode the same rule runs as a
+  // trailing-state flatMapGroupsWithState keyed by type.
+  private val AnomalyHist = 24
+  private val AnomalyMinHist = 12
+  private val AnomalyZ2 = 9 // Z = 3 standard deviations
+
+  def e11Anomaly(spark: SparkSession, dir: String): DataFrame =
+    anomaliesOf(events(spark, dir)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("window_start"))
+      .agg(count(lit(1)).as("c")))
+
+  /** The z-score rule over any (event_type, window_start, c) counts
+    * frame — factored so specs can inject a known spike. */
+  def anomaliesOf(counts: DataFrame): DataFrame = {
+    val pw = Window.partitionBy(col("event_type")).orderBy(col("window_start"))
+      .rowsBetween(-AnomalyHist, -1)
+    counts
+      .withColumn("hist_n", count(lit(1)).over(pw))
+      .withColumn("s", sum(col("c")).over(pw))
+      .withColumn("ssq", sum(col("c") * col("c")).over(pw))
+      .withColumn("dev2",
+        (col("hist_n") * col("c") - col("s")) * (col("hist_n") * col("c") - col("s")))
+      .withColumn("var_num",
+        col("hist_n") * col("ssq") - col("s") * col("s"))
+      .filter(col("hist_n") >= AnomalyMinHist &&
+        col("dev2") > lit(AnomalyZ2) * col("var_num"))
+      .select(col("event_type"), col("window_start"), col("c").as("n_events"),
+        col("hist_n"), col("dev2"), col("var_num"))
+      .orderBy(col("event_type"), col("window_start"))
+  }
+
+  // DuckDB sum(BIGINT) → HUGEINT: every windowed sum is cast back to
+  // BIGINT before the integer algebra (the m1/t6 type-gate class).
+  val e11Sql: String =
+    s"""WITH counts AS (
+       |  SELECT event_type, date_trunc('hour', ts) AS window_start, count(*) AS c
+       |  FROM events GROUP BY 1, 2),
+       |w AS (
+       |  SELECT event_type, window_start, c,
+       |    count(*) OVER pw AS hist_n,
+       |    CAST(sum(c) OVER pw AS BIGINT) AS s,
+       |    CAST(sum(c * c) OVER pw AS BIGINT) AS ssq
+       |  FROM counts
+       |  WINDOW pw AS (PARTITION BY event_type ORDER BY window_start
+       |                ROWS BETWEEN $AnomalyHist PRECEDING AND 1 PRECEDING))
+       |SELECT event_type, window_start, c AS n_events, hist_n,
+       |  (hist_n * c - s) * (hist_n * c - s) AS dev2,
+       |  hist_n * ssq - s * s AS var_num
+       |FROM w
+       |WHERE hist_n >= $AnomalyMinHist
+       |  AND (hist_n * c - s) * (hist_n * c - s) > $AnomalyZ2 * (hist_n * ssq - s * s)
+       |ORDER BY event_type, window_start""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e11_anomaly" -> (e11Anomaly _),
     "e10_trending" -> (e10Trending _),
     "e9_cohort_retention" -> (e9CohortRetention _),
     "e1_tumbling_agg" -> (e1TumblingAgg _),
@@ -289,6 +362,7 @@ object EventOps {
     "e8_funnel" -> (e8Funnel _))
 
   val oracles: Map[String, String] = Map(
+    "e11_anomaly" -> e11Sql,
     "e10_trending" -> e10Sql,
     "e9_cohort_retention" -> e9Sql,
     "e1_tumbling_agg" -> e1Sql,
