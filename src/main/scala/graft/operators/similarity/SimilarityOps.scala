@@ -767,7 +767,184 @@ object SimilarityOps {
        |approx AS (SELECT query_id, neighbor_id FROM ar WHERE rank <= $K)
        |$recallTailSql""".stripMargin
 
+  // ---- s14/s15: Lloyd-TRAINED product quantization ----
+  // s11 prices v4's SEEDED codebooks (16 arbitrary corpus rows per
+  // subspace) at ~0.2 recall — the cost of an untrained quantizer.
+  // This is the fix: one distributed Lloyd update per subspace —
+  // exactly [[ivfCodebook]]'s trained-coarse-quantizer move applied to
+  // all 8 PQ subspaces in ONE plan — then re-encode and re-gauge. The
+  // update runs on integer micro-units ([[embQuantized]]) so centroid
+  // sums are order-independent exact longs and the codebook is
+  // bit-identical on both engines; cells are means over v4's seed
+  // ASSIGNMENT ([[graft.operators.vector.VectorOps.pqAssigned]]'s
+  // nibbles), so (m, code) cells nobody picked simply don't exist —
+  // identically on both engines.
+  //
+  // Scale shape: the training pass is explode(M·D rows per vector) →
+  // ONE map-side-combined (m, code, d) sum — 1024 cells total, never
+  // a shuffle of vectors; re-encoding is v4's broadcast-argmin shape
+  // against 128 trained cells. At 100 TB this is one extra corpus
+  // scan over the build path and zero change to the search path.
+  /** The trained per-subspace codebook: (m, code, sub[PqD]) —
+    * DfCache'd: built once, consumed by the re-encoder and the s15
+    * query LUTs (and it is what you'd persist next to d9's band
+    * index as the deployment artifact). */
+  def pqTrainedCents(spark: SparkSession, dir: String): DataFrame =
+    graft.util.DfCache.cached(spark, dir, "pq_trained_cents") {
+      import graft.operators.vector.VectorOps.{PqM, PqD, PqK, pqAssigned}
+      val qv = embQuantized(spark, dir).select(col("vec_id"), col("qv"))
+      pqAssigned(spark, dir).select(col("vec_id"), col("pq_code"))
+        .withColumn("m", explode(expr(s"sequence(0, ${PqM - 1})")))
+        .withColumn("code", expr(s"cast(shiftright(pq_code, 4 * m) % $PqK as int)"))
+        .join(qv, Seq("vec_id"))
+        .withColumn("d", explode(expr(s"sequence(1, $PqD)")))
+        .select(col("m"), col("code"), col("d"),
+          expr(s"element_at(qv, m * $PqD + d)").as("val"))
+        .groupBy(col("m"), col("code"), col("d"))
+        .agg(sum(col("val")).as("s"), count(lit(1)).as("n"))
+        .groupBy(col("m"), col("code"))
+        .agg(expr(
+          "transform(sort_array(collect_list(struct(d, cast(s as double) / (n * 1000000.0)))), p -> p.col2)")
+          .as("sub"))
+    }
+
+  /** The re-encoded corpus under the trained codebook: (vec_id,
+    * pq_code, recon_err) — v4's broadcast-argmin shape, DfCache'd as
+    * the corpus side of s15's ADC search. */
+  def pqTrainedAssigned(spark: SparkSession, dir: String): DataFrame =
+    graft.util.DfCache.cached(spark, dir, "pq_trained_codes") {
+      import graft.operators.vector.VectorOps.{PqM, PqD}
+      val e = embQuantized(spark, dir).select(col("vec_id"), col("vd"))
+      val distExpr =
+        s"""aggregate(sequence(1, $PqD), cast(0.0 as double),
+           |  (a, d) -> a + (element_at(vd, m * $PqD + d) - element_at(sub, d))
+           |              * (element_at(vd, m * $PqD + d) - element_at(sub, d)))""".stripMargin
+      val scored = e.crossJoin(broadcast(pqTrainedCents(spark, dir)))
+        .withColumn("dist", expr(distExpr))
+      val picks = (0 until PqM).map(m =>
+        min(when(col("m") === m, struct(col("dist").as("d"), col("code").as("c"))))
+          .as(s"p$m"))
+      val g = scored.groupBy(col("vec_id")).agg(picks.head, picks.tail: _*)
+      val code = (0 until PqM).map(m => col(s"p$m.c") * (1L << (4 * m)))
+        .reduce(_ + _)
+      val err = (0 until PqM).map(m => col(s"p$m.d")).reduce(_ + _)
+      g.select(col("vec_id"), code.cast("long").as("pq_code"),
+        err.as("recon_err"))
+    }
+
+  def s14PqTrained(spark: SparkSession, dir: String): DataFrame =
+    pqTrainedAssigned(spark, dir).orderBy(col("vec_id"))
+
+  /** s15's query LUTs against the TRAINED cells — [[pqQueryLut]]'s
+    * map shape (keyed m·PqK+code), so [[adcRanked]] scores trained
+    * codes unchanged. */
+  private def pqTrainedQueryLut(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.vector.VectorOps.{PqM, PqD, PqK}
+    val q = VectorExprs.embFeatures(spark, dir).filter(col("vec_id") < 10)
+      .select(col("vec_id"), col("vd"), col("n2"))
+    val dotExpr =
+      s"""aggregate(sequence(1, $PqD), cast(0.0 as double),
+         |  (a, d) -> a + element_at(vd, m * $PqD + d) * element_at(sub, d))""".stripMargin
+    val cn2Expr =
+      s"""aggregate(sequence(1, $PqD), cast(0.0 as double),
+         |  (a, d) -> a + element_at(sub, d) * element_at(sub, d))""".stripMargin
+    q.crossJoin(broadcast(pqTrainedCents(spark, dir)))
+      .withColumn("dot", expr(dotExpr))
+      .withColumn("cn2", expr(cn2Expr))
+      .select(col("vec_id"), col("n2"),
+        (col("m") * PqK + col("code")).as("idx"), col("dot"), col("cn2"))
+      .groupBy(col("vec_id"), col("n2"))
+      .agg(expr(
+        "map_from_entries(collect_list(struct(idx, named_struct('dot', dot, 'cn2', cn2))))")
+        .as("lut"))
+      .select(col("vec_id").as("qid"), col("n2").as("qn2"), col("lut"))
+  }
+
+  /** The trained-ADC search itself — s10's plan over s14's codes. */
+  def pqTrainedKnn(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(spark)
+    val codes = pqTrainedAssigned(spark, dir).select(col("vec_id"), col("pq_code"))
+    adcRanked(codes.crossJoin(broadcast(pqTrainedQueryLut(spark, dir)))
+      .filter(col("qid") =!= col("vec_id")))
+  }
+
+  def s15PqTrainedRecall(spark: SparkSession, dir: String): DataFrame =
+    recallOf(s1KnnBrute(spark, dir), pqTrainedKnn(spark, dir))
+
+  /** Trained-codebook CTEs (qv micro-units → seed-assignment means →
+    * re-encode) chained after embCtes + pqPickCtes — shared by s14Sql
+    * and s15Sql. `tcent`/`rpick` MATERIALIZED: both are joined per
+    * query downstream. */
+  private def pqTrainedCtes: String = {
+    import graft.operators.vector.VectorOps.PqD
+    s"""qv AS (SELECT vec_id, vd, n2,
+       |  [CAST(round(x * 1000000) AS BIGINT) for x in vd] AS qv FROM eb),
+       |tmem AS (
+       |  SELECT p.m, p.code, g.d, q.qv[p.m * $PqD + g.d] AS val
+       |  FROM pick p JOIN qv q ON q.vec_id = p.vec_id,
+       |       generate_series(1, $PqD) g(d)),
+       |tsum AS (SELECT m, code, d, sum(val) AS s, count(*) AS n
+       |  FROM tmem GROUP BY m, code, d),
+       |tcent AS MATERIALIZED (SELECT m, code,
+       |  list(CAST(s AS DOUBLE) / (n * 1000000.0) ORDER BY d) AS sub
+       |  FROM tsum GROUP BY m, code),
+       |rsc AS (
+       |  SELECT e.vec_id, t.m, t.code,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      [ (e.vd[t.m * $PqD + d] - t.sub[d]) * (e.vd[t.m * $PqD + d] - t.sub[d])
+       |        for d in generate_series(1, $PqD) ]), (a, x) -> a + x) AS dist
+       |  FROM eb e CROSS JOIN tcent t),
+       |rpick AS MATERIALIZED (
+       |  SELECT vec_id, m, code, dist FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id, m
+       |      ORDER BY dist, code) AS rn FROM rsc) x WHERE rn = 1)""".stripMargin
+  }
+
+  val s14Sql: String =
+    s"""WITH ${VectorExprs.embCtes},
+       |${graft.operators.vector.VectorOps.pqPickCtes},
+       |$pqTrainedCtes
+       |SELECT vec_id,
+       |  CAST(sum(code * (1 << (4 * CAST(m AS INTEGER)))) AS BIGINT) AS pq_code,
+       |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(dist ORDER BY m)),
+       |              (a, x) -> a + x) AS recon_err
+       |FROM rpick GROUP BY vec_id ORDER BY vec_id""".stripMargin
+
+  val s15Sql: String = {
+    import graft.operators.vector.VectorOps.PqD
+    def mFold(v: String) =
+      s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list($v ORDER BY p.m)),
+         |    (a, x) -> a + x)""".stripMargin
+    s"""WITH ${VectorExprs.embCtes},
+       |${exactPairsCte("xpairs")},
+       |${topkCte("xr", "xpairs")},
+       |exact AS (SELECT query_id, neighbor_id FROM xr WHERE rank <= $K),
+       |${graft.operators.vector.VectorOps.pqPickCtes},
+       |$pqTrainedCtes,
+       |tqlut AS (
+       |  SELECT q.vec_id AS qid, q.n2 AS qn2, t.m, t.code,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      [ q.vd[t.m * $PqD + d] * t.sub[d] for d in generate_series(1, $PqD) ]),
+       |      (a, x) -> a + x) AS subdot,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      [ t.sub[d] * t.sub[d] for d in generate_series(1, $PqD) ]),
+       |      (a, x) -> a + x) AS subn2
+       |  FROM eb q CROSS JOIN tcent t WHERE q.vec_id < 10),
+       |apairs AS (
+       |  SELECT l.qid AS query_id, p.vec_id AS neighbor_id,
+       |    ${mFold("l.subdot")}
+       |      / (sqrt(l.qn2) * sqrt(${mFold("l.subn2")})) AS cosine
+       |  FROM rpick p JOIN tqlut l ON l.m = p.m AND l.code = p.code
+       |  WHERE l.qid != p.vec_id
+       |  GROUP BY l.qid, p.vec_id, l.qn2),
+       |${topkCte("ar", "apairs")},
+       |approx AS (SELECT query_id, neighbor_id FROM ar WHERE rank <= $K)
+       |$recallTailSql""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s14_pq_trained" -> (s14PqTrained _),
+    "s15_pq_trained_recall" -> (s15PqTrainedRecall _),
     "s10_pq_knn" -> (s10PqKnn _),
     "s11_pq_recall" -> (s11PqRecall _),
     "s12_ivfpq" -> (s12IvfPq _),
@@ -783,6 +960,8 @@ object SimilarityOps {
     "s7_ivf_trained" -> (s7IvfTrained _))
 
   val oracles: Map[String, String] = Map(
+    "s14_pq_trained" -> s14Sql,
+    "s15_pq_trained_recall" -> s15Sql,
     "s10_pq_knn" -> s10Sql,
     "s11_pq_recall" -> s11Sql,
     "s12_ivfpq" -> s12Sql,

@@ -94,6 +94,32 @@ class Round6bOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(2L) == ((0.1, 0.0, true)), "distinct doc kept")
   }
 
+  test("s14: one Lloyd round never increases total reconstruction error") {
+    import graft.operators.similarity.SimilarityOps
+    import graft.operators.vector.VectorOps
+    // centroid update (means minimize SSE for a fixed assignment) then
+    // re-assignment (argmin minimizes per vector) each weakly decrease
+    // total SSE; the 1e-6 slack covers the micro-unit rounding of the
+    // trained means
+    val seeded = VectorOps.v4PqCodes(spark, dir)
+      .agg(sum(col("recon_err"))).collect().head.getDouble(0)
+    val trained = SimilarityOps.s14PqTrained(spark, dir)
+      .agg(sum(col("recon_err"))).collect().head.getDouble(0)
+    assert(trained <= seeded + 1e-6,
+      s"Lloyd must not regress: trained $trained vs seeded $seeded")
+  }
+
+  test("s15: trained-ADC recall rows are one per query, bounded in [0,1]") {
+    import graft.operators.similarity.SimilarityOps
+    val rows = SimilarityOps.s15PqTrainedRecall(spark, dir).collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      val (nExact, nHit, recall) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(nExact > 0 && nHit >= 0 && nHit <= nExact)
+      assert(recall >= 0.0 && recall <= 1.0)
+    }
+  }
+
   test("m5: identical payloads hash identically; short payloads are absent") {
     import spark.implicits._
     val long1 = (0 until 100).map(i => ('a' + i % 26).toChar).mkString
