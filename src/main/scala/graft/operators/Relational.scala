@@ -816,8 +816,74 @@ object Relational {
        |FROM probes p JOIN cells c ON c.r = p.r AND c.bucket = p.bucket
        |GROUP BY p.k, p.exact_cnt ORDER BY part_key""".stripMargin
 
+  // ---- q32: grouped correlation / covariance / regression slope ----
+  // The bivariate-statistics aggregate class (corr/covar_pop/
+  // regr_slope). NOT the built-in `corr`: its running-moment
+  // accumulation is IEEE-order-dependent, so two engines (or two
+  // partitionings of the same engine!) disagree in the last bits. The
+  // exact form: six integer power sums (n, Σx, Σy, Σx², Σy², Σxy) in
+  // one map-side-combined aggregate — quantity as units, price as
+  // cents — then ONE fixed-shape double expression per statistic:
+  //   cov = (n·Σxy − ΣxΣy)/n², corr = (n·Σxy − ΣxΣy)/(√(n·Σx²−Σx²̇)·
+  //   √(n·Σy²−Σy²̇)), slope = (n·Σxy − ΣxΣy)/(n·Σx²−Σx²̇).
+  // Same tree on both engines ⇒ bit-exact, and DETERMINISTIC under
+  // any partitioning — the property the built-in can't give. Power
+  // sums accumulate as DECIMAL(38,0) (Σy² ~ 1.2e14/row clears BIGINT
+  // near 80k rows; DuckDB's HUGEINT matches): exact integers, cast to
+  // double once at the end. One shuffle of 6 pre-combined cells per
+  // group; 100 TB-safe by construction.
+  def q32Corr(spark: SparkSession, dir: String): DataFrame = {
+    val l = t(spark, dir, "lineitem").select(
+      col("l_returnflag"),
+      expr("cast(l_quantity as bigint)").as("x"),
+      (dec(col("l_extendedprice")) * 100).cast("long").as("y"))
+    def dsum(e: org.apache.spark.sql.Column) = sum(e.cast("decimal(38,0)"))
+    val g = l.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        dsum(col("x")).as("sx"), dsum(col("y")).as("sy"),
+        dsum(col("x") * col("x")).as("sxx"),
+        dsum(col("y") * col("y")).as("syy"),
+        dsum(col("x") * col("y")).as("sxy"))
+    val nD = col("n").cast("double")
+    def d(c: String) = col(c).cast("double")
+    val num = nD * d("sxy") - d("sx") * d("sy")
+    val varx = nD * d("sxx") - d("sx") * d("sx")
+    val vary = nD * d("syy") - d("sy") * d("sy")
+    g.select(col("l_returnflag"), col("n"),
+        (num / (nD * nD)).as("cov_qty_price"),
+        (num / (sqrt(varx) * sqrt(vary))).as("corr_qty_price"),
+        (num / varx).as("regr_slope"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val q32Sql: String =
+    """WITH l AS (
+      |  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS x,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+      |  FROM lineitem),
+      |s AS (
+      |  SELECT l_returnflag, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+      |    sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+      |  FROM l GROUP BY l_returnflag)
+      |SELECT l_returnflag, n,
+      |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS cov_qty_price,
+      |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |    / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |       * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+      |              - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS corr_qty_price,
+      |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |    / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS regr_slope
+      |FROM s ORDER BY l_returnflag""".stripMargin
+
   /** queries-map fragment: name → builder */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q32_corr" -> (q32Corr _),
     "q31_countmin" -> (q31CountMin _),
     "q30_histogram" -> (q30Histogram _),
     "q27_lead_lag" -> (q27LeadLag _),
@@ -852,6 +918,7 @@ object Relational {
 
   /** oracle-map fragment: name → DuckDB SQL */
   val oracles: Map[String, String] = Map(
+    "q32_corr" -> q32Sql,
     "q31_countmin" -> q31Sql,
     "q30_histogram" -> q30Sql,
     "q27_lead_lag" -> q27Sql,

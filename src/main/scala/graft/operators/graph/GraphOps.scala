@@ -1127,7 +1127,74 @@ object GraphOps {
        |${lpaSqlCtes(LpaRounds)}
        |SELECT node AS node_id, lbl AS community FROM l$LpaRounds ORDER BY node_id""".stripMargin
 
+  // ---- g18: harmonic centrality from sampled sources ----
+  // The centrality family beyond rank: harmonic centrality H(s) =
+  // Σ_{v≠s} 1/d(s,v) (unreachable ⇒ 0 contribution), computed EXACTLY
+  // for a fixed sample of sources within a distance budget — the
+  // standard way centrality ships at scale (per-source BFS is O(E);
+  // all-pairs is off the table, so you sample sources — the
+  // Eppstein–Wang estimator's shape — and bound depth: beyond ~4 hops
+  // the 1/d contributions are noise against the near field).
+  //
+  // Determinism: Σ 1/d over thousands of rows in shuffle order is
+  // IEEE-order-dependent, so the sum runs in integer TWELFTHS
+  // (12/d ∈ {12,6,4,3} for d ≤ 4 — lcm(1..4)=12): one exact BIGINT
+  // sum, one final division. Plan: the multi-source frontier is
+  // (source, node) rows joining the cached src-partitioned edge table
+  // once per hop (g6's loop with a source tag riding along) — k
+  // sources cost k× one BFS's frontier volume, never a k-fold edge
+  // replication; per-source dedup is the same anti-join as g6, and
+  // every level is DfCache-owned.
+  private val G18Depth = 4
+
+  def g18HarmonicCentrality(spark: SparkSession, dir: String): DataFrame = {
+    val sym = withSym(spark, dir)
+    val src = graft.util.DfCache.cached(spark, dir, "g18_level_0") {
+      graft.sources.Tables.load(spark, dir, "region")
+        .select((col("r_regionkey").cast("long") * 8 + 5).as("sid"))
+        .withColumn("node", col("sid"))
+    }
+    var levels = List(src.withColumn("dist", lit(0)))
+    var frontier = src
+    for (h <- 1 to G18Depth) {
+      val prev = frontier
+      val seen = levels.map(_.select(col("sid"), col("node"))).reduce(_.union(_))
+      val nxt = graft.util.DfCache.cached(spark, dir, s"g18_level_$h") {
+        prev.join(sym, col("node") === col("src"))
+          .select(col("sid"), col("dst").as("node")).distinct()
+          .join(seen, Seq("sid", "node"), "left_anti")
+      }
+      frontier = nxt
+      levels = nxt.withColumn("dist", lit(h)) :: levels
+    }
+    levels.reduce(_.union(_))
+      .filter(col("dist") > 0)
+      .groupBy(col("sid"))
+      .agg(count(lit(1)).as("n_reached"),
+        sum(expr("12 div dist")).as("harmonic_x12"))
+      .select(col("sid").as("source_id"), col("n_reached"),
+        col("harmonic_x12"),
+        (col("harmonic_x12").cast("double") / 12.0).as("harmonic"))
+      .orderBy(col("source_id"))
+  }
+
+  val g18Sql: String =
+    s"""WITH RECURSIVE ${GraphTables.symSqlCtes},
+       |srcs AS (SELECT CAST(r_regionkey*8+5 AS BIGINT) AS sid FROM region),
+       |bfs(sid, node, dist) AS (
+       |  SELECT sid, sid, 0 FROM srcs
+       |  UNION
+       |  SELECT b.sid, s.dst, b.dist + 1 FROM bfs b JOIN sym s ON b.node = s.src
+       |  WHERE b.dist < $G18Depth),
+       |md AS (SELECT sid, node, min(dist) AS dist FROM bfs GROUP BY sid, node)
+       |SELECT sid AS source_id, count(*) AS n_reached,
+       |  CAST(sum(12 // dist) AS BIGINT) AS harmonic_x12,
+       |  CAST(CAST(sum(12 // dist) AS BIGINT) AS DOUBLE) / 12.0 AS harmonic
+       |FROM md WHERE dist > 0
+       |GROUP BY sid ORDER BY source_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g18_harmonic" -> (g18HarmonicCentrality _),
     "g10_components" -> ((s: SparkSession, d: String) => g10Components(s, d)),
     "g11_components_converged" -> (g11ComponentsConverged _),
     "g12_pagerank_converged" -> (g12PagerankConverged _),
@@ -1155,6 +1222,7 @@ object GraphOps {
     "g15_weighted_pagerank" -> g15Sql,
     "g16_weighted_ppr" -> g16Sql,
     "g17_label_propagation" -> g17Sql,
+    "g18_harmonic" -> g18Sql,
     "g1_degree" -> g1Sql,
     "g2_degree_distribution" -> g2Sql,
     "g3_top_visited" -> g3Sql,

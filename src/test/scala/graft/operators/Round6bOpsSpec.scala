@@ -94,6 +94,29 @@ class Round6bOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(2L) == ((0.1, 0.0, true)), "distinct doc kept")
   }
 
+  test("q32: correlation is bounded and sign-consistent with cov and slope") {
+    val rows = Relational.q32Corr(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (cov, corr, slope) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(corr >= -1.0 && corr <= 1.0)
+      assert(math.signum(cov) == math.signum(corr))
+      assert(math.signum(slope) == math.signum(corr))
+    }
+  }
+
+  test("g18: harmonic twelfths are bounded by reach (each term in [3,12])") {
+    import graft.operators.graph.GraphOps
+    val rows = GraphOps.g18HarmonicCentrality(spark, dir).collect()
+    assert(rows.length == 5, "one row per sampled source")
+    rows.foreach { r =>
+      val (n, h12, h) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      // every reached node contributes 12/d with d in 1..4
+      assert(h12 >= 3 * n && h12 <= 12 * n)
+      assert(h == h12.toDouble / 12.0)
+    }
+  }
+
   test("s14: one Lloyd round never increases total reconstruction error") {
     import graft.operators.similarity.SimilarityOps
     import graft.operators.vector.VectorOps
