@@ -254,4 +254,45 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "per-hop src→next choice must partially aggregate (map-side combine)")
     assert(!plan.contains("Window"), "no per-walker window sort in the walk")
   }
+
+  test("q31: the 256-cell sketch broadcasts into the probe; top-20 is a bounded top-k") {
+    val plan = planOf(SparkEntry.queries("q31_countmin")(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"),
+      "the d×w cell grid is constant-sized — it must broadcast")
+    assert(plan.contains("TakeOrderedAndProject"),
+      "exact heavy hitters must be a distributed bounded top-k, not a global sort")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q32: power sums are ONE map-side-combined aggregate pass, no join") {
+    val plan = planOf(SparkEntry.queries("q32_corr")(spark, dir))
+    assert("HashAggregate".r.findAllIn(plan).length >= 2,
+      "partial + final aggregate expected")
+    assert(!plan.contains("Join"),
+      "six power sums need no join — one pass over the fact table")
+    assert(!plan.contains("Window"), "and no window")
+  }
+
+  test("m5: hash build is partially aggregated; pair join is never a cross join") {
+    val plan = planOf(SparkEntry.queries("m5_ahash_dup")(spark, dir))
+    assert(plan.contains("partial_sum") || plan.contains("HashAggregate"),
+      "per-block char sums must map-side combine")
+    assert(!plan.contains("CartesianProduct"),
+      "candidate pairs come from chunk buckets, never all-pairs")
+  }
+
+  test("s14: PQ training and re-encoding broadcast the cells — no corpus-sized join side") {
+    val plan = planOf(SparkEntry.queries("s14_pq_trained")(spark, dir))
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      "the 128 trained cells must broadcast under the argmin scan")
+    assert(!plan.contains("CartesianProduct"))
+    assert(plan.contains("partial_min") || plan.contains("HashAggregate"),
+      "the per-subspace argmin must partially aggregate")
+  }
+
+  test("e11: the anomaly rule is one aggregate + one bounded window — no join") {
+    val plan = planOf(SparkEntry.queries("e11_anomaly")(spark, dir))
+    assert(!plan.contains("Join"), "trailing stats come from a window, not a self-join")
+    assert(plan.contains("Window"))
+  }
 }
