@@ -849,10 +849,15 @@ object Relational {
     val num = nD * d("sxy") - d("sx") * d("sy")
     val varx = nD * d("sxx") - d("sx") * d("sx")
     val vary = nD * d("syy") - d("sy") * d("sy")
+    // a zero-variance group (every x or y identical — degenerate
+    // inputs, single-row groups) has no defined corr/slope: NULL on
+    // both engines, not an ANSI divide-by-zero
+    def safe(numr: org.apache.spark.sql.Column, den: org.apache.spark.sql.Column) =
+      numr / when(den =!= 0.0, den)
     g.select(col("l_returnflag"), col("n"),
         (num / (nD * nD)).as("cov_qty_price"),
-        (num / (sqrt(varx) * sqrt(vary))).as("corr_qty_price"),
-        (num / varx).as("regr_slope"))
+        safe(num, sqrt(varx) * sqrt(vary)).as("corr_qty_price"),
+        safe(num, varx).as("regr_slope"))
       .orderBy(col("l_returnflag"))
   }
 
@@ -871,14 +876,14 @@ object Relational {
       |    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS cov_qty_price,
       |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
       |     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-      |    / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |    / NULLIF(sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
       |            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
       |       * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
-      |              - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS corr_qty_price,
+      |              - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)), 0.0) AS corr_qty_price,
       |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
       |     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-      |    / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-      |       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS regr_slope
+      |    / NULLIF(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0.0) AS regr_slope
       |FROM s ORDER BY l_returnflag""".stripMargin
 
   /** queries-map fragment: name → builder */
