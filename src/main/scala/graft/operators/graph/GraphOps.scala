@@ -855,6 +855,55 @@ object GraphOps {
       |     JOIN pp e3 ON e1.u = e3.u AND e2.v = e3.v) AS triangles,
       |  (SELECT count(*) FROM pp) AS n_proj_edges""".stripMargin
 
+  // ---- g19: local clustering coefficient over the g7 projection ----
+  // Per-node triangle participation from the SAME degree-oriented
+  // edge-iterator g7 uses (each triangle enumerated exactly once as
+  // (ou, ov, w), w ∈ adj(ou) ∩ adj(ov)); exploding the three corner
+  // roles attributes it to its three vertices in the same pass. Cost
+  // over g7: the intersect yields elements instead of a count, plus
+  // one V-row map-side-combined aggregate — no new E-row shuffle. The
+  // coefficient is exact integer ppm (2e6·tri div dg·(dg−1)), so the
+  // hash gate needs no float-rounding truce; dg ≥ 2 guards the
+  // denominator (a degree-1 node has no defined coefficient).
+  // Mirrors the reference's per-node analytics surface
+  // (/root/reference/src/main/java/org/neo4j/olap/Runner.java:60).
+  def g19ClusteringCoeff(spark: SparkSession, dir: String): DataFrame = {
+    val ordEdges = g7OrientedEdges(spark, dir)
+    val adj = g7Adjacency(spark, dir)
+    val perNode = ordEdges
+      .join(adj.as("au"), col("ou") === col("au.anode"))
+      .join(adj.as("av"), col("ov") === col("av.anode"))
+      .select(col("ou"), col("ov"),
+        explode(array_intersect(col("au.nbrs"), col("av.nbrs"))).as("w"))
+      .select(explode(array(col("ou"), col("ov"), col("w"))).as("n"))
+      .groupBy(col("n")).agg(count(lit(1)).as("tri"))
+    g7Degrees(spark, dir).filter(col("dg") >= 2)
+      .join(perNode, Seq("n"), "left")
+      .select(col("n").as("part_id"), col("dg").cast("long").as("dg"),
+        coalesce(col("tri"), lit(0L)).as("tri"))
+      .withColumn("coeff_ppm",
+        expr("(2000000 * tri) div (dg * (dg - 1))"))
+      .orderBy(col("part_id"))
+  }
+
+  val g19Sql: String =
+    """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      |ok_orders AS (SELECT o FROM op GROUP BY o HAVING count(*) <= 25),
+      |capped AS (SELECT op.o, op.p FROM op JOIN ok_orders USING (o)),
+      |pp AS (SELECT DISTINCT a.p AS u, b.p AS v FROM capped a JOIN capped b ON a.o = b.o AND a.p < b.p),
+      |tris AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      |  FROM pp e1 JOIN pp e2 ON e1.v = e2.u
+      |  JOIN pp e3 ON e1.u = e3.u AND e2.v = e3.v),
+      |tn AS (SELECT n, count(*) AS tri FROM (
+      |  SELECT a AS n FROM tris UNION ALL SELECT b FROM tris
+      |  UNION ALL SELECT c FROM tris) GROUP BY n),
+      |deg AS (SELECT n, count(*) AS dg FROM (
+      |  SELECT u AS n FROM pp UNION ALL SELECT v AS n FROM pp) GROUP BY n)
+      |SELECT deg.n AS part_id, dg, COALESCE(tri, 0) AS tri,
+      |  (2000000 * COALESCE(tri, 0)) // (dg * (dg - 1)) AS coeff_ppm
+      |FROM deg LEFT JOIN tn ON deg.n = tn.n
+      |WHERE dg >= 2 ORDER BY part_id""".stripMargin
+
   // ---- g8: interior-node counts on all shortest part→region paths ----
   def g8PathInteriorCounts(spark: SparkSession, dir: String): DataFrame = {
     def t(n: String) = graft.sources.Tables.load(spark, dir, n)
@@ -1195,6 +1244,7 @@ object GraphOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g18_harmonic" -> (g18HarmonicCentrality _),
+    "g19_clustering_coeff" -> (g19ClusteringCoeff _),
     "g10_components" -> ((s: SparkSession, d: String) => g10Components(s, d)),
     "g11_components_converged" -> (g11ComponentsConverged _),
     "g12_pagerank_converged" -> (g12PagerankConverged _),
@@ -1223,6 +1273,7 @@ object GraphOps {
     "g16_weighted_ppr" -> g16Sql,
     "g17_label_propagation" -> g17Sql,
     "g18_harmonic" -> g18Sql,
+    "g19_clustering_coeff" -> g19Sql,
     "g1_degree" -> g1Sql,
     "g2_degree_distribution" -> g2Sql,
     "g3_top_visited" -> g3Sql,
