@@ -295,4 +295,14 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("Join"), "trailing stats come from a window, not a self-join")
     assert(plan.contains("Window"))
   }
+
+  test("g19: coefficient rides g7's cached stages — map-side-combined agg, no cross join, no window") {
+    val plan = planOf(SparkEntry.queries("g19_clustering_coeff")(spark, dir))
+    assert(plan.contains("InMemoryTableScan"),
+      "the oriented-edge/adjacency/degree stages must come from the shared g7 cache")
+    assert("HashAggregate".r.findAllIn(plan).length >= 2,
+      "the per-node triangle count must partially aggregate before its V-row shuffle")
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("Window"), "no per-node window sort")
+  }
 }
