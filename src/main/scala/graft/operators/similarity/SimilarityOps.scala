@@ -91,6 +91,45 @@ object SimilarityOps {
        |SELECT query_id, neighbor_id, cosine, rank FROM r
        |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
 
+  // ---- s16: metadata-filtered exact kNN (filtered vector search) ----
+  // Production vector search is rarely unfiltered: "nearest neighbors
+  // WHERE <metadata predicate>" (same language, same license, a date
+  // range…). The filter belongs IN the candidate join — a post-filter
+  // over an unfiltered top-k silently returns < K rows (or the wrong
+  // neighbors) whenever the filter removes ranked hits. Here the
+  // predicate is the label equi-key of the broadcast join itself:
+  // corpus rows hash the tiny query table by label, rows failing the
+  // filter drop BEFORE the 64-term dot product, and the corpus never
+  // shuffles. [[filteredKnnOf]] is the composable core (any
+  // query/corpus frames + any predicate).
+  def filteredKnnOf(q: DataFrame, c: DataFrame,
+      pred: org.apache.spark.sql.Column): DataFrame = {
+    val pairs = broadcast(q.as("q"))
+      .join(c.as("c"), col("q.vec_id") =!= col("c.vec_id") && pred)
+      .withColumn("dot", expr(VectorExprs.dotExpr("q.vd", "c.vd")))
+      .select(col("q.vec_id").as("query_id"),
+        col("c.vec_id").as("neighbor_id"), cosine.as("cosine"))
+    ranked(pairs)
+  }
+
+  def s16FilteredKnn(spark: SparkSession, dir: String): DataFrame = {
+    val e = VectorExprs.embFeatures(spark, dir)
+    filteredKnnOf(e.filter(col("vec_id") < 10), e,
+      col("q.label") === col("c.label"))
+  }
+
+  val s16Sql: String =
+    s"""WITH ${VectorExprs.embCtes},
+       |pairs AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    ${VectorExprs.duckDot("q.vd", "c.vd")}
+       |      / (sqrt(q.n2) * sqrt(c.n2)) AS cosine
+       |  FROM eb q, eb c
+       |  WHERE q.vec_id < 10 AND q.vec_id != c.vec_id AND q.label = c.label),
+       |${topkCte("r", "pairs")}
+       |SELECT query_id, neighbor_id, cosine, rank FROM r
+       |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
+
   // ---- s2: LSH-bucketed ANN over banded signatures ----
   // A query probes each of its Bands buckets (multi-probe via
   // OR-amplified bands: recall 1-(1-p^BandBits)^Bands); candidates are
@@ -951,6 +990,7 @@ object SimilarityOps {
     "s13_ivfpq_recall" -> (s13IvfPqRecall _),
     "s8_recall_eval" -> (s8RecallEval _),
     "s9_ivf_recall" -> (s9IvfRecall _),
+    "s16_filtered_knn" -> (s16FilteredKnn _),
     "s1_knn_brute" -> (s1KnnBrute _),
     "s2_knn_lsh" -> (s2KnnLsh _),
     "s3_pairwise_topk" -> (s3PairwiseTopk _),
@@ -968,6 +1008,7 @@ object SimilarityOps {
     "s13_ivfpq_recall" -> s13Sql,
     "s8_recall_eval" -> s8Sql,
     "s9_ivf_recall" -> s9Sql,
+    "s16_filtered_knn" -> s16Sql,
     "s1_knn_brute" -> s1Sql,
     "s2_knn_lsh" -> s2Sql,
     "s3_pairwise_topk" -> s3Sql,
