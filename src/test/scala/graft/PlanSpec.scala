@@ -296,6 +296,16 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("Window"))
   }
 
+  test("s16: the metadata filter is the broadcast join's equi-key — corpus unshuffled, no cross join") {
+    val plan = planOf(SparkEntry.queries("s16_filtered_knn")(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"),
+      "label must be the hash key of the broadcast candidate join")
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("Window"), "top-k is the bounded aggregate, not a window sort")
+    assert("Exchange hashpartitioning\\(c".r.findFirstIn(plan).isEmpty,
+      "the corpus side must not shuffle for the candidate join")
+  }
+
   test("g19: coefficient rides g7's cached stages — map-side-combined agg, no cross join, no window") {
     val plan = planOf(SparkEntry.queries("g19_clustering_coeff")(spark, dir))
     assert(plan.contains("InMemoryTableScan"),
