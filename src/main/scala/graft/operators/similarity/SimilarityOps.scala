@@ -398,6 +398,49 @@ object SimilarityOps {
       .orderBy(col("cluster_id"))
   }
 
+  // ---- s17: cluster-quality gauge (exact within-cluster SSE) ----
+  // Inertia-style audit of s5's trained assignment — the clustering
+  // row of the quality board (s8/s9/s11/s13/s15 measure ANN recall,
+  // d8 dedup recall; this measures codebook fit, the number a k/seed
+  // sweep tunes against). Per cluster: Σ squared distance to the
+  // cluster MEAN via the power-sum identity n·SSE_d = n·Σx² − (Σx)²
+  // per dimension — no centroid join and no double accumulation (a Σ
+  // of doubles in shuffle order is IEEE-order-dependent; micro-unit
+  // integer sums are exact, and nothing ever divides). One explode to
+  // V×64 rows, two map-side-combined aggregates — the Lloyd-update
+  // shape. sse_n is n·SSE in micro-units², DECIMAL(38,0) exact.
+  def s17ClusterQuality(spark: SparkSession, dir: String): DataFrame = {
+    val qv = embQuantized(spark, dir)
+    val a2 = assignTo(qv, ivfCodebook(spark, dir))
+    a2.join(qv, Seq("vec_id"))
+      .select(col("cluster"), posexplode(col("qv")).as(Seq("d", "x")))
+      .groupBy(col("cluster"), col("d"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast("decimal(38,0)")).as("sx"),
+        sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"))
+      .groupBy(col("cluster"))
+      .agg(max(col("n")).as("n_members"),
+        sum(col("n").cast("decimal(38,0)") * col("sxx") - col("sx") * col("sx"))
+          .cast("decimal(38,0)").as("sse_n"))
+      .select(col("cluster").as("cluster_id"), col("n_members"), col("sse_n"))
+      .orderBy(col("cluster_id"))
+  }
+
+  val s17Sql: String =
+    s"""WITH $codebookCtes,
+       |sc2 AS (${duckCent("c1")}),
+       |a2 AS (SELECT vec_id, mid AS cluster FROM (
+       |  SELECT vec_id, mid, row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY score DESC, mid) AS rn FROM sc2) x WHERE rn = 1)
+       |SELECT cluster AS cluster_id, CAST(max(n) AS BIGINT) AS n_members,
+       |  CAST(sum(CAST(n AS DECIMAL(38,0)) * sxx - sx * sx) AS DECIMAL(38,0)) AS sse_n
+       |FROM (SELECT a2.cluster, g.d, count(*) AS n,
+       |    sum(CAST(q.qv[g.d] AS DECIMAL(38,0))) AS sx,
+       |    sum(CAST(q.qv[g.d] AS DECIMAL(38,0)) * CAST(q.qv[g.d] AS DECIMAL(38,0))) AS sxx
+       |  FROM a2 JOIN qv q ON a2.vec_id = q.vec_id, generate_series(1, 64) g(d)
+       |  GROUP BY a2.cluster, g.d)
+       |GROUP BY cluster ORDER BY cluster_id""".stripMargin
+
   private def duckCent(src: String): String =
     s"""SELECT q.vec_id, c.mid,
        |    ${VectorExprs.duckDot("q.vd", "c.cm")}
@@ -991,6 +1034,7 @@ object SimilarityOps {
     "s8_recall_eval" -> (s8RecallEval _),
     "s9_ivf_recall" -> (s9IvfRecall _),
     "s16_filtered_knn" -> (s16FilteredKnn _),
+    "s17_cluster_quality" -> (s17ClusterQuality _),
     "s1_knn_brute" -> (s1KnnBrute _),
     "s2_knn_lsh" -> (s2KnnLsh _),
     "s3_pairwise_topk" -> (s3PairwiseTopk _),
@@ -1009,6 +1053,7 @@ object SimilarityOps {
     "s8_recall_eval" -> s8Sql,
     "s9_ivf_recall" -> s9Sql,
     "s16_filtered_knn" -> s16Sql,
+    "s17_cluster_quality" -> s17Sql,
     "s1_knn_brute" -> s1Sql,
     "s2_knn_lsh" -> s2Sql,
     "s3_pairwise_topk" -> s3Sql,
