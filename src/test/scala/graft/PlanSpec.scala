@@ -306,6 +306,15 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "the corpus side must not shuffle for the candidate join")
   }
 
+  test("s17: SSE is two map-side-combined aggregate passes — no centroid join, no window") {
+    val plan = planOf(SparkEntry.queries("s17_cluster_quality")(spark, dir))
+    assert("HashAggregate".r.findAllIn(plan).length >= 3,
+      "per-(cluster,d) power sums and the per-cluster rollup must partially aggregate")
+    assert(!plan.contains("CartesianProduct"),
+      "the only corpus-wide join is the broadcast centroid assignment")
+    assert(!plan.contains("Window"), "assignment is the min-struct aggregate, not a window")
+  }
+
   test("g19: coefficient rides g7's cached stages — map-side-combined agg, no cross join, no window") {
     val plan = planOf(SparkEntry.queries("g19_clustering_coeff")(spark, dir))
     assert(plan.contains("InMemoryTableScan"),
