@@ -66,6 +66,60 @@ object GraphOps {
        |deg AS (SELECT src, count(*) AS degree FROM sym GROUP BY src)
        |SELECT degree, count(*) AS n_nodes FROM deg GROUP BY degree ORDER BY degree""".stripMargin
 
+  // ---- g20: k-core peel (k=3, 6 fixed rounds) ----
+  // Iterative degree peeling toward the 3-core — the graph-
+  // sparsification step a pipeline runs before expensive per-node
+  // analytics (dense-substructure mining, g7/g19's projection class).
+  // Per round: edges restricted to both-endpoints-alive, one
+  // map-side-combined degree count, threshold. The src-side
+  // membership join reuses sym's src-partitioned layout; the dst-side
+  // join is the per-round E-row shuffle (same cost class as a
+  // pagerank round — AQE re-plans it as the alive set shrinks).
+  // localCheckpoint per round: constant-depth plan, no 2^k recompute
+  // (the g10 lesson). Fixed rounds keep the oracle an unrolled CTE
+  // chain; output = round-6 degrees (among round-5 survivors)
+  // thresholded at k, exactly d6/dg>=3 on the oracle side.
+  def kcorePeel(sym: DataFrame, k: Int, rounds: Int): DataFrame = {
+    var alive = sym.select(col("src").as("n")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var deg = sym.sparkSession.emptyDataFrame
+    var r = 0
+    while (r < rounds) {
+      deg = sym
+        .join(alive, col("src") === col("n")).drop("n")
+        .join(alive.withColumnRenamed("n", "nd"), col("dst") === col("nd")).drop("nd")
+        .groupBy(col("src")).agg(count(lit(1)).as("dg"))
+        .localCheckpoint(true)
+      val next = deg.filter(col("dg") >= k).select(col("src").as("n"))
+      alive.unpersist()
+      alive = next.persist(StorageLevel.MEMORY_AND_DISK)
+      r += 1
+    }
+    deg.filter(col("dg") >= k)
+      .select(col("src").as("node_id"), col("dg").as("deg_in_core"))
+      .orderBy(col("node_id"))
+  }
+
+  def g20Kcore(spark: SparkSession, dir: String): DataFrame =
+    kcorePeel(withSym(spark, dir), k = 3, rounds = 6)
+
+  val g20Sql: String = {
+    def round(t: Int): String =
+      s"""d$t AS (SELECT e.src AS n, count(*) AS dg FROM sym e
+         |  JOIN a${t - 1} u ON e.src = u.n JOIN a${t - 1} v ON e.dst = v.n
+         |  GROUP BY e.src),
+         |a$t AS MATERIALIZED (SELECT n FROM d$t WHERE dg >= 3)""".stripMargin
+    val chain = (1 to 5).map(round).mkString(",\n")
+    s"""WITH ${GraphTables.symSqlCtes},
+       |a0 AS MATERIALIZED (SELECT DISTINCT src AS n FROM sym),
+       |$chain,
+       |d6 AS (SELECT e.src AS n, count(*) AS dg FROM sym e
+       |  JOIN a5 u ON e.src = u.n JOIN a5 v ON e.dst = v.n
+       |  GROUP BY e.src)
+       |SELECT n AS node_id, CAST(dg AS BIGINT) AS deg_in_core
+       |FROM d6 WHERE dg >= 3 ORDER BY node_id""".stripMargin
+  }
+
   // ---- g4: deterministic pseudo-random-walk visit counts (3 hops) ----
   // The hash h depends only on (src, dst, t), so the chosen next hop is
   // a pure function of (src, t) — identical for every walker sitting on
@@ -1245,6 +1299,7 @@ object GraphOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g18_harmonic" -> (g18HarmonicCentrality _),
     "g19_clustering_coeff" -> (g19ClusteringCoeff _),
+    "g20_kcore" -> (g20Kcore _),
     "g10_components" -> ((s: SparkSession, d: String) => g10Components(s, d)),
     "g11_components_converged" -> (g11ComponentsConverged _),
     "g12_pagerank_converged" -> (g12PagerankConverged _),
@@ -1274,6 +1329,7 @@ object GraphOps {
     "g17_label_propagation" -> g17Sql,
     "g18_harmonic" -> g18Sql,
     "g19_clustering_coeff" -> g19Sql,
+    "g20_kcore" -> g20Sql,
     "g1_degree" -> g1Sql,
     "g2_degree_distribution" -> g2Sql,
     "g3_top_visited" -> g3Sql,

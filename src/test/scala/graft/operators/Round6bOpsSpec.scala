@@ -143,6 +143,25 @@ class Round6bOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("g20: peeling cascades one node per round until only the 3-core clique survives") {
+    import spark.implicits._
+    // K4 on {1,2,3,4} (the 3-core) plus a pendant chain whose removal
+    // cascades: 7 (deg 1) peels round 1, exposing 6 (deg 2) round 2,
+    // exposing 5 (deg 2) round 3 — a genuine multi-round peel, not a
+    // one-shot degree filter.
+    val und = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (5L, 1L), (5L, 2L), (5L, 6L), (6L, 3L), (6L, 7L))
+    val sym = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val core = GraphOps.kcorePeel(sym, k = 3, rounds = 6).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L),
+      "only the K4 survives, each with in-core degree 3")
+    // fewer rounds than the cascade depth leaves chain remnants alive
+    val shallow = GraphOps.kcorePeel(sym, k = 3, rounds = 1).collect()
+    assert(shallow.length > 4, "a 1-round peel has not yet converged")
+  }
+
   test("m5: identical payloads hash identically; short payloads are absent") {
     import spark.implicits._
     val long1 = (0 until 100).map(i => ('a' + i % 26).toChar).mkString
