@@ -562,7 +562,112 @@ object TextOps {
        |             ELSE 0.0 END) <= $Dup2gramMax) AS keep
        |FROM d JOIN top t USING (doc_id) ORDER BY d.doc_id""".stripMargin
 
+  // ---- t13: sensitive-term redaction (the PII-scrub shape) ----
+  // Production curation scrubs emails/phones/SSNs with a bank of
+  // regexes; the machinery is identical for any term source, so the
+  // synthetic corpus exercises it with a dictionary that actually
+  // hits. The scrub operates on the SPLIT WORD ARRAY, not a regex
+  // over the raw string: a CASE inside `transform` is engine-portable
+  // to the bit (Java regex vs RE2 word-boundary semantics diverge),
+  // stays in whole-stage codegen, and the redaction count is a
+  // `filter` over the same array — one narrow scan, zero shuffle,
+  // nothing corpus-sized moves at any scale. `redacted_fp` is t4's
+  // rolling-hash fingerprint over the SCRUBBED stream, the artifact a
+  // downstream dedup would key on (redaction must not split exact-dup
+  // groups whose only difference was the scrubbed spans).
+  private val Sensitive = Seq("customer", "key", "value")
+  private val Placeholder = "[X]"
+
+  def t13Redact(spark: SparkSession, dir: String): DataFrame =
+    redactOf(docs(spark, dir))
+
+  /** Redaction over any (doc_id, text) frame — factored so specs can
+    * feed corpora with known sensitive-term placement. */
+  def redactOf(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"),
+        size(col("ws")).as("n_words"),
+        size(filter(col("ws"), w => w.isInCollection(Sensitive))).as("n_redacted"),
+        expr(s"""aggregate(
+                |  transform(
+                |    transform(ws, w -> CASE WHEN w IN ${sqlSet(Sensitive)}
+                |                            THEN '$Placeholder' ELSE w END),
+                |    w -> length(w)*31 + ascii(substring(w,1,1))),
+                |  cast(0 as bigint),
+                |  (acc, x) -> (acc*1000003 + x) % 2147483647)""".stripMargin)
+          .as("redacted_fp"))
+      .orderBy(col("doc_id"))
+
+  val t13Sql: String =
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+       |SELECT doc_id,
+       |  len(ws) AS n_words,
+       |  len(list_filter(ws, x -> x IN ${sqlSet(Sensitive)})) AS n_redacted,
+       |  list_reduce(
+       |    list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(
+       |        list_transform(ws, x -> CASE WHEN x IN ${sqlSet(Sensitive)}
+       |                                     THEN '$Placeholder' ELSE x END),
+       |        x -> CAST(length(x)*31 + ascii(substr(x,1,1)) AS BIGINT))),
+       |    (acc, x) -> (acc*1000003 + x) % 2147483647) AS redacted_fp
+       |FROM w ORDER BY doc_id""".stripMargin
+
+  // ---- t14: feature-hashed document embeddings ----
+  // The hashing-trick bag-of-words embedder (Weinberger et al. 2009):
+  // dim = word-hash mod D, value = occurrence count — the cheap
+  // trainable-model-free embedding that bridges `documents` into the
+  // s-family's vector surface (kNN/dedup/clustering over docs without
+  // an external model). Built ENTIRELY in-row: the per-word dims are
+  // one transform, and the D-dim count vector is a fixed
+  // sequence(0,D-1) scan over them — no explode, no shuffle, one
+  // codegen'd pass whatever the corpus size. Counts are exact
+  // integers, so the gate is bit-exact; consumers normalize (v1's
+  // job) if they need cosine geometry.
+  private val EmbedDims = 16
+
+  /** Gate view: the 16 exact-integer dims as scalar columns (array
+    * columns don't hash in the driver compare; the v1 convention —
+    * except integer counts let us gate EVERY dim, not a prefix). */
+  def t14HashEmbed(spark: SparkSession, dir: String): DataFrame =
+    hashEmbedOf(docs(spark, dir))
+      .select(col("doc_id") +:
+        (0 until EmbedDims).map(i =>
+          element_at(col("doc_vec"), i + 1).as(f"v$i%02d")): _*)
+      .orderBy(col("doc_id"))
+
+  /** The hashed embedding of any (doc_id, text) frame; word hash =
+    * the d2 family's portable (length, first, last) integer hash, so
+    * both engines bucket identically. */
+  def hashEmbedOf(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .withColumn("dims",
+        expr(s"""transform(ws, w ->
+                |  ((cast(length(w) as bigint)*31 + ascii(substring(w,1,1)))*31
+                |   + ascii(substring(w,-1,1))) % $EmbedDims)""".stripMargin))
+      .select(col("doc_id"),
+        expr(s"""transform(sequence(0, ${EmbedDims - 1}),
+                |  i -> cast(size(filter(dims, d -> d = i)) as bigint))""".stripMargin)
+          .as("doc_vec"))
+      .orderBy(col("doc_id"))
+
+  val t14Sql: String = {
+    val dimCols = (0 until EmbedDims)
+      .map(i => f"  CAST(len(list_filter(dims, x -> x = $i)) AS BIGINT) AS v$i%02d")
+      .mkString(",\n")
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |d AS (SELECT doc_id,
+       |  list_transform(ws, x ->
+       |    ((CAST(length(x) AS BIGINT)*31 + ascii(substr(x,1,1)))*31
+       |     + ascii(substr(x,-1,1))) % $EmbedDims) AS dims
+       |  FROM w)
+       |SELECT doc_id,
+       |$dimCols
+       |FROM d ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t13_redact" -> (t13Redact _),
+    "t14_hash_embed" -> (t14HashEmbed _),
     "t12_repetition" -> (t12Repetition _),
     "t11_mixture_sample" -> (t11MixtureSample _),
     "t10_tfidf" -> (t10Tfidf _),
@@ -577,6 +682,8 @@ object TextOps {
     "t9_curation_pipeline" -> (t9CurationPipeline _))
 
   val oracles: Map[String, String] = Map(
+    "t13_redact" -> t13Sql,
+    "t14_hash_embed" -> t14Sql,
     "t12_repetition" -> t12Sql,
     "t11_mixture_sample" -> t11Sql,
     "t10_tfidf" -> t10Sql,

@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+import graft.GraftSession
+import graft.operators.text.TextOps
+
+/** Semantic invariants of the third round-6 operator batch beyond the
+  * row-hash gate: redaction's dedup-preservation law (docs differing
+  * only in sensitive terms scrub to the same fingerprint), and the
+  * hashing-trick embedder's mass-conservation + determinism contract. */
+class Round6cOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = GraftSession.local(threads = 4, shufflePartitions = 4)
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("t13: counts hit the dictionary exactly; scrubbing collapses sensitive-only diffs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the customer sent a key and a value today"),
+      (2L, "the value sent a customer and a key today"), // sensitive terms permuted
+      (3L, "the key sent a key and a key today"),        // doc 1 with every sensitive term -> key
+      (4L, "no sensitive words here at all")).toDF("doc_id", "text")
+    val out = TextOps.redactOf(docs).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getLong(3))).toMap
+    assert(out(1L)._2 == 3 && out(3L)._2 == 3 && out(4L)._2 == 0)
+    // docs 1 and 3 differ ONLY at sensitive positions -> identical
+    // scrubbed stream -> identical fingerprint (the law that keeps
+    // redaction from splitting exact-dup groups)
+    assert(out(1L)._3 == out(3L)._3, "redacted fingerprints must collapse")
+    assert(out(1L)._3 == out(2L)._3, "permuting sensitive terms collapses too")
+    assert(out(1L)._3 != out(4L)._3, "different scrubbed text, different fp")
+  }
+
+  test("t14: dim counts conserve word mass and are deterministic run-to-run") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spark scan merge join filter"),
+      (2L, "spark spark spark"),
+      (3L, "a")).toDF("doc_id", "text")
+    val vecs = TextOps.hashEmbedOf(docs).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(vecs.values.forall(_.length == 16))
+    assert(vecs(1L).sum == 5L, "5 words -> total count 5")
+    assert(vecs(2L).sum == 3L && vecs(2L).max == 3L,
+      "repeated word lands in one dim")
+    assert(vecs(3L).sum == 1L)
+    val again = TextOps.hashEmbedOf(docs).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(again == vecs, "stateless hash -> bit-identical re-run")
+  }
+}
