@@ -34,6 +34,31 @@ class Round6cOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(1L)._3 != out(4L)._3, "different scrubbed text, different fp")
   }
 
+  test("q33: HLL registers merge by cell-wise max and the estimate lands in the error band") {
+    import spark.implicits._
+    val keys = (1L to 10000L)
+    val whole = keys.map(k => ("g", k)).toDF("grp", "k")
+    val left = keys.filter(_ % 3 != 0).map(k => ("g", k)).toDF("grp", "k")
+    val right = keys.filter(_ % 3 == 0).map(k => ("g", k)).toDF("grp", "k")
+    def regMap(d: org.apache.spark.sql.DataFrame) =
+      Relational.hllRegistersOf(d).collect()
+        .map(r => (r.getLong(1), r.getInt(2))).toMap
+    val w = regMap(whole)
+    val l = regMap(left); val rr = regMap(right)
+    val merged = (l.keySet ++ rr.keySet).map { b =>
+      b -> math.max(l.getOrElse(b, 0), rr.getOrElse(b, 0))
+    }.toMap
+    assert(merged == w, "registers(A ∪ B) ≡ cellwise-max(registers(A), registers(B))")
+    // accuracy: m=64 gives 1.04/sqrt(64) ~ 13% std error; 3 sigma bound
+    val est = Relational.hllEstimateOf(Relational.hllRegistersOf(whole))
+      .collect().head.getAs[Double]("hll_raw")
+    assert(math.abs(est / 10000.0 - 1.0) < 0.4,
+      s"estimate $est out of band for 10000 distinct keys")
+    // duplicates must not move the sketch: registers are set-state
+    val dup = whole.union(whole).union(whole)
+    assert(regMap(dup) == w, "triplicated stream, identical registers")
+  }
+
   test("t14: dim counts conserve word mass and are deterministic run-to-run") {
     import spark.implicits._
     val docs = Seq(
