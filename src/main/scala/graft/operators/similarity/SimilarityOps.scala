@@ -369,22 +369,33 @@ object SimilarityOps {
     * s7 (IVF probe) train it once per session. Centroid sums are
     * exact integer micro-units, so the codebook is bit-identical on
     * both engines — the oracle chains the same CTEs. */
+  /** One distributed Lloyd update: assign `qv` to `cents`, then
+    * rebuild each centroid from its members' exact integer micro-unit
+    * sums (one explode + two map-side-combined aggregates; the cm
+    * cell is ONE IEEE division of exact integers, bit-identical on
+    * both engines). Returns the next (mid, cm) codebook. Factored so
+    * [[ivfCodebook]] (seed round) and [[kmeansFrom]] (checkpoint
+    * resume) run the identical update. */
+  def lloydUpdateOf(qv: DataFrame, cents: DataFrame): DataFrame = {
+    val a = assignTo(qv, cents)
+    qv.join(a, Seq("vec_id"))
+      .select(col("cluster"), posexplode(col("qv")).as(Seq("d", "val")))
+      .groupBy(col("cluster"), col("d"))
+      .agg(sum(col("val")).as("s"), count(lit(1)).as("n"))
+      .groupBy(col("cluster"))
+      .agg(expr(
+        "transform(sort_array(collect_list(struct(d, cast(s as double) / (n * 1000000.0)))), p -> p.col2)")
+        .as("cm"))
+      .select(col("cluster").as("mid"), col("cm"))
+  }
+
   def ivfCodebook(spark: SparkSession, dir: String): DataFrame =
     graft.util.DfCache.cached(spark, dir, "ivf_codebook") {
       val qv = embQuantized(spark, dir)
       val c0 = qv.filter(col("vec_id") < 16)
         .select(col("vec_id").as("mid"),
           expr("transform(qv, x -> cast(x as double) / 1000000.0)").as("cm"))
-      val a1 = assignTo(qv, c0)
-      qv.join(a1, Seq("vec_id"))
-        .select(col("cluster"), posexplode(col("qv")).as(Seq("d", "val")))
-        .groupBy(col("cluster"), col("d"))
-        .agg(sum(col("val")).as("s"), count(lit(1)).as("n"))
-        .groupBy(col("cluster"))
-        .agg(expr(
-          "transform(sort_array(collect_list(struct(d, cast(s as double) / (n * 1000000.0)))), p -> p.col2)")
-          .as("cm"))
-        .select(col("cluster").as("mid"), col("cm"))
+      lloydUpdateOf(qv, c0)
     }
 
   def s5Kmeans(spark: SparkSession, dir: String): DataFrame = {
@@ -397,6 +408,56 @@ object SimilarityOps {
       .select(col("cluster").as("cluster_id"), col("n_members"), col("q_checksum"))
       .orderBy(col("cluster_id"))
   }
+
+  // ---- s18: kmeans warm start — codebook checkpoint resume ----
+  // The AnalysisRound-resume contract (Runner.java:68's restart-from-
+  // persisted-state) applied to the clustering family, exactly as
+  // pagerankFrom applies it to ranks and d9 to the dedup index: a
+  // training run persists its codebook (the deployment artifact),
+  // a later run resumes Lloyd from it without re-touching earlier
+  // rounds. Because centroid cells are single divisions of exact
+  // integer sums, resume(persist(k rounds)) + 1 round ≡ k+1 direct
+  // rounds BIT-EXACT (spec-pinned) — the parquet hop loses nothing.
+  // Gate = s5's summary one resumed round deeper: persist the trained
+  // c1, reload, one more Lloyd update → assign under c2.
+  /** Resume Lloyd training from any persisted (mid, cm) codebook. */
+  def kmeansFrom(spark: SparkSession, qv: DataFrame, codebookPath: String): DataFrame =
+    lloydUpdateOf(qv, spark.read.parquet(codebookPath))
+
+  def s18KmeansWarm(spark: SparkSession, dir: String): DataFrame = {
+    val qv = embQuantized(spark, dir)
+    val dirKey = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val path =
+      s"${graft.operators.graph.GraphOps.checkpointRoot(spark)}/graft_ckpt_s18_$dirKey"
+    ivfCodebook(spark, dir).write.mode("overwrite").parquet(path)
+    val c2 = kmeansFrom(spark, qv, path)
+    assignTo(qv, c2).join(qv, Seq("vec_id"))
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_members"),
+        sum(expr("aggregate(qv, 0L, (a, x) -> a + x)")).as("q_checksum"))
+      .select(col("cluster").as("cluster_id"), col("n_members"), col("q_checksum"))
+      .orderBy(col("cluster_id"))
+  }
+
+  val s18Sql: String =
+    s"""WITH $codebookCtes,
+       |sc2 AS (${duckCent("c1")}),
+       |a2 AS MATERIALIZED (SELECT vec_id, mid AS cluster FROM (
+       |  SELECT vec_id, mid, row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY score DESC, mid) AS rn FROM sc2) x WHERE rn = 1),
+       |e2 AS (SELECT a2.cluster, d, q.qv[d] AS val
+       |  FROM qv q JOIN a2 ON q.vec_id = a2.vec_id, generate_series(1, 64) g(d)),
+       |s2u AS (SELECT cluster, d, sum(val) AS s, count(*) AS n FROM e2 GROUP BY cluster, d),
+       |c2 AS MATERIALIZED (SELECT cluster AS mid,
+       |  list(CAST(s AS DOUBLE) / (n * 1000000.0) ORDER BY d) AS cm FROM s2u GROUP BY cluster),
+       |sc3 AS (${duckCent("c2")}),
+       |a3 AS (SELECT vec_id, mid AS cluster FROM (
+       |  SELECT vec_id, mid, row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY score DESC, mid) AS rn FROM sc3) x WHERE rn = 1)
+       |SELECT a3.cluster AS cluster_id, count(*) AS n_members,
+       |  CAST(sum(list_sum(q.qv)) AS BIGINT) AS q_checksum
+       |FROM a3 JOIN qv q ON a3.vec_id = q.vec_id
+       |GROUP BY a3.cluster ORDER BY cluster_id""".stripMargin
 
   // ---- s17: cluster-quality gauge (exact within-cluster SSE) ----
   // Inertia-style audit of s5's trained assignment — the clustering
@@ -1035,6 +1096,7 @@ object SimilarityOps {
     "s9_ivf_recall" -> (s9IvfRecall _),
     "s16_filtered_knn" -> (s16FilteredKnn _),
     "s17_cluster_quality" -> (s17ClusterQuality _),
+    "s18_kmeans_warm" -> (s18KmeansWarm _),
     "s1_knn_brute" -> (s1KnnBrute _),
     "s2_knn_lsh" -> (s2KnnLsh _),
     "s3_pairwise_topk" -> (s3PairwiseTopk _),
@@ -1054,6 +1116,7 @@ object SimilarityOps {
     "s9_ivf_recall" -> s9Sql,
     "s16_filtered_knn" -> s16Sql,
     "s17_cluster_quality" -> s17Sql,
+    "s18_kmeans_warm" -> s18Sql,
     "s1_knn_brute" -> s1Sql,
     "s2_knn_lsh" -> s2Sql,
     "s3_pairwise_topk" -> s3Sql,

@@ -4,6 +4,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 import graft.GraftSession
+import graft.operators.similarity.SimilarityOps
 import graft.operators.text.TextOps
 
 /** Semantic invariants of the third round-6 operator batch beyond the
@@ -32,6 +33,21 @@ class Round6cOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(1L)._3 == out(3L)._3, "redacted fingerprints must collapse")
     assert(out(1L)._3 == out(2L)._3, "permuting sensitive terms collapses too")
     assert(out(1L)._3 != out(4L)._3, "different scrubbed text, different fp")
+  }
+
+  test("s18: Lloyd resume through a parquet checkpoint is bit-identical to the direct round") {
+    val dir = "/root/testdata/sf0.001"
+    val qv = SimilarityOps.embQuantized(spark, dir)
+    val c1 = SimilarityOps.ivfCodebook(spark, dir)
+    val direct = SimilarityOps.lloydUpdateOf(qv, c1)
+    val path = java.nio.file.Files.createTempDirectory("s18spec").toString + "/cb"
+    c1.write.mode("overwrite").parquet(path)
+    val resumed = SimilarityOps.kmeansFrom(spark, qv, path)
+    def cents(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toVector).toMap
+    val dm = cents(direct); val rm = cents(resumed)
+    assert(dm.nonEmpty && dm == rm,
+      "resume(persist(c1)) must reproduce lloyd(c1) to the bit")
   }
 
   test("q33: HLL registers merge by cell-wise max and the estimate lands in the error band") {
