@@ -754,7 +754,53 @@ object DedupOps {
        |FROM gp LEFT JOIN dup d ON gp.h = d.h
        |GROUP BY gp.doc_id ORDER BY gp.doc_id""".stripMargin
 
+  // ---- d11: semantic dedup within trained kmeans clusters ----
+  // The SemDeDup shape (Abbas et al. 2023, "SemDeDup: Data-efficient
+  // learning at web-scale through semantic deduplication"): embed,
+  // kmeans-cluster, then drop near-duplicate pairs WITHIN each
+  // cluster — the coarse quantizer bounds candidate generation the
+  // way d5's band buckets do, but in semantic space, so paraphrases
+  // land in the same cluster even when no band key collides. Keep
+  // policy is deterministic: drop v iff some same-cluster u < v has
+  // cosine > θ (the "dominated by any smaller id" rule — d1's
+  // keep-min convention, antijoin-shaped, engine-portable; θ shared
+  // with d5/d8 so the quality board prices one threshold). Plan: the
+  // cached trained assignment joins features once, self-joins
+  // CO-PARTITIONED on cluster (one shuffle per side, no broadcast of
+  // the corpus); k grows with the corpus, so per-cluster population —
+  // and the quadratic-within-cluster pair count — stays bounded at
+  // 100 TB exactly as the paper argues.
+  def d11SemDedup(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.similarity.SimilarityOps
+    val m = SimilarityOps.trainedAssignment(spark, dir)
+      .join(VectorExprs.embFeatures(spark, dir), Seq("vec_id"))
+      .select(col("vec_id"), col("cluster"), col("vd"), col("n2"))
+    val dropped = m.as("a").join(m.as("b"),
+        col("a.cluster") === col("b.cluster")
+          && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("dot", expr(VectorExprs.dotExpr("a.vd", "b.vd")))
+      .filter(col("dot") / (sqrt(col("a.n2")) * sqrt(col("b.n2"))) > DupTheta)
+      .select(col("b.vec_id").as("vec_id")).distinct()
+    m.join(dropped.withColumn("hit", lit(1)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"), col("hit").isNull.as("keep"))
+      .orderBy(col("vec_id"))
+  }
+
+  val d11Sql: String =
+    s"""WITH ${graft.operators.similarity.SimilarityOps.assignCtes},
+       |m AS (SELECT a2.vec_id, a2.cluster, eb.vd, eb.n2
+       |      FROM a2 JOIN eb ON a2.vec_id = eb.vec_id),
+       |dropped AS (
+       |  SELECT DISTINCT b.vec_id FROM m a JOIN m b
+       |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+       |  WHERE ${VectorExprs.duckDot("a.vd", "b.vd")}
+       |        / (sqrt(a.n2) * sqrt(b.n2)) > $DupTheta)
+       |SELECT m.vec_id, m.cluster, d.vec_id IS NULL AS keep
+       |FROM m LEFT JOIN dropped d ON m.vec_id = d.vec_id
+       |ORDER BY m.vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d11_semdedup" -> (d11SemDedup _),
     "d10_span_dedup" -> (d10SpanDedup _),
     "d7_contamination" -> (d7Contamination _),
     "d1_exact_dedup" -> (d1ExactDedup _),
@@ -767,6 +813,7 @@ object DedupOps {
     "d9_incremental_dedup" -> (d9IncrementalDedup _))
 
   val oracles: Map[String, String] = Map(
+    "d11_semdedup" -> d11Sql,
     "d10_span_dedup" -> d10Sql,
     "d7_contamination" -> d7Sql,
     "d1_exact_dedup" -> d1Sql,

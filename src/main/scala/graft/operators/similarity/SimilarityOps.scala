@@ -398,9 +398,29 @@ object SimilarityOps {
       lloydUpdateOf(qv, c0)
     }
 
+  /** The trained-codebook corpus assignment (vec_id, cluster),
+    * DfCache'd — the inverted-list / cluster membership artifact
+    * shared by s5's gate summary, s17's SSE gauge, and d11's
+    * semantic dedup (one assignment pass per session, not one per
+    * consumer). */
+  def trainedAssignment(spark: SparkSession, dir: String): DataFrame =
+    graft.util.DfCache.cached(spark, dir, "ivf_assign2") {
+      assignTo(embQuantized(spark, dir), ivfCodebook(spark, dir))
+    }
+
+  /** Oracle CTE chain ending at `a2` (the trained assignment) over
+    * `eb`/`qv` — the SQL twin of [[trainedAssignment]], shared with
+    * d11's semantic-dedup oracle. */
+  val assignCtes: String =
+    s"""$codebookCtes,
+       |sc2a AS (${duckCent("c1")}),
+       |a2 AS MATERIALIZED (SELECT vec_id, mid AS cluster FROM (
+       |  SELECT vec_id, mid, row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY score DESC, mid) AS rn FROM sc2a) x WHERE rn = 1)""".stripMargin
+
   def s5Kmeans(spark: SparkSession, dir: String): DataFrame = {
     val qv = embQuantized(spark, dir)
-    val a2 = assignTo(qv, ivfCodebook(spark, dir))
+    val a2 = trainedAssignment(spark, dir)
     a2.join(qv, Seq("vec_id"))
       .groupBy(col("cluster"))
       .agg(count(lit(1)).as("n_members"),
@@ -408,6 +428,53 @@ object SimilarityOps {
       .select(col("cluster").as("cluster_id"), col("n_members"), col("q_checksum"))
       .orderBy(col("cluster_id"))
   }
+
+  // ---- s19: document kNN over t14's hashed embeddings ----
+  // The bridge query: the s-family's exact top-k machinery pointed at
+  // DERIVED vectors (t14's hashing-trick bag-of-words) instead of the
+  // shipped embeddings table — documents → vectors → similarity with
+  // no external model, the shape a model-free "related documents" /
+  // semantic-dedup candidate pass takes. Same plan as s1: broadcast
+  // query docs × one corpus scan, graft_dot on the 16-dim vectors
+  // (counts cast to double — exact ≤ 2^53, so the dot is an exact
+  // integer and any summation order agrees), bounded top-k aggregate.
+  def s19DocKnn(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(spark)
+    val dv = graft.operators.text.TextOps
+      .hashEmbedOf(graft.sources.Tables.load(spark, dir, "documents"))
+      .select(col("doc_id"),
+        expr("transform(doc_vec, x -> cast(x as double))").as("vd"))
+      .withColumn("n2", expr(VectorExprs.dotExpr("vd", "vd")))
+      .filter(col("n2") > 0.0)
+    val q = dv.filter(col("doc_id") < 10)
+    val pairs = broadcast(q.as("q"))
+      .join(dv.as("c"), col("q.doc_id") =!= col("c.doc_id"))
+      .withColumn("dot", expr(VectorExprs.dotExpr("q.vd", "c.vd")))
+      .select(col("q.doc_id").as("query_id"), col("c.doc_id").as("neighbor_id"),
+        cosine.as("cosine"))
+    ranked(pairs)
+  }
+
+  val s19Sql: String =
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |dm AS (SELECT doc_id,
+       |  list_transform(ws, x ->
+       |    ((CAST(length(x) AS BIGINT)*31 + ascii(substr(x,1,1)))*31
+       |     + ascii(substr(x,-1,1))) % 16) AS dims FROM w),
+       |v AS (SELECT doc_id,
+       |  list_transform(generate_series(0, 15),
+       |    i -> CAST(len(list_filter(dims, x -> x = i)) AS DOUBLE)) AS vd FROM dm),
+       |n AS (SELECT * FROM (
+       |  SELECT doc_id, vd,
+       |    list_sum([vd[d] * vd[d] for d in generate_series(1, 16)]) AS n2 FROM v)
+       |  WHERE n2 > 0),
+       |p AS (SELECT q.doc_id AS query_id, c.doc_id AS neighbor_id,
+       |    list_sum([q.vd[d] * c.vd[d] for d in generate_series(1, 16)])
+       |      / (sqrt(q.n2) * sqrt(c.n2)) AS cosine
+       |  FROM n q, n c WHERE q.doc_id < 10 AND q.doc_id != c.doc_id),
+       |${topkCte("r", "p")}
+       |SELECT query_id, neighbor_id, cosine, rank FROM r
+       |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
 
   // ---- s18: kmeans warm start — codebook checkpoint resume ----
   // The AnalysisRound-resume contract (Runner.java:68's restart-from-
@@ -472,7 +539,7 @@ object SimilarityOps {
   // shape. sse_n is n·SSE in micro-units², DECIMAL(38,0) exact.
   def s17ClusterQuality(spark: SparkSession, dir: String): DataFrame = {
     val qv = embQuantized(spark, dir)
-    val a2 = assignTo(qv, ivfCodebook(spark, dir))
+    val a2 = trainedAssignment(spark, dir)
     a2.join(qv, Seq("vec_id"))
       .select(col("cluster"), posexplode(col("qv")).as(Seq("d", "x")))
       .groupBy(col("cluster"), col("d"))
@@ -1097,6 +1164,7 @@ object SimilarityOps {
     "s16_filtered_knn" -> (s16FilteredKnn _),
     "s17_cluster_quality" -> (s17ClusterQuality _),
     "s18_kmeans_warm" -> (s18KmeansWarm _),
+    "s19_doc_knn" -> (s19DocKnn _),
     "s1_knn_brute" -> (s1KnnBrute _),
     "s2_knn_lsh" -> (s2KnnLsh _),
     "s3_pairwise_topk" -> (s3PairwiseTopk _),
@@ -1117,6 +1185,7 @@ object SimilarityOps {
     "s16_filtered_knn" -> s16Sql,
     "s17_cluster_quality" -> s17Sql,
     "s18_kmeans_warm" -> s18Sql,
+    "s19_doc_knn" -> s19Sql,
     "s1_knn_brute" -> s1Sql,
     "s2_knn_lsh" -> s2Sql,
     "s3_pairwise_topk" -> s3Sql,

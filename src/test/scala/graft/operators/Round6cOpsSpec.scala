@@ -4,6 +4,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 import graft.GraftSession
+import graft.operators.dedup.DedupOps
 import graft.operators.similarity.SimilarityOps
 import graft.operators.text.TextOps
 
@@ -33,6 +34,20 @@ class Round6cOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(1L)._3 == out(3L)._3, "redacted fingerprints must collapse")
     assert(out(1L)._3 == out(2L)._3, "permuting sensitive terms collapses too")
     assert(out(1L)._3 != out(4L)._3, "different scrubbed text, different fp")
+  }
+
+  test("d11: every cluster keeps its min-id representative; drops are real but bounded") {
+    val out = DedupOps.d11SemDedup(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val byCluster = out.groupBy(_._2)
+    byCluster.foreach { case (c, vs) =>
+      val minVec = vs.map(_._1).min
+      assert(vs.find(_._1 == minVec).get._3,
+        s"cluster $c must keep its smallest vec_id (nothing dominates it)")
+    }
+    val dropped = out.count(!_._3)
+    assert(dropped > 0, "threshold must be live at gate scale")
+    assert(dropped < out.length / 2, "semantic dedup should not halve the corpus")
   }
 
   test("s18: Lloyd resume through a parquet checkpoint is bit-identical to the direct round") {
