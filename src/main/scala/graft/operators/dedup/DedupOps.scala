@@ -754,6 +754,48 @@ object DedupOps {
        |FROM gp LEFT JOIN dup d ON gp.h = d.h
        |GROUP BY gp.doc_id ORDER BY gp.doc_id""".stripMargin
 
+  // ---- d12: precision gauge of the banded-LSH candidate pass ----
+  // d8 measures what the bands MISS (recall); d12 measures what they
+  // WASTE: per band, the fraction of generated candidate pairs that
+  // verify as true near-dups (cosine > θ). Together they price the
+  // Bands/BandBits/MaxBucket knobs from both sides — recall says add
+  // bands, precision says each band's candidates cost real cosine
+  // work, and a band whose precision_ppm collapses is pure overhead.
+  // Plan: the per-band candidate join is exactly d5's (band kept in
+  // the projection), the verified set is computed ONCE (d5's shared
+  // pair set — not re-scored per band), and the verdict is a left
+  // join on the pair key. Integer ppm — no float division in the
+  // gate.
+  def d12DedupPrecision(spark: SparkSession, dir: String): DataFrame = {
+    val capped = VectorExprs.cappedBands(spark, dir)
+    val candB = capped.as("x").join(capped.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey")
+          && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.band").cast("long").as("band"),
+        col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+      .distinct()
+    val verified = d5Pairs(spark, dir)
+      .select(col("vec_a"), col("vec_b"), lit(1).as("hit"))
+    candB.join(verified, Seq("vec_a", "vec_b"), "left")
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_cand"), count(col("hit")).as("n_true"))
+      .withColumn("precision_ppm", expr("n_true * 1000000 DIV n_cand"))
+      .orderBy(col("band"))
+  }
+
+  val d12Sql: String =
+    s"""WITH ${VectorExprs.bandCtes},
+       |$d5PairCtes,
+       |candb AS (
+       |  SELECT DISTINCT x.band, x.vec_id AS vec_a, y.vec_id AS vec_b
+       |  FROM capped x JOIN capped y
+       |    ON x.band = y.band AND x.bkey = y.bkey AND x.vec_id < y.vec_id)
+       |SELECT cb.band, count(*) AS n_cand, count(d.vec_a) AS n_true,
+       |  count(d.vec_a) * 1000000 // count(*) AS precision_ppm
+       |FROM candb cb LEFT JOIN dp d
+       |  ON cb.vec_a = d.vec_a AND cb.vec_b = d.vec_b
+       |GROUP BY cb.band ORDER BY band""".stripMargin
+
   // ---- d11: semantic dedup within trained kmeans clusters ----
   // The SemDeDup shape (Abbas et al. 2023, "SemDeDup: Data-efficient
   // learning at web-scale through semantic deduplication"): embed,
@@ -800,6 +842,7 @@ object DedupOps {
        |ORDER BY m.vec_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d12_dedup_precision" -> (d12DedupPrecision _),
     "d11_semdedup" -> (d11SemDedup _),
     "d10_span_dedup" -> (d10SpanDedup _),
     "d7_contamination" -> (d7Contamination _),
@@ -813,6 +856,7 @@ object DedupOps {
     "d9_incremental_dedup" -> (d9IncrementalDedup _))
 
   val oracles: Map[String, String] = Map(
+    "d12_dedup_precision" -> d12Sql,
     "d11_semdedup" -> d11Sql,
     "d10_span_dedup" -> d10Sql,
     "d7_contamination" -> d7Sql,

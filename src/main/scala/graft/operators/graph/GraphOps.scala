@@ -120,6 +120,61 @@ object GraphOps {
        |FROM d6 WHERE dg >= 3 ORDER BY node_id""".stripMargin
   }
 
+  // ---- g21: common-neighbor link prediction (capped wedge pass) ----
+  // The missing-edge scorer: for non-adjacent pairs (a, b), how many
+  // neighbors do they share, and what fraction of their combined
+  // neighborhood is shared (Jaccard, integer ppm)? Wedge enumeration
+  // through shared centers is Σ deg(c)² — unbounded at hubs (every
+  // customer "shares" its nation with every other customer, a
+  // meaningless signal that alone is quadratic in the corpus), so
+  // centers are capped at deg <= MaxWedgeDeg: the standard
+  // link-prediction posture (hub-mediated common neighbors carry no
+  // information) AND the scale guard — wedge volume is then
+  // <= MaxWedgeDeg·|E| rows, linear in the edges, same contract as
+  // d2/g7's degeneracy caps. Jaccard denominators use FULL degrees;
+  // only the center pass is capped. Existing edges drop via one
+  // anti-join (prediction means pairs NOT yet present); cn >= MinCommon
+  // bounds the emitted tail.
+  private val MaxWedgeDeg = 64
+  private val MinCommon = 2
+
+  def g21CommonNeighbors(spark: SparkSession, dir: String): DataFrame = {
+    val sym = withSym(spark, dir)
+    val deg = sym.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+    val ce = sym.join(deg.filter(col("deg") <= MaxWedgeDeg)
+      .select(col("node").as("src")), Seq("src"))
+    val cn = ce.as("e1").join(ce.as("e2"),
+        col("e1.src") === col("e2.src") && col("e1.dst") < col("e2.dst"))
+      .select(col("e1.dst").as("node_a"), col("e2.dst").as("node_b"))
+      .groupBy(col("node_a"), col("node_b"))
+      .agg(count(lit(1)).as("cn"))
+      .filter(col("cn") >= MinCommon)
+    cn.join(sym.select(col("src").as("node_a"), col("dst").as("node_b")),
+        Seq("node_a", "node_b"), "left_anti")
+      .join(deg.select(col("node").as("node_a"), col("deg").as("deg_a")), Seq("node_a"))
+      .join(deg.select(col("node").as("node_b"), col("deg").as("deg_b")), Seq("node_b"))
+      .withColumn("jaccard_ppm", expr("cn * 1000000 DIV (deg_a + deg_b - cn)"))
+      .select(col("node_a"), col("node_b"), col("cn"), col("jaccard_ppm"))
+      .orderBy(col("node_a"), col("node_b"))
+  }
+
+  val g21Sql: String =
+    s"""WITH ${GraphTables.symSqlCtes},
+       |deg AS (SELECT src AS node, count(*) AS deg FROM sym GROUP BY src),
+       |ce AS (SELECT s.src, s.dst FROM sym s
+       |       JOIN deg d ON s.src = d.node WHERE d.deg <= $MaxWedgeDeg),
+       |p AS (SELECT e1.dst AS node_a, e2.dst AS node_b, count(*) AS cn
+       |      FROM ce e1 JOIN ce e2 ON e1.src = e2.src AND e1.dst < e2.dst
+       |      GROUP BY 1, 2 HAVING count(*) >= $MinCommon),
+       |ne AS (SELECT p.* FROM p LEFT JOIN sym s
+       |       ON p.node_a = s.src AND p.node_b = s.dst
+       |       WHERE s.src IS NULL)
+       |SELECT ne.node_a, ne.node_b, ne.cn,
+       |  ne.cn * 1000000 // (da.deg + db.deg - ne.cn) AS jaccard_ppm
+       |FROM ne JOIN deg da ON ne.node_a = da.node
+       |        JOIN deg db ON ne.node_b = db.node
+       |ORDER BY node_a, node_b""".stripMargin
+
   // ---- g4: deterministic pseudo-random-walk visit counts (3 hops) ----
   // The hash h depends only on (src, dst, t), so the chosen next hop is
   // a pure function of (src, t) — identical for every walker sitting on
@@ -1300,6 +1355,7 @@ object GraphOps {
     "g18_harmonic" -> (g18HarmonicCentrality _),
     "g19_clustering_coeff" -> (g19ClusteringCoeff _),
     "g20_kcore" -> (g20Kcore _),
+    "g21_common_neighbors" -> (g21CommonNeighbors _),
     "g10_components" -> ((s: SparkSession, d: String) => g10Components(s, d)),
     "g11_components_converged" -> (g11ComponentsConverged _),
     "g12_pagerank_converged" -> (g12PagerankConverged _),
@@ -1330,6 +1386,7 @@ object GraphOps {
     "g18_harmonic" -> g18Sql,
     "g19_clustering_coeff" -> g19Sql,
     "g20_kcore" -> g20Sql,
+    "g21_common_neighbors" -> g21Sql,
     "g1_degree" -> g1Sql,
     "g2_degree_distribution" -> g2Sql,
     "g3_top_visited" -> g3Sql,

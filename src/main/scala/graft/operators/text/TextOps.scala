@@ -665,7 +665,54 @@ object TextOps {
        |FROM d ORDER BY doc_id""".stripMargin
   }
 
+  // ---- t15: common-bigram coverage (n-gram LM quality proxy) ----
+  // The CCNet/KenLM quality-filter shape without the float LM: score
+  // each document by how much of it is made of CORPUS-COMMON bigrams
+  // (freq >= CommonMin across the corpus). Fluent/boilerplate text
+  // scores high, noise and mangled extractions score low — the same
+  // signal an n-gram LM perplexity gives, but as exact integer ppm
+  // (counts and one integer division; no log-prob floats, so the
+  // oracle contract stays exact equality). Plan: one linear bigram
+  // explode feeds BOTH consumers (corpus counts and the per-doc
+  // verdict); the common set joins back on the bigram key — a
+  // co-partitioned equi-join that AQE skew-splits on hot boilerplate
+  // bigrams, never a broadcast of an unbounded vocabulary.
+  private val CommonMin = 3
+
+  def t15BigramCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val ws = col("ws")
+    val grams = when(size(ws) >= 2,
+        transform(sequence(lit(1), size(ws) - 1),
+          i => concat_ws(" ", element_at(ws, i), element_at(ws, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val dg = graft.util.DfCache.cached(spark, dir, "doc_bigrams") {
+      docs(spark, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .select(col("doc_id"), explode(grams).as("bg"))
+    }
+    val common = dg.groupBy(col("bg")).agg(count(lit(1)).as("freq"))
+      .filter(col("freq") >= CommonMin)
+      .select(col("bg"), lit(1).as("hit"))
+    dg.join(common, Seq("bg"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), count(col("hit")).as("n_common"))
+      .withColumn("coverage_ppm", expr("n_common * 1000000 DIV n_bigrams"))
+      .orderBy(col("doc_id"))
+  }
+
+  val t15Sql: String =
+    s"""WITH w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+       |g AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(ws)-1),
+       |                                           i -> ws[i]||' '||ws[i+1])) AS bg
+       |      FROM w WHERE len(ws) >= 2),
+       |c AS (SELECT bg FROM g GROUP BY bg HAVING count(*) >= $CommonMin)
+       |SELECT g.doc_id, count(*) AS n_bigrams, count(c.bg) AS n_common,
+       |  count(c.bg) * 1000000 // count(*) AS coverage_ppm
+       |FROM g LEFT JOIN c ON g.bg = c.bg
+       |GROUP BY g.doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t15_bigram_coverage" -> (t15BigramCoverage _),
     "t13_redact" -> (t13Redact _),
     "t14_hash_embed" -> (t14HashEmbed _),
     "t12_repetition" -> (t12Repetition _),
@@ -682,6 +729,7 @@ object TextOps {
     "t9_curation_pipeline" -> (t9CurationPipeline _))
 
   val oracles: Map[String, String] = Map(
+    "t15_bigram_coverage" -> t15Sql,
     "t13_redact" -> t13Sql,
     "t14_hash_embed" -> t14Sql,
     "t12_repetition" -> t12Sql,
