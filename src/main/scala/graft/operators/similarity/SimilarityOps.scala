@@ -1152,7 +1152,69 @@ object SimilarityOps {
        |$recallTailSql""".stripMargin
   }
 
+  // ---- s20: compressed-domain brute-force kNN over sign codes ----
+  // The search half of v5's 1-bit quantization, and the binary-code
+  // counterpart of s10's ADC: the corpus side is ONLY the 8-byte
+  // packed sign codes (at 1B vectors an 8 GB scan instead of 256 GB
+  // of float32 — binary codes exist precisely so brute force stays
+  // affordable), scored by two codegen'd bit_count(xor) ops per
+  // candidate. Similarity = (64 - 2·hamming)/64, the sign-LSH cosine
+  // proxy — a dyadic rational, so the double compares exactly on both
+  // engines. Broadcast query codes × linear code scan → the bounded
+  // top-k aggregate: no corpus shuffle, no window, s1's plan shape at
+  // 1/32 the bytes. Ties (65 distinct sim values) break on
+  // neighbor_id in both the aggregate and the oracle's row_number.
+  def s20HammingKnn(spark: SparkSession, dir: String): DataFrame = {
+    val codes = graft.operators.vector.VectorOps.signCodes(spark, dir)
+    val pairs = broadcast(codes.filter(col("vec_id") < 10).as("q"))
+      .join(codes.as("c"), col("q.vec_id") =!= col("c.vec_id"))
+      .withColumn("hamming", expr("bit_count(q.sign_lo ^ c.sign_lo)" +
+        " + bit_count(q.sign_hi ^ c.sign_hi)"))
+      .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"),
+        ((lit(64) - lit(2) * col("hamming")).cast("double") / lit(64.0))
+          .as("cosine"))
+    ranked(pairs).withColumnRenamed("cosine", "sim")
+  }
+
+  private def hammingPairsCtes(pairsName: String): String =
+    s"""$pairsName AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    CAST(64 - 2*(bit_count(xor(q.sign_lo, c.sign_lo))
+       |               + bit_count(xor(q.sign_hi, c.sign_hi))) AS DOUBLE)
+       |      / 64 AS cosine
+       |  FROM sc q, sc c WHERE q.vec_id < 10 AND q.vec_id != c.vec_id)"""
+      .stripMargin
+
+  val s20Sql: String =
+    s"""WITH ${VectorExprs.embCtes},
+       |${graft.operators.vector.VectorOps.signCte},
+       |${hammingPairsCtes("hp")},
+       |${topkCte("r", "hp")}
+       |SELECT query_id, neighbor_id, cosine AS sim, rank FROM r
+       |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
+
+  // ---- s21: recall of the hamming scan vs exact cosine ----
+  // Sixth row of the ANN quality board (s8 LSH, s9 IVF, s11 PQ, s13
+  // IVF-PQ, s15 trained-PQ, s21 binary): prices v5's 32× compression
+  // in recall against s1's exact top-K, same K·|queries|-bounded
+  // recallOf join as every other row.
+  def s21HammingRecall(spark: SparkSession, dir: String): DataFrame =
+    recallOf(s1KnnBrute(spark, dir), s20HammingKnn(spark, dir))
+
+  val s21Sql: String =
+    s"""WITH ${VectorExprs.embCtes},
+       |${exactPairsCte("xpairs")},
+       |${topkCte("xr", "xpairs")},
+       |exact AS (SELECT query_id, neighbor_id FROM xr WHERE rank <= $K),
+       |${graft.operators.vector.VectorOps.signCte},
+       |${hammingPairsCtes("hp")},
+       |${topkCte("ar", "hp")},
+       |approx AS (SELECT query_id, neighbor_id FROM ar WHERE rank <= $K)
+       |$recallTailSql""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s20_hamming_knn" -> (s20HammingKnn _),
+    "s21_hamming_recall" -> (s21HammingRecall _),
     "s14_pq_trained" -> (s14PqTrained _),
     "s15_pq_trained_recall" -> (s15PqTrainedRecall _),
     "s10_pq_knn" -> (s10PqKnn _),
@@ -1174,6 +1236,8 @@ object SimilarityOps {
     "s7_ivf_trained" -> (s7IvfTrained _))
 
   val oracles: Map[String, String] = Map(
+    "s20_hamming_knn" -> s20Sql,
+    "s21_hamming_recall" -> s21Sql,
     "s14_pq_trained" -> s14Sql,
     "s15_pq_trained_recall" -> s15Sql,
     "s10_pq_knn" -> s10Sql,

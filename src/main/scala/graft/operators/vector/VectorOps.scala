@@ -203,13 +203,68 @@ object VectorOps {
        |              (a, x) -> a + x) AS recon_err
        |FROM pick GROUP BY vec_id ORDER BY vec_id""".stripMargin
 
+  // ---- v5: 1-bit sign quantization (binary codes) ----
+  // The most aggressive compression row of the family: one sign bit
+  // per dim (Charikar 2002's hyperplane-LSH degenerate case where the
+  // hyperplanes are the coordinate axes). 64 dims pack into two
+  // 32-bit halves summed as exact powers of two — all-integer on both
+  // engines, no float in the gate beyond the strict vd[i] > 0 test on
+  // identical doubles. 8 bytes/vector vs 256 of raw float32 (32×):
+  // at 1B vectors the whole corpus is an 8 GB scan, which is why the
+  // compressed-domain brute force (s20) exists. One narrow codegen'd
+  // scan, zero shuffle — embarrassingly parallel at 100 TB.
+  private def signFold(lo: Int, hi: Int): String =
+    s"""aggregate(sequence($lo, $hi), cast(0 as bigint),
+       |  (acc, i) -> acc + IF(element_at(vd, i) > 0D,
+       |    shiftleft(cast(1 as bigint), i - $lo), cast(0 as bigint)))"""
+      .stripMargin
+
+  /** (vec_id, sign_lo, sign_hi) binary-code table — the corpus side
+    * of s20's hamming scan; computed fresh (one cheap scan, nothing
+    * worth caching). */
+  def signCodes(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.Tables.load(spark, dir, "embeddings")
+      .withColumn("vd", expr(VectorExprs.castDoubleExpr))
+      .select(col("vec_id"),
+        expr(signFold(1, 32)).as("sign_lo"),
+        expr(signFold(33, 64)).as("sign_hi"))
+
+  def v5SignQuantize(spark: SparkSession, dir: String): DataFrame =
+    signCodes(spark, dir)
+      .withColumn("n_pos",
+        expr("bit_count(sign_lo) + bit_count(sign_hi)").cast("long"))
+      .orderBy(col("vec_id"))
+
+  /** DuckDB CTE `sc` mirroring [[signCodes]]; chains off `ef` from
+    * [[VectorExprs.embCtes]] (the band columns of `eb` go unused and
+    * unreferenced CTE work is pruned). Shared with s20/s21's oracles. */
+  val signCte: String = {
+    def half(lo: Int) =
+      s"""CAST(list_sum(list_transform(generate_series($lo, ${lo + 31}),
+         |  i -> CASE WHEN vd[i] > 0 THEN (CAST(1 AS BIGINT) << (i - $lo))
+         |            ELSE CAST(0 AS BIGINT) END)) AS BIGINT)"""
+        .stripMargin
+    s"""sc AS (
+       |  SELECT vec_id, ${half(1)} AS sign_lo, ${half(33)} AS sign_hi
+       |  FROM ef)""".stripMargin
+  }
+
+  val v5Sql: String =
+    s"""WITH ${VectorExprs.embCtes},
+       |$signCte
+       |SELECT vec_id, sign_lo, sign_hi,
+       |  CAST(bit_count(sign_lo) + bit_count(sign_hi) AS BIGINT) AS n_pos
+       |FROM sc ORDER BY vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v5_sign_quantize" -> (v5SignQuantize _),
     "v4_pq_codes" -> (v4PqCodes _),
     "v1_l2_normalize" -> (v1L2Normalize _),
     "v2_int8_quantize" -> (v2Int8Quantize _),
     "v3_random_projection" -> (v3RandomProjection _))
 
   val oracles: Map[String, String] = Map(
+    "v5_sign_quantize" -> v5Sql,
     "v4_pq_codes" -> v4Sql,
     "v1_l2_normalize" -> v1Sql,
     "v2_int8_quantize" -> v2Sql,

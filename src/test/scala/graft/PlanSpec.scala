@@ -324,4 +324,36 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("CartesianProduct"))
     assert(!plan.contains("Window"), "no per-node window sort")
   }
+
+  test("g21: wedge pass is an equi-join on the capped center — no cross join, partial agg") {
+    val plan = planOf(SparkEntry.queries("g21_common_neighbors")(spark, dir))
+    assert(!plan.contains("CartesianProduct"),
+      "wedge enumeration must join on the shared center, never cross")
+    assert("HashAggregate".r.findAllIn(plan).length >= 2,
+      "common-neighbor counts must partially aggregate before the pair shuffle")
+    assert(!plan.contains("Window"), "no per-pair window sort")
+  }
+
+  test("t15: one shared bigram table feeds corpus counts and the per-doc verdict") {
+    val plan = planOf(SparkEntry.queries("t15_bigram_coverage")(spark, dir))
+    assert(plan.contains("InMemoryTableScan"),
+      "the exploded bigram table must be DfCache-shared, not scanned twice from parquet")
+    assert(!plan.contains("BroadcastExchange") || !plan.contains("CartesianProduct"),
+      "the common-set join is a co-partitioned equi-join")
+    assert("HashAggregate".r.findAllIn(plan).length >= 2,
+      "corpus bigram counts must map-side combine")
+    assert(!plan.contains("Window"), "coverage is an aggregate, not a window")
+  }
+
+  test("v5/s20: sign codes are one narrow scan; hamming kNN broadcasts queries, no corpus shuffle") {
+    val vplan = planOf(SparkEntry.queries("v5_sign_quantize")(spark, dir))
+    assert(!vplan.contains("Exchange hashpartitioning"),
+      "sign packing is embarrassingly parallel — no shuffle before the output sort")
+    val splan = planOf(SparkEntry.queries("s20_hamming_knn")(spark, dir))
+    assert(splan.contains("BroadcastHashJoin") || splan.contains("BroadcastNestedLoopJoin"),
+      "the 10 query codes must broadcast over the code scan")
+    assert(!splan.contains("Window"), "top-k is the bounded aggregate, not a window sort")
+    assert("Exchange hashpartitioning\\(c".r.findFirstIn(splan).isEmpty,
+      "the corpus code scan must not shuffle for the candidate join")
+  }
 }
