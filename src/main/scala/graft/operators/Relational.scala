@@ -992,8 +992,47 @@ object Relational {
       |       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0.0) AS regr_slope
       |FROM s ORDER BY l_returnflag""".stripMargin
 
+  // ---- q34: grouped top-k via the bounded aggregate (no window) ----
+  // "Top 5 parts by revenue per supplier" — the canonical grouped
+  // arg-max. The naive `row_number() OVER (PARTITION BY supplier)`
+  // ships EVERY (supplier, part) row through the window exchange and
+  // sorts full groups to keep 5; the bounded top-k aggregate
+  // (s1's `graft_top_neighbors5`) keeps O(k) state per supplier,
+  // map-side combines, and shuffles only k·P pre-trimmed rows — the
+  // same replacement that fixed s1's per-query sort, applied to the
+  // relational side. Revenue is exact integer cents (decimal-cast
+  // then ×100 — the double is exact ≤ 2^53), so the gate is exact and
+  // the aggregate's (value DESC, id ASC) tie-break mirrors the
+  // oracle's row_number ORDER BY.
+  def q34TopPerGroup(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(spark)
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_suppkey"), col("l_partkey"))
+      .agg(sum((dec(col("l_extendedprice")) * 100).cast("long")).as("rev_cents"))
+      .groupBy(col("l_suppkey"))
+      .agg(expr("graft_top_neighbors5(cast(rev_cents as double), l_partkey)")
+        .as("top"))
+      .select(col("l_suppkey"), posexplode(col("top")).as(Seq("pos", "p")))
+      .select(col("l_suppkey"), col("p.neighbor_id").as("l_partkey"),
+        col("p.cosine").cast("long").as("rev_cents"),
+        (col("pos") + 1).cast("int").as("rank"))
+      .orderBy(col("l_suppkey"), col("rank"))
+  }
+
+  val q34Sql: String =
+    """WITH pr AS (
+      |  SELECT l_suppkey, l_partkey,
+      |    CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |         AS BIGINT) AS rev_cents
+      |  FROM lineitem GROUP BY 1, 2),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY l_suppkey
+      |        ORDER BY rev_cents DESC, l_partkey) AS rank FROM pr)
+      |SELECT l_suppkey, l_partkey, rev_cents, rank FROM r
+      |WHERE rank <= 5 ORDER BY l_suppkey, rank""".stripMargin
+
   /** queries-map fragment: name → builder */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q34_top_per_group" -> (q34TopPerGroup _),
     "q33_hll" -> (q33Hll _),
     "q32_corr" -> (q32Corr _),
     "q31_countmin" -> (q31CountMin _),
@@ -1030,6 +1069,7 @@ object Relational {
 
   /** oracle-map fragment: name → DuckDB SQL */
   val oracles: Map[String, String] = Map(
+    "q34_top_per_group" -> q34Sql,
     "q33_hll" -> q33Sql,
     "q32_corr" -> q32Sql,
     "q31_countmin" -> q31Sql,

@@ -796,6 +796,68 @@ object DedupOps {
        |  ON cb.vec_a = d.vec_a AND cb.vec_b = d.vec_b
        |GROUP BY cb.band ORDER BY band""".stripMargin
 
+  // ---- d13: minhash-estimate fidelity vs exact Jaccard ----
+  // The signature-length gauge: per d2 candidate pair, the Jaccard
+  // the 64-perm signature ESTIMATES (matching components / 64) next
+  // to the exact n-gram Jaccard d4 computes — est error prices the
+  // 64-perm choice the way s8 prices Bands. A production pipeline
+  // reads the err distribution before trusting signature-only dedup
+  // (skipping d4's verify pass entirely is the 100 TB temptation —
+  // this gauge says what that costs). All-integer ppm on both
+  // engines: component equality, one merge-pass intersect, two
+  // integer divisions. |candidates| rows flow; signature compare is
+  // O(64) per pair.
+  def d13MinhashEstimate(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(spark)
+    val sig = shingleFeatures(spark, dir)
+      .withColumn("mh", expr(mhExpr))
+      .select(col("doc_id"), col("mh"), col("shingles"))
+    d2MinhashLsh(spark, dir)
+      .join(sig.as("a"), col("doc_a") === col("a.doc_id"))
+      .join(sig.as("b"), col("doc_b") === col("b.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("aggregate(zip_with(a.mh, b.mh, (x, y) -> IF(x = y, 1, 0))," +
+          " 0, (acc, v) -> acc + v)").as("n_match"),
+        expr("graft_sorted_intersect_count(a.shingles, b.shingles)").as("inter"),
+        (size(col("a.shingles")) + size(col("b.shingles"))).as("ssum"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("cast(n_match as bigint) * 1000000 DIV 64").as("est_ppm"),
+        expr("cast(inter as bigint) * 1000000 DIV (ssum - inter)").as("exact_ppm"))
+      .withColumn("err_ppm", col("est_ppm") - col("exact_ppm"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val d13Sql: String =
+    s"""WITH $lshCtes,
+       |shx AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+       |ns AS (SELECT doc_id, len(shingles) AS n FROM sh),
+       |inter AS (
+       |  SELECT c.doc_a, c.doc_b, count(*) AS inter
+       |  FROM cand c
+       |  JOIN shx a ON a.doc_id = c.doc_a
+       |  JOIN shx b ON b.doc_id = c.doc_b AND a.s = b.s
+       |  GROUP BY c.doc_a, c.doc_b),
+       |est AS (
+       |  SELECT c.doc_a, c.doc_b,
+       |    CAST(list_sum(list_transform(generate_series(1, 64),
+       |      p -> CASE WHEN ma.mh[p] = mb.mh[p] THEN 1 ELSE 0 END)) AS BIGINT)
+       |      AS n_match
+       |  FROM cand c
+       |  JOIN mh ma ON c.doc_a = ma.doc_id
+       |  JOIN mh mb ON c.doc_b = mb.doc_id)
+       |SELECT e.doc_a, e.doc_b,
+       |  e.n_match * 1000000 // 64 AS est_ppm,
+       |  CAST(coalesce(i.inter, 0) AS BIGINT) * 1000000
+       |    // (na.n + nb.n - coalesce(i.inter, 0)) AS exact_ppm,
+       |  e.n_match * 1000000 // 64
+       |    - CAST(coalesce(i.inter, 0) AS BIGINT) * 1000000
+       |      // (na.n + nb.n - coalesce(i.inter, 0)) AS err_ppm
+       |FROM est e
+       |LEFT JOIN inter i ON e.doc_a = i.doc_a AND e.doc_b = i.doc_b
+       |JOIN ns na ON e.doc_a = na.doc_id
+       |JOIN ns nb ON e.doc_b = nb.doc_id
+       |ORDER BY e.doc_a, e.doc_b""".stripMargin
+
   // ---- d11: semantic dedup within trained kmeans clusters ----
   // The SemDeDup shape (Abbas et al. 2023, "SemDeDup: Data-efficient
   // learning at web-scale through semantic deduplication"): embed,
@@ -842,6 +904,7 @@ object DedupOps {
        |ORDER BY m.vec_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d13_minhash_estimate" -> (d13MinhashEstimate _),
     "d12_dedup_precision" -> (d12DedupPrecision _),
     "d11_semdedup" -> (d11SemDedup _),
     "d10_span_dedup" -> (d10SpanDedup _),
@@ -856,6 +919,7 @@ object DedupOps {
     "d9_incremental_dedup" -> (d9IncrementalDedup _))
 
   val oracles: Map[String, String] = Map(
+    "d13_minhash_estimate" -> d13Sql,
     "d12_dedup_precision" -> d12Sql,
     "d11_semdedup" -> d11Sql,
     "d10_span_dedup" -> d10Sql,

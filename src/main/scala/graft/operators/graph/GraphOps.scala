@@ -138,11 +138,21 @@ object GraphOps {
   private val MaxWedgeDeg = 64
   private val MinCommon = 2
 
+  /** (src, dst, deg) edges restricted to capped-degree centers —
+    * both sides of the g21/g22 wedge self-joins read it, so it is
+    * DfCache-owned (one sym scan + one degree join per session). */
+  private def wedgeCenterEdges(spark: SparkSession, dir: String): DataFrame =
+    graft.util.DfCache.cached(spark, dir, "wedge_center_edges") {
+      val sym = withSym(spark, dir)
+      val deg = sym.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+      sym.join(deg.filter(col("deg") <= MaxWedgeDeg)
+        .select(col("node").as("src"), col("deg")), Seq("src"))
+    }
+
   def g21CommonNeighbors(spark: SparkSession, dir: String): DataFrame = {
     val sym = withSym(spark, dir)
     val deg = sym.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
-    val ce = sym.join(deg.filter(col("deg") <= MaxWedgeDeg)
-      .select(col("node").as("src")), Seq("src"))
+    val ce = wedgeCenterEdges(spark, dir)
     val cn = ce.as("e1").join(ce.as("e2"),
         col("e1.src") === col("e2.src") && col("e1.dst") < col("e2.dst"))
       .select(col("e1.dst").as("node_a"), col("e2.dst").as("node_b"))
@@ -173,6 +183,46 @@ object GraphOps {
        |  ne.cn * 1000000 // (da.deg + db.deg - ne.cn) AS jaccard_ppm
        |FROM ne JOIN deg da ON ne.node_a = da.node
        |        JOIN deg db ON ne.node_b = db.node
+       |ORDER BY node_a, node_b""".stripMargin
+
+  // ---- g22: resource-allocation link prediction ----
+  // The RA index (Zhou, Lü & Zhang 2009): score(a,b) = Σ over shared
+  // neighbors c of 1/deg(c) — common neighbors weighted so that rare
+  // shared centers count more than ubiquitous ones, empirically the
+  // strongest of the classic local link-prediction indices. Same
+  // capped wedge pass as g21 (shared DfCache'd center-edge table —
+  // the self-join's both sides come from one cached scan), with the
+  // center's 1/deg carried as exact integer nano-units
+  // (10^9 DIV deg) so the sum gates as exact bigints — no float
+  // harmonic sum to drift between engines. Existing edges drop via
+  // the same anti-join; cn >= MinCommon bounds the tail.
+  def g22ResourceAllocation(spark: SparkSession, dir: String): DataFrame = {
+    val sym = withSym(spark, dir)
+    val ce = wedgeCenterEdges(spark, dir)
+    ce.as("e1").join(ce.as("e2"),
+        col("e1.src") === col("e2.src") && col("e1.dst") < col("e2.dst"))
+      .select(col("e1.dst").as("node_a"), col("e2.dst").as("node_b"),
+        expr("cast(1000000000 as bigint) DIV e1.deg").as("w"))
+      .groupBy(col("node_a"), col("node_b"))
+      .agg(count(lit(1)).as("cn"), sum(col("w")).as("ra_nano"))
+      .filter(col("cn") >= MinCommon)
+      .join(sym.select(col("src").as("node_a"), col("dst").as("node_b")),
+        Seq("node_a", "node_b"), "left_anti")
+      .orderBy(col("node_a"), col("node_b"))
+  }
+
+  val g22Sql: String =
+    s"""WITH ${GraphTables.symSqlCtes},
+       |deg AS (SELECT src AS node, count(*) AS deg FROM sym GROUP BY src),
+       |ce AS (SELECT s.src, s.dst, d.deg FROM sym s
+       |       JOIN deg d ON s.src = d.node WHERE d.deg <= $MaxWedgeDeg),
+       |p AS (SELECT e1.dst AS node_a, e2.dst AS node_b, count(*) AS cn,
+       |        CAST(sum(CAST(1000000000 AS BIGINT) // e1.deg) AS BIGINT) AS ra_nano
+       |      FROM ce e1 JOIN ce e2 ON e1.src = e2.src AND e1.dst < e2.dst
+       |      GROUP BY 1, 2 HAVING count(*) >= $MinCommon)
+       |SELECT p.node_a, p.node_b, p.cn, p.ra_nano
+       |FROM p LEFT JOIN sym s ON p.node_a = s.src AND p.node_b = s.dst
+       |WHERE s.src IS NULL
        |ORDER BY node_a, node_b""".stripMargin
 
   // ---- g4: deterministic pseudo-random-walk visit counts (3 hops) ----
@@ -1356,6 +1406,7 @@ object GraphOps {
     "g19_clustering_coeff" -> (g19ClusteringCoeff _),
     "g20_kcore" -> (g20Kcore _),
     "g21_common_neighbors" -> (g21CommonNeighbors _),
+    "g22_resource_allocation" -> (g22ResourceAllocation _),
     "g10_components" -> ((s: SparkSession, d: String) => g10Components(s, d)),
     "g11_components_converged" -> (g11ComponentsConverged _),
     "g12_pagerank_converged" -> (g12PagerankConverged _),
@@ -1387,6 +1438,7 @@ object GraphOps {
     "g19_clustering_coeff" -> g19Sql,
     "g20_kcore" -> g20Sql,
     "g21_common_neighbors" -> g21Sql,
+    "g22_resource_allocation" -> g22Sql,
     "g1_degree" -> g1Sql,
     "g2_degree_distribution" -> g2Sql,
     "g3_top_visited" -> g3Sql,

@@ -345,6 +345,32 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("Window"), "coverage is an aggregate, not a window")
   }
 
+  test("q34: grouped top-k is the bounded aggregate — no window, map-side combined") {
+    val plan = planOf(SparkEntry.queries("q34_top_per_group")(spark, dir))
+    assert(!plan.contains("Window"),
+      "per-supplier top-5 must be the O(k)-state aggregate, not a window sort")
+    assert("HashAggregate".r.findAllIn(plan).length >= 4,
+      "both the pair rollup and the top-k aggregate must partially aggregate")
+  }
+
+  test("g21/g22: the capped center-edge table is cache-shared across both link predictors") {
+    planOf(SparkEntry.queries("g21_common_neighbors")(spark, dir))
+    val plan = planOf(SparkEntry.queries("g22_resource_allocation")(spark, dir))
+    assert(plan.contains("InMemoryTableScan"),
+      "g22's wedge pass must serve from the DfCache'd center edges g21 built")
+    assert(!plan.contains("CartesianProduct"))
+    assert("HashAggregate".r.findAllIn(plan).length >= 2,
+      "RA sums must partially aggregate before the pair shuffle")
+  }
+
+  test("d13: signature compare rides the cached shingle features — no explode of pairs, no window") {
+    val plan = planOf(SparkEntry.queries("d13_minhash_estimate")(spark, dir))
+    assert(plan.contains("InMemoryTableScan"),
+      "both signature sides must come from the shared shingle cache")
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("Window"))
+  }
+
   test("v5/s20: sign codes are one narrow scan; hamming kNN broadcasts queries, no corpus shuffle") {
     val vplan = planOf(SparkEntry.queries("v5_sign_quantize")(spark, dir))
     assert(!vplan.contains("Exchange hashpartitioning"),
