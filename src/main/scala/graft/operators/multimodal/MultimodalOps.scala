@@ -337,7 +337,69 @@ object MultimodalOps {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  // ---- m6: shot-boundary detection over the "video" payload ----
+  // The temporal-segmentation step of a video pipeline: per
+  // consecutive frame pair, an intensity delta; a boundary wherever
+  // the delta jumps. Real pipelines diff decoded luma histograms —
+  // here the frame signal is the integer char-code sum over the m3
+  // frame convention (32-unit frames, complete frames only), so the
+  // whole gate is integer-exact and swapping in a decoded histogram
+  // changes only the per-frame signal expression. Build: ONE char
+  // split + posexplode (the m5 lesson — never per-position
+  // substring), map-side-combined per-frame sums, then a per-doc
+  // window whose partition is bounded by payload/32 rows (the m3/m5
+  // bounded-window class, grows with the doc, not the corpus).
+  // Boundary rule |Δ| > ShotDelta is absolute-integer; n_shots =
+  // 1 + boundaries.
+  private val ShotFrameLen = 32
+  private val ShotDelta = 160  // mean char delta > 5 over a 32-frame
+
+  def m6ShotDetect(spark: SparkSession, dir: String): DataFrame = {
+    val fl = ShotFrameLen
+    val perChar = withBlob(spark, dir)
+      .withColumn("nf", (length(col("text")) / fl).cast("long"))
+      .filter(col("nf") >= 2)
+      .select(col("doc_id"), col("nf"),
+        posexplode(split(col("text"), "")).as(Seq("p", "ch")))
+      .filter(col("p") < col("nf") * fl)
+      .select(col("doc_id"), col("nf"),
+        expr(s"p div $fl").as("frame"),
+        expr("cast(ascii(ch) as bigint)").as("code"))
+    val fsums = perChar.groupBy(col("doc_id"), col("nf"), col("frame"))
+      .agg(sum(col("code")).as("fsum"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("frame"))
+    fsums
+      .withColumn("delta", abs(col("fsum") - lag(col("fsum"), 1).over(w)))
+      .groupBy(col("doc_id"), col("nf"))
+      .agg(sum(when(col("delta") > ShotDelta, 1L).otherwise(0L)).as("n_bounds"),
+        max(col("delta")).as("max_delta"))
+      .select(col("doc_id"), col("nf").as("n_frames"),
+        (col("n_bounds") + 1).as("n_shots"), col("max_delta"))
+      .orderBy(col("doc_id"))
+  }
+
+  val m6Sql: String =
+    s"""WITH f AS (
+       |  SELECT doc_id, CAST(length(text) // $ShotFrameLen AS BIGINT) AS nf, text
+       |  FROM documents WHERE length(text) >= ${2 * ShotFrameLen}),
+       |pc AS (
+       |  SELECT doc_id, nf, (i - 1) // $ShotFrameLen AS frame,
+       |    CAST(ascii(substring(text, i, 1)) AS BIGINT) AS code
+       |  FROM (SELECT doc_id, nf, text, unnest(range(1, CAST(nf * $ShotFrameLen AS INTEGER) + 1)) AS i
+       |        FROM f) b),
+       |fs AS (SELECT doc_id, nf, frame, sum(code) AS fsum
+       |       FROM pc GROUP BY 1, 2, 3),
+       |d AS (SELECT doc_id, nf,
+       |        abs(fsum - lag(fsum) OVER (PARTITION BY doc_id ORDER BY frame)) AS delta
+       |      FROM fs)
+       |SELECT doc_id, nf AS n_frames,
+       |  CAST(sum(CASE WHEN delta > $ShotDelta THEN 1 ELSE 0 END) + 1 AS BIGINT) AS n_shots,
+       |  CAST(max(delta) AS BIGINT) AS max_delta
+       |FROM d GROUP BY doc_id, nf ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m6_shot_detect" -> (m6ShotDetect _),
     "m5_ahash_dup" -> (m5AHashDup _),
     "m4_resize" -> (m4Resize _),
     "m1_blob_stats" -> (m1BlobStats _),
@@ -345,6 +407,7 @@ object MultimodalOps {
     "m3_frame_sample" -> (m3FrameSample _))
 
   val oracles: Map[String, String] = Map(
+    "m6_shot_detect" -> m6Sql,
     "m5_ahash_dup" -> m5Sql,
     "m4_resize" -> m4Sql,
     "m1_blob_stats" -> m1Sql,

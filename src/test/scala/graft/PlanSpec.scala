@@ -371,6 +371,17 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("Window"))
   }
 
+  test("m6: frame sums map-side combine; the delta window is per-doc bounded") {
+    val plan = planOf(SparkEntry.queries("m6_shot_detect")(spark, dir))
+    assert("HashAggregate".r.findAllIn(plan).length >= 2,
+      "per-frame char sums must partially aggregate before the frame shuffle")
+    assert(plan.contains("Window"), "the consecutive-frame delta is a lag window")
+    assert("windowspecdefinition\\(doc_id".r.findFirstIn(plan.toLowerCase).isDefined
+      || plan.contains("PartitionBy: [doc_id"),
+      "the delta window must partition by doc_id (payload-bounded, grows with docs)")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("v5/s20: sign codes are one narrow scan; hamming kNN broadcasts queries, no corpus shuffle") {
     val vplan = planOf(SparkEntry.queries("v5_sign_quantize")(spark, dir))
     assert(!vplan.contains("Exchange hashpartitioning"),
