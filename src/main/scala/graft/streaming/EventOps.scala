@@ -348,7 +348,37 @@ object EventOps {
        |  AND (hist_n * c - s) * (hist_n * c - s) > $AnomalyZ2 * (hist_n * ssq - s * s)
        |ORDER BY event_type, window_start""".stripMargin
 
+  // ---- e12: stream-static enrichment join + per-nation totals ----
+  // The dimension-enrichment every event pipeline runs: the stream
+  // side joins a SMALL static dim (customer → nation, broadcast) —
+  // in stream mode each micro-batch hash-joins without shuffling the
+  // stream and the dim is never watermarked (stream-static join
+  // semantics); at 100 TB the dim broadcast is the whole cost and
+  // the event scan stays narrow. Gate = the same
+  // [[EventStreams.enrichedTumbling]] transform over the batch
+  // table, exact-decimal sums like e1.
+  def e12Enrich(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.load(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"))
+    val nat = Tables.load(spark, dir, "nation")
+      .select(col("n_nationkey"), col("n_name"))
+    val dim = broadcast(cust.join(nat, col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name")))
+    EventStreams.enrichedTumbling(events(spark, dir), dim)
+      .orderBy(col("window_start"), col("n_name"))
+  }
+
+  val e12Sql: String =
+    """SELECT date_trunc('hour', e.ts) AS window_start, n.n_name,
+      |  count(*) AS n_events,
+      |  CAST(CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_value
+      |FROM events e
+      |JOIN customer c ON e.user_id = c.c_custkey
+      |JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |GROUP BY 1, 2 ORDER BY window_start, n_name""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e12_enrich" -> (e12Enrich _),
     "e11_anomaly" -> (e11Anomaly _),
     "e10_trending" -> (e10Trending _),
     "e9_cohort_retention" -> (e9CohortRetention _),
@@ -362,6 +392,7 @@ object EventOps {
     "e8_funnel" -> (e8Funnel _))
 
   val oracles: Map[String, String] = Map(
+    "e12_enrich" -> e12Sql,
     "e11_anomaly" -> e11Sql,
     "e10_trending" -> e10Sql,
     "e9_cohort_retention" -> e9Sql,

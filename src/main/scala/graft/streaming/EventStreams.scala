@@ -28,6 +28,22 @@ object EventStreams {
         col("n_events"), col("sum_value"))
   }
 
+  /** Stream-static enrichment: events joined to a (c_custkey, n_name)
+    * dimension frame — broadcast by the caller, so in stream mode each
+    * micro-batch hash-joins against the dim WITHOUT shuffling the
+    * stream (the standard stream-static join; the dim is loaded once
+    * per batch, never watermarked) — then tumbling per-nation totals.
+    * Batch and stream run this same transform (the e1 contract). */
+  def enrichedTumbling(events: DataFrame, dim: DataFrame,
+      withWatermark: Boolean = false): DataFrame = {
+    val src = if (withWatermark) events.withWatermark("ts", "2 hours") else events
+    src.join(dim, src("user_id") === dim("c_custkey"))
+      .groupBy(window(col("ts"), "1 hour"), col("n_name"))
+      .agg(count(lit(1)).as("n_events"), sumVal)
+      .select(col("window.start").as("window_start"), col("n_name"),
+        col("n_events"), col("sum_value"))
+  }
+
   /** Sliding 1-hour windows every 30 minutes per event_type. */
   def sliding(events: DataFrame, withWatermark: Boolean = false): DataFrame = {
     val src = if (withWatermark) events.withWatermark("ts", "2 hours") else events

@@ -226,4 +226,32 @@ class EventStreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(custom == Seq((ts(0), 2L), (ts(61), 1L)))
     assert(custom == builtin)
   }
+
+  test("streamed stream-static enrichment equals batch (dim joined per micro-batch)") {
+    val sq = spark
+    import sq.implicits._
+    implicit val ctx = sq.sqlContext
+    val dim = Seq((1L, "GERMANY"), (2L, "FRANCE"))
+      .toDF("c_custkey", "n_name")
+    val mem = MemoryStream[(Timestamp, Long, String, Double)]
+    val streamDf = mem.toDF().toDF("ts", "user_id", "event_type", "value")
+    val q = EventStreams.enrichedTumbling(streamDf, broadcast(dim), withWatermark = true)
+      .writeStream.format("memory").queryName("enrich_out")
+      .outputMode("complete").start()
+    try {
+      mem.addData(sampleRows: _*)
+      q.processAllAvailable()
+      val streamed = sq.table("enrich_out")
+        .orderBy("window_start", "n_name")
+        .collect().map(_.toSeq).toSeq
+      val batchDf = sampleRows.toDF("ts", "user_id", "event_type", "value")
+      val batch = EventStreams.enrichedTumbling(batchDf, broadcast(dim))
+        .orderBy("window_start", "n_name")
+        .collect().map(_.toSeq).toSeq
+      assert(streamed == batch)
+      assert(streamed.nonEmpty)
+      // both users' nations present: the static side never ages out
+      assert(streamed.map(_(1)).distinct.toSet == Set("GERMANY", "FRANCE"))
+    } finally q.stop()
+  }
 }
