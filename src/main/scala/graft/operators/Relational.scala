@@ -1030,8 +1030,45 @@ object Relational {
       |SELECT l_suppkey, l_partkey, rev_cents, rank FROM r
       |WHERE rank <= 5 ORDER BY l_suppkey, rank""".stripMargin
 
+  // ---- q35: unpivot (wide measures → long rows), q26's inverse ----
+  // The reshape pair's other half: three exact-decimal measure
+  // columns per return flag stacked into (measure, value) rows via
+  // `stack` — a generator expression evaluated IN the projection
+  // (one codegen'd stage over the tiny aggregate output, no join, no
+  // explode of anything corpus-sized; the only shuffle is the
+  // group-by that built the measures). Oracle is the literal 3-way
+  // UNION ALL an engine without UNPIVOT writes.
+  def q35Unpivot(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(dec(col("l_extendedprice"))).cast("double").as("sum_base"),
+        sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)")
+          - dec(col("l_discount")))).cast("double").as("sum_disc"))
+      .selectExpr("l_returnflag",
+        """stack(3, 'sum_qty', sum_qty, 'sum_base', sum_base,
+          |'sum_disc', sum_disc) AS (measure, value)""".stripMargin)
+      .orderBy(col("l_returnflag"), col("measure"))
+
+  val q35Sql: String =
+    """WITH a AS (
+      |  SELECT l_returnflag,
+      |    CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+      |    CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_base,
+      |    CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+      |      * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS VARCHAR) AS DOUBLE) AS sum_disc
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value FROM a
+      |UNION ALL
+      |SELECT l_returnflag, 'sum_base', sum_base FROM a
+      |UNION ALL
+      |SELECT l_returnflag, 'sum_disc', sum_disc FROM a
+      |ORDER BY l_returnflag, measure""".stripMargin
+
   /** queries-map fragment: name → builder */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q35_unpivot" -> (q35Unpivot _),
     "q34_top_per_group" -> (q34TopPerGroup _),
     "q33_hll" -> (q33Hll _),
     "q32_corr" -> (q32Corr _),
@@ -1069,6 +1106,7 @@ object Relational {
 
   /** oracle-map fragment: name → DuckDB SQL */
   val oracles: Map[String, String] = Map(
+    "q35_unpivot" -> q35Sql,
     "q34_top_per_group" -> q34Sql,
     "q33_hll" -> q33Sql,
     "q32_corr" -> q32Sql,
