@@ -149,18 +149,30 @@ object GraphOps {
         .select(col("node").as("src"), col("deg")), Seq("src"))
     }
 
+  /** The single wedge aggregation both link predictors read: one
+    * pass over the ≤ MaxWedgeDeg·|E| wedge rows computes the
+    * common-neighbor count AND the RA weight sum per non-ordered
+    * pair, then the existing-edge anti-join — cached so g21 and g22
+    * split the heaviest stage instead of streaming it twice. */
+  private def wedgePairScores(spark: SparkSession, dir: String): DataFrame =
+    graft.util.DfCache.cached(spark, dir, "wedge_pair_scores") {
+      val sym = withSym(spark, dir)
+      val ce = wedgeCenterEdges(spark, dir)
+      ce.as("e1").join(ce.as("e2"),
+          col("e1.src") === col("e2.src") && col("e1.dst") < col("e2.dst"))
+        .select(col("e1.dst").as("node_a"), col("e2.dst").as("node_b"),
+          expr("cast(1000000000 as bigint) DIV e1.deg").as("w"))
+        .groupBy(col("node_a"), col("node_b"))
+        .agg(count(lit(1)).as("cn"), sum(col("w")).as("ra_nano"))
+        .filter(col("cn") >= MinCommon)
+        .join(sym.select(col("src").as("node_a"), col("dst").as("node_b")),
+          Seq("node_a", "node_b"), "left_anti")
+    }
+
   def g21CommonNeighbors(spark: SparkSession, dir: String): DataFrame = {
     val sym = withSym(spark, dir)
     val deg = sym.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
-    val ce = wedgeCenterEdges(spark, dir)
-    val cn = ce.as("e1").join(ce.as("e2"),
-        col("e1.src") === col("e2.src") && col("e1.dst") < col("e2.dst"))
-      .select(col("e1.dst").as("node_a"), col("e2.dst").as("node_b"))
-      .groupBy(col("node_a"), col("node_b"))
-      .agg(count(lit(1)).as("cn"))
-      .filter(col("cn") >= MinCommon)
-    cn.join(sym.select(col("src").as("node_a"), col("dst").as("node_b")),
-        Seq("node_a", "node_b"), "left_anti")
+    wedgePairScores(spark, dir)
       .join(deg.select(col("node").as("node_a"), col("deg").as("deg_a")), Seq("node_a"))
       .join(deg.select(col("node").as("node_b"), col("deg").as("deg_b")), Seq("node_b"))
       .withColumn("jaccard_ppm", expr("cn * 1000000 DIV (deg_a + deg_b - cn)"))
@@ -196,20 +208,10 @@ object GraphOps {
   // (10^9 DIV deg) so the sum gates as exact bigints — no float
   // harmonic sum to drift between engines. Existing edges drop via
   // the same anti-join; cn >= MinCommon bounds the tail.
-  def g22ResourceAllocation(spark: SparkSession, dir: String): DataFrame = {
-    val sym = withSym(spark, dir)
-    val ce = wedgeCenterEdges(spark, dir)
-    ce.as("e1").join(ce.as("e2"),
-        col("e1.src") === col("e2.src") && col("e1.dst") < col("e2.dst"))
-      .select(col("e1.dst").as("node_a"), col("e2.dst").as("node_b"),
-        expr("cast(1000000000 as bigint) DIV e1.deg").as("w"))
-      .groupBy(col("node_a"), col("node_b"))
-      .agg(count(lit(1)).as("cn"), sum(col("w")).as("ra_nano"))
-      .filter(col("cn") >= MinCommon)
-      .join(sym.select(col("src").as("node_a"), col("dst").as("node_b")),
-        Seq("node_a", "node_b"), "left_anti")
+  def g22ResourceAllocation(spark: SparkSession, dir: String): DataFrame =
+    wedgePairScores(spark, dir)
+      .select(col("node_a"), col("node_b"), col("cn"), col("ra_nano"))
       .orderBy(col("node_a"), col("node_b"))
-  }
 
   val g22Sql: String =
     s"""WITH ${GraphTables.symSqlCtes},
