@@ -37,6 +37,8 @@ object Bench {
       "ivf_codebook" -> ((s, d) => graft.operators.similarity.SimilarityOps.ivfCodebook(s, d)),
       "graph_ppr_tag5" -> ((s, d) => graft.operators.graph.GraphOps.g13PersonalizedPagerank(s, d)),
       "graph_wedges" -> ((s, d) => graft.operators.graph.GraphTables.weightedEdges(s, d)),
+      "graph_dir" -> ((s, d) => graft.operators.graph.GraphTables.directed(s, d)),
+      "graph_dir_dst" -> ((s, d) => graft.operators.graph.GraphTables.directedByDst(s, d)),
       "graph_wpr" -> ((s, d) => graft.operators.graph.GraphOps.g15WeightedPagerank(s, d)),
       "graph_wppr" -> ((s, d) => graft.operators.graph.GraphOps.g16WeightedPersonalized(s, d)))
 

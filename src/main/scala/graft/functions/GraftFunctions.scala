@@ -55,6 +55,14 @@ object GraftFunctions {
         org.apache.spark.sql.functions.udaf(new TopNeighborsAggregator(5),
           org.apache.spark.sql.Encoders.product[ScoredNeighbor]))
     }
+    // the two-stage retrieval prefilter width (s23): same bounded
+    // mergeable aggregate, k = candidate-list size instead of final K
+    if (!spark.sessionState.functionRegistry
+        .functionExists(FunctionIdentifier("graft_top_neighbors25"))) {
+      spark.udf.register("graft_top_neighbors25",
+        org.apache.spark.sql.functions.udaf(new TopNeighborsAggregator(25),
+          org.apache.spark.sql.Encoders.product[ScoredNeighbor]))
+    }
   }
 
   private[functions] def inject(ext: SparkSessionExtensions): Unit = {

@@ -938,34 +938,44 @@ object Relational {
       .orderBy(col("l_returnflag"))
   }
 
-  val q33Sql: String =
+  /** Parameterized DuckDB mirror of [[hllRegistersOf]] ∘
+    * [[hllEstimateOf]] + the exact distinct joined alongside — one
+    * oracle body for every consumer of the register machinery (q33
+    * groups by returnflag; e13 groups by tumbling hour), so a change
+    * to the hash or the harmonic sum updates every gate in lockstep. */
+  def hllSqlFor(table: String, grpExpr: String, keyExpr: String,
+      grpName: String): String =
     s"""WITH items AS (
-       |  SELECT l_returnflag, CAST(l_orderkey AS BIGINT) AS k FROM lineitem),
-       |x0 AS (SELECT l_returnflag, (k + 1469598103) % 4294967296 AS x0 FROM items),
-       |x1 AS (SELECT l_returnflag,
+       |  SELECT $grpExpr AS g, $keyExpr AS k FROM $table),
+       |x0 AS (SELECT g, (k + 1469598103) % 4294967296 AS x0 FROM items),
+       |x1 AS (SELECT g,
        |         (xor(x0 // 65536, x0) * 73244475) % 4294967296 AS x1 FROM x0),
-       |x2 AS (SELECT l_returnflag,
+       |x2 AS (SELECT g,
        |         (xor(x1 // 65536, x1) * 73244475) % 4294967296 AS x2 FROM x1),
-       |h AS (SELECT l_returnflag, xor(x2 // 65536, x2) AS h FROM x2),
-       |b AS (SELECT l_returnflag, h % $HllBuckets AS bucket, h // $HllBuckets AS w FROM h),
-       |r AS (SELECT l_returnflag, bucket,
+       |h AS (SELECT g, xor(x2 // 65536, x2) AS h FROM x2),
+       |b AS (SELECT g, h % $HllBuckets AS bucket, h // $HllBuckets AS w FROM h),
+       |r AS (SELECT g, bucket,
        |        CASE WHEN w = 0 THEN $HllRhoMax
        |             ELSE CAST(log2(w & -w) AS INTEGER) + 1 END AS rho FROM b),
-       |regs AS (SELECT l_returnflag, bucket, max(rho) AS m FROM r GROUP BY 1, 2),
-       |mx AS (SELECT l_returnflag, max(m) AS maxm, count(*) AS nhit
+       |regs AS (SELECT g, bucket, max(rho) AS m FROM r GROUP BY 1, 2),
+       |mx AS (SELECT g, max(m) AS maxm, count(*) AS nhit
        |       FROM regs GROUP BY 1),
-       |s AS (SELECT regs.l_returnflag, maxm, nhit,
+       |s AS (SELECT regs.g, maxm, nhit,
        |        CAST(sum(CAST(1 AS BIGINT) << (maxm - m)) AS BIGINT) AS s_hit
-       |      FROM regs JOIN mx USING (l_returnflag) GROUP BY 1, 2, 3),
-       |e AS (SELECT l_returnflag, count(DISTINCT k) AS n_exact FROM items GROUP BY 1)
-       |SELECT s.l_returnflag, e.n_exact,
+       |      FROM regs JOIN mx USING (g) GROUP BY 1, 2, 3),
+       |e AS (SELECT g, count(DISTINCT k) AS n_exact FROM items GROUP BY 1)
+       |SELECT s.g AS $grpName, e.n_exact,
        |  CAST(nhit AS BIGINT) AS n_buckets_hit, maxm AS max_rho,
        |  s_hit + ($HllBuckets - nhit) * (CAST(1 AS BIGINT) << maxm) AS s_sum,
        |  0.709 * $HllBuckets.0 * $HllBuckets.0
        |    * CAST(CAST(1 AS BIGINT) << maxm AS DOUBLE)
        |    / CAST(s_hit + ($HllBuckets - nhit) * (CAST(1 AS BIGINT) << maxm) AS DOUBLE)
        |    AS hll_raw
-       |FROM s JOIN e USING (l_returnflag) ORDER BY s.l_returnflag""".stripMargin
+       |FROM s JOIN e USING (g) ORDER BY s.g""".stripMargin
+
+  val q33Sql: String =
+    hllSqlFor("lineitem", "l_returnflag", "CAST(l_orderkey AS BIGINT)",
+      "l_returnflag")
 
   val q32Sql: String =
     """WITH l AS (

@@ -107,6 +107,32 @@ object GraphTables {
         .sortWithinPartitions(col("src"))
     }
 
+  /** Distinct DIRECTED edges (derivation direction kept — customer →
+    * order → part → supplier → nation → region), src-partitioned and
+    * sorted like [[sym]]: direction-sensitive operators (HITS hub →
+    * authority rounds) join a V-row vector into this layout with no
+    * exchange on the edge side. */
+  def directed(spark: SparkSession, dir: String): DataFrame =
+    graft.util.DfCache.cached(spark, dir, "graph_dir") {
+      Branches.map(branchDf(spark, dir, _)).reduce(_.union(_))
+        .repartition(col("src"))
+        .distinct()
+        .sortWithinPartitions(col("src"))
+    }
+
+  /** The SAME directed edge set laid out by `dst` — the reverse-join
+    * layout: a round that aggregates INTO src (h ← Σ a[dst]) joins the
+    * V-row vector against this copy so only the vector shuffles, never
+    * the E-row edge table. Two cached layouts of one dataset is the
+    * cluster design too (bucketed-by-src and bucketed-by-dst copies). */
+  def directedByDst(spark: SparkSession, dir: String): DataFrame =
+    graft.util.DfCache.cached(spark, dir, "graph_dir_dst") {
+      Branches.map(branchDf(spark, dir, _)).reduce(_.union(_))
+        .repartition(col("dst"))
+        .distinct()
+        .sortWithinPartitions(col("dst"))
+    }
+
   /** DuckDB CTE text equivalent of [[weightedEdges]]. */
   val wedgeSqlCtes: String =
     s"""wbase AS (

@@ -1212,7 +1212,145 @@ object SimilarityOps {
        |approx AS (SELECT query_id, neighbor_id FROM ar WHERE rank <= $K)
        |$recallTailSql""".stripMargin
 
+  // ---- s22: truncated-dimension exact kNN (Matryoshka prefilter) ----
+  // Dimension truncation is the THIRD compression axis next to PQ
+  // (s10) and binary codes (s20): score by only the first `TruncDims`
+  // of 64 dimensions — a 4× cheaper scan reading a 4× narrower column
+  // (with MRL-trained embeddings the prefix is trained to carry the
+  // signal; here it prices what an untrained prefix gives up). Same
+  // plan as s1: broadcast queries × corpus scan, the 16-term fold in
+  // the scan's codegen stage, bounded top-k — no corpus shuffle.
+  // Truncated norms are per-row expressions (no stored nt column), so
+  // the operator works on any vector table as-is.
+  private val TruncDims = 16
+
+  /** (vec_id, label, vt, nt): the truncated view of [[VectorExprs
+    * .embFeatures]] — prefix slice + its squared norm, one codegen'd
+    * projection over the cached features. */
+  private def truncFeatures(spark: SparkSession, dir: String): DataFrame =
+    VectorExprs.embFeatures(spark, dir)
+      .withColumn("vt", expr(s"slice(vd, 1, $TruncDims)"))
+      .withColumn("nt", expr("graft_dot(vt, vt)"))
+      .select(col("vec_id"), col("label"), col("vt"), col("nt"))
+
+  /** Truncated-cosine scored pairs for queries vec_id < 10 —
+    * stage 1 of s23 and the whole of s22. */
+  private def truncPairs(spark: SparkSession, dir: String): DataFrame = {
+    val t = truncFeatures(spark, dir)
+    broadcast(t.filter(col("vec_id") < 10).as("q"))
+      .join(t.as("c"), col("q.vec_id") =!= col("c.vec_id"))
+      .withColumn("dot", expr(VectorExprs.dotExpr("q.vt", "c.vt")))
+      .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"),
+        (col("dot") / (sqrt(col("q.nt")) * sqrt(col("c.nt")))).as("cosine"))
+  }
+
+  def s22TruncatedKnn(spark: SparkSession, dir: String): DataFrame =
+    ranked(truncPairs(spark, dir))
+
+  /** DuckDB truncated-dot fold (sequential over the first
+    * [[TruncDims]] dims — same order as graft_dot over the slice). */
+  private def duckDotTrunc(a: String, b: String): String =
+    s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |    [ $a[d] * $b[d] for d in generate_series(1, $TruncDims) ]), (a, b) -> a + b)""".stripMargin
+
+  private def truncPairsCte(name: String): String =
+    s"""$name AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    ${duckDotTrunc("q.vd", "c.vd")}
+       |      / (sqrt(${duckDotTrunc("q.vd", "q.vd")})
+       |         * sqrt(${duckDotTrunc("c.vd", "c.vd")})) AS cosine
+       |  FROM ef q, ef c
+       |  WHERE q.vec_id < 10 AND q.vec_id != c.vec_id)""".stripMargin
+
+  val s22Sql: String =
+    s"""WITH ${VectorExprs.embCtes},
+       |${truncPairsCte("tpairs")},
+       |${topkCte("r", "tpairs")}
+       |SELECT query_id, neighbor_id, cosine, rank FROM r
+       |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
+
+  // ---- s23: two-stage retrieval — truncated prefilter + exact rerank ----
+  // THE production retrieval shape (every deployed ANN system is
+  // candidates-then-rerank): stage 1 scores the corpus by the cheap
+  // truncated cosine and keeps `RerankC` candidates per query through
+  // the bounded mergeable top-25 aggregate (O(C) state, map-side
+  // combined — never a corpus-sized window sort); stage 2 touches full
+  // 64-dim vectors ONLY for the ≤ C·|queries| survivors (a broadcast
+  // candidate list joined into the corpus scan — the corpus never
+  // shuffles) and reranks by exact cosine. At 1B vectors stage 1 reads
+  // the 4× narrower prefix, stage 2 reads ~250 full vectors. The
+  // collapse law (candidates = all pairs ⇒ ≡ s1 bit-exact) is
+  // spec-pinned via [[rerankOf]]; s24 measures what the prefilter
+  // loses end-to-end.
+  private val RerankC = 25
+
+  /** Stage 2: exact-cosine rerank of a (query_id, neighbor_id)
+    * candidate list — broadcast candidates into the corpus scan,
+    * then the bounded top-K aggregate. */
+  def rerankOf(spark: SparkSession, dir: String, cand: DataFrame): DataFrame = {
+    val e = VectorExprs.embFeatures(spark, dir)
+      .select(col("vec_id"), col("vd"), col("n2"))
+    val pairs = e.as("c")
+      .join(broadcast(cand.select(col("query_id"), col("neighbor_id"))),
+        col("c.vec_id") === col("neighbor_id"))
+      .join(broadcast(e.filter(col("vec_id") < 10).as("q")),
+        col("query_id") === col("q.vec_id"))
+      .withColumn("dot", expr(VectorExprs.dotExpr("q.vd", "c.vd")))
+      .select(col("query_id"), col("neighbor_id"),
+        (col("dot") / (sqrt(col("q.n2")) * sqrt(col("c.n2")))).as("cosine"))
+    ranked(pairs)
+  }
+
+  def s23Rerank(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(spark)
+    val cand = truncPairs(spark, dir)
+      .groupBy(col("query_id"))
+      .agg(expr("graft_top_neighbors25(cosine, neighbor_id)").as("top"))
+      .select(col("query_id"), explode(col("top")).as("p"))
+      .select(col("query_id"), col("p.neighbor_id").as("neighbor_id"))
+    rerankOf(spark, dir, cand)
+  }
+
+  private def rerankCtes(approxTopk: String): String =
+    s"""${truncPairsCte("tpairs")},
+       |${topkCte("tr", "tpairs")},
+       |cand AS (SELECT query_id, neighbor_id FROM tr WHERE rank <= $RerankC),
+       |rpairs AS (
+       |  SELECT d.query_id, d.neighbor_id,
+       |    ${VectorExprs.duckDot("q.vd", "c.vd")}
+       |      / (sqrt(q.n2) * sqrt(c.n2)) AS cosine
+       |  FROM cand d JOIN eb q ON d.query_id = q.vec_id
+       |              JOIN eb c ON d.neighbor_id = c.vec_id),
+       |${topkCte(approxTopk, "rpairs")}""".stripMargin
+
+  val s23Sql: String =
+    s"""WITH ${VectorExprs.embCtes},
+       |${rerankCtes("r")}
+       |SELECT query_id, neighbor_id, cosine, rank FROM r
+       |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
+
+  // ---- s24: recall of the two-stage pipeline vs exact ----
+  // Seventh row of the ANN quality board: what the 16-dim prefilter
+  // loses END-TO-END (rerank can only surface what stage 1 kept, so
+  // this is exactly the prefilter's top-C recall of the exact top-K).
+  // The C knob trades stage-2 reads for recall — priced here, costed
+  // in the bench.
+  def s24RerankRecall(spark: SparkSession, dir: String): DataFrame =
+    recallOf(s1KnnBrute(spark, dir), s23Rerank(spark, dir))
+
+  val s24Sql: String =
+    s"""WITH ${VectorExprs.embCtes},
+       |${exactPairsCte("xpairs")},
+       |${topkCte("xr", "xpairs")},
+       |exact AS (SELECT query_id, neighbor_id FROM xr WHERE rank <= $K),
+       |${rerankCtes("ar")},
+       |approx AS (SELECT query_id, neighbor_id FROM ar WHERE rank <= $K)
+       |$recallTailSql""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s22_truncated_knn" -> (s22TruncatedKnn _),
+    "s23_rerank" -> (s23Rerank _),
+    "s24_rerank_recall" -> (s24RerankRecall _),
     "s20_hamming_knn" -> (s20HammingKnn _),
     "s21_hamming_recall" -> (s21HammingRecall _),
     "s14_pq_trained" -> (s14PqTrained _),
@@ -1236,6 +1374,9 @@ object SimilarityOps {
     "s7_ivf_trained" -> (s7IvfTrained _))
 
   val oracles: Map[String, String] = Map(
+    "s22_truncated_knn" -> s22Sql,
+    "s23_rerank" -> s23Sql,
+    "s24_rerank_recall" -> s24Sql,
     "s20_hamming_knn" -> s20Sql,
     "s21_hamming_recall" -> s21Sql,
     "s14_pq_trained" -> s14Sql,

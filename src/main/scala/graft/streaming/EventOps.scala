@@ -377,7 +377,37 @@ object EventOps {
       |JOIN nation n ON c.c_nationkey = n.n_nationkey
       |GROUP BY 1, 2 ORDER BY window_start, n_name""".stripMargin
 
+  // ---- e13: per-window distinct users via the mergeable HLL sketch ----
+  // THE streaming cardinality question ("distinct users per hour") at
+  // 100 TB: an exact per-window countDistinct expands every (window,
+  // user) pair through the shuffle; the HLL register table
+  // ([[graft.operators.Relational.hllRegistersOf]] — q33's machinery
+  // pointed at a time window as the group) shuffles ≤ 64 pre-combined
+  // register rows per partition per window, and registers from late /
+  // re-processed data MERGE by cell-wise max (the q33 spec's law), so
+  // the same sketch state serves an incremental micro-batch sink —
+  // the sketch IS the streaming state. Gate audits the exact register
+  // table, the exact-integer harmonic sum, and the one-expression
+  // estimate next to the exact distinct (q33's error-band contract).
+  def e13HllWindow(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Relational
+    val items = events(spark, dir)
+      .select(date_trunc("hour", col("ts")).as("grp"), col("user_id").as("k"))
+    val exact = items.groupBy(col("grp"))
+      .agg(countDistinct(col("k")).as("n_exact"))
+    Relational.hllEstimateOf(Relational.hllRegistersOf(items))
+      .join(exact, Seq("grp"))
+      .select(col("grp").as("window_start"), col("n_exact"),
+        col("n_buckets_hit"), col("max_rho"), col("s_sum"), col("hll_raw"))
+      .orderBy(col("window_start"))
+  }
+
+  val e13Sql: String = graft.operators.Relational.hllSqlFor(
+    "events", "date_trunc('hour', ts)", "CAST(user_id AS BIGINT)",
+    "window_start")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e13_hll_window" -> (e13HllWindow _),
     "e12_enrich" -> (e12Enrich _),
     "e11_anomaly" -> (e11Anomaly _),
     "e10_trending" -> (e10Trending _),
@@ -392,6 +422,7 @@ object EventOps {
     "e8_funnel" -> (e8Funnel _))
 
   val oracles: Map[String, String] = Map(
+    "e13_hll_window" -> e13Sql,
     "e12_enrich" -> e12Sql,
     "e11_anomaly" -> e11Sql,
     "e10_trending" -> e10Sql,
