@@ -1076,8 +1076,46 @@ object Relational {
       |SELECT l_returnflag, 'sum_disc', sum_disc FROM a
       |ORDER BY l_returnflag, measure""".stripMargin
 
+  // ---- q36: RANGE (value-based) window frames — trailing 30 days ----
+  // The frame class q28's ROWS frames don't cover: a RANGE frame keys
+  // the window on the ORDER VALUE (here: days since epoch date), so a
+  // row's trailing sum spans a fixed TIME interval regardless of how
+  // many rows fall in it — the "revenue in the last 30 days" query
+  // every sales dashboard runs, and the SQL-standard case where ROWS
+  // and RANGE genuinely disagree (multiple orders on one day are all
+  // peers: each sees the full day's total). Partition key o_custkey
+  // grows with data, rows per partition are orders-per-customer
+  // (bounded); sums are exact integer cents; day numbers are exact
+  // integer datediffs — both engines agree bit-for-bit, including the
+  // all-peers-included tie rule.
+  def q36RangeFrames(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("days"))
+      .rangeBetween(-30, 0)
+    t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        datediff(col("o_orderdate"), to_date(lit("1992-01-01"))).cast("long")
+          .as("days"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("cents"))
+      .withColumn("trail30_cents", sum(col("cents")).over(w))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val q36Sql: String =
+    """WITH o AS (
+      |  SELECT o_orderkey, o_custkey,
+      |    CAST(date_diff('day', DATE '1992-01-01', o_orderdate) AS BIGINT) AS days,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM orders)
+      |SELECT o_orderkey, o_custkey, days, cents,
+      |  CAST(sum(cents) OVER (PARTITION BY o_custkey ORDER BY days
+      |    RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS BIGINT) AS trail30_cents
+      |FROM o ORDER BY o_orderkey""".stripMargin
+
   /** queries-map fragment: name → builder */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q36_range_frames" -> (q36RangeFrames _),
     "q35_unpivot" -> (q35Unpivot _),
     "q34_top_per_group" -> (q34TopPerGroup _),
     "q33_hll" -> (q33Hll _),
@@ -1116,6 +1154,7 @@ object Relational {
 
   /** oracle-map fragment: name → DuckDB SQL */
   val oracles: Map[String, String] = Map(
+    "q36_range_frames" -> q36Sql,
     "q35_unpivot" -> q35Sql,
     "q34_top_per_group" -> q34Sql,
     "q33_hll" -> q33Sql,

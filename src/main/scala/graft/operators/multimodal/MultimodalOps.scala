@@ -354,19 +354,29 @@ object MultimodalOps {
   private val ShotFrameLen = 32
   private val ShotDelta = 160  // mean char delta > 5 over a 32-frame
 
-  def m6ShotDetect(spark: SparkSession, dir: String): DataFrame = {
+  /** Per-(doc, frame) integer intensity sums over the m3/m6 32-unit
+    * frame convention — the shared signal table of the temporal
+    * operators (m6 shot detection diffs it, m7 silence detection
+    * thresholds it). One char split + posexplode (the m5 lesson),
+    * one map-side-combined aggregate. */
+  private def frameSums(spark: SparkSession, dir: String,
+      minFrames: Int): DataFrame = {
     val fl = ShotFrameLen
-    val perChar = withBlob(spark, dir)
+    withBlob(spark, dir)
       .withColumn("nf", (length(col("text")) / fl).cast("long"))
-      .filter(col("nf") >= 2)
+      .filter(col("nf") >= minFrames)
       .select(col("doc_id"), col("nf"),
         posexplode(split(col("text"), "")).as(Seq("p", "ch")))
       .filter(col("p") < col("nf") * fl)
       .select(col("doc_id"), col("nf"),
         expr(s"p div $fl").as("frame"),
         expr("cast(ascii(ch) as bigint)").as("code"))
-    val fsums = perChar.groupBy(col("doc_id"), col("nf"), col("frame"))
+      .groupBy(col("doc_id"), col("nf"), col("frame"))
       .agg(sum(col("code")).as("fsum"))
+  }
+
+  def m6ShotDetect(spark: SparkSession, dir: String): DataFrame = {
+    val fsums = frameSums(spark, dir, minFrames = 2)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("frame"))
     fsums
@@ -398,7 +408,71 @@ object MultimodalOps {
        |  CAST(max(delta) AS BIGINT) AS max_delta
        |FROM d GROUP BY doc_id, nf ORDER BY doc_id""".stripMargin
 
+  // ---- m7: silence / low-energy segment detection (the VAD shape) ----
+  // The audio-pipeline counterpart of m6: instead of diffing adjacent
+  // frames, threshold each frame against the DOC's own mean energy —
+  // voice-activity detection, silence trimming, dead-air QA all run
+  // this rule over decoded RMS energy; here the frame signal is the
+  // same integer char-sum as m6 (swap in decoded samples and only the
+  // signal expression changes). "Below the doc mean" is evaluated
+  // CROSS-MULTIPLIED (fsum·nf < total) so the rule is integer-exact —
+  // a mean-as-double would drift between engines. Silent-run lengths
+  // come from the gaps-and-islands trick (frame − row_number over
+  // silent frames); every window partitions by doc_id with rows
+  // bounded by payload/32 (the m3/m5/m6 bounded-window class — grows
+  // with the doc, never the corpus). Output: frames, silent count,
+  // longest silent run (0 when none).
+  def m7SilenceDetect(spark: SparkSession, dir: String): DataFrame = {
+    val fsums = frameSums(spark, dir, minFrames = 1)
+    val wd = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+    val flagged = fsums
+      .withColumn("total", sum(col("fsum")).over(wd))
+      .withColumn("silent", col("fsum") * col("nf") < col("total"))
+    val counts = flagged.groupBy(col("doc_id"), col("nf"))
+      .agg(sum(when(col("silent"), 1L).otherwise(0L)).as("n_silent"))
+    val wr = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("frame"))
+    val runs = flagged.filter(col("silent"))
+      .withColumn("grp", col("frame") - row_number().over(wr))
+      .groupBy(col("doc_id"), col("grp")).agg(count(lit(1)).as("runlen"))
+      .groupBy(col("doc_id")).agg(max(col("runlen")).as("max_run"))
+    counts.join(runs, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("nf").as("n_frames"), col("n_silent"),
+        coalesce(col("max_run"), lit(0L)).as("max_run"))
+      .orderBy(col("doc_id"))
+  }
+
+  val m7Sql: String =
+    s"""WITH f AS (
+       |  SELECT doc_id, CAST(length(text) // $ShotFrameLen AS BIGINT) AS nf, text
+       |  FROM documents WHERE length(text) >= $ShotFrameLen),
+       |pc AS (
+       |  SELECT doc_id, nf, (i - 1) // $ShotFrameLen AS frame,
+       |    CAST(ascii(substring(text, i, 1)) AS BIGINT) AS code
+       |  FROM (SELECT doc_id, nf, text, unnest(range(1, CAST(nf * $ShotFrameLen AS INTEGER) + 1)) AS i
+       |        FROM f) b),
+       |fs AS (SELECT doc_id, nf, frame, sum(code) AS fsum
+       |       FROM pc GROUP BY 1, 2, 3),
+       |t AS (SELECT doc_id, nf, frame, fsum,
+       |        CAST(sum(fsum) OVER (PARTITION BY doc_id) AS BIGINT) AS total
+       |      FROM fs),
+       |sil AS (SELECT doc_id, nf, frame,
+       |          CAST(fsum AS BIGINT) * nf < total AS silent FROM t),
+       |cnt AS (SELECT doc_id, nf,
+       |          CAST(sum(CASE WHEN silent THEN 1 ELSE 0 END) AS BIGINT) AS n_silent
+       |        FROM sil GROUP BY 1, 2),
+       |runs AS (SELECT doc_id,
+       |           frame - row_number() OVER (PARTITION BY doc_id ORDER BY frame) AS grp
+       |         FROM sil WHERE silent),
+       |rl AS (SELECT doc_id, count(*) AS runlen FROM runs GROUP BY doc_id, grp),
+       |mr AS (SELECT doc_id, CAST(max(runlen) AS BIGINT) AS max_run FROM rl GROUP BY doc_id)
+       |SELECT c.doc_id, c.nf AS n_frames, c.n_silent,
+       |  COALESCE(mr.max_run, 0) AS max_run
+       |FROM cnt c LEFT JOIN mr ON c.doc_id = mr.doc_id
+       |ORDER BY c.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m7_silence_detect" -> (m7SilenceDetect _),
     "m6_shot_detect" -> (m6ShotDetect _),
     "m5_ahash_dup" -> (m5AHashDup _),
     "m4_resize" -> (m4Resize _),
@@ -407,6 +481,7 @@ object MultimodalOps {
     "m3_frame_sample" -> (m3FrameSample _))
 
   val oracles: Map[String, String] = Map(
+    "m7_silence_detect" -> m7Sql,
     "m6_shot_detect" -> m6Sql,
     "m5_ahash_dup" -> m5Sql,
     "m4_resize" -> m4Sql,

@@ -711,7 +711,40 @@ object TextOps {
        |FROM g LEFT JOIN c ON g.bg = c.bg
        |GROUP BY g.doc_id ORDER BY doc_id""".stripMargin
 
+  // ---- t16: per-source length distribution (curation dashboard) ----
+  // The first report a curation run prints: how long are the docs of
+  // each source, as exact discrete percentiles (q24's machinery over
+  // the documents table — percentile_disc picks an actual data value,
+  // so the gate stays bit-exact, no interpolation). One sort-based
+  // aggregate per (small) source group: only (source, n_chars) pairs
+  // shuffle, the text column never leaves the scan. Truncation/pad
+  // budgets (t6's bins) and per-source caps (t11's strata) are set
+  // FROM these numbers — this is the gauge those knobs read.
+  def t16LengthPercentiles(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .groupBy(col("source"))
+      .agg(
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars)")
+          .cast("long").as("p50"),
+        expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY n_chars)")
+          .cast("long").as("p90"),
+        expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY n_chars)")
+          .cast("long").as("p99"),
+        count(lit(1)).as("cnt"),
+        sum(col("n_chars")).cast("long").as("total_chars"))
+      .orderBy(col("source"))
+
+  val t16Sql: String =
+    """SELECT source,
+      |  CAST(quantile_disc(n_chars, 0.5) AS BIGINT) AS p50,
+      |  CAST(quantile_disc(n_chars, 0.9) AS BIGINT) AS p90,
+      |  CAST(quantile_disc(n_chars, 0.99) AS BIGINT) AS p99,
+      |  count(*) AS cnt,
+      |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t16_length_percentiles" -> (t16LengthPercentiles _),
     "t15_bigram_coverage" -> (t15BigramCoverage _),
     "t13_redact" -> (t13Redact _),
     "t14_hash_embed" -> (t14HashEmbed _),
@@ -729,6 +762,7 @@ object TextOps {
     "t9_curation_pipeline" -> (t9CurationPipeline _))
 
   val oracles: Map[String, String] = Map(
+    "t16_length_percentiles" -> t16Sql,
     "t15_bigram_coverage" -> t15Sql,
     "t13_redact" -> t13Sql,
     "t14_hash_embed" -> t14Sql,

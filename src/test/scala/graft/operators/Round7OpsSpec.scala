@@ -68,4 +68,43 @@ class Round7OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val nHours = items.select(col("grp")).distinct().count()
     assert(nWindows == nHours)
   }
+
+  test("q36: RANGE frame equals an independent per-customer interval recompute") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = Relational.q36RangeFrames(spark, dir).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val byCust = rows.groupBy(_._1)
+    byCust.take(20).foreach { case (_, os) =>
+      os.foreach { case (_, d, _, trail) =>
+        val expected = os.filter(o => o._2 >= d - 30 && o._2 <= d).map(_._3).sum
+        assert(trail == expected,
+          s"trailing-30d sum must include ALL same-day peers (got $trail, want $expected)")
+      }
+    }
+  }
+
+  test("m7: silence counts bound runs; a doc can never be entirely below its own mean") {
+    val out = graft.operators.multimodal.MultimodalOps
+      .m7SilenceDetect(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.nonEmpty)
+    out.foreach { case (nf, nSilent, maxRun) =>
+      assert(maxRun <= nSilent, "longest run can't exceed the silent count")
+      assert((nSilent == 0) == (maxRun == 0), "run iff any silent frame")
+      assert(nSilent < nf, "at least one frame sits at or above the doc mean")
+    }
+    assert(out.exists(_._2 > 0), "threshold must be live at gate scale")
+  }
+
+  test("t16: discrete percentiles are order statistics and counts cover the corpus") {
+    val dir = "/root/testdata/sf0.001"
+    val out = graft.operators.text.TextOps.t16LengthPercentiles(spark, dir)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.nonEmpty)
+    out.foreach { case (p50, p90, p99, _) =>
+      assert(p50 <= p90 && p90 <= p99, "percentiles must be monotone")
+    }
+    val total = graft.sources.Tables.load(spark, dir, "documents").count()
+    assert(out.map(_._4).sum == total, "per-source counts partition the corpus")
+  }
 }
