@@ -903,7 +903,42 @@ object DedupOps {
        |FROM m LEFT JOIN dropped d ON m.vec_id = d.vec_id
        |ORDER BY m.vec_id""".stripMargin
 
+  // ---- d14: cross-source duplication matrix ----
+  // The provenance report a curation run reads next to d8/d12's
+  // quality gauges: WHICH sources duplicate each other — mirror sites,
+  // syndication, scraped re-posts all show up as off-diagonal mass;
+  // the diagonal is within-source boilerplate. Pure composition: d4's
+  // verified near-dup pairs (cached — d6/d7 already read them) joined
+  // to the documents table's source column on both endpoints, pair
+  // direction normalized by least/greatest so (web, wiki) and (wiki,
+  // web) are one cell. Two broadcast-able lookups of (doc_id, source)
+  // + one map-side-combined count — |verified pairs| rows flow, the
+  // candidate-generation caps already bounded those. Exact-integer
+  // gate (counts only).
+  def d14CrossSourceDup(spark: SparkSession, dir: String): DataFrame = {
+    val src = docs(spark, dir).select(col("doc_id"), col("source"))
+    d4NgramJaccard(spark, dir)
+      .join(src.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(src.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(least(col("sa.source"), col("sb.source")).as("source_a"),
+        greatest(col("sa.source"), col("sb.source")).as("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  val d14Sql: String =
+    s"""WITH jp AS ($d4Sql)
+       |SELECT least(da.source, db.source) AS source_a,
+       |  greatest(da.source, db.source) AS source_b,
+       |  count(*) AS n_pairs
+       |FROM jp
+       |JOIN documents da ON jp.doc_a = da.doc_id
+       |JOIN documents db ON jp.doc_b = db.doc_id
+       |GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d14_cross_source_dup" -> (d14CrossSourceDup _),
     "d13_minhash_estimate" -> (d13MinhashEstimate _),
     "d12_dedup_precision" -> (d12DedupPrecision _),
     "d11_semdedup" -> (d11SemDedup _),
@@ -919,6 +954,7 @@ object DedupOps {
     "d9_incremental_dedup" -> (d9IncrementalDedup _))
 
   val oracles: Map[String, String] = Map(
+    "d14_cross_source_dup" -> d14Sql,
     "d13_minhash_estimate" -> d13Sql,
     "d12_dedup_precision" -> d12Sql,
     "d11_semdedup" -> d11Sql,

@@ -1474,19 +1474,26 @@ object GraphOps {
       GraphTables.directedByDst(spark, dir),
       withSym(spark, dir).select(col("src").as("id")).distinct())
 
+  // Every round CTE is MATERIALIZED (the g12 oracle discipline): each
+  // is referenced twice (the scalar-max subquery + the next step's
+  // join input), and DuckDB inlines plain CTEs per reference — the
+  // unrolled rounds would otherwise recompute their whole upstream
+  // chain per consumer, the exact 2^k blowup the Spark side's
+  // localCheckpoint kills (measured: >60 GB of temp spill at sf1
+  // before the fix; seconds after).
   val g23Sql: String = {
     def aStep(t: Int, hPrev: String) =
-      s"""ar$t AS (
+      s"""ar$t AS MATERIALIZED (
          |  SELECT e.dst AS id, CAST(sum(h.h) AS BIGINT) AS a
          |  FROM edges e JOIN $hPrev h ON e.src = h.id GROUP BY e.dst),
-         |a$t AS (
+         |a$t AS MATERIALIZED (
          |  SELECT id, a // ((SELECT (max(a) + ${HitsScale - 1}) // $HitsScale FROM ar$t) ) AS a
          |  FROM ar$t)""".stripMargin
     def hStep(t: Int) =
-      s"""hr$t AS (
+      s"""hr$t AS MATERIALIZED (
          |  SELECT e.src AS id, CAST(sum(a.a) AS BIGINT) AS h
          |  FROM edges e JOIN a$t a ON e.dst = a.id GROUP BY e.src),
-         |h$t AS (
+         |h$t AS MATERIALIZED (
          |  SELECT id, h // ((SELECT (max(h) + ${HitsScale - 1}) // $HitsScale FROM hr$t) ) AS h
          |  FROM hr$t)""".stripMargin
     val rounds = (1 to HitsRounds)

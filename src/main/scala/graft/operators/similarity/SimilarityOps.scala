@@ -1085,11 +1085,19 @@ object SimilarityOps {
     * re-encode) chained after embCtes + pqPickCtes — shared by s14Sql
     * and s15Sql. `tcent`/`rpick` MATERIALIZED: both are joined per
     * query downstream. */
-  private def pqTrainedCtes: String = {
+  private def pqTrainedCtes: String = pqTrainedCtesFrom(withQv = true)
+
+  /** `withQv = false` when composed after [[codebookCtes]], which
+    * already defines the identical `qv` micro-unit CTE (DuckDB
+    * rejects duplicate CTE names). */
+  private def pqTrainedCtesFrom(withQv: Boolean): String = {
     import graft.operators.vector.VectorOps.PqD
-    s"""qv AS (SELECT vec_id, vd, n2,
-       |  [CAST(round(x * 1000000) AS BIGINT) for x in vd] AS qv FROM eb),
-       |tmem AS (
+    val qvCte = if (withQv)
+      s"""qv AS (SELECT vec_id, vd, n2,
+         |  [CAST(round(x * 1000000) AS BIGINT) for x in vd] AS qv FROM eb),
+         |""".stripMargin
+    else ""
+    s"""${qvCte}tmem AS (
        |  SELECT p.m, p.code, g.d, q.qv[p.m * $PqD + g.d] AS val
        |  FROM pick p JOIN qv q ON q.vec_id = p.vec_id,
        |       generate_series(1, $PqD) g(d)),
@@ -1120,18 +1128,22 @@ object SimilarityOps {
        |              (a, x) -> a + x) AS recon_err
        |FROM rpick GROUP BY vec_id ORDER BY vec_id""".stripMargin
 
-  val s15Sql: String = {
+  /** Trained-ADC pair CTEs (tqlut over tcent + scored pairs from
+    * rpick) — shared by s15Sql, s25Sql and s26Sql. `probed = true`
+    * adds s12's IVF restriction (the corpus vector's coarse cluster
+    * must be one the query probed). */
+  private def pqTrainedAdcCtes(pairsName: String,
+      probed: Boolean = false): String = {
     import graft.operators.vector.VectorOps.PqD
     def mFold(v: String) =
       s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list($v ORDER BY p.m)),
          |    (a, x) -> a + x)""".stripMargin
-    s"""WITH ${VectorExprs.embCtes},
-       |${exactPairsCte("xpairs")},
-       |${topkCte("xr", "xpairs")},
-       |exact AS (SELECT query_id, neighbor_id FROM xr WHERE rank <= $K),
-       |${graft.operators.vector.VectorOps.pqPickCtes},
-       |$pqTrainedCtes,
-       |tqlut AS (
+    val probeJoin = if (probed)
+      s"""
+         |  JOIN passign pa ON pa.cvec = p.vec_id
+         |  JOIN qpr ON qpr.qcluster = pa.cluster AND qpr.qid = l.qid""".stripMargin
+    else ""
+    s"""tqlut AS (
        |  SELECT q.vec_id AS qid, q.n2 AS qn2, t.m, t.code,
        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
        |      [ q.vd[t.m * $PqD + d] * t.sub[d] for d in generate_series(1, $PqD) ]),
@@ -1140,17 +1152,92 @@ object SimilarityOps {
        |      [ t.sub[d] * t.sub[d] for d in generate_series(1, $PqD) ]),
        |      (a, x) -> a + x) AS subn2
        |  FROM eb q CROSS JOIN tcent t WHERE q.vec_id < 10),
-       |apairs AS (
+       |$pairsName AS (
        |  SELECT l.qid AS query_id, p.vec_id AS neighbor_id,
        |    ${mFold("l.subdot")}
        |      / (sqrt(l.qn2) * sqrt(${mFold("l.subn2")})) AS cosine
-       |  FROM rpick p JOIN tqlut l ON l.m = p.m AND l.code = p.code
+       |  FROM rpick p JOIN tqlut l ON l.m = p.m AND l.code = p.code$probeJoin
        |  WHERE l.qid != p.vec_id
-       |  GROUP BY l.qid, p.vec_id, l.qn2),
+       |  GROUP BY l.qid, p.vec_id, l.qn2)""".stripMargin
+  }
+
+  val s15Sql: String =
+    s"""WITH ${VectorExprs.embCtes},
+       |${exactPairsCte("xpairs")},
+       |${topkCte("xr", "xpairs")},
+       |exact AS (SELECT query_id, neighbor_id FROM xr WHERE rank <= $K),
+       |${graft.operators.vector.VectorOps.pqPickCtes},
+       |$pqTrainedCtes,
+       |${pqTrainedAdcCtes("apairs")},
        |${topkCte("ar", "apairs")},
        |approx AS (SELECT query_id, neighbor_id FROM ar WHERE rank <= $K)
        |$recallTailSql""".stripMargin
+
+  // ---- s25: trained IVF-PQ — both quantizers trained, composed ----
+  // The full production index (FAISS IVFPQ after training): s12
+  // composed the trained COARSE quantizer with v4's seeded PQ cells;
+  // this replaces the fine half with s14's Lloyd-trained codebooks —
+  // the index a deployment actually ships (both artifacts persisted,
+  // cf. d9's band index / s18's codebook). Index row = (vec_id,
+  // cluster, trained pq_code), same ~16 B/vector; plan identical to
+  // s12 (broadcast probes ⋈ trained LUTs against the cached index
+  // scan, codegen'd lookup fold, bounded top-k) — training changes
+  // the cells, never the plan. s26 prices the composition.
+  /** The trained-both-ways index: coarse cluster + trained PQ code —
+    * DfCache'd like [[ivfPqIndex]]. */
+  def trainedIvfPqIndex(spark: SparkSession, dir: String): DataFrame =
+    graft.util.DfCache.cached(spark, dir, "ivfpq_trained_index") {
+      assignTo(embQuantized(spark, dir), ivfCodebook(spark, dir))
+        .join(pqTrainedAssigned(spark, dir), Seq("vec_id"))
+        .select(col("vec_id"), col("cluster"), col("pq_code"))
+    }
+
+  /** nprobe-parameterized body — probing every cluster collapses the
+    * coarse restriction, leaving exactly the trained full-corpus ADC
+    * scan ([[pqTrainedKnn]]); the spec pins that law like s12's. */
+  def s25TrainedIvfPqWith(spark: SparkSession, dir: String,
+      nprobe: Int): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(spark)
+    val qp = ivfQueryProbes(spark, dir, nprobe).select(col("qid"), col("qcluster"))
+      .join(pqTrainedQueryLut(spark, dir), Seq("qid"))
+    adcRanked(trainedIvfPqIndex(spark, dir).join(broadcast(qp),
+      col("qcluster") === col("cluster") && col("qid") =!= col("vec_id")))
   }
+
+  def s25TrainedIvfPq(spark: SparkSession, dir: String): DataFrame =
+    s25TrainedIvfPqWith(spark, dir, NPROBE)
+
+  val s25Sql: String =
+    s"""WITH $codebookCtes,
+       |${graft.operators.vector.VectorOps.pqPickCtes},
+       |${pqTrainedCtesFrom(withQv = false)},
+       |$ivfCoarseCtes,
+       |${pqTrainedAdcCtes("pairs", probed = true)},
+       |${topkCte("r", "pairs")}
+       |SELECT query_id, neighbor_id, cosine, rank FROM r
+       |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
+
+  // ---- s26: recall of the fully-trained composed index ----
+  // Eighth row of the ANN quality board: what the deployment-shape
+  // index (trained coarse + trained fine) recovers of the exact
+  // top-K — read next to s13 (seeded-PQ IVF-PQ) for what fine-half
+  // training buys INSIDE the composition, and next to s15 for what
+  // the coarse restriction costs/saves around the trained ADC.
+  def s26TrainedIvfPqRecall(spark: SparkSession, dir: String): DataFrame =
+    recallOf(s1KnnBrute(spark, dir), s25TrainedIvfPq(spark, dir))
+
+  val s26Sql: String =
+    s"""WITH $codebookCtes,
+       |${exactPairsCte("xpairs")},
+       |${topkCte("xr", "xpairs")},
+       |exact AS (SELECT query_id, neighbor_id FROM xr WHERE rank <= $K),
+       |${graft.operators.vector.VectorOps.pqPickCtes},
+       |${pqTrainedCtesFrom(withQv = false)},
+       |$ivfCoarseCtes,
+       |${pqTrainedAdcCtes("apairs", probed = true)},
+       |${topkCte("ar", "apairs")},
+       |approx AS (SELECT query_id, neighbor_id FROM ar WHERE rank <= $K)
+       |$recallTailSql""".stripMargin
 
   // ---- s20: compressed-domain brute-force kNN over sign codes ----
   // The search half of v5's 1-bit quantization, and the binary-code
@@ -1348,6 +1435,8 @@ object SimilarityOps {
        |$recallTailSql""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s25_trained_ivfpq" -> (s25TrainedIvfPq _),
+    "s26_trained_ivfpq_recall" -> (s26TrainedIvfPqRecall _),
     "s22_truncated_knn" -> (s22TruncatedKnn _),
     "s23_rerank" -> (s23Rerank _),
     "s24_rerank_recall" -> (s24RerankRecall _),
@@ -1374,6 +1463,8 @@ object SimilarityOps {
     "s7_ivf_trained" -> (s7IvfTrained _))
 
   val oracles: Map[String, String] = Map(
+    "s25_trained_ivfpq" -> s25Sql,
+    "s26_trained_ivfpq_recall" -> s26Sql,
     "s22_truncated_knn" -> s22Sql,
     "s23_rerank" -> s23Sql,
     "s24_rerank_recall" -> s24Sql,

@@ -69,6 +69,28 @@ class Round7OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(nWindows == nHours)
   }
 
+  test("s25: probing every cluster collapses trained IVF-PQ to the trained full ADC scan") {
+    val dir = "/root/testdata/sf0.001"
+    def keyed(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getLong(0), r.getInt(3)) -> (r.getLong(1), r.getDouble(2))).toMap
+    val all = keyed(SimilarityOps.s25TrainedIvfPqWith(spark, dir, nprobe = 16))
+    val full = keyed(SimilarityOps.pqTrainedKnn(spark, dir))
+    assert(all.nonEmpty && all == full,
+      "nprobe = #clusters must erase the coarse restriction bit-for-bit")
+  }
+
+  test("d14: the cross-source matrix partitions d4's verified pair set") {
+    val dir = "/root/testdata/sf0.001"
+    val matrix = graft.operators.dedup.DedupOps.d14CrossSourceDup(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val nPairs = graft.operators.dedup.DedupOps.d4NgramJaccard(spark, dir).count()
+    assert(matrix.map(_._3).sum == nPairs,
+      "every verified pair lands in exactly one (source_a, source_b) cell")
+    matrix.foreach { case (a, b, _) =>
+      assert(a <= b, "pair direction must be normalized (least, greatest)")
+    }
+  }
+
   test("q36: RANGE frame equals an independent per-customer interval recompute") {
     val dir = "/root/testdata/sf0.001"
     val rows = Relational.q36RangeFrames(spark, dir).collect()
