@@ -90,6 +90,39 @@ object EventStreams {
       .writeStream.outputMode("append")
       .foreachBatch((batch: DataFrame, _: Long) => sink(rankWindows(batch, k)))
 
+  /** e13's STREAM MODE: an incremental per-window HLL register sink.
+    * Each micro-batch computes its OWN register table
+    * ([[graft.operators.Relational.hllRegistersOf]] keyed by tumbling
+    * hour) and merges it into a parquet store by cell-wise max — the
+    * e13 merge law as the runtime. Two properties fall out of
+    * max-merge, both spec-pinned (HllStreamSpec):
+    *  - the store after any batch sequence equals the batch registers
+    *    of the union of all input (stream ≡ batch);
+    *  - replaying a batch is a NO-OP (max is absorbing), so the sink
+    *    is exactly-once-equivalent under at-least-once delivery with
+    *    no offset bookkeeping.
+    * Store size is ≤ 64 rows per stream-lifetime hour, regardless of
+    * event volume — the sketch IS the state. The old store is
+    * materialized (localCheckpoint) before the overwrite so the read
+    * and the rewrite of the same path can't race. */
+  def hllRegisterStream(stream: DataFrame, storePath: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val items = batch
+          .select(date_trunc("hour", col("ts")).as("grp"), col("user_id").as("k"))
+        val regs = graft.operators.Relational.hllRegistersOf(items)
+        val merged =
+          if (new java.io.File(storePath).exists())
+            spark.read.parquet(storePath).localCheckpoint()
+              .union(regs)
+              .groupBy(col("grp"), col("bucket")).agg(max(col("m")).as("m"))
+          else regs
+        merged.write.mode("overwrite").parquet(storePath)
+        ()
+      }
+
   /** Interval join: purchase ⋈ clicks of the same user in the 30
     * minutes up to (and including) the purchase. On streams both sides
     * carry watermarks and the time-range bound lets Spark evict join
