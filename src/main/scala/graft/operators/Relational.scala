@@ -1113,8 +1113,120 @@ object Relational {
       |    RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS BIGINT) AS trail30_cents
       |FROM o ORDER BY o_orderkey""".stripMargin
 
+  // ---- q37: Bloom-filter runtime pre-filter (semi-join reduction) ----
+  // Completes the sketch family (q23 KMV: distinct, q31 CMS:
+  // frequency, q33 HLL: cardinality) with MEMBERSHIP — the sketch
+  // that ships as a join runtime filter: build an m-bit Bloom filter
+  // over the dim-side key set, broadcast it, and drop fact rows at
+  // the SCAN, before they reach the join shuffle. Spark has its own
+  // bloom runtime filter; this one is engine-portable, auditable
+  // (every bit position is integer arithmetic the oracle recomputes),
+  // and gated on its real quality numbers: rows pruned, false-positive
+  // count — the m/k knobs priced the way d8/d12 price the LSH bands.
+  //
+  // Build = ONE map-side-combined bit_or aggregate into ≤ 32 rows
+  // (32 × 32-bit words — 32-bit words by d3's convention: bit 63 sign
+  // games differ across engines): O(m) state at ANY build size,
+  // mergeable word-wise like q33's registers. Probe = two broadcast
+  // word lookups per fact row inside the scan's codegen stage; the
+  // fact table never shuffles. Positions come from q33's avalanche
+  // chain (h%1024, (h÷1024)%1024 — double hashing from one 32-bit
+  // hash). At gate scale 662 set bits in 1024 give a measured-honest
+  // ~23% FP rate — both verdict branches live; production sizes m to
+  // n·10 bits for ~1% at k=2.
+  private val BloomBits = 1024
+  def q37BloomFilter(spark: SparkSession, dir: String): DataFrame = {
+    val keys = t(spark, dir, "part").filter(col("p_type") === "PROMO")
+      .select(col("p_partkey").cast("long").as("k")).distinct()
+    val probe = bloomVerdictOf(keys,
+      t(spark, dir, "lineitem").select(col("l_partkey").cast("long").as("k")))
+    probe.agg(count(lit(1)).as("n_probe"),
+      sum(when(col("pass"), 1L).otherwise(0L)).as("n_pass_bloom"),
+      sum(when(col("is_true"), 1L).otherwise(0L)).as("n_true"),
+      sum(when(col("pass") && col("is_true").isNull, 1L).otherwise(0L))
+        .as("n_false_pos"))
+  }
+
+  /** The per-row Bloom verdict over any distinct key frame `keys` and
+    * probe frame (both with a long `k` column): (k, pass, is_true) —
+    * factored so the spec can pin the no-false-negative law (every
+    * member key passes, the property a runtime filter is allowed to
+    * rely on). */
+  def bloomVerdictOf(keys: DataFrame, probeKeys: DataFrame): DataFrame = {
+    def hashed(df: DataFrame): DataFrame = df
+      .withColumn("x0", expr("(k + 1469598103L) % 4294967296L"))
+      .withColumn("x1", expr("(((x0 div 65536) ^ x0) * 73244475L) % 4294967296L"))
+      .withColumn("x2", expr("(((x1 div 65536) ^ x1) * 73244475L) % 4294967296L"))
+      .withColumn("h", expr("(x2 div 65536) ^ x2"))
+      .withColumn("p1", expr(s"h % $BloomBits"))
+      .withColumn("p2", expr(s"(h div $BloomBits) % $BloomBits"))
+    val bloom = hashed(keys)
+      .select(explode(array(col("p1"), col("p2"))).as("pos"))
+      .select(expr("pos div 32").as("word"),
+        expr("shiftleft(cast(1 as bigint), cast(pos % 32 as int))").as("mask"))
+      .groupBy(col("word")).agg(expr("bit_or(mask)").as("bits"))
+    hashed(probeKeys)
+      .join(broadcast(bloom.withColumnRenamed("word", "w1")
+        .withColumnRenamed("bits", "b1")),
+        expr("p1 div 32") === col("w1"), "left_outer")
+      .join(broadcast(bloom.withColumnRenamed("word", "w2")
+        .withColumnRenamed("bits", "b2")),
+        expr("p2 div 32") === col("w2"), "left_outer")
+      .withColumn("pass",
+        (coalesce(col("b1"), lit(0L))
+          .bitwiseAND(expr("shiftleft(cast(1 as bigint), cast(p1 % 32 as int))")) =!= 0L)
+          && (coalesce(col("b2"), lit(0L))
+            .bitwiseAND(expr("shiftleft(cast(1 as bigint), cast(p2 % 32 as int))")) =!= 0L))
+      .join(keys.select(col("k"), lit(true).as("is_true")), Seq("k"), "left_outer")
+      .select(col("k"), col("pass"), col("is_true"))
+  }
+
+  val q37Sql: String =
+    s"""WITH keys AS (
+       |  SELECT DISTINCT CAST(p_partkey AS BIGINT) AS k
+       |  FROM part WHERE p_type = 'PROMO'),
+       |kh AS (
+       |  SELECT k, xor(x2 // 65536, x2) AS h FROM (
+       |    SELECT k, (xor(x1 // 65536, x1) * 73244475) % 4294967296 AS x2 FROM (
+       |      SELECT k, (xor(x0 // 65536, x0) * 73244475) % 4294967296 AS x1 FROM (
+       |        SELECT k, (k + 1469598103) % 4294967296 AS x0 FROM keys)))),
+       |kp AS (
+       |  SELECT k, h % $BloomBits AS p1, (h // $BloomBits) % $BloomBits AS p2
+       |  FROM kh),
+       |bloom AS (
+       |  SELECT pos // 32 AS word,
+       |    bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INTEGER)) AS bits
+       |  FROM (SELECT unnest([p1, p2]) AS pos FROM kp) GROUP BY 1),
+       |lh AS (
+       |  SELECT k, xor(x2 // 65536, x2) AS h FROM (
+       |    SELECT k, (xor(x1 // 65536, x1) * 73244475) % 4294967296 AS x2 FROM (
+       |      SELECT k, (xor(x0 // 65536, x0) * 73244475) % 4294967296 AS x1 FROM (
+       |        SELECT k, (k + 1469598103) % 4294967296 AS x0 FROM (
+       |          SELECT CAST(l_partkey AS BIGINT) AS k FROM lineitem))))),
+       |lp AS (
+       |  SELECT k, h % $BloomBits AS p1, (h // $BloomBits) % $BloomBits AS p2
+       |  FROM lh),
+       |verdict AS (
+       |  SELECT lp.k,
+       |    (coalesce(b1.bits, 0) & (CAST(1 AS BIGINT) << CAST(p1 % 32 AS INTEGER))) != 0
+       |      AND
+       |    (coalesce(b2.bits, 0) & (CAST(1 AS BIGINT) << CAST(p2 % 32 AS INTEGER))) != 0
+       |      AS pass,
+       |    t.is_true
+       |  FROM lp
+       |  LEFT JOIN bloom b1 ON p1 // 32 = b1.word
+       |  LEFT JOIN bloom b2 ON p2 // 32 = b2.word
+       |  LEFT JOIN (SELECT k, true AS is_true FROM keys) t ON lp.k = t.k)
+       |SELECT count(*) AS n_probe,
+       |  CAST(sum(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_bloom,
+       |  CAST(sum(CASE WHEN is_true THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+       |  CAST(sum(CASE WHEN pass AND is_true IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_false_pos
+       |FROM verdict""".stripMargin
+
   /** queries-map fragment: name → builder */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q37_bloom_filter" -> (q37BloomFilter _),
     "q36_range_frames" -> (q36RangeFrames _),
     "q35_unpivot" -> (q35Unpivot _),
     "q34_top_per_group" -> (q34TopPerGroup _),
@@ -1154,6 +1266,7 @@ object Relational {
 
   /** oracle-map fragment: name → DuckDB SQL */
   val oracles: Map[String, String] = Map(
+    "q37_bloom_filter" -> q37Sql,
     "q36_range_frames" -> q36Sql,
     "q35_unpivot" -> q35Sql,
     "q34_top_per_group" -> q34Sql,

@@ -37,7 +37,7 @@ object DedupOps {
 
   // ---- shared shingle features (word-3-shingles, arithmetic-hashed) ----
   // word value: length + first/last char codes; shingle: base-131 combo.
-  private val wvsExpr =
+  private[operators] val wvsExpr =
     """transform(split(text, ' '),
       |  w -> (cast(length(w) as bigint)*31 + ascii(substring(w,1,1)))*31
       |       + ascii(substring(w,-1,1)))""".stripMargin
@@ -677,13 +677,13 @@ object DedupOps {
   // JOIN key AQE skew-splits, not a window partition it can't;
   // (3) the per-doc rollup. No suffix array, no sort of the corpus —
   // the hash join IS the suffix-match at fixed span length.
-  private val SpanN = 8
+  private[operators] val SpanN = 8
 
   /** Positional span hashes of each ≥SpanN-word doc: spans[i] =
     * fold(base 131, wvs[i..i+SpanN-1]) mod 2^31-1 — each step stays
     * < 2^31·131, so the Long arithmetic cannot wrap and the DuckDB
     * fold is bit-identical. */
-  private val spanHashesExpr =
+  private[operators] val spanHashesExpr =
     s"""transform(sequence(1, size(wvs) - ${SpanN - 1}), i ->
        |  aggregate(sequence(i, i + ${SpanN - 1}), cast(0 as bigint),
        |    (a, j) -> (a*131 + element_at(wvs, j)) % 2147483647))""".stripMargin

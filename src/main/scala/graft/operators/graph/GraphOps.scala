@@ -1511,7 +1511,70 @@ object GraphOps {
        |ORDER BY node_id""".stripMargin
   }
 
+  // ---- g24: degree assortativity (Newman 2002) ----
+  // The one-number mixing summary a graph report prints next to the
+  // degree distribution (g2): the Pearson correlation of deg(src) vs
+  // deg(dst) over the symmetric edge list — positive = hubs attach to
+  // hubs (social), negative = hubs attach to leaves (star/bipartite
+  // derivations like ours). NOT the built-in `corr` (IEEE
+  // running-moment accumulation is partitioning-dependent): q32's
+  // exact-power-sum machinery — one V-row degree aggregate joined
+  // into both edge endpoints (src side rides sym's cached
+  // partitioning; the dst side is the one E-row shuffle), then six
+  // DECIMAL(38,0) power sums map-side-combined into a single cell,
+  // and ONE fixed-shape double expression per statistic (bit-exact on
+  // both engines, deterministic under any partitioning). Degrees on a
+  // 100 TB graph reach ~1e8 ⇒ Σx² terms ~1e16·|E|, far past BIGINT —
+  // the decimal accumulator is the same overflow discipline as q32's.
+  def g24Assortativity(spark: SparkSession, dir: String): DataFrame =
+    assortativityOf(withSym(spark, dir))
+
+  /** The assortativity aggregate over any symmetric (src, dst) edge
+    * list — factored so the spec can pin hand graphs (a star is
+    * exactly −1). */
+  def assortativityOf(sym: DataFrame): DataFrame = {
+    val deg = sym.groupBy(col("src").as("id")).agg(count(lit(1)).as("d"))
+    val xy = sym
+      .join(deg.withColumnRenamed("id", "src").withColumnRenamed("d", "x"), Seq("src"))
+      .join(deg.withColumnRenamed("id", "dst").withColumnRenamed("d", "y"), Seq("dst"))
+    def dsum(e: org.apache.spark.sql.Column) = sum(e.cast("decimal(38,0)"))
+    val g = xy.agg(count(lit(1)).as("n"),
+      dsum(col("x")).as("sx"), dsum(col("y")).as("sy"),
+      dsum(col("x") * col("x")).as("sxx"),
+      dsum(col("y") * col("y")).as("syy"),
+      dsum(col("x") * col("y")).as("sxy"))
+    val nD = col("n").cast("double")
+    def d(c: String) = col(c).cast("double")
+    val num = nD * d("sxy") - d("sx") * d("sy")
+    val varx = nD * d("sxx") - d("sx") * d("sx")
+    val vary = nD * d("syy") - d("sy") * d("sy")
+    g.select(col("n").as("n_edges"),
+      (num / when(sqrt(varx) * sqrt(vary) =!= 0.0, sqrt(varx) * sqrt(vary)))
+        .as("assortativity"))
+  }
+
+  val g24Sql: String =
+    s"""WITH ${GraphTables.symSqlCtes},
+       |deg AS (SELECT src AS id, count(*) AS d FROM sym GROUP BY src),
+       |xy AS (
+       |  SELECT dx.d AS x, dy.d AS y
+       |  FROM sym e JOIN deg dx ON e.src = dx.id JOIN deg dy ON e.dst = dy.id),
+       |s AS (
+       |  SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+       |    sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+       |  FROM xy)
+       |SELECT n AS n_edges,
+       |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+       |     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       |    / NULLIF(sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+       |            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+       |       * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+       |              - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)), 0.0)
+       |    AS assortativity
+       |FROM s""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g24_assortativity" -> (g24Assortativity _),
     "g23_hits" -> (g23Hits _),
     "g18_harmonic" -> (g18HarmonicCentrality _),
     "g19_clustering_coeff" -> (g19ClusteringCoeff _),
@@ -1537,6 +1600,7 @@ object GraphOps {
     "g9_checkpoint_roundtrip" -> (g9CheckpointRoundtrip _))
 
   val oracles: Map[String, String] = Map(
+    "g24_assortativity" -> g24Sql,
     "g23_hits" -> g23Sql,
     "g10_components" -> g10Sql,
     "g11_components_converged" -> g11Sql,

@@ -290,9 +290,11 @@ object MultimodalOps {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  val m5Sql: String = {
+  /** DuckDB CTEs mirroring [[aHashes]] (view `ah`: doc_id, ah_lo,
+    * ah_hi) — shared by m5's pair oracle and m8's recall gauge. */
+  private val aHashSqlCtes: String = {
     val nb = AHashBlocks
-    s"""WITH sized AS (
+    s"""sized AS (
        |  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n
        |  FROM documents WHERE length(text) >= $nb),
        |jx AS (
@@ -318,8 +320,13 @@ object MultimodalOps {
        |    CAST(sum(CASE WHEN b >= 32 AND bsum * n > total * blen
        |                  THEN CAST(1 AS BIGINT) << (CAST(b AS INTEGER) - 32)
        |                  ELSE 0 END) AS BIGINT) AS ah_hi
-       |  FROM tot GROUP BY doc_id),
-       |chunks0 AS (
+       |  FROM tot GROUP BY doc_id)""".stripMargin
+  }
+
+  /** DuckDB CTEs for m5's capped chunk-bucket candidate pass over
+    * `ah` (view `m5pairs`: the verified hamming-≤-max pair set). */
+  private val aHashPairSqlCtes: String =
+    s"""chunks0 AS (
        |  SELECT doc_id, ah_lo, ah_hi, c AS cpos,
        |    CASE c WHEN 0 THEN ah_lo % 65536 WHEN 1 THEN ah_lo // 65536
        |           WHEN 2 THEN ah_hi % 65536 ELSE ah_hi // 65536 END AS cval
@@ -327,15 +334,20 @@ object MultimodalOps {
        |ok_chunks AS (
        |  SELECT cpos, cval FROM chunks0 GROUP BY cpos, cval
        |  HAVING count(*) <= $AHashMaxBucket),
-       |chunks AS (SELECT c.* FROM chunks0 c JOIN ok_chunks USING (cpos, cval))
-       |SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
-       |  bit_count(xor(x.ah_lo, y.ah_lo)) + bit_count(xor(x.ah_hi, y.ah_hi)) AS hamming
-       |FROM chunks x JOIN chunks y
-       |  ON x.cpos = y.cpos AND x.cval = y.cval AND x.doc_id < y.doc_id
-       |WHERE bit_count(xor(x.ah_lo, y.ah_lo)) + bit_count(xor(x.ah_hi, y.ah_hi))
-       |      <= $AHashHamMax
+       |chunks AS (SELECT c.* FROM chunks0 c JOIN ok_chunks USING (cpos, cval)),
+       |m5pairs AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       |    bit_count(xor(x.ah_lo, y.ah_lo)) + bit_count(xor(x.ah_hi, y.ah_hi)) AS hamming
+       |  FROM chunks x JOIN chunks y
+       |    ON x.cpos = y.cpos AND x.cval = y.cval AND x.doc_id < y.doc_id
+       |  WHERE bit_count(xor(x.ah_lo, y.ah_lo)) + bit_count(xor(x.ah_hi, y.ah_hi))
+       |        <= $AHashHamMax)""".stripMargin
+
+  val m5Sql: String =
+    s"""WITH $aHashSqlCtes,
+       |$aHashPairSqlCtes
+       |SELECT doc_a, doc_b, hamming FROM m5pairs
        |ORDER BY doc_a, doc_b""".stripMargin
-  }
 
   // ---- m6: shot-boundary detection over the "video" payload ----
   // The temporal-segmentation step of a video pipeline: per
@@ -471,7 +483,55 @@ object MultimodalOps {
        |FROM cnt c LEFT JOIN mr ON c.doc_id = mr.doc_id
        |ORDER BY c.doc_id""".stripMargin
 
+  // ---- m8: recall gauge of m5's chunk-bucket candidate pass ----
+  // The m5 Scaladoc promises exactly this: beyond the pigeonhole
+  // hamming-≤-3 guarantee, HamMax-16 chunk buckets are an honest
+  // PARTIAL-recall candidate generator — so measure the miss rate the
+  // way d8 does for d5's bands. Ground truth: for a deterministic
+  // probe sample (doc_id % 20 = 0 — 25 probes at gate scale), ALL
+  // true hamming-≤-HamMax neighbors via a broadcast probe × linear
+  // aHash scan (two codegen'd bit_counts per candidate, |probes|·N
+  // rows — the evaluator itself holds at 100 TB, never all-pairs).
+  // Approx side: m5's verified pair set oriented probe-outward.
+  // Shares [[SimilarityOps.recallOf]] (K·|probes|-bounded join +
+  // per-probe aggregate) with d8/s8/s9 — one evaluator machinery for
+  // every candidate-generation family. The recall number is what the
+  // 4×16-bit chunking and AHashMaxBucket now price against; a pixel
+  // pipeline re-tunes HamMax with the same gauge.
+  def m8AhashRecall(spark: SparkSession, dir: String): DataFrame = {
+    val ah = aHashes(spark, dir)
+    val probes = ah.filter(col("doc_id") % 20 === 0)
+    val ham = expr("bit_count(p.ah_lo ^ c.ah_lo)") +
+      expr("bit_count(p.ah_hi ^ c.ah_hi)")
+    val exact = broadcast(probes.as("p"))
+      .join(ah.as("c"), col("p.doc_id") =!= col("c.doc_id"))
+      .filter(ham <= AHashHamMax)
+      .select(col("p.doc_id").as("query_id"), col("c.doc_id").as("neighbor_id"))
+    val found = m5AHashDup(spark, dir)
+    val approx = found.filter(col("doc_a") % 20 === 0)
+      .select(col("doc_a").as("query_id"), col("doc_b").as("neighbor_id"))
+      .union(found.filter(col("doc_b") % 20 === 0)
+        .select(col("doc_b").as("query_id"), col("doc_a").as("neighbor_id")))
+    graft.operators.similarity.SimilarityOps.recallOf(exact, approx)
+  }
+
+  val m8Sql: String =
+    s"""WITH $aHashSqlCtes,
+       |$aHashPairSqlCtes,
+       |exact AS (
+       |  SELECT p.doc_id AS query_id, c.doc_id AS neighbor_id
+       |  FROM ah p JOIN ah c ON p.doc_id % 20 = 0 AND p.doc_id != c.doc_id
+       |  WHERE bit_count(xor(p.ah_lo, c.ah_lo)) + bit_count(xor(p.ah_hi, c.ah_hi))
+       |        <= $AHashHamMax),
+       |approx AS (
+       |  SELECT doc_a AS query_id, doc_b AS neighbor_id FROM m5pairs
+       |  WHERE doc_a % 20 = 0
+       |  UNION ALL
+       |  SELECT doc_b, doc_a FROM m5pairs WHERE doc_b % 20 = 0)
+       |${graft.operators.similarity.SimilarityOps.recallTailSql}""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m8_ahash_recall" -> (m8AhashRecall _),
     "m7_silence_detect" -> (m7SilenceDetect _),
     "m6_shot_detect" -> (m6ShotDetect _),
     "m5_ahash_dup" -> (m5AHashDup _),
@@ -481,6 +541,7 @@ object MultimodalOps {
     "m3_frame_sample" -> (m3FrameSample _))
 
   val oracles: Map[String, String] = Map(
+    "m8_ahash_recall" -> m8Sql,
     "m7_silence_detect" -> m7Sql,
     "m6_shot_detect" -> m6Sql,
     "m5_ahash_dup" -> m5Sql,

@@ -1434,7 +1434,65 @@ object SimilarityOps {
        |approx AS (SELECT query_id, neighbor_id FROM ar WHERE rank <= $K)
        |$recallTailSql""".stripMargin
 
+  // ---- s27: kNN classification (majority vote over exact neighbors) ----
+  // The evaluation loop every embedding pipeline runs on its vectors:
+  // predict each query's label by the majority label of its K exact
+  // nearest neighbors and compare to the query's own label — the kNN
+  // classifier / label-noise audit (a label whose own neighborhood
+  // outvotes it is a candidate mislabel). Rides s1's exact machinery
+  // (broadcast queries × corpus scan, bounded top-K aggregate), then
+  // two bounded steps over the K·|queries| neighbor rows: one count
+  // per (query, label) and one min-struct argmax — majority with ties
+  // to the SMALLER label (g17's deterministic-LPA convention), so the
+  // vote is engine-exact with no arbitrary tie. Nothing beyond the
+  // K·|queries| rows ever shuffles; the verdict is one broadcast join
+  // back to the query labels.
+  def s27KnnClassify(spark: SparkSession, dir: String): DataFrame = {
+    val e = VectorExprs.embFeatures(spark, dir)
+    knnClassifyOf(s1KnnBrute(spark, dir), e.select(col("vec_id"), col("label")))
+  }
+
+  /** The vote + verdict over any (query_id, neighbor_id) neighbor
+    * table and (vec_id, label) label table — factored so the spec can
+    * pin the majority rule and the ties-to-smaller-label convention on
+    * hand-built neighborhoods. */
+  def knnClassifyOf(neighbors: DataFrame, labels: DataFrame): DataFrame = {
+    val votes = neighbors
+      .join(labels.withColumnRenamed("vec_id", "neighbor_id"), Seq("neighbor_id"))
+      .groupBy(col("query_id"), col("label"))
+      .agg(count(lit(1)).as("n_votes"))
+    val pred = votes.groupBy(col("query_id"))
+      .agg(min(struct((-col("n_votes")).as("neg"), col("label")))
+        .as("best"))
+      .select(col("query_id"), col("best.label").as("pred_label"),
+        (-col("best.neg")).as("n_votes"))
+    pred.join(labels.withColumnRenamed("vec_id", "query_id"), Seq("query_id"))
+      .select(col("query_id"), col("label").as("true_label"),
+        col("pred_label"), col("n_votes"),
+        (col("pred_label") === col("label")).as("correct"))
+      .orderBy(col("query_id"))
+  }
+
+  val s27Sql: String =
+    s"""WITH ${VectorExprs.embCtes},
+       |${exactPairsCte("pairs")},
+       |${topkCte("r", "pairs")},
+       |votes AS (
+       |  SELECT r.query_id, c.label, count(*) AS n_votes
+       |  FROM r JOIN eb c ON r.neighbor_id = c.vec_id
+       |  WHERE r.rank <= $K GROUP BY 1, 2),
+       |pred AS (
+       |  SELECT query_id, label AS pred_label, n_votes,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY n_votes DESC, label) AS vr
+       |  FROM votes)
+       |SELECT p.query_id, q.label AS true_label, p.pred_label,
+       |  p.n_votes, p.pred_label = q.label AS correct
+       |FROM pred p JOIN eb q ON p.query_id = q.vec_id
+       |WHERE p.vr = 1 ORDER BY p.query_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s27_knn_classify" -> (s27KnnClassify _),
     "s25_trained_ivfpq" -> (s25TrainedIvfPq _),
     "s26_trained_ivfpq_recall" -> (s26TrainedIvfPqRecall _),
     "s22_truncated_knn" -> (s22TruncatedKnn _),
@@ -1463,6 +1521,7 @@ object SimilarityOps {
     "s7_ivf_trained" -> (s7IvfTrained _))
 
   val oracles: Map[String, String] = Map(
+    "s27_knn_classify" -> s27Sql,
     "s25_trained_ivfpq" -> s25Sql,
     "s26_trained_ivfpq_recall" -> s26Sql,
     "s22_truncated_knn" -> s22Sql,

@@ -743,7 +743,96 @@ object TextOps {
       |  CAST(sum(n_chars) AS BIGINT) AS total_chars
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
+  // ---- t17: winnowing fingerprint selection (Schleimer et al. 2003) ----
+  // The MOSS algorithm: from d10's positional span hashes, keep per
+  // sliding window of WinW consecutive spans the MINIMUM hash
+  // (rightmost on ties) — a deterministic O(n/WinW) fingerprint subset
+  // with the guarantee that any shared run of ≥ SpanN+WinW-1 words
+  // contributes at least one COMMON selected fingerprint. This is how
+  // substring-level dedup ships when the full span table (d10) is too
+  // big to join at corpus scale: store only the winnowed set.
+  //
+  // The window min is computed over key = h·2^22 + (2^22−1−pos):
+  // lexicographic (h asc, pos desc) in ONE integer — min picks the
+  // smallest hash, rightmost position on ties, identically on both
+  // engines (h < 2^31 ⇒ key < 2^53; pos < 2^22 bounds docs at 4M
+  // words — far above any real document). One linear span explode
+  // (like d10), one per-doc bounded window (rows = spans per doc, the
+  // m3/m5/m6 class — grows with the doc, never the corpus), one
+  // distinct + rollup. Checksum folds mod 2^31−1 BEFORE summing so
+  // the sum stays < 2^51 at any doc length.
+  private val WinW = 4
+  def t17Winnowing(spark: SparkSession, dir: String): DataFrame =
+    winnowingOf(docs(spark, dir))
+
+  /** The selected fingerprint set (doc_id, m, sel) of any (doc_id,
+    * text) frame — sel encodes (h, pos) as h·2^22 + (2^22−1−pos).
+    * Exposed so the spec can pin the winnowing guarantee (overlapping
+    * docs share a fingerprint; every window is covered). */
+  def winnowedOf(d: DataFrame): DataFrame = {
+    import graft.operators.dedup.DedupOps
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos")).rowsBetween(0, WinW - 1)
+    d.filter(size(split(col("text"), " ")) >= DedupOps.SpanN)
+      .withColumn("wvs", expr(DedupOps.wvsExpr))
+      .withColumn("hs", expr(DedupOps.spanHashesExpr))
+      .select(col("doc_id"), size(col("hs")).cast("long").as("m"),
+        posexplode(col("hs")).as(Seq("p", "h")))
+      .withColumn("pos", (col("p") + 1).cast("long"))
+      .withColumn("key",
+        col("h") * lit(4194304L) + (lit(4194303L) - col("pos")))
+      .withColumn("sel", min(col("key")).over(w))
+      .filter(col("pos") <= greatest(col("m") - (WinW - 1), lit(1L)))
+      .select(col("doc_id"), col("m"), col("sel")).distinct()
+  }
+
+  /** The winnowing rollup over any (doc_id, text) frame. */
+  def winnowingOf(d: DataFrame): DataFrame =
+    winnowedOf(d).groupBy(col("doc_id"), col("m"))
+      .agg(count(lit(1)).as("n_fp"),
+        (sum(col("sel") % 2147483647L) % 2147483647L).cast("long")
+          .as("fp_checksum"))
+      .select(col("doc_id"), col("m").as("n_spans"), col("n_fp"),
+        expr("1000000 * n_fp div n_spans").as("density_ppm"),
+        col("fp_checksum"))
+      .orderBy(col("doc_id"))
+
+  val t17Sql: String = {
+    val sn = graft.operators.dedup.DedupOps.SpanN
+    s"""WITH wv AS (
+       |  SELECT doc_id,
+       |    list_transform(string_split(text,' '),
+       |      w -> (CAST(length(w) AS BIGINT)*31 + ascii(substr(w,1,1)))*31
+       |           + ascii(substr(w,-1,1))) AS wvs
+       |  FROM documents WHERE len(string_split(text,' ')) >= $sn),
+       |sp0 AS (
+       |  SELECT doc_id, CAST(len(wvs) - ${sn - 1} AS BIGINT) AS m,
+       |    unnest([ {'pos': CAST(i AS BIGINT),
+       |              'h': list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |                [ wvs[j] for j in generate_series(i, i + ${sn - 1}) ]),
+       |                (a, x) -> (a*131 + x) % 2147483647) }
+       |      for i in generate_series(1, len(wvs) - ${sn - 1}) ]) AS s
+       |  FROM wv),
+       |sp AS (
+       |  SELECT doc_id, m, s.pos AS pos,
+       |    s.h * 4194304 + (4194303 - s.pos) AS key
+       |  FROM sp0),
+       |wmin AS (
+       |  SELECT doc_id, m, pos,
+       |    min(key) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN CURRENT ROW AND ${WinW - 1} FOLLOWING) AS sel
+       |  FROM sp),
+       |fp AS (
+       |  SELECT DISTINCT doc_id, m, sel FROM wmin
+       |  WHERE pos <= greatest(m - ${WinW - 1}, 1))
+       |SELECT doc_id, m AS n_spans, count(*) AS n_fp,
+       |  1000000 * count(*) // m AS density_ppm,
+       |  CAST(sum(sel % 2147483647) % 2147483647 AS BIGINT) AS fp_checksum
+       |FROM fp GROUP BY doc_id, m ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t17_winnowing" -> (t17Winnowing _),
     "t16_length_percentiles" -> (t16LengthPercentiles _),
     "t15_bigram_coverage" -> (t15BigramCoverage _),
     "t13_redact" -> (t13Redact _),
@@ -762,6 +851,7 @@ object TextOps {
     "t9_curation_pipeline" -> (t9CurationPipeline _))
 
   val oracles: Map[String, String] = Map(
+    "t17_winnowing" -> t17Sql,
     "t16_length_percentiles" -> t16Sql,
     "t15_bigram_coverage" -> t15Sql,
     "t13_redact" -> t13Sql,

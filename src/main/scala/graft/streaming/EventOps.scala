@@ -406,7 +406,71 @@ object EventOps {
     "events", "date_trunc('hour', ts)", "CAST(user_id AS BIGINT)",
     "window_start")
 
+  // ---- e14: session-length distribution (the engagement report) ----
+  // The report read off e3's sessionization: how long and how heavy
+  // sessions are, by session-size band (singletons behave nothing
+  // like 5+-event sessions — mixing them hides both). Rides the SAME
+  // `EventStreams.sessions` transform the streaming runtime uses, so
+  // the gate keeps validating the streaming sessionizer; then q24's
+  // percentile_disc machinery (an actual data value — bit-exact, no
+  // interpolation) over integer second durations. Only (band,
+  // duration, n_events) triples shuffle into the percentile sort —
+  // bounded by session count, never event volume; the band vocabulary
+  // fixes the output at ≤ 3 rows at any scale.
+  def e14SessionStats(spark: SparkSession, dir: String): DataFrame =
+    EventStreams.sessions(events(spark, dir))
+      .select(
+        when(col("n_events") === 1, "1")
+          .when(col("n_events") <= 4, "2-4").otherwise("5+").as("band"),
+        (unix_timestamp(col("session_end")) - lit(1800L)
+          - unix_timestamp(col("session_start"))).as("dur_sec"),
+        col("n_events"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_sessions"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY dur_sec)")
+          .cast("long").as("p50_dur_sec"),
+        expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY dur_sec)")
+          .cast("long").as("p90_dur_sec"),
+        expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY dur_sec)")
+          .cast("long").as("p99_dur_sec"),
+        expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY n_events)")
+          .cast("long").as("p90_events"))
+      .orderBy(col("band"))
+
+  // Oracle: e3's gaps-and-islands CTEs (same session rule, same
+  // boundary semantics) + quantile_disc per band.
+  val e14Sql: String =
+    """WITH marked AS (
+      |  SELECT user_id, ts,
+      |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+      |           OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+      |              > INTERVAL 30 MINUTE
+      |         THEN 1 ELSE 0 END AS is_new
+      |  FROM events),
+      |islands AS (
+      |  SELECT user_id, ts,
+      |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+      |                      ROWS UNBOUNDED PRECEDING) AS session_id
+      |  FROM marked),
+      |sess AS (
+      |  SELECT user_id, session_id,
+      |    date_diff('second', min(ts), max(ts)) AS dur_sec,
+      |    count(*) AS n_events
+      |  FROM islands GROUP BY user_id, session_id),
+      |banded AS (
+      |  SELECT CASE WHEN n_events = 1 THEN '1'
+      |              WHEN n_events <= 4 THEN '2-4' ELSE '5+' END AS band,
+      |    dur_sec, n_events
+      |  FROM sess)
+      |SELECT band, count(*) AS n_sessions,
+      |  quantile_disc(dur_sec, 0.5) AS p50_dur_sec,
+      |  quantile_disc(dur_sec, 0.9) AS p90_dur_sec,
+      |  quantile_disc(dur_sec, 0.99) AS p99_dur_sec,
+      |  quantile_disc(n_events, 0.9) AS p90_events
+      |FROM banded GROUP BY band ORDER BY band""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e14_session_stats" -> (e14SessionStats _),
     "e13_hll_window" -> (e13HllWindow _),
     "e12_enrich" -> (e12Enrich _),
     "e11_anomaly" -> (e11Anomaly _),
@@ -422,6 +486,7 @@ object EventOps {
     "e8_funnel" -> (e8Funnel _))
 
   val oracles: Map[String, String] = Map(
+    "e14_session_stats" -> e14Sql,
     "e13_hll_window" -> e13Sql,
     "e12_enrich" -> e12Sql,
     "e11_anomaly" -> e11Sql,
