@@ -767,10 +767,10 @@ object Relational {
   // The row hashes are the shared (k + r·131)·2654435761 integer
   // construction (exact on both engines; products stay < 2^63 for
   // keys < ~3.4e9 — at larger key domains widen to the 128-bit hash).
-  private val CmsRows = 4
-  private val CmsWidth = 64
+  private[graft] val CmsRows = 4
+  private[graft] val CmsWidth = 64
 
-  private def cmsBucket(kCol: String, rCol: String): String =
+  private[graft] def cmsBucket(kCol: String, rCol: String): String =
     s"(($kCol + $rCol * 131) * 2654435761L) % 1000003 % $CmsWidth"
 
   def q31CountMin(spark: SparkSession, dir: String): DataFrame = {
@@ -1177,7 +1177,8 @@ object Relational {
           .bitwiseAND(expr("shiftleft(cast(1 as bigint), cast(p1 % 32 as int))")) =!= 0L)
           && (coalesce(col("b2"), lit(0L))
             .bitwiseAND(expr("shiftleft(cast(1 as bigint), cast(p2 % 32 as int))")) =!= 0L))
-      .join(keys.select(col("k"), lit(true).as("is_true")), Seq("k"), "left_outer")
+      .join(broadcast(keys.select(col("k"), lit(true).as("is_true"))),
+        Seq("k"), "left_outer")
       .select(col("k"), col("pass"), col("is_true"))
   }
 

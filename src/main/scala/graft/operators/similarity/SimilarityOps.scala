@@ -1491,7 +1491,96 @@ object SimilarityOps {
        |FROM pred p JOIN eb q ON p.query_id = q.vec_id
        |WHERE p.vr = 1 ORDER BY p.query_id""".stripMargin
 
+  // ---- s28: nearest-centroid classification (Rocchio) ----
+  // The classifier that pairs with s27's kNN vote: predict each
+  // query's label by the most-similar LABEL CENTROID — one prototype
+  // per class, the shape that serves classification at 100 TB because
+  // inference touches |labels| prototypes instead of K neighbors from
+  // a corpus scan. Key identity: cosine to the MEAN equals cosine to
+  // the SUM (the 1/n scaling cancels in the angle), so no centroid
+  // division ever happens — the per-label dim sums from ONE
+  // map-side-combined aggregate over the exploded micro-unit vectors
+  // (s5's Lloyd-update relational shape, |labels|·64 cells) ARE the
+  // prototypes. Every dot/norm accumulates in DECIMAL(38,0) (qd·s
+  // reaches ~1e21 at billion-row labels — past BIGINT, inside 38
+  // digits; DuckDB runs HUGEINT), and the cosine is ONE fixed-shape
+  // double expression over exact integers — bit-identical on both
+  // engines (oracle casts via the VARCHAR hop, the round-5 lesson).
+  // Train/query split: corpus vec_id ≥ 10 trains, s1's 10 query
+  // vectors classify; ties to the smaller label like s27.
+  def s28CentroidClassify(spark: SparkSession, dir: String): DataFrame = {
+    val e = VectorExprs.embFeatures(spark, dir)
+      .select(col("vec_id"), col("label"),
+        expr("transform(vd, x -> cast(round(x * 1000000) as bigint))").as("qv"))
+    centroidClassifyOf(e.filter(col("vec_id") < 10), e.filter(col("vec_id") >= 10))
+  }
+
+  /** The Rocchio verdict over any (vec_id, label, qv: array<bigint>)
+    * query/train frames — factored so the spec can pin the
+    * cosine-to-sum ≡ cosine-to-mean identity and the tie rule on hand
+    * prototypes. */
+  def centroidClassifyOf(queries: DataFrame, train: DataFrame): DataFrame = {
+    val dims = train
+      .select(col("label"), posexplode(col("qv")).as(Seq("d", "v")))
+    val sums = dims.groupBy(col("label"), col("d"))
+      .agg(sum(expr("cast(v as decimal(38,0))")).as("s"))
+    val norms = sums.groupBy(col("label"))
+      .agg(sum(col("s") * col("s")).as("ss2"))
+    val qdims = queries
+      .select(col("vec_id").as("query_id"), col("label").as("true_label"),
+        posexplode(col("qv")).as(Seq("d", "qd")))
+    val qnorm = qdims.groupBy(col("query_id"))
+      .agg(sum(expr("cast(qd as decimal(38,0)) * cast(qd as decimal(38,0))"))
+        .as("qs2"))
+    val dots = qdims
+      .join(broadcast(sums.withColumnRenamed("label", "clabel")), Seq("d"))
+      .groupBy(col("query_id"), col("true_label"), col("clabel"))
+      .agg(sum(expr("cast(qd as decimal(38,0)) * s")).as("dot"))
+    dots.join(qnorm, Seq("query_id"))
+      .join(broadcast(norms.withColumnRenamed("label", "clabel")), Seq("clabel"))
+      .withColumn("cos", col("dot").cast("double") /
+        (sqrt(col("qs2").cast("double")) * sqrt(col("ss2").cast("double"))))
+      .groupBy(col("query_id"), col("true_label"))
+      .agg(min(struct((-col("cos")).as("ns"), col("clabel").as("lbl"))).as("pick"))
+      .select(col("query_id"), col("true_label"),
+        col("pick.lbl").as("pred_label"),
+        (col("pick.lbl") === col("true_label")).as("correct"))
+      .orderBy(col("query_id"))
+  }
+
+  val s28Sql: String =
+    s"""WITH ${VectorExprs.embCtes},
+       |qvv AS (SELECT vec_id, label,
+       |  [CAST(round(x * 1000000) AS BIGINT) for x in vd] AS qv FROM eb),
+       |dims AS (
+       |  SELECT label, d, CAST(qv[d] AS HUGEINT) AS v
+       |  FROM qvv, generate_series(1, 64) g(d) WHERE vec_id >= 10),
+       |sums AS (SELECT label, d, sum(v) AS s FROM dims GROUP BY 1, 2),
+       |norms AS (SELECT label, sum(s * s) AS ss2 FROM sums GROUP BY 1),
+       |qd AS (
+       |  SELECT vec_id AS query_id, label AS true_label, d,
+       |    CAST(qv[d] AS HUGEINT) AS q
+       |  FROM qvv, generate_series(1, 64) g(d) WHERE vec_id < 10),
+       |qn AS (SELECT query_id, sum(q * q) AS qs2 FROM qd GROUP BY 1),
+       |dots AS (
+       |  SELECT qd.query_id, qd.true_label, s.label AS clabel,
+       |    sum(q * s.s) AS dot
+       |  FROM qd JOIN sums s ON qd.d = s.d GROUP BY 1, 2, 3),
+       |sc AS (
+       |  SELECT d.query_id, d.true_label, d.clabel,
+       |    CAST(CAST(d.dot AS VARCHAR) AS DOUBLE)
+       |      / (sqrt(CAST(CAST(qn.qs2 AS VARCHAR) AS DOUBLE))
+       |         * sqrt(CAST(CAST(n.ss2 AS VARCHAR) AS DOUBLE))) AS cos
+       |  FROM dots d JOIN qn USING (query_id)
+       |  JOIN norms n ON n.label = d.clabel),
+       |p AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |  ORDER BY cos DESC, clabel) AS rn FROM sc)
+       |SELECT query_id, true_label, clabel AS pred_label,
+       |  clabel = true_label AS correct
+       |FROM p WHERE rn = 1 ORDER BY query_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s28_centroid_classify" -> (s28CentroidClassify _),
     "s27_knn_classify" -> (s27KnnClassify _),
     "s25_trained_ivfpq" -> (s25TrainedIvfPq _),
     "s26_trained_ivfpq_recall" -> (s26TrainedIvfPqRecall _),
@@ -1521,6 +1610,7 @@ object SimilarityOps {
     "s7_ivf_trained" -> (s7IvfTrained _))
 
   val oracles: Map[String, String] = Map(
+    "s28_centroid_classify" -> s28Sql,
     "s27_knn_classify" -> s27Sql,
     "s25_trained_ivfpq" -> s25Sql,
     "s26_trained_ivfpq_recall" -> s26Sql,

@@ -469,7 +469,77 @@ object EventOps {
       |  quantile_disc(n_events, 0.9) AS p90_events
       |FROM banded GROUP BY band ORDER BY band""".stripMargin
 
+  // ---- e15: per-window heavy-hitter sketch audit (CMS over time) ----
+  // q31's count-min grid pointed at a tumbling hour, the frequency
+  // sibling of e13's windowed HLL: per (window, r, bucket) cell counts
+  // — ≤ d·w = 256 pre-combined rows per window through the shuffle at
+  // ANY event volume, mergeable cell-wise like e13's registers (late /
+  // re-processed micro-batches sum in) — audited against the exact
+  // top-5 users per window via the BOUNDED top-k aggregate (q34's
+  // machinery: O(5) state per window, map-side combined — an exact
+  // per-window user groupBy rank would partition an unbounded user
+  // vocabulary). est ≥ exact by construction; `overcount` prices the
+  // d/w knobs per window. Probe ⋈ cells is a co-partitioned equi-join
+  // on (window, r, bucket) — both sides bounded per window, nothing
+  // broadcast that grows with stream lifetime.
+  def e15CmsWindow(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(spark)
+    import graft.operators.Relational.{CmsRows, cmsBucket}
+    val items = events(spark, dir)
+      .select(date_trunc("hour", col("ts")).as("w"),
+        col("user_id").cast("long").as("k"))
+    val cells = items
+      .select(col("w"), col("k"), explode(expr(s"sequence(0, ${CmsRows - 1})")).as("r"))
+      .withColumn("bucket", expr(cmsBucket("k", "r")))
+      .groupBy(col("w"), col("r"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+    val top = items.groupBy(col("w"), col("k"))
+      .agg(count(lit(1)).as("exact_cnt"))
+      .groupBy(col("w"))
+      .agg(expr("graft_top_neighbors5(cast(exact_cnt as double), k)").as("top"))
+      .select(col("w"), posexplode(col("top")).as(Seq("pos", "p")))
+      .select(col("w"), col("p.neighbor_id").as("k"),
+        col("p.cosine").cast("long").as("exact_cnt"))
+    val probes = top
+      .select(col("w"), col("k"), col("exact_cnt"),
+        explode(expr(s"sequence(0, ${CmsRows - 1})")).as("r"))
+      .withColumn("bucket", expr(cmsBucket("k", "r")))
+    probes.join(cells, Seq("w", "r", "bucket"))
+      .groupBy(col("w"), col("k"), col("exact_cnt"))
+      .agg(min(col("c")).as("cms_est"))
+      .select(col("w").as("window_start"), col("k").as("user_id"),
+        col("exact_cnt"), col("cms_est"),
+        (col("cms_est") - col("exact_cnt")).as("overcount"))
+      .orderBy(col("window_start"), col("user_id"))
+  }
+
+  val e15Sql: String = {
+    import graft.operators.Relational.{CmsRows, CmsWidth}
+    s"""WITH items AS (
+       |  SELECT date_trunc('hour', ts) AS w, CAST(user_id AS BIGINT) AS k
+       |  FROM events),
+       |cells AS (
+       |  SELECT w, g.r,
+       |    ((k + g.r * 131) * 2654435761) % 1000003 % $CmsWidth AS bucket,
+       |    count(*) AS c
+       |  FROM items, generate_series(0, ${CmsRows - 1}) g(r) GROUP BY 1, 2, 3),
+       |cnt AS (SELECT w, k, count(*) AS exact_cnt FROM items GROUP BY 1, 2),
+       |top AS (
+       |  SELECT *, row_number() OVER (PARTITION BY w
+       |    ORDER BY exact_cnt DESC, k) AS rn FROM cnt),
+       |probes AS (
+       |  SELECT t.w, t.k, t.exact_cnt, g.r,
+       |    ((t.k + g.r * 131) * 2654435761) % 1000003 % $CmsWidth AS bucket
+       |  FROM top t, generate_series(0, ${CmsRows - 1}) g(r) WHERE rn <= 5)
+       |SELECT p.w AS window_start, p.k AS user_id, p.exact_cnt,
+       |  min(c.c) AS cms_est, min(c.c) - p.exact_cnt AS overcount
+       |FROM probes p
+       |JOIN cells c ON c.w = p.w AND c.r = p.r AND c.bucket = p.bucket
+       |GROUP BY 1, 2, 3 ORDER BY window_start, user_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e15_cms_window" -> (e15CmsWindow _),
     "e14_session_stats" -> (e14SessionStats _),
     "e13_hll_window" -> (e13HllWindow _),
     "e12_enrich" -> (e12Enrich _),
@@ -486,6 +556,7 @@ object EventOps {
     "e8_funnel" -> (e8Funnel _))
 
   val oracles: Map[String, String] = Map(
+    "e15_cms_window" -> e15Sql,
     "e14_session_stats" -> e14Sql,
     "e13_hll_window" -> e13Sql,
     "e12_enrich" -> e12Sql,

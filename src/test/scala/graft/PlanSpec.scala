@@ -393,4 +393,24 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert("Exchange hashpartitioning\\(c".r.findFirstIn(splan).isEmpty,
       "the corpus code scan must not shuffle for the candidate join")
   }
+
+  test("q37: the bloom words broadcast into the probe scan — fact side never shuffles") {
+    val plan = planOf(SparkEntry.queries("q37_bloom_filter")(spark, dir))
+    assert("BroadcastHashJoin".r.findAllIn(plan).length >= 3,
+      "word lookups AND the membership check must broadcast over the probe scan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      "the lineitem probe must not shuffle for the bloom or membership joins")
+    assert("HashAggregate".r.findAllIn(plan).length >= 2,
+      "the verdict rollup must partially aggregate (one row per partition)")
+  }
+
+  test("t17: winnowing's min-window partitions by doc_id; rollup is partial-aggregated") {
+    val plan = planOf(SparkEntry.queries("t17_winnowing")(spark, dir))
+    assert(plan.contains("Window"), "the window min is a frame, not a self-join")
+    assert("windowspecdefinition\\(doc_id".r.findFirstIn(plan.toLowerCase).isDefined
+      || plan.contains("PartitionBy: [doc_id"),
+      "the min window must partition per doc (bounded by doc length)")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("SortMergeJoin"),
+      "no join anywhere — one explode, one window, one rollup")
+  }
 }

@@ -92,6 +92,35 @@ class Round8OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert((hashes(1L) & hashes(3L)).isEmpty, "disjoint docs share a fingerprint")
   }
 
+  test("s28: cosine to the label SUM classifies like cosine to the mean; ties to smaller label") {
+    import spark.implicits._
+    // label 1's two training vectors average to direction (1, 1, 0);
+    // label 2's single vector points at (0, 0, 1). The n=2 vs n=1
+    // asymmetry exercises the no-division identity: a query along
+    // (1, 1, 0) must go to label 1 even though label 1's SUM has 2×
+    // the magnitude of its mean.
+    val train = Seq(
+      (100L, 1, Seq(2000000L, 0L, 0L)),
+      (101L, 1, Seq(0L, 2000000L, 0L)),
+      (102L, 2, Seq(0L, 0L, 1000000L))).toDF("vec_id", "label", "qv")
+    val queries = Seq(
+      (1L, 1, Seq(1000000L, 1000000L, 0L)),   // along label 1's mean
+      (2L, 2, Seq(0L, 0L, 5000000L)),         // along label 2, any magnitude
+      (3L, 2, Seq(1000000L, 1000000L, 1414214L))) // near-tie → must not crash
+      .toDF("vec_id", "label", "qv")
+    val out = SimilarityOps.centroidClassifyOf(queries, train).collect()
+      .map(r => r.getLong(0) -> (r.getInt(2), r.getBoolean(3))).toMap
+    assert(out(1L) == ((1, true)), s"got ${out(1L)}")
+    assert(out(2L) == ((2, true)), s"got ${out(2L)}")
+    // an EXACT cosine tie must pick the smaller label deterministically
+    val tie = Seq((4L, 2, Seq(1000000L, 0L))).toDF("vec_id", "label", "qv")
+    val tieTrain = Seq(
+      (200L, 1, Seq(1000000L, 1000000L)),
+      (201L, 2, Seq(1000000L, -1000000L))).toDF("vec_id", "label", "qv")
+    val tieOut = SimilarityOps.centroidClassifyOf(tie, tieTrain).collect()(0)
+    assert(tieOut.getInt(2) == 1, "equal cosines must break to the smaller label")
+  }
+
   test("t17: rollup counts match the selected set and density is bounded") {
     import spark.implicits._
     val docs = Seq((1L, (1 to 60).map(i => s"w${i % 13}x$i").mkString(" ")))
