@@ -40,7 +40,8 @@ object Bench {
       "graph_dir" -> ((s, d) => graft.operators.graph.GraphTables.directed(s, d)),
       "graph_dir_dst" -> ((s, d) => graft.operators.graph.GraphTables.directedByDst(s, d)),
       "graph_wpr" -> ((s, d) => graft.operators.graph.GraphOps.g15WeightedPagerank(s, d)),
-      "graph_wppr" -> ((s, d) => graft.operators.graph.GraphOps.g16WeightedPersonalized(s, d)))
+      "graph_wppr" -> ((s, d) => graft.operators.graph.GraphOps.g16WeightedPersonalized(s, d)),
+      "winnow_fp" -> ((s, d) => graft.operators.dedup.DedupOps.winnowFingerprints(s, d)))
 
     def timed(fn: => Long): (Double, Boolean) = {
       val t0 = System.nanoTime()

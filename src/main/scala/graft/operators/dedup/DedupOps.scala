@@ -37,10 +37,11 @@ object DedupOps {
 
   // ---- shared shingle features (word-3-shingles, arithmetic-hashed) ----
   // word value: length + first/last char codes; shingle: base-131 combo.
+  private[operators] val wordValExpr =
+    """(cast(length(w) as bigint)*31 + ascii(substring(w,1,1)))*31
+      |       + ascii(substring(w,-1,1))""".stripMargin
   private[operators] val wvsExpr =
-    """transform(split(text, ' '),
-      |  w -> (cast(length(w) as bigint)*31 + ascii(substring(w,1,1)))*31
-      |       + ascii(substring(w,-1,1)))""".stripMargin
+    s"transform(split(text, ' '),\n  w -> $wordValExpr)"
 
   // sorted: enables the merge-pass intersect in d4 (d2's minhash folds
   // are order-insensitive, so sorting is free for every consumer)
@@ -937,7 +938,67 @@ object DedupOps {
        |JOIN documents db ON jp.doc_b = db.doc_id
        |GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin
 
+  // ---- d15: near-dup pairs via shared winnowed fingerprints ----
+  // The MOSS composition closing t17 into the dedup family: instead
+  // of joining d10's FULL positional span table (one row per token —
+  // the thing that's too big to self-join at corpus scale), docs pair
+  // on their O(n/w) winnowed fingerprint SETS. Winnowing's guarantee
+  // makes this sound: any shared run of ≥ SpanN+WinW−1 words put at
+  // least one common fingerprint in both docs, so long-verbatim-
+  // overlap pairs cannot be missed, at 1/(w·density) the join volume.
+  // The fingerprint hash is the join key; a hot boilerplate
+  // fingerprint is a skewed bucket `Buckets.cap` bounds exactly like
+  // d3/m5's chunks (pair volume ≤ cap²·buckets, linear in bucket
+  // count). Overlap scored as shared / min(|fp_a|, |fp_b|) in integer
+  // ppm (containment — the asymmetric-length-robust choice); pairs
+  // need ≥ 2 shared fingerprints (one survives winnowing by a single
+  // 11-word idiom; two starts looking like real reuse).
+  /** The DfCache'd distinct (doc_id, fingerprint-hash) table — d15's
+    * join input; Bench warms it so d15's steady-state probe cost is
+    * attributed separately from the one-time winnowing pass. */
+  def winnowFingerprints(spark: SparkSession, dir: String): DataFrame =
+    graft.util.DfCache.cached(spark, dir, "winnow_fp") {
+      graft.operators.text.TextOps.winnowedOf(docs(spark, dir))
+        .select(col("doc_id"), expr("sel div 4194304").as("h"))
+        .distinct()
+    }
+
+  def d15WinnowDup(spark: SparkSession, dir: String): DataFrame = {
+    val fp = winnowFingerprints(spark, dir)
+    val nfp = fp.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fp"))
+    val s = graft.util.Buckets.cap(fp, Seq("h"), 200)
+    s.as("x").join(s.as("y"),
+        col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared_fp"))
+      .filter(col("shared_fp") >= 2)
+      .join(nfp.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("n_fp", "n_a"), Seq("doc_a"))
+      .join(nfp.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("n_fp", "n_b"), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("shared_fp"),
+        expr("1000000 * shared_fp div least(n_a, n_b)").as("containment_ppm"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val d15Sql: String =
+    s"""WITH ${graft.operators.text.TextOps.winnowFpCtes},
+       |hh AS (SELECT DISTINCT doc_id, sel // 4194304 AS h FROM fp),
+       |nfp AS (SELECT doc_id, count(*) AS n_fp FROM hh GROUP BY 1),
+       |ok AS (SELECT h FROM hh GROUP BY h HAVING count(*) <= 200),
+       |s AS (SELECT hh.* FROM hh JOIN ok USING (h)),
+       |pr AS (
+       |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS shared_fp
+       |  FROM s x JOIN s y ON x.h = y.h AND x.doc_id < y.doc_id
+       |  GROUP BY 1, 2 HAVING count(*) >= 2)
+       |SELECT doc_a, doc_b, shared_fp,
+       |  1000000 * shared_fp // least(a.n_fp, b.n_fp) AS containment_ppm
+       |FROM pr JOIN nfp a ON pr.doc_a = a.doc_id
+       |JOIN nfp b ON pr.doc_b = b.doc_id
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d15_winnow_dup" -> (d15WinnowDup _),
     "d14_cross_source_dup" -> (d14CrossSourceDup _),
     "d13_minhash_estimate" -> (d13MinhashEstimate _),
     "d12_dedup_precision" -> (d12DedupPrecision _),
@@ -954,6 +1015,7 @@ object DedupOps {
     "d9_incremental_dedup" -> (d9IncrementalDedup _))
 
   val oracles: Map[String, String] = Map(
+    "d15_winnow_dup" -> d15Sql,
     "d14_cross_source_dup" -> d14Sql,
     "d13_minhash_estimate" -> d13Sql,
     "d12_dedup_precision" -> d12Sql,

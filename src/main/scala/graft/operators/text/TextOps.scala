@@ -768,17 +768,38 @@ object TextOps {
   /** The selected fingerprint set (doc_id, m, sel) of any (doc_id,
     * text) frame — sel encodes (h, pos) as h·2^22 + (2^22−1−pos).
     * Exposed so the spec can pin the winnowing guarantee (overlapping
-    * docs share a fingerprint; every window is covered). */
+    * docs share a fingerprint; every window is covered).
+    *
+    * Built RELATIONALLY (the m5/m6 lesson, re-learned here the hard
+    * way): the array form — posexplode over a `transform(sequence(…),
+    * i -> aggregate(…element_at(wvs, j)…))` span-hash column — left
+    * `wvs` referenced only once, so CollapseProject inlined the whole
+    * per-word transform into the fold's element lookups and every
+    * span re-evaluated the doc's word-value array: O(words²)/doc,
+    * measured 49 s for 236k spans at sf0.1 where this form takes
+    * ~2 s. Here each token is ONE row (wv computed once), the 8-token
+    * span array is a `collect_list` over a ROWS frame, and the hash
+    * folds 8 elements per row. Both windows (span build, winnow min)
+    * share one (doc_id, pos) partitioning+sort — one exchange total;
+    * partitions are per-doc (the m3/m5/m6 bounded class). */
   def winnowedOf(d: DataFrame): DataFrame = {
     import graft.operators.dedup.DedupOps
+    val wf = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(0, DedupOps.SpanN - 1)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("pos")).rowsBetween(0, WinW - 1)
-    d.filter(size(split(col("text"), " ")) >= DedupOps.SpanN)
-      .withColumn("wvs", expr(DedupOps.wvsExpr))
-      .withColumn("hs", expr(DedupOps.spanHashesExpr))
-      .select(col("doc_id"), size(col("hs")).cast("long").as("m"),
-        posexplode(col("hs")).as(Seq("p", "h")))
-      .withColumn("pos", (col("p") + 1).cast("long"))
+    d.select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= DedupOps.SpanN)
+      .select(col("doc_id"), size(col("ws")).cast("long").as("nw"),
+        posexplode(col("ws")).as(Seq("j0", "w")))
+      .select(col("doc_id"), col("nw"), (col("j0") + 1).cast("long").as("pos"),
+        expr(DedupOps.wordValExpr).as("wv"))
+      .withColumn("arr", collect_list(col("wv")).over(wf))
+      .filter(col("pos") <= col("nw") - (DedupOps.SpanN - 1))
+      .withColumn("h", expr(
+        "aggregate(arr, cast(0 as bigint), (a, x) -> (a*131 + x) % 2147483647)"))
+      .withColumn("m", col("nw") - (DedupOps.SpanN - 1))
       .withColumn("key",
         col("h") * lit(4194304L) + (lit(4194303L) - col("pos")))
       .withColumn("sel", min(col("key")).over(w))
@@ -797,9 +818,17 @@ object TextOps {
         col("fp_checksum"))
       .orderBy(col("doc_id"))
 
-  val t17Sql: String = {
+  /** DuckDB CTE chain ending at `fp` (doc_id, m, sel — the selected
+    * winnowing fingerprints) — shared by t17's rollup oracle and
+    * d15's fingerprint-pair oracle, so a change to the span hash or
+    * the window rule updates both gates in lockstep. */
+  // a def, not a val: DedupOps.d15Sql reads this during ITS object
+  // init, which can begin while TextOps is still initializing (the
+  // two objects reference each other) — a val here would interpolate
+  // as null into d15's oracle
+  def winnowFpCtes: String = {
     val sn = graft.operators.dedup.DedupOps.SpanN
-    s"""WITH wv AS (
+    s"""wv AS (
        |  SELECT doc_id,
        |    list_transform(string_split(text,' '),
        |      w -> (CAST(length(w) AS BIGINT)*31 + ascii(substr(w,1,1)))*31
@@ -824,12 +853,15 @@ object TextOps {
        |  FROM sp),
        |fp AS (
        |  SELECT DISTINCT doc_id, m, sel FROM wmin
-       |  WHERE pos <= greatest(m - ${WinW - 1}, 1))
+       |  WHERE pos <= greatest(m - ${WinW - 1}, 1))""".stripMargin
+  }
+
+  val t17Sql: String =
+    s"""WITH $winnowFpCtes
        |SELECT doc_id, m AS n_spans, count(*) AS n_fp,
        |  1000000 * count(*) // m AS density_ppm,
        |  CAST(sum(sel % 2147483647) % 2147483647 AS BIGINT) AS fp_checksum
        |FROM fp GROUP BY doc_id, m ORDER BY doc_id""".stripMargin
-  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t17_winnowing" -> (t17Winnowing _),
