@@ -1251,8 +1251,14 @@ object SimilarityOps {
   // top-k aggregate: no corpus shuffle, no window, s1's plan shape at
   // 1/32 the bytes. Ties (65 distinct sim values) break on
   // neighbor_id in both the aggregate and the oracle's row_number.
-  def s20HammingKnn(spark: SparkSession, dir: String): DataFrame = {
-    val codes = graft.operators.vector.VectorOps.signCodes(spark, dir)
+  def s20HammingKnn(spark: SparkSession, dir: String): DataFrame =
+    hammingKnnOf(graft.operators.vector.VectorOps.signCodes(spark, dir))
+
+  /** The hamming brute-force scan over any (vec_id, sign_lo, sign_hi)
+    * code table — shared by s20 (v5's zero-threshold codes) and s29
+    * (v6's median-trained codes): the code family changes, the plan
+    * doesn't. */
+  def hammingKnnOf(codes: DataFrame): DataFrame = {
     val pairs = broadcast(codes.filter(col("vec_id") < 10).as("q"))
       .join(codes.as("c"), col("q.vec_id") =!= col("c.vec_id"))
       .withColumn("hamming", expr("bit_count(q.sign_lo ^ c.sign_lo)" +
@@ -1294,6 +1300,28 @@ object SimilarityOps {
        |${topkCte("xr", "xpairs")},
        |exact AS (SELECT query_id, neighbor_id FROM xr WHERE rank <= $K),
        |${graft.operators.vector.VectorOps.signCte},
+       |${hammingPairsCtes("hp")},
+       |${topkCte("ar", "hp")},
+       |approx AS (SELECT query_id, neighbor_id FROM ar WHERE rank <= $K)
+       |$recallTailSql""".stripMargin
+
+  // ---- s29: recall of the TRAINED binary codes ----
+  // Ninth row of the ANN quality board: v6's median-balanced bits vs
+  // s1's exact top-K, next to s21 (v5's zero-threshold bits) — the
+  // pair reads as "what does threshold training buy at the same 32×
+  // compression", exactly as s15-vs-s11 reads for PQ. Same plan as
+  // s21 to the node (hammingKnnOf is shared); only the code CTE
+  // differs in the oracle.
+  def s29TrainedSignRecall(spark: SparkSession, dir: String): DataFrame =
+    recallOf(s1KnnBrute(spark, dir),
+      hammingKnnOf(graft.operators.vector.VectorOps.trainedSignCodes(spark, dir)))
+
+  val s29Sql: String =
+    s"""WITH ${VectorExprs.embCtes},
+       |${exactPairsCte("xpairs")},
+       |${topkCte("xr", "xpairs")},
+       |exact AS (SELECT query_id, neighbor_id FROM xr WHERE rank <= $K),
+       |${graft.operators.vector.VectorOps.trainedSignCte},
        |${hammingPairsCtes("hp")},
        |${topkCte("ar", "hp")},
        |approx AS (SELECT query_id, neighbor_id FROM ar WHERE rank <= $K)
@@ -1580,6 +1608,7 @@ object SimilarityOps {
        |FROM p WHERE rn = 1 ORDER BY query_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s29_trained_sign_recall" -> (s29TrainedSignRecall _),
     "s28_centroid_classify" -> (s28CentroidClassify _),
     "s27_knn_classify" -> (s27KnnClassify _),
     "s25_trained_ivfpq" -> (s25TrainedIvfPq _),
@@ -1610,6 +1639,7 @@ object SimilarityOps {
     "s7_ivf_trained" -> (s7IvfTrained _))
 
   val oracles: Map[String, String] = Map(
+    "s29_trained_sign_recall" -> s29Sql,
     "s28_centroid_classify" -> s28Sql,
     "s27_knn_classify" -> s27Sql,
     "s25_trained_ivfpq" -> s25Sql,

@@ -256,7 +256,80 @@ object VectorOps {
        |  CAST(bit_count(sign_lo) + bit_count(sign_hi) AS BIGINT) AS n_pos
        |FROM sc ORDER BY vec_id""".stripMargin
 
+  // ---- v6: TRAINED sign quantization (median thresholds) ----
+  // v5's sign bits threshold at 0 — wherever a dimension's
+  // distribution is off-center its bit is imbalanced and carries
+  // < 1 bit of information (the ITQ/median-binarization observation:
+  // balanced bits maximize code entropy). v6 trains the threshold:
+  // per-dim CORPUS MEDIAN via q24's percentile_disc (an actual data
+  // value — bit-exact on both engines), so every bit splits the
+  // corpus 50/50 by construction. Training = one 64·N explode into a
+  // 64-cell sort-aggregate (the s5/s14 trained-artifact class — the
+  // median vector is the deployment artifact you'd persist); encoding
+  // = the median array broadcast as ONE row cross-joined into the
+  // scan, bits from an O(64) in-row fold over two bounded arrays
+  // (array indexing, NOT the t17 inlining trap — both operands are
+  // real columns). s29 prices what balanced bits buy in recall.
+  private def trainedSignFold(lo: Int, hi: Int): String =
+    s"""aggregate(sequence($lo, $hi), cast(0 as bigint),
+       |  (acc, i) -> acc + IF(element_at(vd, i) > element_at(medv, i),
+       |    shiftleft(cast(1 as bigint), i - $lo), cast(0 as bigint)))"""
+      .stripMargin
+
+  /** (vec_id, sign_lo, sign_hi) median-thresholded codes — same
+    * column names as [[signCodes]] so s20's hamming machinery applies
+    * unchanged. */
+  def trainedSignCodes(spark: SparkSession, dir: String): DataFrame = {
+    val medv = graft.sources.Tables.load(spark, dir, "embeddings")
+      .withColumn("vd", expr(VectorExprs.castDoubleExpr))
+      .select(posexplode(col("vd")).as(Seq("d0", "x")))
+      .groupBy((col("d0") + 1).as("d"))
+      .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY x)").as("med"))
+      .groupBy()
+      .agg(expr("transform(sort_array(collect_list(struct(d, med))), p -> p.med)")
+        .as("medv"))
+    graft.sources.Tables.load(spark, dir, "embeddings")
+      .withColumn("vd", expr(VectorExprs.castDoubleExpr))
+      .crossJoin(broadcast(medv))
+      .select(col("vec_id"),
+        expr(trainedSignFold(1, 32)).as("sign_lo"),
+        expr(trainedSignFold(33, 64)).as("sign_hi"))
+  }
+
+  def v6MedianSign(spark: SparkSession, dir: String): DataFrame =
+    trainedSignCodes(spark, dir)
+      .withColumn("n_pos",
+        expr("bit_count(sign_lo) + bit_count(sign_hi)").cast("long"))
+      .orderBy(col("vec_id"))
+
+  /** DuckDB CTE `sc` mirroring [[trainedSignCodes]] (same terminal
+    * name as [[signCte]], so the hamming oracle bodies chain onto
+    * either code family unchanged). */
+  val trainedSignCte: String = {
+    def half(lo: Int) =
+      s"""CAST(list_sum(list_transform(generate_series($lo, ${lo + 31}),
+         |  i -> CASE WHEN vd[i] > medv[i] THEN (CAST(1 AS BIGINT) << (i - $lo))
+         |            ELSE CAST(0 AS BIGINT) END)) AS BIGINT)"""
+        .stripMargin
+    s"""dm AS (
+       |  SELECT d, quantile_disc(x, 0.5) AS med FROM (
+       |    SELECT d, vd[d] AS x FROM ef, generate_series(1, 64) g(d))
+       |  GROUP BY d),
+       |mv AS (SELECT list(med ORDER BY d) AS medv FROM dm),
+       |sc AS (
+       |  SELECT vec_id, ${half(1)} AS sign_lo, ${half(33)} AS sign_hi
+       |  FROM ef, mv)""".stripMargin
+  }
+
+  val v6Sql: String =
+    s"""WITH ${VectorExprs.embCtes},
+       |$trainedSignCte
+       |SELECT vec_id, sign_lo, sign_hi,
+       |  CAST(bit_count(sign_lo) + bit_count(sign_hi) AS BIGINT) AS n_pos
+       |FROM sc ORDER BY vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v6_median_sign" -> (v6MedianSign _),
     "v5_sign_quantize" -> (v5SignQuantize _),
     "v4_pq_codes" -> (v4PqCodes _),
     "v1_l2_normalize" -> (v1L2Normalize _),
@@ -264,6 +337,7 @@ object VectorOps {
     "v3_random_projection" -> (v3RandomProjection _))
 
   val oracles: Map[String, String] = Map(
+    "v6_median_sign" -> v6Sql,
     "v5_sign_quantize" -> v5Sql,
     "v4_pq_codes" -> v4Sql,
     "v1_l2_normalize" -> v1Sql,
