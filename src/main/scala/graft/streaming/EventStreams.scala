@@ -123,6 +123,56 @@ object EventStreams {
         ()
       }
 
+  /** e15's STREAM MODE: an incremental per-window count-min cell
+    * sink. Where e13's HLL registers merge by MAX (absorbing —
+    * replays are free no-ops), CMS cells merge by SUM, which is NOT
+    * idempotent: a replayed micro-batch would double-count. The
+    * standard foreachBatch answer is the batch-id high-watermark —
+    * Structured Streaming guarantees a retried epoch re-presents the
+    * SAME (batchId, data), so `mergeCmsBatch` skips any batchId ≤ the
+    * stored watermark and the sink is exactly-once. The watermark
+    * rides IN the store (a `_meta` parquet beside the cells), so
+    * recovery needs no external state. CmsStreamSpec pins both laws:
+    * stream ≡ batch across splits, and a replayed batchId leaves the
+    * store untouched. Store size: ≤ 256 cells + 1 meta row per
+    * stream-lifetime hour, regardless of event volume. */
+  def cmsCellStream(stream: DataFrame, storePath: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        mergeCmsBatch(batch, storePath, batchId)
+      }
+
+  /** One epoch of the CMS sink — factored so the spec can drive
+    * replayed batch ids directly. */
+  def mergeCmsBatch(batch: DataFrame, storePath: String, batchId: Long): Unit = {
+    import graft.operators.Relational.{CmsRows, cmsBucket}
+    val spark = batch.sparkSession
+    val metaPath = storePath + "_meta"
+    val seen = new java.io.File(metaPath).exists()
+    val last =
+      if (seen) spark.read.parquet(metaPath)
+        .agg(max(col("batch_id"))).collect()(0).getLong(0)
+      else -1L
+    if (batchId <= last) return
+    val cells = batch
+      .select(date_trunc("hour", col("ts")).as("w"),
+        col("user_id").cast("long").as("k"))
+      .select(col("w"), col("k"), explode(expr(s"sequence(0, ${CmsRows - 1})")).as("r"))
+      .withColumn("bucket", expr(cmsBucket("k", "r")))
+      .groupBy(col("w"), col("r"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+    val merged =
+      if (new java.io.File(storePath).exists())
+        spark.read.parquet(storePath).localCheckpoint()
+          .union(cells)
+          .groupBy(col("w"), col("r"), col("bucket")).agg(sum(col("c")).as("c"))
+      else cells
+    merged.write.mode("overwrite").parquet(storePath)
+    import spark.implicits._
+    Seq(batchId).toDF("batch_id").write.mode("append").parquet(metaPath)
+  }
+
   /** Interval join: purchase ⋈ clicks of the same user in the 30
     * minutes up to (and including) the purchase. On streams both sides
     * carry watermarks and the time-range bound lets Spark evict join
