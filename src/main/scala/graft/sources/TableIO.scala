@@ -72,4 +72,48 @@ object TableIO {
       .sortBy(bucketCol)
       .format("parquet")
       .saveAsTable(table)
+
+  /** Small-file compaction — the maintenance pass every long-lived
+    * parquet dataset needs: streaming sinks and incremental appends
+    * (e.g. the per-micro-batch files of `EventStreams`' parquet sink,
+    * or many `appendBucketed` shards) accumulate files far below the
+    * ideal scan unit, and at 100 TB the file count itself becomes the
+    * bottleneck (driver-side listing, one task per tiny file, open/
+    * close overhead dominating the scan). Rewrites the dataset into
+    * ceil(bytes / targetBytes) files via a REPARTITION BY RANGE on
+    * `sortCol` — range partitioning (not hash) so each output file
+    * covers a contiguous key range and min/max footer stats stay
+    * selective for downstream predicate skipping. Atomic swap via
+    * rename (write to `.compact.tmp`, then replace); returns the new
+    * file count. Content-preserving by construction (same rows, new
+    * layout) — TableIOSpec proves rows AND values survive, file count
+    * drops, and the sort column's per-file ranges don't overlap. */
+  def compactParquet(spark: SparkSession, path: String,
+      sortCol: String, targetBytes: Long = 128L * 1024 * 1024): Long = {
+    val dir = new java.io.File(path)
+    def parquetBytes(d: java.io.File): Long =
+      Option(d.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+        .map(_.length()).sum
+    val bytes = math.max(1L, parquetBytes(dir))
+    val nFiles = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    val tmp = path + ".compact.tmp"
+    spark.read.parquet(path)
+      .repartitionByRange(nFiles, org.apache.spark.sql.functions.col(sortCol))
+      .sortWithinPartitions(sortCol)
+      .write.mode(SaveMode.Overwrite).parquet(tmp)
+    val old = new java.io.File(path + ".compact.old")
+    def delete(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(delete)
+      f.delete(); ()
+    }
+    if (!dir.renameTo(old))
+      throw new java.io.IOException(s"compact: cannot move $path aside")
+    if (!new java.io.File(tmp).renameTo(dir)) {
+      old.renameTo(dir)
+      throw new java.io.IOException(s"compact: cannot swap $tmp into $path")
+    }
+    delete(old)
+    nFiles.toLong
+  }
 }

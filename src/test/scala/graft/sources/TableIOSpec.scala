@@ -97,4 +97,35 @@ class TableIOSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"bucketed co-located join must not shuffle:\n$joinPlan")
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
+
+  test("compaction shrinks the file count, preserves values, keeps ranges disjoint") {
+    import spark.implicits._
+    val path = tmp("compact_me")
+    val df = (1 to 10000).map(i => (i.toLong, s"row$i")).toDF("k", "v")
+    // simulate a streaming sink's accumulation: 50 tiny files
+    df.repartition(50).write.mode("overwrite").parquet(path)
+    def files(p: String) = new java.io.File(p).listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).sortBy(_.getName)
+    assert(files(path).length == 50)
+    val before = spark.read.parquet(path).collect().map(r => (r.getLong(0), r.getString(1))).toSet
+
+    val n = TableIO.compactParquet(spark, path, "k", targetBytes = 40L * 1024)
+    val after = files(path)
+    assert(after.length == n && n < 50, s"expected < 50 files, got $n")
+    val back = spark.read.parquet(path)
+    assert(back.collect().map(r => (r.getLong(0), r.getString(1))).toSet == before,
+      "compaction must preserve every row")
+    // range layout: per-file [min, max] of the sort column must not overlap,
+    // so footer stats keep predicate skipping selective
+    val ranges = after.map { f =>
+      val d = spark.read.parquet(f.getAbsolutePath)
+        .agg(min(col("k")), max(col("k"))).collect()(0)
+      (d.getLong(0), d.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo2, _)) => assert(hi < lo2,
+        s"file ranges overlap: $hi >= $lo2")
+      case _ =>
+    }
+  }
 }
