@@ -1225,8 +1225,52 @@ object Relational {
        |    AS n_false_pos
        |FROM verdict""".stripMargin
 
+  // ---- q38: median absolute deviation (robust dispersion) ----
+  // The robust-statistics row next to q24 (percentiles) and q32
+  // (moments): MAD = median(|x − median(x)|), the dispersion measure
+  // outliers can't drag (stddev moves arbitrarily with one bad row;
+  // MAD has a 50% breakdown point — why data-quality monitors
+  // threshold on it, e11's z-score rule being the moment-based
+  // contrast). Two exact passes: per-group median via percentile_disc
+  // (an actual data value), broadcast back (|groups| rows), then the
+  // deviation median over exact integer cents — every gated column
+  // integer, no interpolation anywhere. Only (group, cents) pairs
+  // shuffle into each percentile sort; 100 TB-safe like q24.
+  def q38Mad(spark: SparkSession, dir: String): DataFrame = {
+    val l = t(spark, dir, "lineitem")
+      .select(col("l_returnflag"),
+        (dec(col("l_extendedprice")) * 100).cast("long").as("cents"))
+    val med = l.groupBy(col("l_returnflag"))
+      .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY cents)")
+        .cast("long").as("median_cents"))
+    l.join(broadcast(med), Seq("l_returnflag"))
+      .withColumn("dev", abs(col("cents") - col("median_cents")))
+      .groupBy(col("l_returnflag"), col("median_cents"))
+      .agg(count(lit(1)).as("n"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY dev)")
+          .cast("long").as("mad_cents"))
+      .select(col("l_returnflag"), col("n"), col("median_cents"),
+        col("mad_cents"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val q38Sql: String =
+    """WITH l AS (
+      |  SELECT l_returnflag,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM lineitem),
+      |med AS (
+      |  SELECT l_returnflag,
+      |    CAST(quantile_disc(cents, 0.5) AS BIGINT) AS median_cents
+      |  FROM l GROUP BY 1)
+      |SELECT l.l_returnflag, count(*) AS n, med.median_cents,
+      |  CAST(quantile_disc(abs(cents - median_cents), 0.5) AS BIGINT) AS mad_cents
+      |FROM l JOIN med USING (l_returnflag)
+      |GROUP BY 1, 3 ORDER BY l_returnflag""".stripMargin
+
   /** queries-map fragment: name → builder */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q38_mad" -> (q38Mad _),
     "q37_bloom_filter" -> (q37BloomFilter _),
     "q36_range_frames" -> (q36RangeFrames _),
     "q35_unpivot" -> (q35Unpivot _),
@@ -1267,6 +1311,7 @@ object Relational {
 
   /** oracle-map fragment: name → DuckDB SQL */
   val oracles: Map[String, String] = Map(
+    "q38_mad" -> q38Sql,
     "q37_bloom_filter" -> q37Sql,
     "q36_range_frames" -> q36Sql,
     "q35_unpivot" -> q35Sql,

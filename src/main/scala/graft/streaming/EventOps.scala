@@ -538,7 +538,54 @@ object EventOps {
        |GROUP BY 1, 2, 3 ORDER BY window_start, user_id""".stripMargin
   }
 
+  // ---- e16: exponentially-decayed trending leaderboard ----
+  // e10 ranks within one window; a live "trending now" board instead
+  // wants ALL history with recency decay — score(type) =
+  // Σ_events 2^(−age_hours), the half-life-per-hour exponential
+  // moving count. The decay weight is EXACT INTEGER arithmetic:
+  // weight = 1e6 >> age_h fixed-point micro-units (a bit shift IS
+  // the power of two — no float pow to drift between engines), zero
+  // past 20 hours (where the weight underflows a micro-unit, the
+  // natural horizon the half-life implies). One scan with the
+  // "now" anchor (the stream's max hour) broadcast as a one-row
+  // aggregate, one map-side-combined sum per type — at 100 TB the
+  // leaderboard costs one pass, and an incremental sink would keep
+  // per-(type, hour) counts (e1's table) and fold the shift at read.
+  def e16DecayedLeaderboard(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir)
+      .select(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+    val now = e.agg(max(col("h")).as("now"))
+    e.crossJoin(broadcast(now))
+      .withColumn("age_h",
+        expr("(unix_timestamp(now) - unix_timestamp(h)) div 3600").cast("int"))
+      .withColumn("w",
+        when(col("age_h") < 20, expr("shiftright(1000000L, age_h)"))
+          .otherwise(lit(0L)))
+      .groupBy(col("event_type"))
+      .agg(sum(col("w")).as("decayed_micro"),
+        sum(when(col("w") > 0, 1L).otherwise(0L)).as("n_recent"))
+      .filter(col("decayed_micro") > 0)
+      .orderBy(col("decayed_micro").desc, col("event_type"))
+  }
+
+  val e16Sql: String =
+    """WITH e AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS h FROM events),
+      |nw AS (SELECT max(h) AS now FROM e),
+      |w AS (
+      |  SELECT event_type,
+      |    CASE WHEN date_diff('hour', h, now) < 20
+      |         THEN 1000000 >> date_diff('hour', h, now)
+      |         ELSE 0 END AS w
+      |  FROM e, nw)
+      |SELECT event_type, CAST(sum(w) AS BIGINT) AS decayed_micro,
+      |  CAST(sum(CASE WHEN w > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_recent
+      |FROM w GROUP BY event_type
+      |HAVING sum(w) > 0
+      |ORDER BY decayed_micro DESC, event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e16_decayed_leaderboard" -> (e16DecayedLeaderboard _),
     "e15_cms_window" -> (e15CmsWindow _),
     "e14_session_stats" -> (e14SessionStats _),
     "e13_hll_window" -> (e13HllWindow _),
@@ -556,6 +603,7 @@ object EventOps {
     "e8_funnel" -> (e8Funnel _))
 
   val oracles: Map[String, String] = Map(
+    "e16_decayed_leaderboard" -> e16Sql,
     "e15_cms_window" -> e15Sql,
     "e14_session_stats" -> e14Sql,
     "e13_hll_window" -> e13Sql,
