@@ -1573,7 +1573,44 @@ object GraphOps {
        |    AS assortativity
        |FROM s""".stripMargin
 
+  // ---- g25: one-row graph profile (the report-card query) ----
+  // The first thing a graph job prints before touching expensive
+  // analytics: size, degree distribution summary, density — the
+  // numbers every downstream knob (g18's sample count, g21's degree
+  // cap, partition sizing) is set from. One V-row degree aggregate
+  // off the cached sym layout, then one sort-based percentile
+  // aggregate over |V| (node, degree) pairs. avg_degree in exact
+  // integer centi-units (100·E div V) — no float division in the gate.
+  def g25DegreeStats(spark: SparkSession, dir: String): DataFrame = {
+    val deg = withSym(spark, dir)
+      .groupBy(col("src")).agg(count(lit(1)).as("d"))
+    deg.agg(count(lit(1)).as("n_nodes"),
+        sum(col("d")).as("n_directed_edges"),
+        max(col("d")).cast("long").as("max_degree"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY d)")
+          .cast("long").as("p50_degree"),
+        expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY d)")
+          .cast("long").as("p99_degree"))
+      .select(col("n_nodes"), col("n_directed_edges"), col("max_degree"),
+        col("p50_degree"), col("p99_degree"),
+        expr("100 * n_directed_edges div n_nodes").as("avg_degree_x100"))
+  }
+
+  val g25Sql: String =
+    s"""WITH ${GraphTables.symSqlCtes},
+       |deg AS (SELECT src, count(*) AS d FROM sym GROUP BY src),
+       |s AS (
+       |  SELECT count(*) AS n_nodes, CAST(sum(d) AS BIGINT) AS n_directed_edges,
+       |    CAST(max(d) AS BIGINT) AS max_degree,
+       |    CAST(quantile_disc(d, 0.5) AS BIGINT) AS p50_degree,
+       |    CAST(quantile_disc(d, 0.99) AS BIGINT) AS p99_degree
+       |  FROM deg)
+       |SELECT n_nodes, n_directed_edges, max_degree, p50_degree, p99_degree,
+       |  100 * n_directed_edges // n_nodes AS avg_degree_x100
+       |FROM s""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g25_degree_stats" -> (g25DegreeStats _),
     "g24_assortativity" -> (g24Assortativity _),
     "g23_hits" -> (g23Hits _),
     "g18_harmonic" -> (g18HarmonicCentrality _),
@@ -1600,6 +1637,7 @@ object GraphOps {
     "g9_checkpoint_roundtrip" -> (g9CheckpointRoundtrip _))
 
   val oracles: Map[String, String] = Map(
+    "g25_degree_stats" -> g25Sql,
     "g24_assortativity" -> g24Sql,
     "g23_hits" -> g23Sql,
     "g10_components" -> g10Sql,

@@ -530,7 +530,53 @@ object MultimodalOps {
        |  SELECT doc_b, doc_a FROM m5pairs WHERE doc_b % 20 = 0)
        |${graft.operators.similarity.SimilarityOps.recallTailSql}""".stripMargin
 
+  // ---- m9: byte-distribution concentration (Simpson index) ----
+  // The payload-triage signal a multimodal ingest runs FIRST: is this
+  // blob text-like (concentrated byte distribution), compressed /
+  // encrypted (near-uniform), or degenerate padding (single-symbol)?
+  // Shannon entropy is the textbook gauge but log2 is a libm call
+  // whose last bits differ across engines — the Simpson concentration
+  // index Σ(cnt/n)² carries the same signal (1/diversity; uniform →
+  // 1/|alphabet|, single-symbol → 1) in EXACT integer ppm:
+  // 1e6·Σcnt² div n², products in DECIMAL(38,0) because 1e6·n²
+  // passes BIGINT at ~3M-char payloads. Relational build (the m5
+  // explode + two map-side-combined aggregates), plus the distinct
+  // symbol count alongside. Swap the char explode for a byte decode
+  // and nothing else changes.
+  def m9SimpsonConcentration(spark: SparkSession, dir: String): DataFrame =
+    withBlob(spark, dir)
+      .select(col("doc_id"), length(col("text")).cast("long").as("n"),
+        explode(split(col("text"), "")).as("ch"))
+      .groupBy(col("doc_id"), col("n"), col("ch"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"), col("n"))
+      .agg(count(lit(1)).as("n_symbols"),
+        sum(expr("cast(c as decimal(38,0)) * cast(c as decimal(38,0))"))
+          .as("sumc2"))
+      .select(col("doc_id"), col("n"), col("n_symbols"),
+        expr("cast((1000000 * sumc2) div (cast(n as decimal(38,0)) * n) as bigint)")
+          .as("simpson_ppm"))
+      .orderBy(col("doc_id"))
+
+  val m9Sql: String =
+    """WITH ch AS (
+      |  SELECT doc_id, CAST(length(text) AS BIGINT) AS n,
+      |    unnest(string_split_regex(text, '')) AS ch
+      |  FROM documents),
+      |cnt AS (
+      |  SELECT doc_id, n, ch, count(*) AS c FROM ch
+      |  WHERE ch != '' GROUP BY 1, 2, 3),
+      |agg AS (
+      |  SELECT doc_id, n, count(*) AS n_symbols,
+      |    sum(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)) AS sumc2
+      |  FROM cnt GROUP BY 1, 2)
+      |SELECT doc_id, n, n_symbols,
+      |  CAST((1000000 * sumc2) // (CAST(n AS HUGEINT) * n) AS BIGINT)
+      |    AS simpson_ppm
+      |FROM agg ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m9_simpson_concentration" -> (m9SimpsonConcentration _),
     "m8_ahash_recall" -> (m8AhashRecall _),
     "m7_silence_detect" -> (m7SilenceDetect _),
     "m6_shot_detect" -> (m6ShotDetect _),
@@ -541,6 +587,7 @@ object MultimodalOps {
     "m3_frame_sample" -> (m3FrameSample _))
 
   val oracles: Map[String, String] = Map(
+    "m9_simpson_concentration" -> m9Sql,
     "m8_ahash_recall" -> m8Sql,
     "m7_silence_detect" -> m7Sql,
     "m6_shot_detect" -> m6Sql,

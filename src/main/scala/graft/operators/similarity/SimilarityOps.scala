@@ -1607,7 +1607,46 @@ object SimilarityOps {
        |  clabel = true_label AS correct
        |FROM p WHERE rn = 1 ORDER BY query_id""".stripMargin
 
+  // ---- s30: IVF inverted-list balance (index health gauge) ----
+  // The operational gauge next to the recall board: an IVF index's
+  // query cost is nprobe × (probed list sizes), so a SKEWED codebook
+  // — one giant list, many empty ones — silently turns "probe 2 of
+  // 16" into "scan half the corpus". The balance report reads the
+  // DfCache'd trained assignment (shared with s5/s17/d11 — no new
+  // assignment pass), one map-side-combined count per cluster, one
+  // 16-row summary: min/p50/max list size and max-vs-ideal imbalance
+  // in integer centi-units (100·max·k div N — >100 means skew). The
+  // k/seed sweep tunes against THIS number and s9's recall together.
+  def s30IvfBalance(spark: SparkSession, dir: String): DataFrame = {
+    val sizes = trainedAssignment(spark, dir)
+      .groupBy(col("cluster")).agg(count(lit(1)).as("sz"))
+    sizes.agg(count(lit(1)).as("n_clusters"),
+        sum(col("sz")).as("n_vectors"),
+        min(col("sz")).cast("long").as("min_size"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY sz)")
+          .cast("long").as("p50_size"),
+        max(col("sz")).cast("long").as("max_size"))
+      .select(col("n_clusters"), col("n_vectors"), col("min_size"),
+        col("p50_size"), col("max_size"),
+        expr("100 * max_size * n_clusters div n_vectors")
+          .as("imbalance_x100"))
+  }
+
+  val s30Sql: String =
+    s"""WITH $assignCtes,
+       |sz AS (SELECT cluster, count(*) AS sz FROM a2 GROUP BY 1),
+       |s AS (
+       |  SELECT count(*) AS n_clusters, CAST(sum(sz) AS BIGINT) AS n_vectors,
+       |    CAST(min(sz) AS BIGINT) AS min_size,
+       |    CAST(quantile_disc(sz, 0.5) AS BIGINT) AS p50_size,
+       |    CAST(max(sz) AS BIGINT) AS max_size
+       |  FROM sz)
+       |SELECT n_clusters, n_vectors, min_size, p50_size, max_size,
+       |  100 * max_size * n_clusters // n_vectors AS imbalance_x100
+       |FROM s""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s30_ivf_balance" -> (s30IvfBalance _),
     "s29_trained_sign_recall" -> (s29TrainedSignRecall _),
     "s28_centroid_classify" -> (s28CentroidClassify _),
     "s27_knn_classify" -> (s27KnnClassify _),
@@ -1639,6 +1678,7 @@ object SimilarityOps {
     "s7_ivf_trained" -> (s7IvfTrained _))
 
   val oracles: Map[String, String] = Map(
+    "s30_ivf_balance" -> s30Sql,
     "s29_trained_sign_recall" -> s29Sql,
     "s28_centroid_classify" -> s28Sql,
     "s27_knn_classify" -> s27Sql,

@@ -863,7 +863,50 @@ object TextOps {
        |  CAST(sum(sel % 2147483647) % 2147483647 AS BIGINT) AS fp_checksum
        |FROM fp GROUP BY doc_id, m ORDER BY doc_id""".stripMargin
 
+  // ---- t18: readability scoring (Flesch reading ease, integer core) ----
+  // The curation signal t2's surface ratios and t15's LM proxy both
+  // miss: structural reading difficulty. Flesch = 206.835 −
+  // 1.015·(words/sentences) − 84.6·(syllables/words), with the
+  // classic vowel-group syllable proxy (one regexp_extract_all over
+  // lowercased text — '[aeiou]+' is simple enough that Java and RE2
+  // regex agree character-for-character). All three INPUTS are gated
+  // exact integers; the score itself is ONE fixed-shape double
+  // expression of them (the t10 pattern — identical tree on both
+  // engines ⇒ bit-exact). One narrow codegen'd scan, zero shuffle;
+  // production thresholds on the score exactly like t8 does on
+  // quality.
+  def t18Readability(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_words"),
+        greatest(size(expr("regexp_extract_all(text, '[.!?]+', 0)")), lit(1))
+          .cast("long").as("n_sentences"),
+        greatest(size(expr("regexp_extract_all(lower(text), '[aeiou]+', 0)")),
+          lit(1)).cast("long").as("n_syllables"))
+      .withColumn("flesch",
+        lit(206.835)
+          - lit(1.015) * (col("n_words").cast("double")
+            / col("n_sentences").cast("double"))
+          - lit(84.6) * (col("n_syllables").cast("double")
+            / col("n_words").cast("double")))
+      .orderBy(col("doc_id"))
+
+  val t18Sql: String =
+    """SELECT doc_id,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+      |  CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT)
+      |    AS n_sentences,
+      |  CAST(greatest(len(regexp_extract_all(lower(text), '[aeiou]+')), 1)
+      |    AS BIGINT) AS n_syllables,
+      |  206.835
+      |    - 1.015 * (CAST(len(string_split(text, ' ')) AS DOUBLE)
+      |        / CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS DOUBLE))
+      |    - 84.6 * (CAST(greatest(len(regexp_extract_all(lower(text), '[aeiou]+')), 1) AS DOUBLE)
+      |        / CAST(len(string_split(text, ' ')) AS DOUBLE)) AS flesch
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t18_readability" -> (t18Readability _),
     "t17_winnowing" -> (t17Winnowing _),
     "t16_length_percentiles" -> (t16LengthPercentiles _),
     "t15_bigram_coverage" -> (t15BigramCoverage _),
@@ -883,6 +926,7 @@ object TextOps {
     "t9_curation_pipeline" -> (t9CurationPipeline _))
 
   val oracles: Map[String, String] = Map(
+    "t18_readability" -> t18Sql,
     "t17_winnowing" -> t17Sql,
     "t16_length_percentiles" -> t16Sql,
     "t15_bigram_coverage" -> t15Sql,
