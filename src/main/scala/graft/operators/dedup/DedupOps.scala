@@ -997,7 +997,50 @@ object DedupOps {
        |JOIN nfp b ON pr.doc_b = b.doc_id
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  // ---- d16: dup clusters over the winnowed-fingerprint pair graph ----
+  // Closes the winnow family the way d6 closes the Jaccard family:
+  // d15's containment-scored pairs become keep/drop decisions via the
+  // SAME shared min-label fixpoint (one clustering machinery for
+  // every pair generator — a new candidate family needs only edges).
+  // Only pairs with containment ≥ 1/2 (≥ 500000 ppm — half of the
+  // smaller doc's fingerprints shared) edge the graph, the d4-theta
+  // analog for fingerprint space. Cluster id = min doc_id; keep-min.
+  def d16WinnowClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = d15WinnowDup(spark, dir)
+      .filter(col("containment_ppm") >= 500000)
+      .select(col("doc_a"), col("doc_b"))
+    val sym = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    val start = sym.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl"))
+    graft.operators.graph.GraphOps
+      .minLabelFixpoint(sym, start, maxIters = 50, untilConverged = true)
+      .select(col("node").as("doc_id"), col("lbl").as("cluster_id"),
+        (col("node") === col("lbl")).as("is_kept"))
+      .orderBy(col("doc_id"))
+  }
+
+  val d16Sql: String =
+    s"""WITH wp AS ($d15Sql),
+       |e AS (SELECT doc_a AS a, doc_b AS b FROM wp
+       |      WHERE containment_ppm >= 500000
+       |      UNION SELECT doc_b, doc_a FROM wp
+       |      WHERE containment_ppm >= 500000),
+       |nodes AS (SELECT DISTINCT a AS n FROM e),
+       |reach AS (
+       |  WITH RECURSIVE r(a, b) AS (
+       |    SELECT a, b FROM e
+       |    UNION
+       |    SELECT r.a, e.b FROM r JOIN e ON r.b = e.a)
+       |  SELECT a, b FROM r)
+       |SELECT n.n AS doc_id,
+       |  least(n.n, min(r.b)) AS cluster_id,
+       |  n.n = least(n.n, min(r.b)) AS is_kept
+       |FROM nodes n JOIN reach r ON r.a = n.n
+       |GROUP BY n.n ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d16_winnow_clusters" -> (d16WinnowClusters _),
     "d15_winnow_dup" -> (d15WinnowDup _),
     "d14_cross_source_dup" -> (d14CrossSourceDup _),
     "d13_minhash_estimate" -> (d13MinhashEstimate _),
@@ -1015,6 +1058,7 @@ object DedupOps {
     "d9_incremental_dedup" -> (d9IncrementalDedup _))
 
   val oracles: Map[String, String] = Map(
+    "d16_winnow_clusters" -> d16Sql,
     "d15_winnow_dup" -> d15Sql,
     "d14_cross_source_dup" -> d14Sql,
     "d13_minhash_estimate" -> d13Sql,

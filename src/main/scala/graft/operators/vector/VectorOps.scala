@@ -328,7 +328,49 @@ object VectorOps {
        |  CAST(bit_count(sign_lo) + bit_count(sign_hi) AS BIGINT) AS n_pos
        |FROM sc ORDER BY vec_id""".stripMargin
 
+  // ---- v7: per-dimension corpus statistics (the training diagnostic) ----
+  // The profile read before choosing any vector transform: which
+  // dims carry variance (JL/truncation keep-lists, s22's prefix
+  // assumption), which are off-center (v6's median thresholds exist
+  // because of these), which are dead. Exact integer power sums over
+  // the micro-unit vectors (one 64·N explode, ONE map-side-combined
+  // aggregate into 64 cells — the s5/s14/s28 relational shape), mean
+  // and variance emitted as exact integer micro-units via q32's
+  // fixed-shape arithmetic on DECIMAL(38,0)/HUGEINT — Σq² reaches
+  // ~1e12·N, far past BIGINT at corpus scale.
+  def v7DimStats(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.Tables.load(spark, dir, "embeddings")
+      .withColumn("vd", expr(VectorExprs.castDoubleExpr))
+      .select(posexplode(
+        expr("transform(vd, x -> cast(round(x * 1000000) as bigint))"))
+        .as(Seq("d0", "q")))
+      .groupBy((col("d0") + 1).as("d"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("cast(q as decimal(38,0))")).as("sx"),
+        sum(expr("cast(q as decimal(38,0)) * cast(q as decimal(38,0))"))
+          .as("sxx"))
+      .select(col("d"), col("n"),
+        expr("cast(sx div n as bigint)").as("mean_micro"),
+        expr("cast((n * sxx - sx * sx) div (cast(n as decimal(38,0)) * n) as bigint)")
+          .as("var_micro2"))
+      .orderBy(col("d"))
+
+  val v7Sql: String =
+    s"""WITH ${VectorExprs.embCtes},
+       |q AS (
+       |  SELECT d, CAST(round(vd[d] * 1000000) AS HUGEINT) AS q
+       |  FROM ef, generate_series(1, 64) g(d)),
+       |s AS (
+       |  SELECT d, count(*) AS n, sum(q) AS sx, sum(q * q) AS sxx
+       |  FROM q GROUP BY d)
+       |SELECT CAST(d AS BIGINT) AS d, n,
+       |  CAST(sx // n AS BIGINT) AS mean_micro,
+       |  CAST((n * sxx - sx * sx) // (CAST(n AS HUGEINT) * n) AS BIGINT)
+       |    AS var_micro2
+       |FROM s ORDER BY d""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v7_dim_stats" -> (v7DimStats _),
     "v6_median_sign" -> (v6MedianSign _),
     "v5_sign_quantize" -> (v5SignQuantize _),
     "v4_pq_codes" -> (v4PqCodes _),
@@ -337,6 +379,7 @@ object VectorOps {
     "v3_random_projection" -> (v3RandomProjection _))
 
   val oracles: Map[String, String] = Map(
+    "v7_dim_stats" -> v7Sql,
     "v6_median_sign" -> v6Sql,
     "v5_sign_quantize" -> v5Sql,
     "v4_pq_codes" -> v4Sql,
