@@ -1268,8 +1268,47 @@ object Relational {
       |FROM l JOIN med USING (l_returnflag)
       |GROUP BY 1, 3 ORDER BY l_returnflag""".stripMargin
 
+  // ---- q39: grouped statistical mode (most frequent value) ----
+  // The third robust-statistics gauge next to q24's percentiles and
+  // q38's MAD: the modal quantity per (returnflag, linestatus). Two
+  // map-side-combined hash aggregates — count per (group, value),
+  // then one min(struct(-cnt, value)) per group — no window, no
+  // per-group sort anywhere (the q34 lesson applied to argmax): the
+  // first agg shuffles at most |groups|·|distinct values| rows, the
+  // second |groups|. Ties break to the SMALLEST value via the
+  // struct's lexicographic order, so the answer is deterministic and
+  // engine-portable at any scale.
+  def q39Mode(spark: SparkSession, dir: String): DataFrame = {
+    val cnt = t(spark, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_linestatus"),
+        col("l_quantity").cast("long").as("qty"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"), col("qty"))
+      .agg(count(lit(1)).as("cnt"))
+    cnt.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(min(struct((-col("cnt")).as("nc"), col("qty").as("q"))).as("m"),
+        sum(col("cnt")).as("n"))
+      .select(col("l_returnflag"), col("l_linestatus"),
+        col("m.q").as("mode_qty"), (-col("m.nc")).as("mode_count"), col("n"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  val q39Sql: String =
+    """WITH c AS (
+      |  SELECT l_returnflag, l_linestatus, CAST(l_quantity AS BIGINT) AS qty,
+      |    count(*) AS cnt
+      |  FROM lineitem GROUP BY 1, 2, 3),
+      |r AS (
+      |  SELECT *, row_number() OVER (PARTITION BY l_returnflag, l_linestatus
+      |              ORDER BY cnt DESC, qty) AS rk,
+      |    sum(cnt) OVER (PARTITION BY l_returnflag, l_linestatus) AS n
+      |  FROM c)
+      |SELECT l_returnflag, l_linestatus, qty AS mode_qty, cnt AS mode_count,
+      |  CAST(n AS BIGINT) AS n
+      |FROM r WHERE rk = 1 ORDER BY 1, 2""".stripMargin
+
   /** queries-map fragment: name → builder */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q39_mode" -> (q39Mode _),
     "q38_mad" -> (q38Mad _),
     "q37_bloom_filter" -> (q37BloomFilter _),
     "q36_range_frames" -> (q36RangeFrames _),
@@ -1311,6 +1350,7 @@ object Relational {
 
   /** oracle-map fragment: name → DuckDB SQL */
   val oracles: Map[String, String] = Map(
+    "q39_mode" -> q39Sql,
     "q38_mad" -> q38Sql,
     "q37_bloom_filter" -> q37Sql,
     "q36_range_frames" -> q36Sql,

@@ -1645,7 +1645,91 @@ object SimilarityOps {
        |  100 * max_size * n_clusters // n_vectors AS imbalance_x100
        |FROM s""".stripMargin
 
+  // ---- s31: asymmetric kNN over v8's scalar-quantized codes ----
+  // The search half of the SQ8 index (the v4→s10 lesson applied to
+  // v8): the corpus side is ONLY the 64-byte code rows — queries keep
+  // their exact micro-unit vectors, candidates are reconstructed from
+  // codes in-row (the asymmetric-distance trick: quantization error
+  // hits one side, not both). Every sum is integer (dots ≤ ~1e15,
+  // inside BIGINT), the final cosine is one division of exactly-agreed
+  // integers, so the gate is exact like s1. Plan shape is s1's:
+  // broadcast query codes × one corpus scan, bounded top-k aggregate,
+  // nothing shuffles but K·P pre-trimmed rows.
+  def s31SqKnn(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.vector.VectorOps
+    val recon = VectorOps.sqCodes(spark, dir)
+      .withColumn("rv", expr(VectorOps.sqReconExpr))
+      .withColumn("rn2",
+        expr("aggregate(rv, cast(0 as bigint), (a, x) -> a + x * x)"))
+      .select(col("vec_id"), col("rv"), col("rn2"))
+    val q = VectorOps.sqCodes(spark, dir)
+      .filter(col("vec_id") < 10)
+      .withColumn("qn2",
+        expr("aggregate(qv, cast(0 as bigint), (a, x) -> a + x * x)"))
+      .select(col("vec_id"), col("qv"), col("qn2"))
+    val pairs = broadcast(q.as("q"))
+      .join(recon.as("c"), col("q.vec_id") =!= col("c.vec_id"))
+      .withColumn("dot", expr(
+        """aggregate(sequence(1, 64), cast(0 as bigint),
+          |  (a, d) -> a + element_at(q.qv, d) * element_at(c.rv, d))"""
+          .stripMargin))
+      .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"),
+        (col("dot").cast("double")
+          / (sqrt(col("q.qn2").cast("double")) * sqrt(col("c.rn2").cast("double"))))
+          .as("cosine"))
+    ranked(pairs)
+  }
+
+  // Oracle: v8's shared sq CTEs + the reconstruction + the same
+  // integer dot, chained into the standard top-K rank.
+  private val sqPairsCtes: String =
+    s"""${graft.operators.vector.VectorOps.sqCtes},
+       |rc AS (
+       |  SELECT vec_id,
+       |    [mnv[d] + (CAST(codes[d] AS BIGINT) * (mxv[d] - mnv[d])) // 255
+       |     for d in generate_series(1, 64)] AS rv
+       |  FROM sq),
+       |rn AS (SELECT vec_id, rv,
+       |         CAST(list_sum([x * x for x in rv]) AS BIGINT) AS rn2 FROM rc),
+       |qn AS (SELECT vec_id, qv,
+       |         CAST(list_sum([x * x for x in qv]) AS BIGINT) AS qn2
+       |       FROM qm WHERE vec_id < 10),
+       |apairs AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    CAST(CAST(list_sum([q.qv[d] * c.rv[d]
+       |        for d in generate_series(1, 64)]) AS BIGINT) AS DOUBLE)
+       |      / (sqrt(CAST(q.qn2 AS DOUBLE)) * sqrt(CAST(c.rn2 AS DOUBLE)))
+       |      AS cosine
+       |  FROM qn q, rn c WHERE q.vec_id != c.vec_id)""".stripMargin
+
+  val s31Sql: String =
+    s"""WITH ${VectorExprs.embCtes},
+       |$sqPairsCtes,
+       |${topkCte("r", "apairs")}
+       |SELECT query_id, neighbor_id, cosine, rank FROM r
+       |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
+
+  // ---- s32: SQ8 recall row (tenth line of the ANN quality board) ----
+  // How much neighbor fidelity does 4x compression cost? Near-1.0
+  // expected (SQ8 is the gentlest quantizer on the board — 255 levels
+  // per dim vs v5/v6's 1 bit), which is exactly what makes it the
+  // default storage format worth measuring against.
+  def s32SqRecall(spark: SparkSession, dir: String): DataFrame =
+    recallOf(s1KnnBrute(spark, dir), s31SqKnn(spark, dir))
+
+  val s32Sql: String =
+    s"""WITH ${VectorExprs.embCtes},
+       |${exactPairsCte("xpairs")},
+       |${topkCte("xr", "xpairs")},
+       |exact AS (SELECT query_id, neighbor_id FROM xr WHERE rank <= $K),
+       |$sqPairsCtes,
+       |${topkCte("ar", "apairs")},
+       |approx AS (SELECT query_id, neighbor_id FROM ar WHERE rank <= $K)
+       |$recallTailSql""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s32_sq_recall" -> (s32SqRecall _),
+    "s31_sq_knn" -> (s31SqKnn _),
     "s30_ivf_balance" -> (s30IvfBalance _),
     "s29_trained_sign_recall" -> (s29TrainedSignRecall _),
     "s28_centroid_classify" -> (s28CentroidClassify _),
@@ -1678,6 +1762,8 @@ object SimilarityOps {
     "s7_ivf_trained" -> (s7IvfTrained _))
 
   val oracles: Map[String, String] = Map(
+    "s32_sq_recall" -> s32Sql,
+    "s31_sq_knn" -> s31Sql,
     "s30_ivf_balance" -> s30Sql,
     "s29_trained_sign_recall" -> s29Sql,
     "s28_centroid_classify" -> s28Sql,

@@ -369,7 +369,96 @@ object VectorOps {
        |    AS var_micro2
        |FROM s ORDER BY d""".stripMargin
 
+  // ---- v8: trained per-dimension min-max scalar quantization (SQ8) ----
+  // The FAISS-SQ8 storage format: v7 profiled the per-dimension
+  // distributions; v8 consumes that profile's (min, max) bounds as a
+  // TRAINED artifact and stores each dimension in one byte —
+  // code_d = floor((q_d - mn_d)·255 / (mx_d - mn_d)) over the exact
+  // micro-unit integers, so codes, reconstruction and the error gauge
+  // are all integer arithmetic (no float rounding to disagree on).
+  // Train is one 64·N explode into 64 min/max cells (v7's map-side-
+  // combined shape); encode is a broadcast of the 64-entry bounds +
+  // one narrow in-row pass — the corpus never shuffles, 64 B/vector
+  // (4x vs float32) at any scale. Dead dims (mx == mn) encode as 0.
+  /** embeddings + (qv micro-units, broadcast mnv/mxv bounds, codes)
+    * — cached: v8 gates it, s31 reconstructs from it. */
+  def sqCodes(spark: SparkSession, dir: String): DataFrame =
+    graft.util.DfCache.cached(spark, dir, "sq_codes") {
+      val qm = graft.sources.Tables.load(spark, dir, "embeddings")
+        .withColumn("vd", expr(VectorExprs.castDoubleExpr))
+        .withColumn("qv",
+          expr("transform(vd, x -> cast(round(x * 1000000) as bigint))"))
+      val mm = qm
+        .select(posexplode(col("qv")).as(Seq("d0", "q")))
+        .groupBy((col("d0") + 1).as("d"))
+        .agg(min(col("q")).as("mn"), max(col("q")).as("mx"))
+        .groupBy()
+        .agg(
+          expr("transform(sort_array(collect_list(struct(d, mn))), p -> p.mn)")
+            .as("mnv"),
+          expr("transform(sort_array(collect_list(struct(d, mx))), p -> p.mx)")
+            .as("mxv"))
+      qm.crossJoin(broadcast(mm))
+        .withColumn("codes", expr(
+          """transform(sequence(1, 64), d -> CASE
+            |  WHEN element_at(mxv, d) > element_at(mnv, d)
+            |  THEN cast(((element_at(qv, d) - element_at(mnv, d)) * 255)
+            |            div (element_at(mxv, d) - element_at(mnv, d)) as int)
+            |  ELSE 0 END)""".stripMargin))
+        .select(col("vec_id"), col("qv"), col("mnv"), col("mxv"), col("codes"))
+    }
+
+  /** Per-dimension reconstruction q̂_d = mn_d + code_d·(mx_d-mn_d)//255
+    * (the decoder side of the same integer contract). */
+  val sqReconExpr: String =
+    """transform(sequence(1, 64), d ->
+      |  element_at(mnv, d) + (cast(element_at(codes, d) as bigint)
+      |    * (element_at(mxv, d) - element_at(mnv, d))) div 255)""".stripMargin
+
+  def v8SqCodes(spark: SparkSession, dir: String): DataFrame =
+    sqCodes(spark, dir)
+      .select(col("vec_id"),
+        element_at(col("codes"), 1).as("c1"), element_at(col("codes"), 2).as("c2"),
+        element_at(col("codes"), 3).as("c3"), element_at(col("codes"), 4).as("c4"),
+        expr("aggregate(codes, cast(0 as bigint), (a, x) -> a + x)")
+          .as("code_sum"),
+        expr(s"""aggregate(sequence(1, 64), cast(0 as bigint), (a, d) ->
+          |  a + abs(element_at(qv, d) - element_at($sqReconExpr, d)))""".stripMargin)
+          .as("err_micro"))
+      .orderBy(col("vec_id"))
+
+  /** DuckDB CTEs mirroring [[sqCodes]]: `qm` (micro-units), `mm`
+    * (trained bounds), `sq` (codes + carried qv/mnv/mxv). */
+  val sqCtes: String =
+    """qm AS (
+      |  SELECT vec_id, [CAST(round(x * 1000000) AS BIGINT) for x in vd] AS qv
+      |  FROM ef),
+      |ds AS (
+      |  SELECT d, min(qv[d]) AS mn, max(qv[d]) AS mx
+      |  FROM qm, generate_series(1, 64) g(d) GROUP BY d),
+      |mm AS (SELECT list(mn ORDER BY d) AS mnv, list(mx ORDER BY d) AS mxv
+      |       FROM ds),
+      |sq AS (
+      |  SELECT vec_id, qv, mnv, mxv,
+      |    [CASE WHEN mxv[d] > mnv[d]
+      |          THEN CAST(((qv[d] - mnv[d]) * 255) // (mxv[d] - mnv[d]) AS INTEGER)
+      |          ELSE 0 END
+      |     for d in generate_series(1, 64)] AS codes
+      |  FROM qm, mm)""".stripMargin
+
+  val v8Sql: String =
+    s"""WITH ${VectorExprs.embCtes},
+       |$sqCtes
+       |SELECT vec_id, codes[1] AS c1, codes[2] AS c2, codes[3] AS c3,
+       |  codes[4] AS c4,
+       |  CAST(list_sum(codes) AS BIGINT) AS code_sum,
+       |  CAST(list_sum([abs(qv[d] - (mnv[d]
+       |      + (CAST(codes[d] AS BIGINT) * (mxv[d] - mnv[d])) // 255))
+       |    for d in generate_series(1, 64)]) AS BIGINT) AS err_micro
+       |FROM sq ORDER BY vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v8_sq_codes" -> (v8SqCodes _),
     "v7_dim_stats" -> (v7DimStats _),
     "v6_median_sign" -> (v6MedianSign _),
     "v5_sign_quantize" -> (v5SignQuantize _),
@@ -379,6 +468,7 @@ object VectorOps {
     "v3_random_projection" -> (v3RandomProjection _))
 
   val oracles: Map[String, String] = Map(
+    "v8_sq_codes" -> v8Sql,
     "v7_dim_stats" -> v7Sql,
     "v6_median_sign" -> v6Sql,
     "v5_sign_quantize" -> v5Sql,

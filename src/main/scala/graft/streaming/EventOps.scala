@@ -584,7 +584,68 @@ object EventOps {
       |HAVING sum(w) > 0
       |ORDER BY decayed_micro DESC, event_type""".stripMargin
 
+  // ---- e17: session path mining (top event-type trigrams) ----
+  // The user-journey report over e3's sessions: the 10 most common
+  // 3-step event-type paths taken inside one session. ONE window
+  // exchange does everything — sessionization (lag + running sum of
+  // new-session markers, e3's >30min gap rule) AND the two lookahead
+  // steps all partition by user_id (the grow-with-data key, q27's
+  // pattern), ordered by (ts, event_id) for tie determinism. Leads
+  // crossing a session boundary are rejected by comparing the LED
+  // session id (monotonic per user, so s3 == sid implies the middle
+  // step matched too) — no second exchange on (user, session). The
+  // path counts aggregate to ≤ |event_types|³ rows, so the global
+  // top-10 sort is over a bounded summary, never data-sized.
+  def e17SessionPaths(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events(spark, dir)
+      .withColumn("prev", lag(col("ts"), 1).over(w))
+      .withColumn("is_new",
+        when(col("prev").isNull ||
+          col("ts").cast("long") - col("prev").cast("long") > 1800L, 1)
+          .otherwise(0))
+      .withColumn("sid",
+        sum(col("is_new")).over(w.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+      .withColumn("t2", lead(col("event_type"), 1).over(w))
+      .withColumn("t3", lead(col("event_type"), 2).over(w))
+      .withColumn("s3", lead(col("sid"), 2).over(w))
+      .filter(col("s3") === col("sid"))
+      .select(concat_ws(">", col("event_type"), col("t2"), col("t3")).as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n_paths"))
+      .orderBy(col("n_paths").desc, col("path"))
+      .limit(10)
+  }
+
+  val e17Sql: String =
+    """WITH marked AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |           IS NULL
+      |           OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |              > INTERVAL 30 MINUTE
+      |         THEN 1 ELSE 0 END AS is_new
+      |  FROM events),
+      |sess AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                      ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM marked),
+      |tri AS (
+      |  SELECT event_type || '>'
+      |      || lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      || '>'
+      |      || lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      AS path,
+      |    sid,
+      |    lead(sid, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS s3
+      |  FROM sess)
+      |SELECT path, count(*) AS n_paths FROM tri
+      |WHERE s3 = sid
+      |GROUP BY path ORDER BY n_paths DESC, path LIMIT 10""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e17_session_paths" -> (e17SessionPaths _),
     "e16_decayed_leaderboard" -> (e16DecayedLeaderboard _),
     "e15_cms_window" -> (e15CmsWindow _),
     "e14_session_stats" -> (e14SessionStats _),
@@ -603,6 +664,7 @@ object EventOps {
     "e8_funnel" -> (e8Funnel _))
 
   val oracles: Map[String, String] = Map(
+    "e17_session_paths" -> e17Sql,
     "e16_decayed_leaderboard" -> e16Sql,
     "e15_cms_window" -> e15Sql,
     "e14_session_stats" -> e14Sql,
