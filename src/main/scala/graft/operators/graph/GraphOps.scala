@@ -1609,7 +1609,63 @@ object GraphOps {
        |  100 * n_directed_edges // n_nodes AS avg_degree_x100
        |FROM s""".stripMargin
 
+  // ---- g26: 4-cycle (rectangle) count of the degree-bounded subgraph ----
+  // The quadrilateral sibling of g7's triangles — the motif that
+  // separates "two hubs sharing an audience" (many rectangles) from
+  // tree-like reach, and the denominator of the bipartite clustering
+  // coefficient. Identity: each 4-cycle u–a–v–b contributes C(2) to
+  // BOTH of its diagonals {u,v} and {a,b}, so
+  //   rectangles = Σ_{u<v} C(cn(u,v), 2) / 2
+  // exactly — PROVIDED the graph treats both diagonal roles alike,
+  // which is why the count is over the subgraph INDUCED on nodes with
+  // deg ≤ MaxWedgeDeg (g21's cap as a subgraph, not a per-role
+  // filter; a per-role cap would count each cycle 0–2 times). Wedge
+  // volume is ≤ MaxWedgeDeg·|E'| rows — linear in edges, the d2/g7
+  // degeneracy contract — and unlike g21 the pair aggregate keeps
+  // ADJACENT diagonals (a rectangle with a chord is still a
+  // rectangle). The even c2_sum div 2 is an internal consistency
+  // witness the gate re-checks for free.
+  /** The composable core: rectangle count of the subgraph of `sym`
+    * induced on nodes with deg ≤ `cap` (Round9OpsSpec pins C4 → 1
+    * and K4 → 3 against hand counts). */
+  def fourCyclesOf(sym: DataFrame, cap: Long = MaxWedgeDeg): DataFrame = {
+    val keep = sym.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+      .filter(col("deg") <= cap).select(col("node"))
+    val e2 = sym
+      .join(keep.withColumnRenamed("node", "src"), Seq("src"))
+      .join(keep.withColumnRenamed("node", "dst"), Seq("dst"))
+    e2.as("w1").join(e2.as("w2"),
+        col("w1.src") === col("w2.src") && col("w1.dst") < col("w2.dst"))
+      .groupBy(col("w1.dst").as("a"), col("w2.dst").as("b"))
+      .agg(count(lit(1)).as("cn"))
+      .filter(col("cn") >= 2)
+      .agg(count(lit(1)).as("n_diagonal_pairs"),
+        sum(expr("cn * (cn - 1) div 2")).as("c2_sum"))
+      .select(col("n_diagonal_pairs"), col("c2_sum"),
+        expr("c2_sum div 2").as("n_four_cycles"))
+  }
+
+  def g26FourCycles(spark: SparkSession, dir: String): DataFrame =
+    fourCyclesOf(withSym(spark, dir))
+
+  val g26Sql: String =
+    s"""WITH ${GraphTables.symSqlCtes},
+       |deg AS (SELECT src AS node, count(*) AS deg FROM sym GROUP BY src),
+       |keep AS (SELECT node FROM deg WHERE deg <= $MaxWedgeDeg),
+       |e2 AS (SELECT s.src, s.dst FROM sym s
+       |       JOIN keep ka ON s.src = ka.node
+       |       JOIN keep kb ON s.dst = kb.node),
+       |p AS (SELECT w1.dst AS a, w2.dst AS b, count(*) AS cn
+       |      FROM e2 w1 JOIN e2 w2
+       |        ON w1.src = w2.src AND w1.dst < w2.dst
+       |      GROUP BY 1, 2 HAVING count(*) >= 2)
+       |SELECT CAST(count(*) AS BIGINT) AS n_diagonal_pairs,
+       |  CAST(sum(cn * (cn - 1) // 2) AS BIGINT) AS c2_sum,
+       |  CAST(sum(cn * (cn - 1) // 2) // 2 AS BIGINT) AS n_four_cycles
+       |FROM p""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g26_four_cycles" -> (g26FourCycles _),
     "g25_degree_stats" -> (g25DegreeStats _),
     "g24_assortativity" -> (g24Assortativity _),
     "g23_hits" -> (g23Hits _),
@@ -1637,6 +1693,7 @@ object GraphOps {
     "g9_checkpoint_roundtrip" -> (g9CheckpointRoundtrip _))
 
   val oracles: Map[String, String] = Map(
+    "g26_four_cycles" -> g26Sql,
     "g25_degree_stats" -> g25Sql,
     "g24_assortativity" -> g24Sql,
     "g23_hits" -> g23Sql,

@@ -575,7 +575,63 @@ object MultimodalOps {
       |    AS simpson_ppm
       |FROM agg ORDER BY doc_id""".stripMargin
 
+  // ---- m10: overlapped chunk manifest (the ASR/patch batching shape) ----
+  // A media pipeline never feeds whole payloads to a model — it
+  // chunks them (audio → 30s windows with overlap, images → patches)
+  // and ships a MANIFEST so downstream stages can address chunks
+  // without re-slicing bytes. Chunk size 256 with stride 224 (32
+  // overlap, the boundary-context rule); last chunk starts at the
+  // final stride before the payload end so no trailing sliver
+  // shorter than the overlap is emitted. The chunk index list is
+  // generated IN-ROW (sequence + explode — zero shuffle, manifest
+  // rows ≈ payload_bytes/stride), offsets/lengths are pure integer
+  // arithmetic, and the per-chunk first/last character codes give
+  // each manifest row a content witness without moving the payload.
+  // Character domain throughout (the m4 ASCII contract: these
+  // payloads are 1 byte/char; a multibyte corpus would chunk on
+  // bytes instead).
+  private val ChunkLen = 256
+  private val ChunkStride = 224
+
+  def m10ChunkManifest(spark: SparkSession, dir: String): DataFrame =
+    withBlob(spark, dir)
+      .select(col("doc_id"), length(col("text")).cast("long").as("n"),
+        col("text"))
+      .withColumn("last_i", expr(
+        s"CASE WHEN n <= $ChunkLen THEN 0 " +
+          s"ELSE (n - $ChunkLen + ${ChunkStride - 1}) div $ChunkStride END"))
+      .select(col("doc_id"), col("n"), col("text"),
+        explode(expr("sequence(0, last_i)")).as("chunk_idx"))
+      .withColumn("off", col("chunk_idx") * ChunkStride + 1)
+      .withColumn("len", least(lit(ChunkLen.toLong), col("n") - col("off") + 1))
+      .select(col("doc_id"), col("chunk_idx"), col("off"), col("len"),
+        ascii(expr("substring(text, cast(off as int), 1)")).cast("int").as("first_c"),
+        ascii(expr("substring(text, cast(off + len - 1 as int), 1)")).cast("int").as("last_c"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
+  val m10Sql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, CAST(length(text) AS BIGINT) AS n, text,
+       |    CASE WHEN length(text) <= $ChunkLen THEN 0
+       |         ELSE (CAST(length(text) AS BIGINT) - $ChunkLen
+       |               + ${ChunkStride - 1}) // $ChunkStride END AS last_i
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, n, text,
+       |    unnest(generate_series(0, last_i)) AS chunk_idx,
+       |    unnest(generate_series(0, last_i)) * $ChunkStride + 1 AS off
+       |  FROM d),
+       |m AS (
+       |  SELECT doc_id, chunk_idx, off,
+       |    least(CAST($ChunkLen AS BIGINT), n - off + 1) AS len, text
+       |  FROM c)
+       |SELECT doc_id, chunk_idx, off, len,
+       |  ascii(substring(text, CAST(off AS INTEGER), 1)) AS first_c,
+       |  ascii(substring(text, CAST(off + len - 1 AS INTEGER), 1)) AS last_c
+       |FROM m ORDER BY doc_id, chunk_idx""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m10_chunk_manifest" -> (m10ChunkManifest _),
     "m9_simpson_concentration" -> (m9SimpsonConcentration _),
     "m8_ahash_recall" -> (m8AhashRecall _),
     "m7_silence_detect" -> (m7SilenceDetect _),
@@ -587,6 +643,7 @@ object MultimodalOps {
     "m3_frame_sample" -> (m3FrameSample _))
 
   val oracles: Map[String, String] = Map(
+    "m10_chunk_manifest" -> m10Sql,
     "m9_simpson_concentration" -> m9Sql,
     "m8_ahash_recall" -> m8Sql,
     "m7_silence_detect" -> m7Sql,

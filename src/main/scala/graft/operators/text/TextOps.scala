@@ -905,7 +905,46 @@ object TextOps {
       |        / CAST(len(string_split(text, ' ')) AS DOUBLE)) AS flesch
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ---- t19: lexical diversity per source (TTR + hapax ratio) ----
+  // The Gopher "fraction of unique words" rule as a per-source corpus
+  // gauge: type-token ratio and hapax-legomenon share in exact
+  // integer ppm. Machine-generated or template text scores LOW on
+  // both (few types, few one-off words) — the curation dashboard row
+  // that flags a source worth deduplicating harder. One token explode
+  // into a (source, token) count (map-side combined — shuffles at
+  // most |sources|·|vocab| cells, never the token stream), then one
+  // |sources|-row rollup; integer division truncates identically on
+  // both engines.
+  def t19LexicalDiversity(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("source"), col("token"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_types"),
+        sum(col("cnt")).as("n_tokens"),
+        sum(when(col("cnt") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col("source"), col("n_types"), col("n_tokens"), col("n_hapax"),
+        expr("n_types * 1000000 div n_tokens").as("ttr_ppm"),
+        expr("n_hapax * 1000000 div n_types").as("hapax_ppm"))
+      .orderBy(col("source"))
+
+  val t19Sql: String =
+    """WITH tc AS (
+      |  SELECT source, token, count(*) AS cnt
+      |  FROM (SELECT source, unnest(string_split(text, ' ')) AS token
+      |        FROM documents)
+      |  GROUP BY 1, 2)
+      |SELECT source, count(*) AS n_types,
+      |  CAST(sum(cnt) AS BIGINT) AS n_tokens,
+      |  CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+      |  count(*) * 1000000 // CAST(sum(cnt) AS BIGINT) AS ttr_ppm,
+      |  CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) * 1000000
+      |    // count(*) AS hapax_ppm
+      |FROM tc GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t19_lexical_diversity" -> (t19LexicalDiversity _),
     "t18_readability" -> (t18Readability _),
     "t17_winnowing" -> (t17Winnowing _),
     "t16_length_percentiles" -> (t16LengthPercentiles _),
@@ -926,6 +965,7 @@ object TextOps {
     "t9_curation_pipeline" -> (t9CurationPipeline _))
 
   val oracles: Map[String, String] = Map(
+    "t19_lexical_diversity" -> t19Sql,
     "t18_readability" -> t18Sql,
     "t17_winnowing" -> t17Sql,
     "t16_length_percentiles" -> t16Sql,

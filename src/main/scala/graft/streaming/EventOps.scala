@@ -600,9 +600,12 @@ object EventOps {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     events(spark, dir)
       .withColumn("prev", lag(col("ts"), 1).over(w))
+      // micro-resolution gap test (every ts here has sub-second
+      // precision — a seconds-truncated diff would disagree with the
+      // oracle's INTERVAL comparison on ~boundary gaps)
       .withColumn("is_new",
         when(col("prev").isNull ||
-          col("ts").cast("long") - col("prev").cast("long") > 1800L, 1)
+          expr("unix_micros(ts) - unix_micros(prev)") > 1800000000L, 1)
           .otherwise(0))
       .withColumn("sid",
         sum(col("is_new")).over(w.rowsBetween(Window.unboundedPreceding,
@@ -644,7 +647,69 @@ object EventOps {
       |WHERE s3 = sid
       |GROUP BY path ORDER BY n_paths DESC, path LIMIT 10""".stripMargin
 
+  // ---- e18: last-touch attribution with a lookback window ----
+  // The conversion report: each purchase is credited to the user's
+  // most recent PRECEDING non-purchase event, but only if it happened
+  // within the 30-minute lookback — otherwise the conversion is
+  // "direct". One window exchange on user_id (ordered ts, event_id):
+  // two IGNORE-NULLS last_value frames over UNBOUNDED..1 PRECEDING
+  // pick the same row by construction (their CASE nulls coincide), so
+  // no struct column needs to cross engines. Latency is exact integer
+  // microseconds; the per-channel rollup is |event_types|-bounded. The
+  // same transform runs incrementally under streaming state: the
+  // per-user "last touch" is O(1) state, the e6 pattern.
+  def e18Attribution(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events(spark, dir)
+      .withColumn("touch_type",
+        last(when(col("event_type") =!= "purchase", col("event_type")), true)
+          .over(w))
+      .withColumn("touch_ts",
+        last(when(col("event_type") =!= "purchase", col("ts")), true).over(w))
+      .filter(col("event_type") === "purchase")
+      // exact microsecond latency (ts carries sub-second precision;
+      // seconds-truncated diffs would blur the lookback boundary)
+      .withColumn("lat_us",
+        expr("unix_micros(ts) - unix_micros(touch_ts)"))
+      .withColumn("channel",
+        when(col("touch_ts").isNotNull && col("lat_us") <= 1800000000L,
+          col("touch_type")).otherwise(lit("direct")))
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_conversions"),
+        sum(when(col("channel") =!= "direct", col("lat_us"))).as("sum_latency_us"),
+        max(when(col("channel") =!= "direct", col("lat_us"))).as("max_latency_us"))
+      .orderBy(col("channel"))
+  }
+
+  val e18Sql: String =
+    """WITH t AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |    last_value(CASE WHEN event_type != 'purchase' THEN event_type END
+      |               IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |      AS touch_type,
+      |    last_value(CASE WHEN event_type != 'purchase' THEN ts END
+      |               IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |      AS touch_ts
+      |  FROM events),
+      |conv AS (
+      |  SELECT CASE WHEN touch_ts IS NOT NULL
+      |                   AND epoch_us(ts) - epoch_us(touch_ts) <= 1800000000
+      |              THEN touch_type ELSE 'direct' END AS channel,
+      |    CAST(epoch_us(ts) - epoch_us(touch_ts) AS BIGINT) AS lat_us
+      |  FROM t WHERE event_type = 'purchase')
+      |SELECT channel, count(*) AS n_conversions,
+      |  CAST(sum(CASE WHEN channel != 'direct' THEN lat_us END) AS BIGINT)
+      |    AS sum_latency_us,
+      |  max(CASE WHEN channel != 'direct' THEN lat_us END) AS max_latency_us
+      |FROM conv GROUP BY channel ORDER BY channel""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e18_attribution" -> (e18Attribution _),
     "e17_session_paths" -> (e17SessionPaths _),
     "e16_decayed_leaderboard" -> (e16DecayedLeaderboard _),
     "e15_cms_window" -> (e15CmsWindow _),
@@ -664,6 +729,7 @@ object EventOps {
     "e8_funnel" -> (e8Funnel _))
 
   val oracles: Map[String, String] = Map(
+    "e18_attribution" -> e18Sql,
     "e17_session_paths" -> e17Sql,
     "e16_decayed_leaderboard" -> e16Sql,
     "e15_cms_window" -> e15Sql,

@@ -413,4 +413,54 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("CartesianProduct") && !plan.contains("SortMergeJoin"),
       "no join anywhere — one explode, one window, one rollup")
   }
+
+  test("v8/s31: SQ encode broadcasts the 64-entry bounds; asymmetric kNN never shuffles the corpus") {
+    // encode = train (64-cell partial agg) + broadcast bounds + one
+    // narrow in-row pass; a hashpartitioning of the code scan means
+    // the 64 B/vector promise broke
+    val vplan = planOf(SparkEntry.queries("v8_sq_codes")(spark, dir))
+    assert(vplan.contains("BroadcastNestedLoopJoin"),
+      "the trained (mnv, mxv) bounds row must broadcast over the corpus scan")
+    assert("HashAggregate".r.findAllIn(vplan).length >= 2,
+      "per-dim min/max training must partially aggregate")
+    val splan = planOf(SparkEntry.queries("s31_sq_knn")(spark, dir))
+    assert(!splan.contains("Window"),
+      "top-k is the bounded aggregate, not a window sort")
+    assert(!splan.contains("SortMergeJoin") && !splan.contains("ShuffledHashJoin"),
+      "query side broadcasts; the code scan must not shuffle for the join")
+  }
+
+  test("q39: grouped mode is two partial aggregates — no window, no per-group sort") {
+    val plan = planOf(SparkEntry.queries("q39_mode")(spark, dir))
+    assert(!plan.contains("Window"), "argmax must be min(struct), not row_number")
+    assert("HashAggregate".r.findAllIn(plan).length >= 4,
+      "both aggregation phases must map-side combine")
+  }
+
+  test("e17: session paths run in ONE user_id window exchange — no (user, session) reshuffle") {
+    val plan = planOf(SparkEntry.queries("e17_session_paths")(spark, dir))
+      .split("== Initial Plan ==").head
+    // partition spec = user_id alone: the first windowspecdefinition
+    // argument list must go straight from user_id into the ts ordering
+    // (sid may appear as a lead TARGET, never as a partition key)
+    val specs = "windowspecdefinition\\(([^)]*)\\)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(specs.nonEmpty, "expected window operators")
+    specs.foreach { s =>
+      assert("^user_id#\\d+L, ts#".r.findFirstIn(s).isDefined,
+        s"every window must partition by user_id alone: $s")
+    }
+    val windowExchanges = plan.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning(user_id"))
+    assert(windowExchanges <= 1,
+      s"sessionize + both leads must share one exchange, got $windowExchanges")
+  }
+
+  test("m10: the chunk manifest is one in-row generate — no shuffle before the output sort") {
+    val plan = planOf(SparkEntry.queries("m10_chunk_manifest")(spark, dir))
+    assert(!plan.contains("Exchange hashpartitioning"),
+      "chunk explosion is per-row — nothing to co-locate")
+    assert(!plan.contains("Window") && !plan.contains("Join"),
+      "offsets are arithmetic on the row itself")
+  }
 }
