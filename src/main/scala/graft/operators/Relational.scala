@@ -1306,8 +1306,70 @@ object Relational {
       |  CAST(n AS BIGINT) AS n
       |FROM r WHERE rk = 1 ORDER BY 1, 2""".stripMargin
 
+  // ---- q40: Pareto / ABC analysis (cumulative revenue share) ----
+  // The 80/20 table every category manager reads: brands ranked by
+  // revenue, cumulative share, A/B/C class cut at 70%/95%. The heavy
+  // work is ONE map-side-combined aggregate over lineitem ⋈ broadcast
+  // part (exact decimal cents); the running-total window then orders
+  // the |brands|-row SUMMARY — a bounded dimension, never the fact
+  // stream (the q29 lesson: windows may sort summaries, not data).
+  // The grand total rides the same window frame (range unbounded both
+  // ways would be a second pass; a broadcast one-row total join costs
+  // nothing at |brands| rows). Shares in integer ppm of exact cents.
+  def q40Pareto(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rev = t(spark, dir, "lineitem")
+      .join(broadcast(t(spark, dir, "part")
+        .select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(sum((dec(col("l_extendedprice")) * 100).cast("long"))
+        .as("rev_cents"))
+    val w = Window.orderBy(col("rev_cents").desc, col("p_brand"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = rev.agg(sum(col("rev_cents")).as("total_cents"))
+    rev.crossJoin(broadcast(tot))
+      .withColumn("cum_cents", sum(col("rev_cents")).over(w))
+      // 1e6 · cum_cents tops BIGINT once corpus revenue passes ~9e12
+      // cents (sf1 already does) — the ppm ratio multiplies in
+      // DECIMAL(38,0), the q32/v7 wide-integer posture
+      .withColumn("cum_ppm",
+        expr("cast(1000000 * cast(cum_cents as decimal(38,0)) div total_cents as bigint)"))
+      .withColumn("abc_class",
+        when(col("cum_ppm") <= 700000L, "A")
+          .when(col("cum_ppm") <= 950000L, "B").otherwise("C"))
+      .select(col("p_brand"), col("rev_cents"), col("cum_cents"),
+        col("cum_ppm"), col("abc_class"))
+      .orderBy(col("cum_ppm"))
+  }
+
+  val q40Sql: String =
+    """WITH rev AS (
+      |  SELECT p_brand,
+      |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+      |      AS rev_cents
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  GROUP BY 1),
+      |c AS (
+      |  SELECT p_brand, rev_cents,
+      |    CAST(sum(rev_cents) OVER (ORDER BY rev_cents DESC, p_brand
+      |                              ROWS UNBOUNDED PRECEDING) AS BIGINT)
+      |      AS cum_cents,
+      |    CAST((SELECT sum(rev_cents) FROM rev) AS BIGINT) AS total_cents
+      |  FROM rev)
+      |SELECT p_brand, rev_cents, cum_cents,
+      |  CAST(1000000 * CAST(cum_cents AS HUGEINT) // total_cents AS BIGINT)
+      |    AS cum_ppm,
+      |  CASE WHEN 1000000 * CAST(cum_cents AS HUGEINT) // total_cents
+      |            <= 700000 THEN 'A'
+      |       WHEN 1000000 * CAST(cum_cents AS HUGEINT) // total_cents
+      |            <= 950000 THEN 'B'
+      |       ELSE 'C' END AS abc_class
+      |FROM c ORDER BY cum_ppm""".stripMargin
+
   /** queries-map fragment: name → builder */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q40_pareto" -> (q40Pareto _),
     "q39_mode" -> (q39Mode _),
     "q38_mad" -> (q38Mad _),
     "q37_bloom_filter" -> (q37BloomFilter _),
@@ -1350,6 +1412,7 @@ object Relational {
 
   /** oracle-map fragment: name → DuckDB SQL */
   val oracles: Map[String, String] = Map(
+    "q40_pareto" -> q40Sql,
     "q39_mode" -> q39Sql,
     "q38_mad" -> q38Sql,
     "q37_bloom_filter" -> q37Sql,

@@ -1039,7 +1039,75 @@ object DedupOps {
        |FROM nodes n JOIN reach r ON r.a = n.n
        |GROUP BY n.n ORDER BY doc_id""".stripMargin
 
+  // ---- d17: exact directional containment over the winnow candidates ----
+  // The quote detector Jaccard structurally misses: a short doc fully
+  // quoted inside a long one has Jaccard ≈ |A|/|B| (arbitrarily low —
+  // d4's threshold never fires) but containment |A∩B|/|A| ≈ 1. The
+  // candidate side is d15's winnowed-fingerprint pairs — the RIGHT
+  // generator for this gauge, because winnowing's guarantee is
+  // per-shared-RUN (any ≥ SpanN+WinW−1-word verbatim overlap plants a
+  // common fingerprint) and so is containment-recall-friendly, where
+  // minhash bands select for symmetric similarity. Verification is
+  // d4's merge-pass intersect on the cached sorted shingle arrays:
+  // only |candidates| rows flow, no shingle explode. Both directions
+  // emitted in exact integer ppm; is_quote flags max-side containment
+  // ≥ 50% (the asymmetric-reuse verdict d6/d16 clustering would act
+  // on).
+  private val QuotePpm = 500000L
+
+  def d17Containment(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(spark)
+    val sh = shingleFeatures(spark, dir)
+    d15WinnowDup(spark, dir).select(col("doc_a"), col("doc_b"))
+      .join(sh.as("a"), col("doc_a") === col("a.doc_id"))
+      .join(sh.as("b"), col("doc_b") === col("b.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("cast(graft_sorted_intersect_count(a.shingles, b.shingles) as bigint)")
+          .as("inter"),
+        size(col("a.shingles")).cast("long").as("na"),
+        size(col("b.shingles")).cast("long").as("nb"))
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("na"), col("nb"),
+        expr("1000000 * inter div na").as("cont_a_ppm"),
+        expr("1000000 * inter div nb").as("cont_b_ppm"))
+      .withColumn("is_quote",
+        greatest(col("cont_a_ppm"), col("cont_b_ppm")) >= QuotePpm)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val d17Sql: String =
+    s"""WITH ${graft.operators.text.TextOps.winnowFpCtes},
+       |hh AS (SELECT DISTINCT doc_id, sel // 4194304 AS h FROM fp),
+       |okw AS (SELECT h FROM hh GROUP BY h HAVING count(*) <= 200),
+       |sw AS (SELECT hh.* FROM hh JOIN okw USING (h)),
+       |pr AS (
+       |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM sw x JOIN sw y ON x.h = y.h AND x.doc_id < y.doc_id
+       |  GROUP BY 1, 2 HAVING count(*) >= 2),
+       |$shingleCtes,
+       |shx AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+       |ns AS (SELECT doc_id, len(shingles) AS n FROM sh),
+       |it AS (
+       |  SELECT c.doc_a, c.doc_b, count(*) AS inter
+       |  FROM pr c
+       |  JOIN shx a ON a.doc_id = c.doc_a
+       |  JOIN shx b ON b.doc_id = c.doc_b AND a.s = b.s
+       |  GROUP BY 1, 2)
+       |SELECT p.doc_a, p.doc_b,
+       |  CAST(coalesce(i.inter, 0) AS BIGINT) AS inter,
+       |  CAST(na.n AS BIGINT) AS na, CAST(nb.n AS BIGINT) AS nb,
+       |  1000000 * CAST(coalesce(i.inter, 0) AS BIGINT) // na.n AS cont_a_ppm,
+       |  1000000 * CAST(coalesce(i.inter, 0) AS BIGINT) // nb.n AS cont_b_ppm,
+       |  greatest(1000000 * CAST(coalesce(i.inter, 0) AS BIGINT) // na.n,
+       |           1000000 * CAST(coalesce(i.inter, 0) AS BIGINT) // nb.n)
+       |    >= $QuotePpm AS is_quote
+       |FROM pr p
+       |LEFT JOIN it i ON p.doc_a = i.doc_a AND p.doc_b = i.doc_b
+       |JOIN ns na ON p.doc_a = na.doc_id
+       |JOIN ns nb ON p.doc_b = nb.doc_id
+       |ORDER BY p.doc_a, p.doc_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d17_containment" -> (d17Containment _),
     "d16_winnow_clusters" -> (d16WinnowClusters _),
     "d15_winnow_dup" -> (d15WinnowDup _),
     "d14_cross_source_dup" -> (d14CrossSourceDup _),
@@ -1058,6 +1126,7 @@ object DedupOps {
     "d9_incremental_dedup" -> (d9IncrementalDedup _))
 
   val oracles: Map[String, String] = Map(
+    "d17_containment" -> d17Sql,
     "d16_winnow_clusters" -> d16Sql,
     "d15_winnow_dup" -> d15Sql,
     "d14_cross_source_dup" -> d14Sql,

@@ -1664,7 +1664,62 @@ object GraphOps {
        |  CAST(sum(cn * (cn - 1) // 2) // 2 AS BIGINT) AS n_four_cycles
        |FROM p""".stripMargin
 
+  // ---- g27: per-seed reach profile (eccentricity / diameter probe) ----
+  // The "how far is far" diagnostic: BFS from K deterministic seed
+  // nodes tracked PER SEED (g6 merges sources into one min-dist
+  // field; a diameter probe must not), reporting nodes-first-reached
+  // per (seed, dist) up to depth ReachDepth. The per-seed max dist is
+  // an eccentricity lower bound; their max bounds the diameter from
+  // below — the standard sampled probe, exact on the sampled seeds
+  // (iFUB's starting point). Same frontier discipline as g6: each
+  // level DfCache-owned, the seen-set a lazy union of cached levels,
+  // one join + distinct + anti-join per hop; state is ≤ K·V rows
+  // total (seed-bounded, the scale knob is K — seeds ride the
+  // frontier key so K× work, not K× rounds).
+  private val ReachDepth = 6
+
+  def g27ReachProfile(spark: SparkSession, dir: String): DataFrame = {
+    val sym = withSym(spark, dir)
+    val src = graft.util.DfCache.cached(spark, dir, "g27_level_0") {
+      graft.sources.Tables.load(spark, dir, "customer")
+        .select((col("c_custkey").cast("long") * 8).as("seed"))
+        .orderBy(col("seed")).limit(4)
+        .select(col("seed"), col("seed").as("node"))
+    }
+    var levels = List(src.withColumn("dist", lit(0)))
+    var frontier = src
+    for (h <- 1 to ReachDepth) {
+      val prev = frontier
+      val seen = levels.map(_.select(col("seed"), col("node"))).reduce(_.union(_))
+      val nxt = graft.util.DfCache.cached(spark, dir, s"g27_level_$h") {
+        prev.join(sym, col("node") === col("src"))
+          .select(col("seed"), col("dst").as("node")).distinct()
+          .join(seen, Seq("seed", "node"), "left_anti")
+      }
+      frontier = nxt
+      levels = nxt.withColumn("dist", lit(h)) :: levels
+    }
+    levels.reduce(_.union(_))
+      .groupBy(col("seed"), col("dist"))
+      .agg(count(lit(1)).as("n_nodes"))
+      .orderBy(col("seed"), col("dist"))
+  }
+
+  val g27Sql: String =
+    s"""WITH RECURSIVE ${GraphTables.symSqlCtes},
+       |sd AS (SELECT CAST(c_custkey*8 AS BIGINT) AS seed FROM customer
+       |       ORDER BY 1 LIMIT 4),
+       |bfs(seed, node, dist) AS (
+       |  SELECT seed, seed, 0 FROM sd
+       |  UNION
+       |  SELECT b.seed, s.dst, b.dist + 1 FROM bfs b
+       |  JOIN sym s ON b.node = s.src WHERE b.dist < $ReachDepth),
+       |m AS (SELECT seed, node, min(dist) AS dist FROM bfs GROUP BY 1, 2)
+       |SELECT seed, dist, count(*) AS n_nodes FROM m
+       |GROUP BY 1, 2 ORDER BY seed, dist""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g27_reach_profile" -> (g27ReachProfile _),
     "g26_four_cycles" -> (g26FourCycles _),
     "g25_degree_stats" -> (g25DegreeStats _),
     "g24_assortativity" -> (g24Assortativity _),
@@ -1693,6 +1748,7 @@ object GraphOps {
     "g9_checkpoint_roundtrip" -> (g9CheckpointRoundtrip _))
 
   val oracles: Map[String, String] = Map(
+    "g27_reach_profile" -> g27Sql,
     "g26_four_cycles" -> g26Sql,
     "g25_degree_stats" -> g25Sql,
     "g24_assortativity" -> g24Sql,

@@ -708,7 +708,43 @@ object EventOps {
       |  max(CASE WHEN channel != 'direct' THEN lat_us END) AS max_latency_us
       |FROM conv GROUP BY channel ORDER BY channel""".stripMargin
 
+  // ---- e19: inactivity / churn-risk distribution ----
+  // "How stale is the user base": days since each user's last event,
+  // measured against the corpus' own high-water mark (e16's broadcast
+  // one-row "now" anchor — no wall clock, so the result is
+  // reproducible and oracle-checkable). One map-side-combined max per
+  // user, one |days|-bounded rollup with the churn flag at the 7-day
+  // line. Day bucketing floors MICROSECONDS (ts is sub-second); the
+  // streaming form is the same O(1) per-user max state e4 keeps.
+  def e19Churn(spark: SparkSession, dir: String): DataFrame = {
+    val anchor = events(spark, dir).agg(max(col("ts")).as("now_ts"))
+    events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(max(col("ts")).as("last_ts"), count(lit(1)).as("n_events"))
+      .crossJoin(broadcast(anchor))
+      .withColumn("idle_days",
+        expr("(unix_micros(now_ts) - unix_micros(last_ts)) div 86400000000"))
+      .groupBy(col("idle_days"))
+      .agg(count(lit(1)).as("n_users"), sum(col("n_events")).as("n_events"))
+      .withColumn("churn_risk", col("idle_days") >= 7L)
+      .orderBy(col("idle_days"))
+  }
+
+  val e19Sql: String =
+    """WITH u AS (
+      |  SELECT user_id, max(ts) AS last_ts, count(*) AS n_events
+      |  FROM events GROUP BY 1),
+      |a AS (SELECT max(ts) AS now_ts FROM events)
+      |SELECT (epoch_us(now_ts) - epoch_us(last_ts)) // 86400000000
+      |    AS idle_days,
+      |  count(*) AS n_users,
+      |  CAST(sum(n_events) AS BIGINT) AS n_events,
+      |  (epoch_us(now_ts) - epoch_us(last_ts)) // 86400000000 >= 7
+      |    AS churn_risk
+      |FROM u, a GROUP BY 1, 4 ORDER BY idle_days""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e19_churn" -> (e19Churn _),
     "e18_attribution" -> (e18Attribution _),
     "e17_session_paths" -> (e17SessionPaths _),
     "e16_decayed_leaderboard" -> (e16DecayedLeaderboard _),
@@ -729,6 +765,7 @@ object EventOps {
     "e8_funnel" -> (e8Funnel _))
 
   val oracles: Map[String, String] = Map(
+    "e19_churn" -> e19Sql,
     "e18_attribution" -> e18Sql,
     "e17_session_paths" -> e17Sql,
     "e16_decayed_leaderboard" -> e16Sql,

@@ -80,6 +80,57 @@ class Round9OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
         "direct conversions carry no latency"))
   }
 
+  test("q40: cumulative share ends at exactly 1e6 and never decreases") {
+    val rows = graft.SparkEntry.queries("q40_pareto")(spark, dir)
+      .orderBy(col("cum_ppm")).collect()
+    assert(rows.last.getAs[Long]("cum_ppm") == 1000000L,
+      "the full prefix must account for all revenue")
+    assert(rows.last.getAs[String]("abc_class") == "C")
+    val ppms = rows.map(_.getAs[Long]("cum_ppm"))
+    assert(ppms.zip(ppms.tail).forall { case (a, b) => a <= b },
+      "cumulative share must be monotone")
+  }
+
+  test("g27: each seed reaches itself at dist 0; counts stay positive") {
+    val rows = graft.SparkEntry.queries("g27_reach_profile")(spark, dir).collect()
+    val bySeed = rows.groupBy(_.getAs[Long]("seed"))
+    assert(bySeed.size == 4, "four deterministic seeds")
+    bySeed.foreach { case (_, rs) =>
+      val d0 = rs.filter(_.getAs[Int]("dist") == 0)
+      assert(d0.length == 1 && d0.head.getAs[Long]("n_nodes") == 1L,
+        "level 0 is the seed itself")
+      assert(rs.forall(_.getAs[Long]("n_nodes") > 0L))
+    }
+  }
+
+  test("d17: a doc verbatim-contained in another scores containment 1e6 on the short side") {
+    // containment is computed from the same sorted shingle arrays the
+    // d4 verifier uses — check the identity on a quote pair: B = A
+    // plus a long suffix → every 3-gram of A appears in B
+    import spark.implicits._
+    val a = (1 to 20).map(i => s"w$i").mkString(" ")
+    val b = a + " " + (100 to 140).map(i => s"w$i").mkString(" ")
+    val sh = graft.operators.dedup.DedupOps.shinglesOf(
+      Seq((1L, a), (2L, b)).toDF("doc_id", "text"))
+    graft.functions.GraftFunctions.registerAll(spark)
+    val r = sh.as("x").join(sh.as("y"),
+        col("x.doc_id") < col("y.doc_id"))
+      .select(
+        expr("cast(graft_sorted_intersect_count(x.shingles, y.shingles) as bigint)")
+          .as("inter"),
+        size(col("x.shingles")).cast("long").as("na"))
+      .collect()(0)
+    assert(r.getAs[Long]("inter") == r.getAs[Long]("na"),
+      "every shingle of the quoted doc must appear in the quoting doc")
+  }
+
+  test("e19: user buckets partition the user base") {
+    val users = graft.sources.Tables.load(spark, dir, "events")
+      .select(col("user_id")).distinct().count()
+    val rows = graft.SparkEntry.queries("e19_churn")(spark, dir).collect()
+    assert(rows.map(_.getAs[Long]("n_users")).sum == users)
+  }
+
   test("t19: hapax <= types <= tokens, and ppm ratios stay in [0, 1e6]") {
     graft.SparkEntry.queries("t19_lexical_diversity")(spark, dir).collect()
       .foreach { r =>
