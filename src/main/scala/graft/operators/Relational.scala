@@ -1367,8 +1367,149 @@ object Relational {
       |       ELSE 'C' END AS abc_class
       |FROM c ORDER BY cum_ppm""".stripMargin
 
+  // ---- q41: band (non-equi) self-join, bucketed into an equi-join ----
+  // Same-brand part pairs whose retail prices differ by at most
+  // BandCents. Writing the |Δprice| <= band predicate directly gives
+  // Catalyst nothing to hash on — it plans a nested-loop join that is
+  // O(n²) per brand at 100 TB. The classic range-join rewrite: bucket
+  // prices into band-width cells, explode the LEFT side to probe its
+  // own cell and both neighbors, equi-join on (brand, cell), then
+  // apply the band predicate as a cheap residual filter. Any
+  // qualifying pair's cells differ by at most 1, and each right row
+  // lives in exactly one cell, so every pair is matched exactly once —
+  // no distinct needed. Shuffle volume is 3×|part| instead of a
+  // per-brand cross product; cell count grows with the data, so
+  // parallelism does too.
+  private val BandCents = 100L
+
+  def q41BandJoin(spark: SparkSession, dir: String): DataFrame = {
+    val p = t(spark, dir, "part")
+      .select(col("p_partkey").as("k"), col("p_brand").as("brand"),
+        (dec(col("p_retailprice")) * 100).cast("long").as("cents"))
+      .withColumn("cell", expr(s"cents div $BandCents"))
+    val probes = p.select(col("k"), col("brand"), col("cents"),
+      explode(array(col("cell") - 1, col("cell"), col("cell") + 1)).as("cell"))
+    probes.as("x")
+      .join(p.as("y"),
+        col("x.brand") === col("y.brand") && col("x.cell") === col("y.cell")
+          && col("x.k") < col("y.k"))
+      .filter(abs(col("x.cents") - col("y.cents")) <= BandCents)
+      .groupBy(col("x.brand").as("brand"))
+      .agg(count(lit(1)).as("n_pairs"),
+        min(abs(col("x.cents") - col("y.cents"))).as("min_gap_cents"),
+        max(abs(col("x.cents") - col("y.cents"))).as("max_gap_cents"),
+        sum(abs(col("x.cents") - col("y.cents"))).as("sum_gap_cents"))
+      .orderBy(col("brand"))
+  }
+
+  val q41Sql: String =
+    s"""WITH p AS (
+       |  SELECT p_partkey AS k, p_brand AS brand,
+       |    CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+       |  FROM part)
+       |SELECT x.brand, count(*) AS n_pairs,
+       |  CAST(min(abs(x.cents - y.cents)) AS BIGINT) AS min_gap_cents,
+       |  CAST(max(abs(x.cents - y.cents)) AS BIGINT) AS max_gap_cents,
+       |  CAST(sum(abs(x.cents - y.cents)) AS BIGINT) AS sum_gap_cents
+       |FROM p x JOIN p y
+       |  ON x.brand = y.brand AND x.k < y.k
+       |  AND abs(x.cents - y.cents) <= $BandCents
+       |GROUP BY x.brand ORDER BY x.brand""".stripMargin
+
+  // ---- q42: skyline (Pareto frontier) via two-phase running min ----
+  // Parts minimized on (price, size): keep p unless some q has
+  // cents<=, size<= with one strict. 2-D skyline reduces to running
+  // minima: dominated iff  min(size | cents < c) <= s  OR
+  // min(size | cents = c) < s. A single global RANGE window computes
+  // that but serializes into ONE task at 100 TB, so the strictly-
+  // cheaper min is two-phase (the t6 prefix-sum shape): per price-
+  // shard windows run in parallel (shard count grows with the data),
+  // and only the |shards|-row summary takes a global window; the
+  // exclusive cross-shard prefix min broadcasts back. Bit-identical
+  // to the one-window formulation for any shard width — the oracle
+  // uses the direct single-window SQL, and Round11OpsSpec proves ≡
+  // the NOT EXISTS definition.
+  private val SkyShardCents = 1000L
+
+  def q42Skyline(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val p = t(spark, dir, "part")
+      .select(col("p_partkey").as("k"), col("p_brand").as("brand"),
+        (dec(col("p_retailprice")) * 100).cast("long").as("cents"),
+        col("p_size").cast("long").as("psize"))
+      .withColumn("shard", expr(s"cents div $SkyShardCents"))
+    // phase 1: per-shard minima; exclusive prefix min over the tiny summary
+    val sMin = p.groupBy(col("shard")).agg(min(col("psize")).as("smin"))
+    val pw = Window.orderBy(col("shard"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prior = sMin.withColumn("pmin", min(col("smin")).over(pw))
+      .select(col("shard"), col("pmin"))
+    // phase 2: within-shard strictly-cheaper min, parallel across shards
+    val ww = Window.partitionBy(col("shard")).orderBy(col("cents"))
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val ew = Window.partitionBy(col("cents"))
+    p.join(broadcast(prior), Seq("shard"))
+      .withColumn("m1", least(min(col("psize")).over(ww), col("pmin")))
+      .withColumn("m2", min(col("psize")).over(ew))
+      .filter((col("m1").isNull || col("m1") > col("psize"))
+        && col("m2") >= col("psize"))
+      .select(col("k"), col("brand"), col("cents"), col("psize"))
+      .orderBy(col("cents"), col("psize"), col("k"))
+  }
+
+  val q42Sql: String =
+    """WITH p AS (
+      |  SELECT p_partkey AS k, p_brand AS brand,
+      |    CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+      |    CAST(p_size AS BIGINT) AS psize
+      |  FROM part),
+      |w AS (
+      |  SELECT k, brand, cents, psize,
+      |    min(psize) OVER (ORDER BY cents
+      |      RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m1,
+      |    min(psize) OVER (PARTITION BY cents) AS m2
+      |  FROM p)
+      |SELECT k, brand, cents, psize FROM w
+      |WHERE (m1 IS NULL OR m1 > psize) AND m2 >= psize
+      |ORDER BY cents, psize, k""".stripMargin
+
+  // ---- q43: relative-rank window functions (percent_rank / cume_dist) ----
+  // The remaining ANSI window-rank surface after q7 (row_number), q27
+  // (lead/lag), q29 (ntile) and q34 (top-k): each customer's orders
+  // ranked RELATIVELY by spend — dense_rank, percent_rank
+  // ((rank−1)/(n−1)) and cume_dist (rows≤ / n). Both engines divide
+  // the same exact integers once, so the doubles are bit-identical
+  // (the t2 single-division contract). Partition key is o_custkey —
+  // cardinality grows with the data and each customer holds a bounded
+  // handful of orders, so no q29-style fixed-class serialization.
+  def q43RankFunctions(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("cents"))
+    t(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        (dec(col("o_totalprice")) * 100).cast("long").as("cents"))
+      .withColumn("drank", dense_rank().over(w).cast("long"))
+      .withColumn("prank", percent_rank().over(w))
+      .withColumn("cdist", cume_dist().over(w))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  val q43Sql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+      |  CAST(dense_rank() OVER w AS BIGINT) AS drank,
+      |  percent_rank() OVER w AS prank,
+      |  cume_dist() OVER w AS cdist
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey
+      |             ORDER BY CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
   /** queries-map fragment: name → builder */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q43_rank_functions" -> (q43RankFunctions _),
+    "q42_skyline" -> (q42Skyline _),
+    "q41_band_join" -> (q41BandJoin _),
     "q40_pareto" -> (q40Pareto _),
     "q39_mode" -> (q39Mode _),
     "q38_mad" -> (q38Mad _),
@@ -1412,6 +1553,9 @@ object Relational {
 
   /** oracle-map fragment: name → DuckDB SQL */
   val oracles: Map[String, String] = Map(
+    "q43_rank_functions" -> q43Sql,
+    "q42_skyline" -> q42Sql,
+    "q41_band_join" -> q41Sql,
     "q40_pareto" -> q40Sql,
     "q39_mode" -> q39Sql,
     "q38_mad" -> q38Sql,

@@ -1106,7 +1106,102 @@ object DedupOps {
        |JOIN ns nb ON p.doc_b = nb.doc_id
        |ORDER BY p.doc_a, p.doc_b""".stripMargin
 
+  // ---- d18: edit-distance verification of LSH candidates ----
+  // The third verification lens on d2's candidate pairs, after set
+  // overlap (d4 Jaccard) and containment (d17): character-level edit
+  // distance, the measure that catches small in-place mutations
+  // (typo-level rewrites, template fills) which keep shingle overlap
+  // high but matter for exact-ish dedup policies. Levenshtein is
+  // O(len²) per pair, so it runs on a fixed-length prefix — the cost
+  // per candidate is a constant (LevPrefix² char ops), and total work
+  // stays linear in the capped candidate count regardless of document
+  // length. Both engines implement the same unit-cost edit distance,
+  // so the values are bit-identical. A pair is a dup when the edit
+  // distance is at most 20% of the longer prefix (lev·5 <= len_max —
+  // pure integer arithmetic, no ratio rounding to disagree on).
+  private val LevPrefix = 160
+
+  def d18LevDedup(spark: SparkSession, dir: String): DataFrame = {
+    val pre = docs(spark, dir)
+      .select(col("doc_id"), substring(col("text"), 1, LevPrefix).as("pre"))
+    d2MinhashLsh(spark, dir)
+      .join(pre.as("a"), col("doc_a") === col("a.doc_id"))
+      .join(pre.as("b"), col("doc_b") === col("b.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("a.pre"), col("b.pre")).cast("long").as("lev"),
+        greatest(length(col("a.pre")), length(col("b.pre")))
+          .cast("long").as("len_max"))
+      .withColumn("is_dup", col("lev") * 5 <= col("len_max"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val d18Sql: String =
+    s"""WITH $lshCtes,
+       |pre AS (SELECT doc_id, substr(text, 1, $LevPrefix) AS pre FROM documents)
+       |SELECT c.doc_a, c.doc_b,
+       |  CAST(levenshtein(a.pre, b.pre) AS BIGINT) AS lev,
+       |  CAST(greatest(length(a.pre), length(b.pre)) AS BIGINT) AS len_max,
+       |  CAST(levenshtein(a.pre, b.pre) AS BIGINT) * 5
+       |    <= CAST(greatest(length(a.pre), length(b.pre)) AS BIGINT) AS is_dup
+       |FROM cand c
+       |JOIN pre a ON c.doc_a = a.doc_id
+       |JOIN pre b ON c.doc_b = b.doc_id
+       |ORDER BY c.doc_a, c.doc_b""".stripMargin
+
+  // ---- d19: candidate-generator agreement audit ----
+  // The two independent near-dup candidate families — d2's MinHash
+  // band buckets (set-similarity lens) and d15's winnowed-fingerprint
+  // runs (shared-substring lens) — are tuned separately (d12/d13 vs
+  // d15/d17); this gauge measures how much they AGREE: pair-set
+  // sizes, intersection, union, and set-Jaccard in exact ppm. Low
+  // agreement is the signal that one family is finding dup structure
+  // the other misses (run-level quoting vs token-bag similarity), i.e.
+  // that a production dedup should keep BOTH generators. One full
+  // outer join of the two (already capped) pair tables on the pair
+  // key + a single global rollup — both inputs are candidate-scale,
+  // never corpus-scale.
+  def d19CandidateOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val lsh = d2MinhashLsh(spark, dir)
+      .select(col("doc_a"), col("doc_b")).withColumn("in_lsh", lit(1L))
+    val win = d15WinnowDup(spark, dir)
+      .select(col("doc_a"), col("doc_b")).withColumn("in_win", lit(1L))
+    lsh.join(win, Seq("doc_a", "doc_b"), "full_outer")
+      .agg(
+        sum(coalesce(col("in_lsh"), lit(0L))).as("n_lsh"),
+        sum(coalesce(col("in_win"), lit(0L))).as("n_winnow"),
+        sum(coalesce(col("in_lsh"), lit(0L)) * coalesce(col("in_win"), lit(0L)))
+          .as("n_common"),
+        count(lit(1)).as("n_union"))
+      .withColumn("agreement_ppm", expr("n_common * 1000000 div n_union"))
+  }
+
+  val d19Sql: String =
+    s"""WITH $lshCtes,
+       |${graft.operators.text.TextOps.winnowFpCtes},
+       |whh AS (SELECT DISTINCT doc_id, sel // 4194304 AS h FROM fp),
+       |wok AS (SELECT h FROM whh GROUP BY h HAVING count(*) <= 200),
+       |ws AS (SELECT whh.* FROM whh JOIN wok USING (h)),
+       |wpr AS (
+       |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM ws x JOIN ws y ON x.h = y.h AND x.doc_id < y.doc_id
+       |  GROUP BY 1, 2 HAVING count(*) >= 2),
+       |u AS (
+       |  SELECT coalesce(l.doc_a, w.doc_a) AS doc_a,
+       |    CASE WHEN l.doc_a IS NOT NULL THEN 1 ELSE 0 END AS in_lsh,
+       |    CASE WHEN w.doc_a IS NOT NULL THEN 1 ELSE 0 END AS in_win
+       |  FROM cand l FULL OUTER JOIN wpr w
+       |    ON l.doc_a = w.doc_a AND l.doc_b = w.doc_b)
+       |SELECT CAST(sum(in_lsh) AS BIGINT) AS n_lsh,
+       |  CAST(sum(in_win) AS BIGINT) AS n_winnow,
+       |  CAST(sum(in_lsh * in_win) AS BIGINT) AS n_common,
+       |  count(*) AS n_union,
+       |  CAST(sum(in_lsh * in_win) AS BIGINT) * 1000000 // count(*)
+       |    AS agreement_ppm
+       |FROM u""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d19_candidate_overlap" -> (d19CandidateOverlap _),
+    "d18_lev_dedup" -> (d18LevDedup _),
     "d17_containment" -> (d17Containment _),
     "d16_winnow_clusters" -> (d16WinnowClusters _),
     "d15_winnow_dup" -> (d15WinnowDup _),
@@ -1126,6 +1221,8 @@ object DedupOps {
     "d9_incremental_dedup" -> (d9IncrementalDedup _))
 
   val oracles: Map[String, String] = Map(
+    "d19_candidate_overlap" -> d19Sql,
+    "d18_lev_dedup" -> d18Sql,
     "d17_containment" -> d17Sql,
     "d16_winnow_clusters" -> d16Sql,
     "d15_winnow_dup" -> d15Sql,

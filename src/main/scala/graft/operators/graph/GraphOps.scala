@@ -1718,7 +1718,44 @@ object GraphOps {
        |SELECT seed, dist, count(*) AS n_nodes FROM m
        |GROUP BY 1, 2 ORDER BY seed, dist""".stripMargin
 
+  // ---- g28: bipartite co-purchase projection ----
+  // The order–part bipartite graph projected onto parts: an edge
+  // (part_a, part_b, n_orders) for every pair bought together, the
+  // item-item graph behind "bought-with" recommendations and g22's
+  // link scores on REAL co-occurrence rather than topology. Pair
+  // generation is per-order and each order holds a bounded handful of
+  // lineitems, so the within-key quadratic is a constant per row —
+  // total work linear in |lineitem|. Degenerate keys at scale are
+  // guarded by the shared bucket cap (the d2/m5 posture; never fires
+  // on sane order sizes). Top-100 by support with full deterministic
+  // tie-break.
+  private val CoOrderCap = 50
+
+  def g28Copurchase(spark: SparkSession, dir: String): DataFrame = {
+    val li = graft.sources.Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val capped = graft.util.Buckets.cap(li, Seq("ok"), CoOrderCap)
+    capped.as("x").join(capped.as("y"),
+        col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+      .groupBy(col("x.pk").as("part_a"), col("y.pk").as("part_b"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("n_orders").desc, col("part_a"), col("part_b"))
+      .limit(100)
+  }
+
+  val g28Sql: String =
+    s"""WITH li AS (
+       |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+       |okc AS (SELECT ok FROM li GROUP BY ok HAVING count(*) <= $CoOrderCap),
+       |capped AS (SELECT li.* FROM li JOIN okc USING (ok))
+       |SELECT x.pk AS part_a, y.pk AS part_b, count(*) AS n_orders
+       |FROM capped x JOIN capped y ON x.ok = y.ok AND x.pk < y.pk
+       |GROUP BY 1, 2
+       |ORDER BY n_orders DESC, part_a, part_b LIMIT 100""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g28_copurchase" -> (g28Copurchase _),
     "g27_reach_profile" -> (g27ReachProfile _),
     "g26_four_cycles" -> (g26FourCycles _),
     "g25_degree_stats" -> (g25DegreeStats _),
@@ -1748,6 +1785,7 @@ object GraphOps {
     "g9_checkpoint_roundtrip" -> (g9CheckpointRoundtrip _))
 
   val oracles: Map[String, String] = Map(
+    "g28_copurchase" -> g28Sql,
     "g27_reach_profile" -> g27Sql,
     "g26_four_cycles" -> g26Sql,
     "g25_degree_stats" -> g25Sql,

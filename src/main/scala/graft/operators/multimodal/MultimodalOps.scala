@@ -630,7 +630,170 @@ object MultimodalOps {
        |  ascii(substring(text, CAST(off + len - 1 AS INTEGER), 1)) AS last_c
        |FROM m ORDER BY doc_id, chunk_idx""".stripMargin
 
+  // ---- m11: dHash (gradient hash) near-dup pairs ----
+  // The perceptual-hash sibling of m5: where aHash compares each block
+  // mean to the GLOBAL mean (brightness profile), dHash sets bit i
+  // when block i's mean exceeds block i+1's (the local gradient) — the
+  // variant that is robust to uniform brightness/gain shifts, which
+  // flip many aHash bits at once but leave adjacent-block ordering
+  // intact. 65 blocks give 64 gradient bits; the comparison is exact
+  // cross-multiplication (bsum_i·blen_{i+1} > bsum_{i+1}·blen_i), so
+  // no float means. The candidate pass reuses m5's capped 16-bit-chunk
+  // buckets — pair volume stays bounded by cap²·buckets at any scale.
+  private val DHashBlocks = 65
+
+  def dHashesOf(d: DataFrame): DataFrame = {
+    val nb = DHashBlocks
+    val perChar = d
+      .withColumn("n", length(col("text")).cast("long"))
+      .filter(col("n") >= nb)
+      .select(col("doc_id"), col("n"),
+        posexplode(split(col("text"), "")).as(Seq("p", "ch")))
+      .select(col("doc_id"), col("n"),
+        expr(s"((p + 1) * $nb - 1) div n").as("b"),
+        expr("cast(ascii(ch) as bigint)").as("code"))
+    val g = perChar.groupBy(col("doc_id"), col("b"))
+      .agg(sum(col("code")).as("bsum"), count(lit(1)).as("blen"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("b"))
+    g.withColumn("nsum", lead(col("bsum"), 1).over(w))
+      .withColumn("nlen", lead(col("blen"), 1).over(w))
+      .filter(col("nsum").isNotNull)
+      .withColumn("bit",
+        (col("bsum") * col("nlen") > col("nsum") * col("blen")).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(when(col("b") < 32,
+          col("bit") * expr("shiftleft(cast(1 as bigint), cast(b as int))"))
+          .otherwise(lit(0L))).as("dh_lo"),
+        sum(when(col("b") >= 32,
+          col("bit") * expr("shiftleft(cast(1 as bigint), cast(b as int) - 32)"))
+          .otherwise(lit(0L))).as("dh_hi"))
+  }
+
+  def m11DhashDup(spark: SparkSession, dir: String): DataFrame = {
+    val chunks = dHashesOf(withBlob(spark, dir))
+      .withColumn("chunks", expr(
+        """array(dh_lo % 65536, dh_lo div 65536,
+          |      dh_hi % 65536, dh_hi div 65536)""".stripMargin))
+      .select(col("doc_id"), col("dh_lo"), col("dh_hi"),
+        posexplode(col("chunks")).as(Seq("cpos", "cval")))
+    val s = graft.util.Buckets.cap(chunks, Seq("cpos", "cval"), AHashMaxBucket)
+    s.as("x").join(s.as("y"),
+        col("x.cpos") === col("y.cpos") && col("x.cval") === col("y.cval")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        (expr("bit_count(x.dh_lo ^ y.dh_lo)")
+          + expr("bit_count(x.dh_hi ^ y.dh_hi)")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= AHashHamMax)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  private val dHashSqlCtes: String = {
+    val nb = DHashBlocks
+    s"""dsized AS (
+       |  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n
+       |  FROM documents WHERE length(text) >= $nb),
+       |djx AS (
+       |  SELECT doc_id, n, text, unnest(generate_series(1, n)) AS j
+       |  FROM dsized),
+       |dchars AS (
+       |  SELECT doc_id, n, (j * $nb - 1) // n AS b,
+       |    CAST(ascii(substr(text, CAST(j AS INTEGER), 1)) AS BIGINT) AS code
+       |  FROM djx),
+       |dblk AS (
+       |  SELECT doc_id, b, CAST(sum(code) AS BIGINT) AS bsum,
+       |    count(*) AS blen
+       |  FROM dchars GROUP BY doc_id, b),
+       |dnb AS (
+       |  SELECT doc_id, b, bsum, blen,
+       |    lead(bsum) OVER (PARTITION BY doc_id ORDER BY b) AS nsum,
+       |    lead(blen) OVER (PARTITION BY doc_id ORDER BY b) AS nlen
+       |  FROM dblk),
+       |dh AS (
+       |  SELECT doc_id,
+       |    CAST(sum(CASE WHEN b < 32 AND bsum * nlen > nsum * blen
+       |                  THEN CAST(1 AS BIGINT) << CAST(b AS INTEGER)
+       |                  ELSE 0 END) AS BIGINT) AS dh_lo,
+       |    CAST(sum(CASE WHEN b >= 32 AND bsum * nlen > nsum * blen
+       |                  THEN CAST(1 AS BIGINT) << (CAST(b AS INTEGER) - 32)
+       |                  ELSE 0 END) AS BIGINT) AS dh_hi
+       |  FROM dnb WHERE nsum IS NOT NULL GROUP BY doc_id)""".stripMargin
+  }
+
+  val m11Sql: String =
+    s"""WITH $dHashSqlCtes,
+       |dchunks0 AS (
+       |  SELECT doc_id, dh_lo, dh_hi, c AS cpos,
+       |    CASE c WHEN 0 THEN dh_lo % 65536 WHEN 1 THEN dh_lo // 65536
+       |           WHEN 2 THEN dh_hi % 65536 ELSE dh_hi // 65536 END AS cval
+       |  FROM dh, generate_series(0, 3) g(c)),
+       |dok AS (
+       |  SELECT cpos, cval FROM dchunks0 GROUP BY cpos, cval
+       |  HAVING count(*) <= $AHashMaxBucket),
+       |dchunks AS (SELECT c.* FROM dchunks0 c JOIN dok USING (cpos, cval))
+       |SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       |  bit_count(xor(x.dh_lo, y.dh_lo)) + bit_count(xor(x.dh_hi, y.dh_hi))
+       |    AS hamming
+       |FROM dchunks x JOIN dchunks y
+       |  ON x.cpos = y.cpos AND x.cval = y.cval AND x.doc_id < y.doc_id
+       |WHERE bit_count(xor(x.dh_lo, y.dh_lo)) + bit_count(xor(x.dh_hi, y.dh_hi))
+       |      <= $AHashHamMax
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---- m12: run-length compressibility gauge ----
+  // RLE statistics over the payload: run count, longest run, and
+  // runs-per-char in exact ppm. A payload whose runs_ppm is tiny is
+  // mostly repeated bytes — padding, silence, solid-color regions —
+  // the cheap compressibility proxy curation uses to down-weight
+  // low-information blobs before any codec runs. Change flags come
+  // from one per-doc lag window (per-doc bounded, the m6 shape), run
+  // ids from the running sum of flags, and the rollups are map-side
+  // combined. No cross-doc shuffle anywhere: everything partitions by
+  // doc_id, a key that grows with the corpus.
+  def m12RleStats(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("p"))
+    val prev = lag(col("ch"), 1).over(w)
+    val pc = withBlob(spark, dir)
+      .filter(length(col("text")) >= 1)
+      .select(col("doc_id"), posexplode(split(col("text"), "")).as(Seq("p", "ch")))
+      .withColumn("chg",
+        when(prev.isNull || prev =!= col("ch"), 1L).otherwise(0L))
+      .withColumn("rid", sum(col("chg")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+    pc.groupBy(col("doc_id"), col("rid")).agg(count(lit(1)).as("rlen"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_runs"), max(col("rlen")).as("max_run"),
+        sum(col("rlen")).as("n_chars"))
+      .withColumn("runs_ppm", expr("n_runs * 1000000 div n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  val m12Sql: String =
+    """WITH jx AS (
+      |  SELECT doc_id, text, unnest(generate_series(1, length(text))) AS p
+      |  FROM documents WHERE length(text) >= 1),
+      |ch AS (SELECT doc_id, p, substr(text, CAST(p AS INTEGER), 1) AS ch
+      |       FROM jx),
+      |cg AS (SELECT doc_id, p, ch,
+      |    CASE WHEN lag(ch) OVER (PARTITION BY doc_id ORDER BY p)
+      |              IS DISTINCT FROM ch THEN 1 ELSE 0 END AS chg
+      |  FROM ch),
+      |rr AS (SELECT doc_id,
+      |    sum(chg) OVER (PARTITION BY doc_id ORDER BY p) AS rid
+      |  FROM cg),
+      |runs AS (SELECT doc_id, rid, count(*) AS rlen FROM rr GROUP BY 1, 2)
+      |SELECT doc_id, count(*) AS n_runs,
+      |  CAST(max(rlen) AS BIGINT) AS max_run,
+      |  CAST(sum(rlen) AS BIGINT) AS n_chars,
+      |  count(*) * 1000000 // CAST(sum(rlen) AS BIGINT) AS runs_ppm
+      |FROM runs GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m12_rle_stats" -> (m12RleStats _),
+    "m11_dhash_dup" -> (m11DhashDup _),
     "m10_chunk_manifest" -> (m10ChunkManifest _),
     "m9_simpson_concentration" -> (m9SimpsonConcentration _),
     "m8_ahash_recall" -> (m8AhashRecall _),
@@ -643,6 +806,8 @@ object MultimodalOps {
     "m3_frame_sample" -> (m3FrameSample _))
 
   val oracles: Map[String, String] = Map(
+    "m12_rle_stats" -> m12Sql,
+    "m11_dhash_dup" -> m11Sql,
     "m10_chunk_manifest" -> m10Sql,
     "m9_simpson_concentration" -> m9Sql,
     "m8_ahash_recall" -> m8Sql,

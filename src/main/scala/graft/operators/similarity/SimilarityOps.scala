@@ -1727,7 +1727,70 @@ object SimilarityOps {
        |approx AS (SELECT query_id, neighbor_id FROM ar WHERE rank <= $K)
        |$recallTailSql""".stripMargin
 
+  // ---- s33: mutual-kNN graph over the LSH index ----
+  // The symmetric kNN graph a semantic-dedup / clustering stage
+  // consumes: an edge (a, b) exists iff b is in a's top-K AND a is in
+  // b's top-K — mutuality prunes hub vectors that appear in everyone's
+  // list without reciprocating (the classic kNN-graph noise). Full
+  // corpus, not a fixed query set: candidates come from the capped
+  // band self-join (the d2 shape — pair volume bounded by
+  // cap²·buckets), per-vector lists from the bounded mergeable top-K
+  // aggregate (O(K) state, map-side combined, no window sort), and
+  // the mutuality check is a self-join of the K·N list table on the
+  // reversed pair key — co-partitioned, linear in list size.
+  def s33MutualKnn(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(spark)
+    val capped = VectorExprs.cappedBands(spark, dir)
+    val cand = capped.as("x").join(capped.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey")
+          && col("x.vec_id") =!= col("y.vec_id"))
+      .select(col("x.vec_id").as("qid"), col("y.vec_id").as("cid"))
+      .distinct()
+    val e = VectorExprs.embFeatures(spark, dir)
+      .select(col("vec_id"), col("vd"), col("n2"))
+    val pairs = cand
+      .join(e.as("q"), col("qid") === col("q.vec_id"))
+      .join(e.as("c"), col("cid") === col("c.vec_id"))
+      .withColumn("dot", expr(VectorExprs.dotExpr("q.vd", "c.vd")))
+      .select(col("qid").as("query_id"), col("cid").as("neighbor_id"),
+        cosine.as("cosine"))
+    val lists = pairs.groupBy(col("query_id"))
+      .agg(expr("graft_top_neighbors5(cosine, neighbor_id)").as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "p")))
+      .select(col("query_id"), col("p.neighbor_id").as("neighbor_id"),
+        col("p.cosine").as("cosine"), (col("pos") + 1).cast("int").as("rank"))
+    lists.as("f").join(lists.as("g"),
+        col("f.query_id") === col("g.neighbor_id")
+          && col("f.neighbor_id") === col("g.query_id")
+          && col("f.query_id") < col("f.neighbor_id"))
+      .select(col("f.query_id").as("vec_a"), col("f.neighbor_id").as("vec_b"),
+        col("f.cosine").as("cosine"),
+        col("f.rank").as("rank_ab"), col("g.rank").as("rank_ba"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  val s33Sql: String =
+    s"""WITH ${VectorExprs.bandCtes},
+       |mc AS (
+       |  SELECT DISTINCT x.vec_id AS qid, y.vec_id AS cid
+       |  FROM capped x JOIN capped y
+       |    ON x.band = y.band AND x.bkey = y.bkey AND x.vec_id != y.vec_id),
+       |mp AS (
+       |  SELECT d.qid AS query_id, d.cid AS neighbor_id,
+       |    ${VectorExprs.duckDot("q.vd", "c.vd")}
+       |      / (sqrt(q.n2) * sqrt(c.n2)) AS cosine
+       |  FROM mc d JOIN eb q ON d.qid = q.vec_id JOIN eb c ON d.cid = c.vec_id),
+       |${topkCte("mr", "mp")},
+       |mk AS (SELECT * FROM mr WHERE rank <= $K)
+       |SELECT f.query_id AS vec_a, f.neighbor_id AS vec_b,
+       |  f.cosine AS cosine, f.rank AS rank_ab, g.rank AS rank_ba
+       |FROM mk f JOIN mk g
+       |  ON f.query_id = g.neighbor_id AND f.neighbor_id = g.query_id
+       |  AND f.query_id < f.neighbor_id
+       |ORDER BY vec_a, vec_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s33_mutual_knn" -> (s33MutualKnn _),
     "s32_sq_recall" -> (s32SqRecall _),
     "s31_sq_knn" -> (s31SqKnn _),
     "s30_ivf_balance" -> (s30IvfBalance _),
@@ -1762,6 +1825,7 @@ object SimilarityOps {
     "s7_ivf_trained" -> (s7IvfTrained _))
 
   val oracles: Map[String, String] = Map(
+    "s33_mutual_knn" -> s33Sql,
     "s32_sq_recall" -> s32Sql,
     "s31_sq_knn" -> s31Sql,
     "s30_ivf_balance" -> s30Sql,

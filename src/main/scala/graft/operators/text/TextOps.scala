@@ -943,7 +943,94 @@ object TextOps {
       |    // count(*) AS hapax_ppm
       |FROM tc GROUP BY source ORDER BY source""".stripMargin
 
+  // ---- t20: rare-token ratio (corpus-frequency quality signal) ----
+  // The per-document face of t19's corpus-level diversity: join each
+  // document's tokens against the corpus token-frequency table and
+  // report what fraction are rare (corpus count <= RareFreqMax). High
+  // rare ratios flag OCR noise, codes/hashes, and junk pages — the
+  // unigram stand-in for LM-perplexity filtering a real curation
+  // pipeline runs. Plan shape at 100 TB: tokens explode once, the
+  // frequency table is a map-side-combined aggregate of that same
+  // explode, and the join back is token-keyed — both sides hash on
+  // `w`, so the join reuses one co-partitioned exchange; nothing is
+  // broadcast (the vocabulary grows with the corpus) and nothing is
+  // quadratic. Ratio in exact integer ppm.
+  private val RareFreqMax = 2L
+
+  def t20RareTokens(spark: SparkSession, dir: String): DataFrame = {
+    val toks = docs(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+    val freq = toks.groupBy(col("w")).agg(count(lit(1)).as("cf"))
+    toks.join(freq, Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("cf") <= RareFreqMax, 1L).otherwise(0L)).as("n_rare"))
+      .withColumn("rare_ppm", expr("n_rare * 1000000 div n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  val t20Sql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+       |freq AS (SELECT w, count(*) AS cf FROM toks GROUP BY w)
+       |SELECT t.doc_id, count(*) AS n_tokens,
+       |  CAST(sum(CASE WHEN f.cf <= $RareFreqMax THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_rare,
+       |  CAST(sum(CASE WHEN f.cf <= $RareFreqMax THEN 1 ELSE 0 END) AS BIGINT)
+       |    * 1000000 // count(*) AS rare_ppm
+       |FROM toks t JOIN freq f ON t.w = f.w
+       |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
+
+  // ---- t21: language purity / code-switching gauge ----
+  // t1 answers "which language"; t21 answers "how MUCH of one
+  // language": the share of marker hits the dominant language owns,
+  // in exact ppm. Mixed-language documents (purity below the
+  // two-thirds mark with enough evidence) are the rows a monolingual
+  // training mix must drop or split — t1 alone silently files them
+  // under their plurality language. Same single fused scan as t1
+  // (three in-row filtered-split counts, no shuffle before the
+  // output sort); integer arithmetic end to end.
+  private val PurityPpmMin = 666667L
+  private val PurityEvidenceMin = 3L
+
+  def t21LangPurity(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"),
+        hits(EN).cast("long").as("en_hits"), hits(DE).cast("long").as("de_hits"),
+        hits(FR).cast("long").as("fr_hits"))
+      .withColumn("n_hits", col("en_hits") + col("de_hits") + col("fr_hits"))
+      .withColumn("top_hits",
+        greatest(col("en_hits"), col("de_hits"), col("fr_hits")))
+      .withColumn("purity_ppm",
+        when(col("n_hits") === 0L, 0L)
+          .otherwise(expr("top_hits * 1000000 div n_hits")))
+      .withColumn("is_mixed",
+        col("n_hits") >= PurityEvidenceMin && col("purity_ppm") < PurityPpmMin)
+      .orderBy(col("doc_id"))
+
+  val t21Sql: String =
+    s"""WITH h AS (
+       |  SELECT doc_id,
+       |    CAST(len(list_filter(string_split(text,' '), w -> w IN ${sqlSet(EN)})) AS BIGINT) AS en_hits,
+       |    CAST(len(list_filter(string_split(text,' '), w -> w IN ${sqlSet(DE)})) AS BIGINT) AS de_hits,
+       |    CAST(len(list_filter(string_split(text,' '), w -> w IN ${sqlSet(FR)})) AS BIGINT) AS fr_hits
+       |  FROM documents)
+       |SELECT doc_id, en_hits, de_hits, fr_hits,
+       |  en_hits + de_hits + fr_hits AS n_hits,
+       |  greatest(en_hits, de_hits, fr_hits) AS top_hits,
+       |  CASE WHEN en_hits + de_hits + fr_hits = 0 THEN 0
+       |       ELSE greatest(en_hits, de_hits, fr_hits) * 1000000
+       |            // (en_hits + de_hits + fr_hits) END AS purity_ppm,
+       |  en_hits + de_hits + fr_hits >= $PurityEvidenceMin
+       |    AND (CASE WHEN en_hits + de_hits + fr_hits = 0 THEN 0
+       |              ELSE greatest(en_hits, de_hits, fr_hits) * 1000000
+       |                   // (en_hits + de_hits + fr_hits) END) < $PurityPpmMin
+       |    AS is_mixed
+       |FROM h ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t21_lang_purity" -> (t21LangPurity _),
+    "t20_rare_tokens" -> (t20RareTokens _),
     "t19_lexical_diversity" -> (t19LexicalDiversity _),
     "t18_readability" -> (t18Readability _),
     "t17_winnowing" -> (t17Winnowing _),
@@ -965,6 +1052,8 @@ object TextOps {
     "t9_curation_pipeline" -> (t9CurationPipeline _))
 
   val oracles: Map[String, String] = Map(
+    "t21_lang_purity" -> t21Sql,
+    "t20_rare_tokens" -> t20Sql,
     "t19_lexical_diversity" -> t19Sql,
     "t18_readability" -> t18Sql,
     "t17_winnowing" -> t17Sql,

@@ -457,7 +457,107 @@ object VectorOps {
        |    for d in generate_series(1, 64)]) AS BIGINT) AS err_micro
        |FROM sq ORDER BY vec_id""".stripMargin
 
+  // ---- v9: residual scalar quantization (the IVF+SQ fine stage) ----
+  // What a FAISS "IVF,SQ8" index actually stores: not the vector but
+  // its RESIDUAL from the assigned coarse centroid, quantized — the
+  // residual range per cluster is far narrower than the corpus range,
+  // so the same 8 bits buy more precision than v8's global bounds.
+  // Exactness trick: the true residual q − s/n is fractional, so we
+  // quantize the n-SCALED residual r_d = n·q_d − Σq_d instead — pure
+  // BIGINT arithmetic end to end (assignment reuses s5's trained
+  // codebook; bounds are per-(cluster, dim) min/max of r). Train is
+  // two map-side-combined explodes; encode is corpus ⋈ broadcast
+  // (16-row) cluster stats — the corpus never shuffles beyond the
+  // one assignment it already shares with s5/s17/d11 via DfCache.
+  /** Per-vector scaled residuals + per-cluster trained bounds + codes
+    * — cached; v9 gates it and a residual ADC path can consume it. */
+  def residualCodes(spark: SparkSession, dir: String): DataFrame =
+    graft.util.DfCache.cached(spark, dir, "residual_sq") {
+      val sim = graft.operators.similarity.SimilarityOps
+      val m = sim.embQuantized(spark, dir).select(col("vec_id"), col("qv"))
+        .join(sim.trainedAssignment(spark, dir), Seq("vec_id"))
+      val cells = m
+        .select(col("cluster"), posexplode(col("qv")).as(Seq("d0", "q")))
+        .groupBy(col("cluster"), col("d0"))
+        .agg(sum(col("q")).as("s"), count(lit(1)).as("n"))
+      val cstats = cells.groupBy(col("cluster"))
+        .agg(expr("transform(sort_array(collect_list(struct(d0, s))), p -> p.s)")
+          .as("sv"), max(col("n")).as("n"))
+      val withR = m.join(broadcast(cstats), Seq("cluster"))
+        .withColumn("rvv", expr(
+          "transform(sequence(1, 64), d -> n * element_at(qv, d) - element_at(sv, d))"))
+      val bounds = withR
+        .select(col("cluster"), posexplode(col("rvv")).as(Seq("d0", "r")))
+        .groupBy(col("cluster"), col("d0"))
+        .agg(min(col("r")).as("mn"), max(col("r")).as("mx"))
+        .groupBy(col("cluster"))
+        .agg(expr("transform(sort_array(collect_list(struct(d0, mn))), p -> p.mn)")
+          .as("rmnv"),
+          expr("transform(sort_array(collect_list(struct(d0, mx))), p -> p.mx)")
+            .as("rmxv"))
+      withR.join(broadcast(bounds), Seq("cluster"))
+        .withColumn("codes", expr(
+          """transform(sequence(1, 64), d -> CASE
+            |  WHEN element_at(rmxv, d) > element_at(rmnv, d)
+            |  THEN cast(((element_at(rvv, d) - element_at(rmnv, d)) * 255)
+            |            div (element_at(rmxv, d) - element_at(rmnv, d)) as int)
+            |  ELSE 0 END)""".stripMargin))
+        .select(col("vec_id"), col("cluster"), col("rvv"),
+          col("rmnv"), col("rmxv"), col("codes"))
+    }
+
+  def v9ResidualCodes(spark: SparkSession, dir: String): DataFrame =
+    residualCodes(spark, dir)
+      .select(col("vec_id"), col("cluster"),
+        element_at(col("codes"), 1).as("c1"), element_at(col("codes"), 2).as("c2"),
+        element_at(col("codes"), 3).as("c3"), element_at(col("codes"), 4).as("c4"),
+        expr("aggregate(codes, cast(0 as bigint), (a, x) -> a + x)")
+          .as("code_sum"),
+        expr("""aggregate(sequence(1, 64), cast(0 as bigint), (a, d) ->
+          |  a + abs(element_at(rvv, d) - (element_at(rmnv, d)
+          |    + (cast(element_at(codes, d) as bigint)
+          |       * (element_at(rmxv, d) - element_at(rmnv, d))) div 255)))""".stripMargin)
+          .as("err_scaled"))
+      .orderBy(col("vec_id"))
+
+  val v9Sql: String =
+    s"""WITH ${graft.operators.similarity.SimilarityOps.assignCtes},
+       |nc AS (SELECT cluster, count(*) AS n FROM a2 GROUP BY cluster),
+       |svx AS (
+       |  SELECT a2.cluster, g.d, CAST(sum(q.qv[g.d]) AS BIGINT) AS s
+       |  FROM qv q JOIN a2 ON q.vec_id = a2.vec_id, generate_series(1, 64) g(d)
+       |  GROUP BY 1, 2),
+       |sva AS (SELECT cluster, list(s ORDER BY d) AS sv FROM svx GROUP BY cluster),
+       |rx AS (
+       |  SELECT q.vec_id, a2.cluster,
+       |    [CAST(nc.n AS BIGINT) * q.qv[d] - sva.sv[d]
+       |     for d in generate_series(1, 64)] AS rvv
+       |  FROM qv q JOIN a2 ON q.vec_id = a2.vec_id
+       |  JOIN nc ON a2.cluster = nc.cluster
+       |  JOIN sva ON a2.cluster = sva.cluster),
+       |bd AS (
+       |  SELECT cluster, g.d, min(rvv[g.d]) AS mn, max(rvv[g.d]) AS mx
+       |  FROM rx, generate_series(1, 64) g(d) GROUP BY 1, 2),
+       |bda AS (SELECT cluster, list(mn ORDER BY d) AS rmnv,
+       |               list(mx ORDER BY d) AS rmxv FROM bd GROUP BY cluster),
+       |rc AS (
+       |  SELECT rx.vec_id, rx.cluster, rx.rvv, bda.rmnv, bda.rmxv,
+       |    [CASE WHEN bda.rmxv[d] > bda.rmnv[d]
+       |          THEN CAST(((rx.rvv[d] - bda.rmnv[d]) * 255)
+       |                    // (bda.rmxv[d] - bda.rmnv[d]) AS INTEGER)
+       |          ELSE 0 END
+       |     for d in generate_series(1, 64)] AS codes
+       |  FROM rx JOIN bda USING (cluster))
+       |SELECT vec_id, cluster, codes[1] AS c1, codes[2] AS c2,
+       |  codes[3] AS c3, codes[4] AS c4,
+       |  CAST(list_sum(codes) AS BIGINT) AS code_sum,
+       |  CAST(list_sum([abs(rvv[d] - (rmnv[d]
+       |      + (CAST(codes[d] AS BIGINT) * (rmxv[d] - rmnv[d])) // 255))
+       |    for d in generate_series(1, 64)]) AS BIGINT) AS err_scaled
+       |FROM rc ORDER BY vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v9_residual_codes" -> (v9ResidualCodes _),
     "v8_sq_codes" -> (v8SqCodes _),
     "v7_dim_stats" -> (v7DimStats _),
     "v6_median_sign" -> (v6MedianSign _),
@@ -468,6 +568,7 @@ object VectorOps {
     "v3_random_projection" -> (v3RandomProjection _))
 
   val oracles: Map[String, String] = Map(
+    "v9_residual_codes" -> v9Sql,
     "v8_sq_codes" -> v8Sql,
     "v7_dim_stats" -> v7Sql,
     "v6_median_sign" -> v6Sql,

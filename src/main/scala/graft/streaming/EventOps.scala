@@ -743,7 +743,128 @@ object EventOps {
       |    AS churn_risk
       |FROM u, a GROUP BY 1, 4 ORDER BY idle_days""".stripMargin
 
+  // ---- e20: inter-arrival gap profile per event type ----
+  // The arrival-rate gauge: per user, the microsecond gap between
+  // consecutive events (any type), attributed to the LATER event's
+  // type and rolled up into count / total / max / exact-median gap per
+  // type. Feeds capacity planning (how bursty is each event class) and
+  // anomaly baselines (e11 uses value z-scores; this is the timing
+  // axis). The window partitions by user_id — a key whose cardinality
+  // grows with the data, so the lag pass parallelizes at any scale —
+  // and the rollup groups by the small event-type vocabulary with
+  // map-side partial aggregation. Gaps are exact integer microseconds;
+  // ties on ts break on event_id in both engines.
+  def e20Interarrival(spark: SparkSession, dir: String): DataFrame = {
+    // ordering by the integer microsecond value ≡ ordering by ts
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("gap_us", col("us") - lag(col("us"), 1).over(w))
+      .filter(col("gap_us").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(col("gap_us")).as("total_gap_us"),
+        max(col("gap_us")).as("max_gap_us"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY gap_us)")
+          .cast("long").as("p50_gap_us"))
+      .orderBy(col("event_type"))
+  }
+
+  val e20Sql: String =
+    """WITH g AS (
+      |  SELECT event_type,
+      |    epoch_us(ts) - lag(epoch_us(ts)) OVER (
+      |      PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+      |  FROM events)
+      |SELECT event_type, count(*) AS n_gaps,
+      |  CAST(sum(gap_us) AS BIGINT) AS total_gap_us,
+      |  CAST(max(gap_us) AS BIGINT) AS max_gap_us,
+      |  CAST(quantile_disc(gap_us, 0.5) AS BIGINT) AS p50_gap_us
+      |FROM g WHERE gap_us IS NOT NULL
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ---- e21: per-user activity concentration / burst profile ----
+  // Rate-limit-audit shape: bucket each user's events into hours
+  // (one map-side-combined groupBy on a key that grows with the
+  // data), then roll the per-user hour cells into active-hour count,
+  // peak hourly rate, and peak concentration (what share of the
+  // user's events land in their busiest hour, exact ppm). The burst
+  // flag marks users whose peak hour crosses BurstMin — the abuse /
+  // bot signal a streaming deployment alerts on (streaming form =
+  // e1's tumbling count keyed by user, O(1) state per open hour).
+  private val BurstMin = 3L
+
+  def e21ActivityProfile(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_active_hours"),
+        max(col("n")).as("max_per_hour"),
+        sum(col("n")).as("n_events"))
+      .withColumn("peak_ppm", expr("max_per_hour * 1000000 div n_events"))
+      .withColumn("is_bursty", col("max_per_hour") >= BurstMin)
+      .orderBy(col("user_id"))
+
+  val e21Sql: String =
+    s"""WITH c AS (
+       |  SELECT user_id, date_trunc('hour', ts) AS h, count(*) AS n
+       |  FROM events GROUP BY 1, 2)
+       |SELECT user_id, count(*) AS n_active_hours,
+       |  CAST(max(n) AS BIGINT) AS max_per_hour,
+       |  CAST(sum(n) AS BIGINT) AS n_events,
+       |  CAST(max(n) AS BIGINT) * 1000000 // CAST(sum(n) AS BIGINT) AS peak_ppm,
+       |  CAST(max(n) AS BIGINT) >= $BurstMin AS is_bursty
+       |FROM c GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // ---- e22: out-of-order / lateness audit (watermark sizing) ----
+  // The measurement that DECIDES a stream's watermark delay: replay
+  // each user's events in arrival order (event_id — the append order
+  // of the log), track the running max event-time, and call an event
+  // late by (prev running max − ts) when it arrives behind it. The
+  // per-type rollup (late count, worst and total lateness in exact
+  // microseconds) is precisely the histogram one reads before picking
+  // `withWatermark("ts", X)`: X must cover max_late_us or the late
+  // tail drops. Window partitions by user_id (grows with data);
+  // rollup is map-side combined over the small type vocabulary.
+  def e22LatenessAudit(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("hwm", max(col("us")).over(w))
+      .withColumn("late_us",
+        when(col("hwm").isNull || col("hwm") <= col("us"), 0L)
+          .otherwise(col("hwm") - col("us")))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("late_us") > 0L, 1L).otherwise(0L)).as("n_late"),
+        max(col("late_us")).as("max_late_us"),
+        sum(col("late_us")).as("total_late_us"))
+      .orderBy(col("event_type"))
+  }
+
+  val e22Sql: String =
+    """WITH l AS (
+      |  SELECT event_type,
+      |    CASE WHEN hwm IS NULL OR hwm <= us THEN 0 ELSE hwm - us END AS late_us
+      |  FROM (
+      |    SELECT event_type, epoch_us(ts) AS us,
+      |      max(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY event_id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hwm
+      |    FROM events))
+      |SELECT event_type, count(*) AS n_events,
+      |  CAST(sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+      |  CAST(max(late_us) AS BIGINT) AS max_late_us,
+      |  CAST(sum(late_us) AS BIGINT) AS total_late_us
+      |FROM l GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e22_lateness_audit" -> (e22LatenessAudit _),
+    "e21_activity_profile" -> (e21ActivityProfile _),
+    "e20_interarrival" -> (e20Interarrival _),
     "e19_churn" -> (e19Churn _),
     "e18_attribution" -> (e18Attribution _),
     "e17_session_paths" -> (e17SessionPaths _),
@@ -765,6 +886,9 @@ object EventOps {
     "e8_funnel" -> (e8Funnel _))
 
   val oracles: Map[String, String] = Map(
+    "e22_lateness_audit" -> e22Sql,
+    "e21_activity_profile" -> e21Sql,
+    "e20_interarrival" -> e20Sql,
     "e19_churn" -> e19Sql,
     "e18_attribution" -> e18Sql,
     "e17_session_paths" -> e17Sql,
