@@ -1505,8 +1505,48 @@ object Relational {
       |             ORDER BY CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
       |ORDER BY o_custkey, o_orderkey""".stripMargin
 
+  // ---- q44: point-in-time (leakage-free) feature aggregation ----
+  // The feature-engineering shape every training pipeline needs and
+  // most get wrong: for each order, the customer's history STRICTLY
+  // BEFORE it (count / spend / max of prior orders) — an expanding
+  // window that must exclude the current row, or the feature leaks
+  // its own label. rowsBetween(unboundedPreceding, -1) is the
+  // point-in-time cut; ties on order date resolve by o_orderkey
+  // identically in both engines, so "prior" is well defined. The
+  // window partitions by o_custkey — grows with the data, bounded
+  // rows per key — and the output is the feature table a model
+  // trains on, exact integer cents.
+  def q44PitFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    t(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        (dec(col("o_totalprice")) * 100).cast("long").as("cents"))
+      .withColumn("prior_n", count(lit(1)).over(w))
+      .withColumn("prior_sum_cents", coalesce(sum(col("cents")).over(w), lit(0L)))
+      .withColumn("prior_max_cents", coalesce(max(col("cents")).over(w), lit(0L)))
+      .drop("o_orderdate")
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  val q44Sql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+      |  CAST(count(*) OVER w AS BIGINT) AS prior_n,
+      |  coalesce(CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |    OVER w AS BIGINT), 0) AS prior_sum_cents,
+      |  coalesce(CAST(max(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |    OVER w AS BIGINT), 0) AS prior_max_cents
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
   /** queries-map fragment: name → builder */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q44_pit_features" -> (q44PitFeatures _),
     "q43_rank_functions" -> (q43RankFunctions _),
     "q42_skyline" -> (q42Skyline _),
     "q41_band_join" -> (q41BandJoin _),
@@ -1553,6 +1593,7 @@ object Relational {
 
   /** oracle-map fragment: name → DuckDB SQL */
   val oracles: Map[String, String] = Map(
+    "q44_pit_features" -> q44Sql,
     "q43_rank_functions" -> q43Sql,
     "q42_skyline" -> q42Sql,
     "q41_band_join" -> q41Sql,

@@ -862,10 +862,13 @@ object GraphOps {
     for (h <- 1 to 4) {
       val prev = frontier
       val seen = levels.map(_.select(col("node"))).reduce(_.union(_))
+      // localCheckpoint: constant-size per-hop plans (the g10/g27
+      // lesson — lineage otherwise nests every earlier level)
       val nxt = graft.util.DfCache.cached(spark, dir, s"g6_level_$h") {
         prev.join(sym, col("node") === col("src"))
           .select(col("dst").as("node")).distinct()
           .join(seen, Seq("node"), "left_anti")
+          .localCheckpoint()
       }
       frontier = nxt
       levels = nxt.withColumn("dist", lit(h)) :: levels
@@ -1369,10 +1372,12 @@ object GraphOps {
     for (h <- 1 to G18Depth) {
       val prev = frontier
       val seen = levels.map(_.select(col("sid"), col("node"))).reduce(_.union(_))
+      // localCheckpoint: constant-size per-hop plans (the g27 lesson)
       val nxt = graft.util.DfCache.cached(spark, dir, s"g18_level_$h") {
         prev.join(sym, col("node") === col("src"))
           .select(col("sid"), col("dst").as("node")).distinct()
           .join(seen, Seq("sid", "node"), "left_anti")
+          .localCheckpoint()
       }
       frontier = nxt
       levels = nxt.withColumn("dist", lit(h)) :: levels
@@ -1691,10 +1696,16 @@ object GraphOps {
     for (h <- 1 to ReachDepth) {
       val prev = frontier
       val seen = levels.map(_.select(col("seed"), col("node"))).reduce(_.union(_))
+      // localCheckpoint truncates the level's lineage (the g10 lesson,
+      // re-learned here): without it each level's LOGICAL plan nests
+      // every earlier level's, Catalyst analysis grows ~2^h, and the
+      // driver — not the executors — burned ~40 s planning hop 6 at
+      // sf0.1. With the cut, per-hop plans stay constant-size.
       val nxt = graft.util.DfCache.cached(spark, dir, s"g27_level_$h") {
         prev.join(sym, col("node") === col("src"))
           .select(col("seed"), col("dst").as("node")).distinct()
           .join(seen, Seq("seed", "node"), "left_anti")
+          .localCheckpoint()
       }
       frontier = nxt
       levels = nxt.withColumn("dist", lit(h)) :: levels
@@ -1754,7 +1765,46 @@ object GraphOps {
        |GROUP BY 1, 2
        |ORDER BY n_orders DESC, part_a, part_b LIMIT 100""".stripMargin
 
+  // ---- g29: edge embeddedness histogram (tie-strength profile) ----
+  // For every EXISTING undirected edge, how many common neighbors its
+  // endpoints share (embeddedness — Granovetter's tie strength), as a
+  // histogram. g21/g22 score NON-edges for link prediction; the same
+  // wedge aggregation over the degree-capped center table (cap
+  // mirrored by the oracle, the g21 contract) scores edges here, via
+  // a left join that keeps 0-embeddedness edges — bridges, exactly
+  // the rows a histogram must not drop. Output is |distinct cn|
+  // rows; everything heavy is the one cached wedge pass shared with
+  // g21/g22.
+  def g29Embeddedness(spark: SparkSession, dir: String): DataFrame = {
+    val sym = withSym(spark, dir)
+    val ce = wedgeCenterEdges(spark, dir)
+    val cn = ce.as("e1").join(ce.as("e2"),
+        col("e1.src") === col("e2.src") && col("e1.dst") < col("e2.dst"))
+      .groupBy(col("e1.dst").as("node_a"), col("e2.dst").as("node_b"))
+      .agg(count(lit(1)).as("cn"))
+    sym.filter(col("src") < col("dst"))
+      .select(col("src").as("node_a"), col("dst").as("node_b"))
+      .join(cn, Seq("node_a", "node_b"), "left_outer")
+      .select(coalesce(col("cn"), lit(0L)).as("emb"))
+      .groupBy(col("emb")).agg(count(lit(1)).as("n_edges"))
+      .orderBy(col("emb"))
+  }
+
+  val g29Sql: String =
+    s"""WITH ${GraphTables.symSqlCtes},
+       |deg AS (SELECT src AS node, count(*) AS deg FROM sym GROUP BY src),
+       |ce AS (SELECT s.src, s.dst FROM sym s
+       |       JOIN deg d ON s.src = d.node WHERE d.deg <= $MaxWedgeDeg),
+       |p AS (SELECT e1.dst AS node_a, e2.dst AS node_b, count(*) AS cn
+       |      FROM ce e1 JOIN ce e2 ON e1.src = e2.src AND e1.dst < e2.dst
+       |      GROUP BY 1, 2),
+       |ed AS (SELECT src AS node_a, dst AS node_b FROM sym WHERE src < dst)
+       |SELECT coalesce(p.cn, 0) AS emb, count(*) AS n_edges
+       |FROM ed LEFT JOIN p USING (node_a, node_b)
+       |GROUP BY 1 ORDER BY emb""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g29_embeddedness" -> (g29Embeddedness _),
     "g28_copurchase" -> (g28Copurchase _),
     "g27_reach_profile" -> (g27ReachProfile _),
     "g26_four_cycles" -> (g26FourCycles _),
@@ -1785,6 +1835,7 @@ object GraphOps {
     "g9_checkpoint_roundtrip" -> (g9CheckpointRoundtrip _))
 
   val oracles: Map[String, String] = Map(
+    "g29_embeddedness" -> g29Sql,
     "g28_copurchase" -> g28Sql,
     "g27_reach_profile" -> g27Sql,
     "g26_four_cycles" -> g26Sql,

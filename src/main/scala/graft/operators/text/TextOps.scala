@@ -1028,7 +1028,51 @@ object TextOps {
        |    AS is_mixed
        |FROM h ORDER BY doc_id""".stripMargin
 
+  // ---- t22: n-gram novelty (memorization / duplication risk) ----
+  // Per document: the share of its DISTINCT word-3-grams that occur
+  // in no other document. Low novelty = boilerplate assembled from
+  // corpus-common phrasing; high novelty = genuinely new text (or
+  // noise — read with t2/t20). The doc-frequency table aggregates the
+  // same distinct-gram explode the per-doc side uses, and the join
+  // back is gram-keyed — co-partitioned, vocabulary never broadcast,
+  // the t20 posture one level up from tokens. Exact integer ppm;
+  // docs under 3 words carry no grams and drop on both engines.
+  def t22NgramNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val ws = col("ws")
+    val grams = when(size(ws) >= 3,
+        transform(sequence(lit(1), size(ws) - 2),
+          i => concat_ws(" ", element_at(ws, i), element_at(ws, i + 1),
+            element_at(ws, i + 2))))
+      .otherwise(array())
+    val dg = docs(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), explode(array_distinct(grams)).as("g"))
+    val dfreq = dg.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    dg.join(dfreq, Seq("g"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") === 1L, 1L).otherwise(0L)).as("n_unique"))
+      .withColumn("novelty_ppm", expr("n_unique * 1000000 div n_grams"))
+      .orderBy(col("doc_id"))
+  }
+
+  val t22Sql: String =
+    """WITH w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+      |dg AS (
+      |  SELECT DISTINCT doc_id,
+      |    unnest(list_transform(generate_series(1, len(ws)-2),
+      |                          i -> ws[i]||' '||ws[i+1]||' '||ws[i+2])) AS g
+      |  FROM w WHERE len(ws) >= 3),
+      |df AS (SELECT g, count(*) AS df FROM dg GROUP BY g)
+      |SELECT d.doc_id, count(*) AS n_grams,
+      |  CAST(sum(CASE WHEN f.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+      |  CAST(sum(CASE WHEN f.df = 1 THEN 1 ELSE 0 END) AS BIGINT) * 1000000
+      |    // count(*) AS novelty_ppm
+      |FROM dg d JOIN df f USING (g)
+      |GROUP BY d.doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t22_ngram_novelty" -> (t22NgramNovelty _),
     "t21_lang_purity" -> (t21LangPurity _),
     "t20_rare_tokens" -> (t20RareTokens _),
     "t19_lexical_diversity" -> (t19LexicalDiversity _),
@@ -1052,6 +1096,7 @@ object TextOps {
     "t9_curation_pipeline" -> (t9CurationPipeline _))
 
   val oracles: Map[String, String] = Map(
+    "t22_ngram_novelty" -> t22Sql,
     "t21_lang_purity" -> t21Sql,
     "t20_rare_tokens" -> t20Sql,
     "t19_lexical_diversity" -> t19Sql,

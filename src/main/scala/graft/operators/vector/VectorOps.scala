@@ -556,7 +556,48 @@ object VectorOps {
        |    for d in generate_series(1, 64)]) AS BIGINT) AS err_scaled
        |FROM rc ORDER BY vec_id""".stripMargin
 
+  // ---- v10: Matryoshka truncation profile (prefix-norm shares) ----
+  // How much of each embedding's energy the first 16/32/48 dimensions
+  // carry, in exact ppm — the measurement behind choosing a truncation
+  // dim for Matryoshka-style retrieval (serve 16-d candidates, rerank
+  // at 64-d: s22/s23's trade made quantitative per vector). Prefix
+  // sums of squared micro-unit integers; the ppm ratio multiplies in
+  // DECIMAL(38,0)/HUGEINT because 1e6·Σq² tops BIGINT (the q40
+  // wide-integer posture). One narrow in-row pass, zero shuffle
+  // before the output sort.
+  private def prefixShare(k: Int): org.apache.spark.sql.Column =
+    expr(s"""cast(1000000 * cast(aggregate(sequence(1, $k), cast(0 as bigint),
+            |  (a, d) -> a + element_at(qv, d) * element_at(qv, d)) as decimal(38,0))
+            |  div aggregate(sequence(1, 64), cast(0 as bigint),
+            |  (a, d) -> a + element_at(qv, d) * element_at(qv, d)) as bigint)""".stripMargin)
+
+  def v10Matryoshka(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.similarity.SimilarityOps.embQuantized(spark, dir)
+      .select(col("vec_id"),
+        prefixShare(16).as("share16_ppm"),
+        prefixShare(32).as("share32_ppm"),
+        prefixShare(48).as("share48_ppm"))
+      .orderBy(col("vec_id"))
+
+  val v10Sql: String = {
+    def duckShare(k: Int): String =
+      s"""CAST(1000000 * CAST(list_sum([qv[d] * qv[d]
+         |    for d in generate_series(1, $k)]) AS HUGEINT)
+         |  // list_sum([qv[d] * qv[d] for d in generate_series(1, 64)])
+         |  AS BIGINT)""".stripMargin
+    s"""WITH ${VectorExprs.embCtes},
+       |qm AS (
+       |  SELECT vec_id, [CAST(round(x * 1000000) AS BIGINT) for x in vd] AS qv
+       |  FROM ef)
+       |SELECT vec_id,
+       |  ${duckShare(16)} AS share16_ppm,
+       |  ${duckShare(32)} AS share32_ppm,
+       |  ${duckShare(48)} AS share48_ppm
+       |FROM qm ORDER BY vec_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v10_matryoshka" -> (v10Matryoshka _),
     "v9_residual_codes" -> (v9ResidualCodes _),
     "v8_sq_codes" -> (v8SqCodes _),
     "v7_dim_stats" -> (v7DimStats _),
@@ -568,6 +609,7 @@ object VectorOps {
     "v3_random_projection" -> (v3RandomProjection _))
 
   val oracles: Map[String, String] = Map(
+    "v10_matryoshka" -> v10Sql,
     "v9_residual_codes" -> v9Sql,
     "v8_sq_codes" -> v8Sql,
     "v7_dim_stats" -> v7Sql,

@@ -861,7 +861,47 @@ object EventOps {
       |  CAST(sum(late_us) AS BIGINT) AS total_late_us
       |FROM l GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ---- e23: event-type transition matrix (first-order Markov) ----
+  // Per-user consecutive event-type pairs (the same user_id-keyed lag
+  // window as e20 — one exchange on a grow-with-data key) rolled into
+  // the (prev, next) count matrix with exact-ppm row shares. e17
+  // materializes whole session PATHS; the transition matrix is its
+  // O(|types|²)-bounded summary — the funnel prior, the sequence-model
+  // sanity check, the anomaly baseline for "this user's next-event
+  // distribution". The row-share window runs over the ≤|types|² cell
+  // table — vocabulary-bounded, never data-bounded.
+  def e23TypeTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val cells = events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val rw = Window.partitionBy(col("prev_type"))
+    cells
+      .withColumn("row_total", sum(col("n")).over(rw))
+      .withColumn("share_ppm", expr("n * 1000000 div row_total"))
+      .select(col("prev_type"), col("event_type"), col("n"), col("share_ppm"))
+      .orderBy(col("prev_type"), col("event_type"))
+  }
+
+  val e23Sql: String =
+    """WITH p AS (
+      |  SELECT user_id, event_id, event_type,
+      |    lag(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY epoch_us(ts), event_id) AS prev_type
+      |  FROM events),
+      |c AS (SELECT prev_type, event_type, count(*) AS n
+      |      FROM p WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+      |SELECT prev_type, event_type, n,
+      |  CAST(n * 1000000 // sum(n) OVER (PARTITION BY prev_type) AS BIGINT)
+      |    AS share_ppm
+      |FROM c ORDER BY prev_type, event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e23_type_transitions" -> (e23TypeTransitions _),
     "e22_lateness_audit" -> (e22LatenessAudit _),
     "e21_activity_profile" -> (e21ActivityProfile _),
     "e20_interarrival" -> (e20Interarrival _),
@@ -886,6 +926,7 @@ object EventOps {
     "e8_funnel" -> (e8Funnel _))
 
   val oracles: Map[String, String] = Map(
+    "e23_type_transitions" -> e23Sql,
     "e22_lateness_audit" -> e22Sql,
     "e21_activity_profile" -> e21Sql,
     "e20_interarrival" -> e20Sql,
