@@ -1544,8 +1544,61 @@ object Relational {
       |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
       |ORDER BY o_custkey, o_orderkey""".stripMargin
 
+  // ---- q45: association lift over co-purchase pairs ----
+  // Market-basket lift: for part pairs bought together in ≥2 orders,
+  // lift = P(a,b) / (P(a)·P(b)) — computed as the exact integer
+  // n_both·N·1e6 div (n_a·n_b) in ppm (lift > 1e6 means genuinely
+  // associated, not just popular). Pair generation is the g28 shape
+  // (per-order, bounded order size, shared bucket cap); supports are
+  // one map-side-combined count per part joined back onto the
+  // ≥2-support pair table — candidate-scale, never |part|². The
+  // total-order count N rides a broadcast one-row frame. The classic
+  // recommender / feature-correlation primitive.
+  private def LiftOrderCap = graft.operators.graph.GraphOps.CoOrderCap
+
+  def q45BasketLift(spark: SparkSession, dir: String): DataFrame = {
+    // shares g28's DfCache'd membership + pair tables — one build
+    // serves the support graph (g28) and the lift scores (q45)
+    val capped = graft.operators.graph.GraphOps.coPurchaseMembers(spark, dir)
+    val support = capped.groupBy(col("pk")).agg(count(lit(1)).as("n_part"))
+    val totals = capped.select(col("ok")).distinct()
+      .agg(count(lit(1)).as("n_orders_total"))
+    val pairs = graft.operators.graph.GraphOps.coPurchasePairs(spark, dir)
+      .withColumnRenamed("n_orders", "n_both")
+      .filter(col("n_both") >= 2)
+    pairs
+      .join(support.select(col("pk").as("part_a"), col("n_part").as("n_a")), Seq("part_a"))
+      .join(support.select(col("pk").as("part_b"), col("n_part").as("n_b")), Seq("part_b"))
+      .crossJoin(broadcast(totals))
+      .withColumn("lift_ppm", expr(
+        "cast(1000000 * cast(n_both as decimal(38,0)) * n_orders_total div (n_a * n_b) as bigint)"))
+      .select(col("part_a"), col("part_b"), col("n_both"), col("n_a"),
+        col("n_b"), col("lift_ppm"))
+      .orderBy(col("part_a"), col("part_b"))
+  }
+
+  val q45Sql: String =
+    s"""WITH li AS (
+       |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+       |okc AS (SELECT ok FROM li GROUP BY ok HAVING count(*) <= $LiftOrderCap),
+       |capped AS (SELECT li.* FROM li JOIN okc USING (ok)),
+       |sup AS (SELECT pk, count(*) AS n_part FROM capped GROUP BY pk),
+       |tot AS (SELECT count(DISTINCT ok) AS n_orders_total FROM capped),
+       |p AS (SELECT x.pk AS part_a, y.pk AS part_b, count(*) AS n_both
+       |      FROM capped x JOIN capped y ON x.ok = y.ok AND x.pk < y.pk
+       |      GROUP BY 1, 2 HAVING count(*) >= 2)
+       |SELECT p.part_a, p.part_b, p.n_both,
+       |  CAST(a.n_part AS BIGINT) AS n_a, CAST(b.n_part AS BIGINT) AS n_b,
+       |  CAST(1000000 * CAST(p.n_both AS HUGEINT) * t.n_orders_total
+       |       // (a.n_part * b.n_part) AS BIGINT) AS lift_ppm
+       |FROM p JOIN sup a ON p.part_a = a.pk
+       |JOIN sup b ON p.part_b = b.pk
+       |CROSS JOIN tot t
+       |ORDER BY part_a, part_b""".stripMargin
+
   /** queries-map fragment: name → builder */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q45_basket_lift" -> (q45BasketLift _),
     "q44_pit_features" -> (q44PitFeatures _),
     "q43_rank_functions" -> (q43RankFunctions _),
     "q42_skyline" -> (q42Skyline _),
@@ -1593,6 +1646,7 @@ object Relational {
 
   /** oracle-map fragment: name → DuckDB SQL */
   val oracles: Map[String, String] = Map(
+    "q45_basket_lift" -> q45Sql,
     "q44_pit_features" -> q44Sql,
     "q43_rank_functions" -> q43Sql,
     "q42_skyline" -> q42Sql,

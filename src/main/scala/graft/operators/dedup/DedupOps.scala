@@ -1199,7 +1199,45 @@ object DedupOps {
        |    AS agreement_ppm
        |FROM u""".stripMargin
 
+  // ---- d20: dup-cluster size distribution (dedup yield report) ----
+  // The number a dedup run is judged by: how big are the duplicate
+  // clusters, and how much does keep-one-per-cluster shrink the
+  // corpus? d6's verified clusters give the multi-doc clusters;
+  // unclustered documents are size-1 singletons folded into the same
+  // histogram, so Σ(sz · n_clusters) = |corpus| and the removal rate
+  // is Σ((sz − 1) · n_clusters). One groupBy over the cached cluster
+  // table + one anti-join count — candidate-scale work only.
+  def d20ClusterSizes(spark: SparkSession, dir: String): DataFrame = {
+    val cl = d6DupClusters(spark, dir).select(col("doc_id"), col("cluster_id"))
+    val hist = cl.groupBy(col("cluster_id")).agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz")).agg(count(lit(1)).as("n_clusters"))
+    val singles = docs(spark, dir).select(col("doc_id"))
+      .join(cl, Seq("doc_id"), "left_anti")
+      .agg(count(lit(1)).as("n_clusters"))
+      .select(lit(1L).as("sz"), col("n_clusters"))
+    hist.union(singles)
+      .groupBy(col("sz")).agg(sum(col("n_clusters")).as("n_clusters"))
+      .withColumn("n_docs", col("sz") * col("n_clusters"))
+      .withColumn("n_removed", (col("sz") - 1) * col("n_clusters"))
+      .orderBy(col("sz"))
+  }
+
+  val d20Sql: String =
+    s"""WITH cl AS ($d6Sql),
+       |h AS (SELECT sz, count(*) AS n_clusters FROM (
+       |  SELECT cluster_id, count(*) AS sz FROM cl GROUP BY cluster_id)
+       |  GROUP BY sz),
+       |s AS (SELECT CAST(1 AS BIGINT) AS sz, count(*) AS n_clusters
+       |      FROM documents d WHERE NOT EXISTS (
+       |        SELECT 1 FROM cl WHERE cl.doc_id = d.doc_id)),
+       |u AS (SELECT * FROM h UNION ALL SELECT * FROM s)
+       |SELECT sz, CAST(sum(n_clusters) AS BIGINT) AS n_clusters,
+       |  sz * CAST(sum(n_clusters) AS BIGINT) AS n_docs,
+       |  (sz - 1) * CAST(sum(n_clusters) AS BIGINT) AS n_removed
+       |FROM u GROUP BY sz ORDER BY sz""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d20_cluster_sizes" -> (d20ClusterSizes _),
     "d19_candidate_overlap" -> (d19CandidateOverlap _),
     "d18_lev_dedup" -> (d18LevDedup _),
     "d17_containment" -> (d17Containment _),
@@ -1221,6 +1259,7 @@ object DedupOps {
     "d9_incremental_dedup" -> (d9IncrementalDedup _))
 
   val oracles: Map[String, String] = Map(
+    "d20_cluster_sizes" -> d20Sql,
     "d19_candidate_overlap" -> d19Sql,
     "d18_lev_dedup" -> d18Sql,
     "d17_containment" -> d17Sql,

@@ -1740,20 +1740,35 @@ object GraphOps {
   // guarded by the shared bucket cap (the d2/m5 posture; never fires
   // on sane order sizes). Top-100 by support with full deterministic
   // tie-break.
-  private val CoOrderCap = 50
+  private[operators] val CoOrderCap = 50
 
-  def g28Copurchase(spark: SparkSession, dir: String): DataFrame = {
-    val li = graft.sources.Tables.load(spark, dir, "lineitem")
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .distinct()
-    val capped = graft.util.Buckets.cap(li, Seq("ok"), CoOrderCap)
-    capped.as("x").join(capped.as("y"),
-        col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
-      .groupBy(col("x.pk").as("part_a"), col("y.pk").as("part_b"))
-      .agg(count(lit(1)).as("n_orders"))
+  /** Distinct capped (order, part) memberships — the bipartite side
+    * both co-purchase consumers start from. DfCache'd: g28 (support
+    * graph) and q45 (lift) otherwise rebuild the same distinct +
+    * cap + self-join, the heaviest stage of both. */
+  private[operators] def coPurchaseMembers(spark: SparkSession, dir: String): DataFrame =
+    graft.util.DfCache.cached(spark, dir, "copurchase_members") {
+      val li = graft.sources.Tables.load(spark, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      graft.util.Buckets.cap(li, Seq("ok"), CoOrderCap)
+    }
+
+  /** (part_a, part_b, n_orders) support pairs over the capped
+    * memberships — cached for the same two consumers. */
+  private[operators] def coPurchasePairs(spark: SparkSession, dir: String): DataFrame =
+    graft.util.DfCache.cached(spark, dir, "copurchase_pairs") {
+      val capped = coPurchaseMembers(spark, dir)
+      capped.as("x").join(capped.as("y"),
+          col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+        .groupBy(col("x.pk").as("part_a"), col("y.pk").as("part_b"))
+        .agg(count(lit(1)).as("n_orders"))
+    }
+
+  def g28Copurchase(spark: SparkSession, dir: String): DataFrame =
+    coPurchasePairs(spark, dir)
       .orderBy(col("n_orders").desc, col("part_a"), col("part_b"))
       .limit(100)
-  }
 
   val g28Sql: String =
     s"""WITH li AS (

@@ -791,7 +791,67 @@ object MultimodalOps {
       |  count(*) * 1000000 // CAST(sum(rlen) AS BIGINT) AS runs_ppm
       |FROM runs GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---- m13: 2-D patch-grid manifest (ViT patching shape) ----
+  // m10 chunks 1-D (ASR); vision models patch 2-D: treat the payload
+  // as an image of GridW-byte rows and emit the 8×8 patch grid —
+  // (row, col, offset) plus per-patch probe stats (corner byte, first
+  // patch-row checksum) — WITHOUT moving payload bytes. The byte
+  // codes come from ONE split-to-chars pass per doc (the m5 lesson:
+  // per-position substring re-scans UTF8 and goes quadratic), then
+  // every patch indexes the array O(1). Pure in-row generate, zero
+  // shuffle before the output sort; manifest rows ≈ bytes/64.
+  private val GridW = 32
+  private val PatchP = 8
+
+  def m13GridPatches(spark: SparkSession, dir: String): DataFrame = {
+    val rowBytes = GridW * PatchP // bytes per patch ROW of the grid
+    val pcMax = GridW / PatchP - 1
+    withBlob(spark, dir)
+      .withColumn("n", length(col("text")).cast("long"))
+      .filter(col("n") >= rowBytes)
+      .withColumn("cs", expr("transform(split(text, ''), c -> cast(ascii(c) as bigint))"))
+      .withColumn("prn", expr(s"(n div $GridW) div $PatchP"))
+      .select(col("doc_id"), col("cs"),
+        posexplode(expr(
+          s"""flatten(transform(sequence(0, cast(prn - 1 as int)), pr ->
+             |  transform(sequence(0, $pcMax), pc -> struct(
+             |    cast(pr as bigint) as pr, cast(pc as bigint) as pc,
+             |    cast(pr * $rowBytes + pc * $PatchP + 1 as bigint) as off))))""".stripMargin))
+          .as(Seq("i", "p")))
+      .select(col("doc_id"), col("p.pr").as("pr"), col("p.pc").as("pc"),
+        col("p.off").as("off"),
+        expr("element_at(cs, cast(p.off as int))").as("first_code"),
+        expr(s"""aggregate(sequence(0, ${PatchP - 1}), cast(0 as bigint),
+                |  (a, j) -> a + element_at(cs, cast(p.off + j as int)))""".stripMargin)
+          .as("row_sum"))
+      .orderBy(col("doc_id"), col("pr"), col("pc"))
+  }
+
+  val m13Sql: String = {
+    val rowBytes = GridW * PatchP
+    val pcMax = GridW / PatchP - 1
+    s"""WITH gsized AS (
+       |  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n
+       |  FROM documents WHERE length(text) >= $rowBytes),
+       |gr AS (
+       |  SELECT doc_id, text,
+       |    unnest(generate_series(0, (n // $GridW) // $PatchP - 1)) AS pr
+       |  FROM gsized),
+       |px AS (
+       |  SELECT doc_id, text, pr, pc,
+       |    pr * $rowBytes + pc * $PatchP + 1 AS off
+       |  FROM gr, generate_series(0, $pcMax) g(pc))
+       |SELECT doc_id, CAST(pr AS BIGINT) AS pr, CAST(pc AS BIGINT) AS pc,
+       |  CAST(off AS BIGINT) AS off,
+       |  CAST(ascii(substr(text, CAST(off AS INTEGER), 1)) AS BIGINT)
+       |    AS first_code,
+       |  CAST(list_sum([ascii(substr(text, CAST(off + j AS INTEGER), 1))
+       |    for j in generate_series(0, ${PatchP - 1})]) AS BIGINT) AS row_sum
+       |FROM px ORDER BY doc_id, pr, pc""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m13_grid_patches" -> (m13GridPatches _),
     "m12_rle_stats" -> (m12RleStats _),
     "m11_dhash_dup" -> (m11DhashDup _),
     "m10_chunk_manifest" -> (m10ChunkManifest _),
@@ -806,6 +866,7 @@ object MultimodalOps {
     "m3_frame_sample" -> (m3FrameSample _))
 
   val oracles: Map[String, String] = Map(
+    "m13_grid_patches" -> m13Sql,
     "m12_rle_stats" -> m12Sql,
     "m11_dhash_dup" -> m11Sql,
     "m10_chunk_manifest" -> m10Sql,

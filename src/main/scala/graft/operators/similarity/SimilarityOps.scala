@@ -1789,7 +1789,55 @@ object SimilarityOps {
        |  AND f.query_id < f.neighbor_id
        |ORDER BY vec_a, vec_b""".stripMargin
 
+  // ---- s34: recall@k curve (the index tuning plot as a query) ----
+  // s8 reports recall at one k; tuning reads the CURVE — recall@1..K
+  // of the LSH index against exact top-K, aggregated across queries.
+  // A flat curve says candidates are good but ranking is tight; a
+  // rising one says the index misses true top-1s (raise bands /
+  // nprobe). Both ranked lists are the K·|queries|-bounded outputs s1
+  // and s2 already produce; the curve is a broadcast cross join with
+  // the 5-row k table + two vocabulary-bounded rollups — cost is the
+  // two indexes, the curve itself is free.
+  def s34RecallCurve(spark: SparkSession, dir: String): DataFrame = {
+    val er = s1KnnBrute(spark, dir)
+      .select(col("query_id"), col("neighbor_id"), col("rank").as("rank_e"))
+    val ar = s2KnnLsh(spark, dir)
+      .select(col("query_id"), col("neighbor_id"), col("rank").as("rank_a"))
+    val ks = spark.range(1, K + 1).select(col("id").as("k"))
+    val nEx = er.crossJoin(broadcast(ks)).filter(col("rank_e") <= col("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("n_exact"))
+    val nHit = er.join(ar, Seq("query_id", "neighbor_id"))
+      .crossJoin(broadcast(ks))
+      .filter(col("rank_e") <= col("k") && col("rank_a") <= col("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("n_hit"))
+    nEx.join(nHit, Seq("k"), "left_outer")
+      .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
+      .withColumn("recall_ppm", expr("n_hit * 1000000 div n_exact"))
+      .orderBy(col("k"))
+  }
+
+  val s34Sql: String =
+    s"""WITH ${VectorExprs.bandCtes},
+       |${exactPairsCte("xpairs")},
+       |${topkCte("xr", "xpairs")},
+       |${lshPairsCtes("cand", "apairs")},
+       |${topkCte("ar", "apairs")},
+       |ks AS (SELECT CAST(unnest(generate_series(1, $K)) AS BIGINT) AS k),
+       |ex AS (SELECT query_id, neighbor_id, rank FROM xr WHERE rank <= $K),
+       |ap AS (SELECT query_id, neighbor_id, rank FROM ar WHERE rank <= $K),
+       |ne AS (SELECT k, count(*) AS n_exact FROM ex, ks
+       |       WHERE ex.rank <= k GROUP BY k),
+       |nh AS (SELECT k, count(*) AS n_hit
+       |       FROM ex JOIN ap USING (query_id, neighbor_id), ks
+       |       WHERE ex.rank <= k AND ap.rank <= k GROUP BY k)
+       |SELECT ne.k, ne.n_exact,
+       |  CAST(coalesce(nh.n_hit, 0) AS BIGINT) AS n_hit,
+       |  CAST(coalesce(nh.n_hit, 0) AS BIGINT) * 1000000 // ne.n_exact
+       |    AS recall_ppm
+       |FROM ne LEFT JOIN nh ON ne.k = nh.k ORDER BY ne.k""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s34_recall_curve" -> (s34RecallCurve _),
     "s33_mutual_knn" -> (s33MutualKnn _),
     "s32_sq_recall" -> (s32SqRecall _),
     "s31_sq_knn" -> (s31SqKnn _),
@@ -1825,6 +1873,7 @@ object SimilarityOps {
     "s7_ivf_trained" -> (s7IvfTrained _))
 
   val oracles: Map[String, String] = Map(
+    "s34_recall_curve" -> s34Sql,
     "s33_mutual_knn" -> s33Sql,
     "s32_sq_recall" -> s32Sql,
     "s31_sq_knn" -> s31Sql,

@@ -900,7 +900,60 @@ object EventOps {
       |    AS share_ppm
       |FROM c ORDER BY prev_type, event_type""".stripMargin
 
+  // ---- e24: watermark what-if (allowed-lateness drop simulation) ----
+  // e22 measured how late events arrive; e24 answers the follow-up a
+  // stream owner actually asks: "if I set the watermark to X, how
+  // much data do I drop?" Each event's lateness (e22's per-user
+  // running-max rule) is tested against three candidate watermark
+  // delays in one pass — the lateness rows cross-join a broadcast
+  // 3-row candidate table and roll up per candidate. Read the row
+  // whose drop_ppm is acceptable; that X is the
+  // `withWatermark("ts", X)` to ship.
+  private val WatermarkCandidatesUs = Seq(60000000L, 600000000L, 3600000000L)
+
+  def e24WatermarkWhatif(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val late = events(spark, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("hwm", max(col("us")).over(w))
+      .withColumn("late_us",
+        when(col("hwm").isNull || col("hwm") <= col("us"), 0L)
+          .otherwise(col("hwm") - col("us")))
+    val cands = WatermarkCandidatesUs
+      .foldLeft(Option.empty[DataFrame]) { (acc, v) =>
+        val row = spark.range(1).select(lit(v).as("wm_us"))
+        Some(acc.fold(row)(_.union(row)))
+      }.get
+    late.crossJoin(broadcast(cands))
+      .groupBy(col("wm_us"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("late_us") > col("wm_us"), 1L).otherwise(0L)).as("n_dropped"))
+      .withColumn("drop_ppm", expr("n_dropped * 1000000 div n_events"))
+      .orderBy(col("wm_us"))
+  }
+
+  val e24Sql: String = {
+    val vals = WatermarkCandidatesUs.mkString("(", "), (", ")")
+    s"""WITH l AS (
+       |  SELECT CASE WHEN hwm IS NULL OR hwm <= us THEN 0 ELSE hwm - us END
+       |    AS late_us
+       |  FROM (
+       |    SELECT epoch_us(ts) AS us,
+       |      max(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY event_id
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hwm
+       |    FROM events)),
+       |c(wm_us) AS (VALUES $vals)
+       |SELECT CAST(wm_us AS BIGINT) AS wm_us, count(*) AS n_events,
+       |  CAST(sum(CASE WHEN late_us > wm_us THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_dropped,
+       |  CAST(sum(CASE WHEN late_us > wm_us THEN 1 ELSE 0 END) AS BIGINT)
+       |    * 1000000 // count(*) AS drop_ppm
+       |FROM l CROSS JOIN c GROUP BY wm_us ORDER BY wm_us""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e24_watermark_whatif" -> (e24WatermarkWhatif _),
     "e23_type_transitions" -> (e23TypeTransitions _),
     "e22_lateness_audit" -> (e22LatenessAudit _),
     "e21_activity_profile" -> (e21ActivityProfile _),
@@ -926,6 +979,7 @@ object EventOps {
     "e8_funnel" -> (e8Funnel _))
 
   val oracles: Map[String, String] = Map(
+    "e24_watermark_whatif" -> e24Sql,
     "e23_type_transitions" -> e23Sql,
     "e22_lateness_audit" -> e22Sql,
     "e21_activity_profile" -> e21Sql,
