@@ -1596,8 +1596,44 @@ object Relational {
        |CROSS JOIN tot t
        |ORDER BY part_a, part_b""".stripMargin
 
+  // ---- q46: interpolated (continuous) quartiles ----
+  // q24/q38 cover exact DISCRETE percentiles; this is the
+  // interpolated family (SQL percentile_cont / R type-7): quartiles
+  // of order value per priority class. The doubles stay bit-identical
+  // across engines because every interpolation input is exact — cents
+  // are integers < 2^26, the quartile fractions are dyadic
+  // (0.25/0.5/0.75 = powers of two), so lo + (hi−lo)·frac is one
+  // exactly-representable product and one exact sum. Spark's
+  // `percentile` aggregate buffers per-group values (groups here are
+  // the bounded priority vocabulary); at 100 TB the two-phase binned
+  // rank (the q29/q38 machinery) is the posture for high-cardinality
+  // groups.
+  def q46PercentileCont(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .select(col("o_orderpriority"),
+        (dec(col("o_totalprice")) * 100).cast("long").as("cents"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        expr("percentile(cents, array(0.25D, 0.5D, 0.75D))").as("qs"))
+      .select(col("o_orderpriority"), col("n_orders"),
+        element_at(col("qs"), 1).as("q1"),
+        element_at(col("qs"), 2).as("median"),
+        element_at(col("qs"), 3).as("q3"))
+      .orderBy(col("o_orderpriority"))
+
+  val q46Sql: String =
+    """SELECT o_orderpriority, count(*) AS n_orders,
+      |  quantile_cont(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT),
+      |                0.25) AS q1,
+      |  quantile_cont(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT),
+      |                0.5) AS median,
+      |  quantile_cont(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT),
+      |                0.75) AS q3
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   /** queries-map fragment: name → builder */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q46_percentile_cont" -> (q46PercentileCont _),
     "q45_basket_lift" -> (q45BasketLift _),
     "q44_pit_features" -> (q44PitFeatures _),
     "q43_rank_functions" -> (q43RankFunctions _),
@@ -1646,6 +1682,7 @@ object Relational {
 
   /** oracle-map fragment: name → DuckDB SQL */
   val oracles: Map[String, String] = Map(
+    "q46_percentile_cont" -> q46Sql,
     "q45_basket_lift" -> q45Sql,
     "q44_pit_features" -> q44Sql,
     "q43_rank_functions" -> q43Sql,

@@ -1236,7 +1236,47 @@ object DedupOps {
        |  (sz - 1) * CAST(sum(n_clusters) AS BIGINT) AS n_removed
        |FROM u GROUP BY sz ORDER BY sz""".stripMargin
 
+  // ---- d21: Jaccard-threshold sweep (the dedup tuning curve) ----
+  // s34 gives the ANN family its recall curve; this is the dedup
+  // analog: how many verified pairs (and how many documents) survive
+  // at each candidate θ — the table read before committing a dedup
+  // threshold, where one number (pairs at θ=0.35) hides the cliff the
+  // sweep exposes. One pass over the cached d4 pair table × a
+  // broadcast 3-row θ table; thresholds compare in the same IEEE
+  // jaccard·1e6 ≥ θ_ppm form on both engines.
+  private val SweepThetasPpm = Seq(200000L, 350000L, 500000L)
+
+  def d21ThresholdSweep(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = d4NgramJaccard(spark, dir)
+    val ths = SweepThetasPpm
+      .map(v => spark.range(1).select(lit(v).as("theta_ppm")))
+      .reduce(_.union(_))
+    val tagged = pairs.crossJoin(broadcast(ths))
+      .filter(col("jaccard") * 1000000.0 >= col("theta_ppm").cast("double"))
+    val np = tagged.groupBy(col("theta_ppm")).agg(count(lit(1)).as("n_pairs"))
+    val nd = tagged
+      .select(col("theta_ppm"), explode(array(col("doc_a"), col("doc_b"))).as("d"))
+      .distinct()
+      .groupBy(col("theta_ppm")).agg(count(lit(1)).as("n_docs"))
+    np.join(nd, Seq("theta_ppm")).orderBy(col("theta_ppm"))
+  }
+
+  val d21Sql: String = {
+    val vals = SweepThetasPpm.mkString("(", "), (", ")")
+    s"""WITH jp AS ($d4Sql),
+       |th(theta_ppm) AS (VALUES $vals),
+       |tg AS (SELECT theta_ppm, doc_a, doc_b FROM jp, th
+       |       WHERE jaccard * 1000000 >= theta_ppm),
+       |np AS (SELECT theta_ppm, count(*) AS n_pairs FROM tg GROUP BY 1),
+       |nd AS (SELECT theta_ppm, count(*) AS n_docs FROM (
+       |  SELECT DISTINCT theta_ppm, d FROM (
+       |    SELECT theta_ppm, unnest([doc_a, doc_b]) AS d FROM tg)) GROUP BY 1)
+       |SELECT CAST(np.theta_ppm AS BIGINT) AS theta_ppm, np.n_pairs, nd.n_docs
+       |FROM np JOIN nd USING (theta_ppm) ORDER BY theta_ppm""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d21_threshold_sweep" -> (d21ThresholdSweep _),
     "d20_cluster_sizes" -> (d20ClusterSizes _),
     "d19_candidate_overlap" -> (d19CandidateOverlap _),
     "d18_lev_dedup" -> (d18LevDedup _),
@@ -1259,6 +1299,7 @@ object DedupOps {
     "d9_incremental_dedup" -> (d9IncrementalDedup _))
 
   val oracles: Map[String, String] = Map(
+    "d21_threshold_sweep" -> d21Sql,
     "d20_cluster_sizes" -> d20Sql,
     "d19_candidate_overlap" -> d19Sql,
     "d18_lev_dedup" -> d18Sql,

@@ -1818,7 +1818,28 @@ object GraphOps {
        |FROM ed LEFT JOIN p USING (node_a, node_b)
        |GROUP BY 1 ORDER BY emb""".stripMargin
 
+  // ---- g30: metapath census (typed-edge profile) ----
+  // The schema-level census of the derived graph: distinct directed
+  // edges counted by (source type, destination type) — the node-type
+  // tag rides in the vid's low 3 bits, so the census is one
+  // map-side-combined groupBy over the cached directed edge table
+  // with an in-row `% 8`. The first thing to read when a derived
+  // graph misbehaves (a missing branch or an unexpected type pair
+  // shows up immediately), and the |types|²-bounded profile a
+  // metapath-based algorithm starts from.
+  def g30MetapathCensus(spark: SparkSession, dir: String): DataFrame =
+    GraphTables.directed(spark, dir)
+      .groupBy((col("src") % 8).as("src_tag"), (col("dst") % 8).as("dst_tag"))
+      .agg(count(lit(1)).as("n_edges"))
+      .orderBy(col("src_tag"), col("dst_tag"))
+
+  val g30Sql: String =
+    s"""WITH ${GraphTables.symSqlCtes}
+       |SELECT src % 8 AS src_tag, dst % 8 AS dst_tag, count(*) AS n_edges
+       |FROM edges GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g30_metapath_census" -> (g30MetapathCensus _),
     "g29_embeddedness" -> (g29Embeddedness _),
     "g28_copurchase" -> (g28Copurchase _),
     "g27_reach_profile" -> (g27ReachProfile _),
@@ -1850,6 +1871,7 @@ object GraphOps {
     "g9_checkpoint_roundtrip" -> (g9CheckpointRoundtrip _))
 
   val oracles: Map[String, String] = Map(
+    "g30_metapath_census" -> g30Sql,
     "g29_embeddedness" -> g29Sql,
     "g28_copurchase" -> g28Sql,
     "g27_reach_profile" -> g27Sql,

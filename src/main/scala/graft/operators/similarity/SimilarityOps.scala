@@ -1836,7 +1836,93 @@ object SimilarityOps {
        |    AS recall_ppm
        |FROM ne LEFT JOIN nh ON ne.k = nh.k ORDER BY ne.k""".stripMargin
 
+  // ---- s35: asymmetric kNN over v9's residual codes (IVF+SQ decode) ----
+  // The search half of the residual index, closing v9 the way s31
+  // closed v8 and s10 closed v4: the corpus side is the code rows;
+  // candidates decode IN-ROW to micro-units via q̂ = (sv + r̂) div n —
+  // the cluster sum plus the dequantized scaled residual, floored
+  // back to the query's unit system, so dots stay ≤ ~1e15 in BIGINT
+  // at ANY cluster size (the n-scaled dot would overflow at sf10).
+  // Truncate-toward-zero division agrees between engines on negative
+  // coordinates (checked: Spark `div` ≡ DuckDB `//`). Plan is s1's:
+  // broadcast exact-query vectors × one code scan, bounded top-k.
+  private val residReconExpr: String =
+    """transform(sequence(1, 64), d ->
+      |  (element_at(sv, d) + element_at(rmnv, d)
+      |   + (cast(element_at(codes, d) as bigint)
+      |      * (element_at(rmxv, d) - element_at(rmnv, d))) div 255) div n)"""
+      .stripMargin
+
+  def s35ResidualKnn(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.vector.VectorOps
+    val recon = VectorOps.residualCodes(spark, dir)
+      .withColumn("rv", expr(residReconExpr))
+      .withColumn("rn2",
+        expr("aggregate(rv, cast(0 as bigint), (a, x) -> a + x * x)"))
+      .select(col("vec_id"), col("rv"), col("rn2"))
+    val q = embQuantized(spark, dir)
+      .filter(col("vec_id") < 10)
+      .withColumn("qn2",
+        expr("aggregate(qv, cast(0 as bigint), (a, x) -> a + x * x)"))
+      .select(col("vec_id"), col("qv"), col("qn2"))
+    val pairs = broadcast(q.as("q"))
+      .join(recon.as("c"), col("q.vec_id") =!= col("c.vec_id"))
+      .withColumn("dot", expr(
+        """aggregate(sequence(1, 64), cast(0 as bigint),
+          |  (a, d) -> a + element_at(q.qv, d) * element_at(c.rv, d))"""
+          .stripMargin))
+      .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"),
+        (col("dot").cast("double")
+          / (sqrt(col("q.qn2").cast("double")) * sqrt(col("c.rn2").cast("double"))))
+          .as("cosine"))
+    ranked(pairs)
+  }
+
+  private val residualPairsCtes: String =
+    s"""${graft.operators.vector.VectorOps.residualCtes},
+       |rdec AS (
+       |  SELECT rc.vec_id,
+       |    [ (sva.sv[d] + rc.rmnv[d]
+       |       + (CAST(rc.codes[d] AS BIGINT) * (rc.rmxv[d] - rc.rmnv[d])) // 255)
+       |      // nc.n
+       |      for d in generate_series(1, 64)] AS rv
+       |  FROM rc JOIN sva ON rc.cluster = sva.cluster
+       |  JOIN nc ON rc.cluster = nc.cluster),
+       |rrn AS (SELECT vec_id, rv,
+       |          CAST(list_sum([x * x for x in rv]) AS BIGINT) AS rn2 FROM rdec),
+       |rqn AS (SELECT vec_id, qv,
+       |          CAST(list_sum([x * x for x in qv]) AS BIGINT) AS qn2
+       |        FROM qv WHERE vec_id < 10),
+       |apairs AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    CAST(CAST(list_sum([q.qv[d] * c.rv[d]
+       |        for d in generate_series(1, 64)]) AS BIGINT) AS DOUBLE)
+       |      / (sqrt(CAST(q.qn2 AS DOUBLE)) * sqrt(CAST(c.rn2 AS DOUBLE)))
+       |      AS cosine
+       |  FROM rqn q JOIN rrn c ON q.vec_id != c.vec_id)""".stripMargin
+
+  val s35Sql: String =
+    s"""WITH $residualPairsCtes,
+       |${topkCte("ar", "apairs")}
+       |SELECT query_id, neighbor_id, cosine, rank FROM ar
+       |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
+
+  // ---- s36: recall of the residual index vs exact top-K ----
+  def s36ResidualRecall(spark: SparkSession, dir: String): DataFrame =
+    recallOf(s1KnnBrute(spark, dir), s35ResidualKnn(spark, dir))
+
+  val s36Sql: String =
+    s"""WITH $residualPairsCtes,
+       |${exactPairsCte("xpairs")},
+       |${topkCte("xr", "xpairs")},
+       |exact AS (SELECT query_id, neighbor_id FROM xr WHERE rank <= $K),
+       |${topkCte("ar", "apairs")},
+       |approx AS (SELECT query_id, neighbor_id FROM ar WHERE rank <= $K)
+       |$recallTailSql""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s36_residual_recall" -> (s36ResidualRecall _),
+    "s35_residual_knn" -> (s35ResidualKnn _),
     "s34_recall_curve" -> (s34RecallCurve _),
     "s33_mutual_knn" -> (s33MutualKnn _),
     "s32_sq_recall" -> (s32SqRecall _),
@@ -1873,6 +1959,8 @@ object SimilarityOps {
     "s7_ivf_trained" -> (s7IvfTrained _))
 
   val oracles: Map[String, String] = Map(
+    "s36_residual_recall" -> s36Sql,
+    "s35_residual_knn" -> s35Sql,
     "s34_recall_curve" -> s34Sql,
     "s33_mutual_knn" -> s33Sql,
     "s32_sq_recall" -> s32Sql,

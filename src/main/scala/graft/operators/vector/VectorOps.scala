@@ -502,8 +502,10 @@ object VectorOps {
             |  THEN cast(((element_at(rvv, d) - element_at(rmnv, d)) * 255)
             |            div (element_at(rmxv, d) - element_at(rmnv, d)) as int)
             |  ELSE 0 END)""".stripMargin))
+        // sv/n ride along so the decode side (s35's asymmetric search)
+        // can reconstruct micro-unit vectors: q̂ = (sv + r̂) div n
         .select(col("vec_id"), col("cluster"), col("rvv"),
-          col("rmnv"), col("rmxv"), col("codes"))
+          col("rmnv"), col("rmxv"), col("codes"), col("sv"), col("n"))
     }
 
   def v9ResidualCodes(spark: SparkSession, dir: String): DataFrame =
@@ -520,8 +522,11 @@ object VectorOps {
           .as("err_scaled"))
       .orderBy(col("vec_id"))
 
-  val v9Sql: String =
-    s"""WITH ${graft.operators.similarity.SimilarityOps.assignCtes},
+  /** v9's oracle CTE chain through `rc` (vec_id, cluster, rvv, rmnv,
+    * rmxv, codes) plus `nc` (cluster, n) and `sva` (cluster, sv) —
+    * shared by v9Sql and s35's residual-ADC search oracle. */
+  val residualCtes: String =
+    s"""${graft.operators.similarity.SimilarityOps.assignCtes},
        |nc AS (SELECT cluster, count(*) AS n FROM a2 GROUP BY cluster),
        |svx AS (
        |  SELECT a2.cluster, g.d, CAST(sum(q.qv[g.d]) AS BIGINT) AS s
@@ -547,7 +552,10 @@ object VectorOps {
        |                    // (bda.rmxv[d] - bda.rmnv[d]) AS INTEGER)
        |          ELSE 0 END
        |     for d in generate_series(1, 64)] AS codes
-       |  FROM rx JOIN bda USING (cluster))
+       |  FROM rx JOIN bda USING (cluster))""".stripMargin
+
+  val v9Sql: String =
+    s"""WITH $residualCtes
        |SELECT vec_id, cluster, codes[1] AS c1, codes[2] AS c2,
        |  codes[3] AS c3, codes[4] AS c4,
        |  CAST(list_sum(codes) AS BIGINT) AS code_sum,
