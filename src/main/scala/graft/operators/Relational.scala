@@ -1631,8 +1631,63 @@ object Relational {
       |                0.75) AS q3
       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  // ---- q47: sketch algebra — KMV union / intersection estimates ----
+  // THE property that makes sketches worth shipping at 100 TB: they
+  // merge. Two customer sets — A = customers with an urgent-priority
+  // order, B = customers with a high-value order — are sketched
+  // independently (each a k-min buffer, mergeable across partitions),
+  // the union sketch is the same aggregate over the concatenated hash
+  // streams (≡ merging the two sketches: k-min of a union), and
+  // |A∩B| falls out by inclusion–exclusion on the three estimates.
+  // Every number is the q23 integer estimator — bit-exact on both
+  // engines. At cluster scale each sketch is O(k) state per grouping,
+  // and set algebra over pre-built sketches never rescans the data.
+  private val HighValueCents = 15000000L // $150k
+
+  def q47SketchAlgebra(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(spark)
+    val k = 256
+    def est(s: String) =
+      expr(s"CASE WHEN $s.hk > 0 THEN ((${k - 1}) * 2147483647L) DIV $s.hk END")
+    val o = t(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderpriority"),
+        (dec(col("o_totalprice")) * 100).cast("long").as("cents"))
+      .withColumn("h",
+        ((col("o_custkey") % 2147483647L) * 2654435761L) % 2147483647L)
+    val a = o.filter(col("o_orderpriority") === "1-URGENT").select(col("h"))
+    val b = o.filter(col("cents") > HighValueCents).select(col("h"))
+    a.agg(expr("graft_kmv256(h)").as("sa"))
+      .crossJoin(b.agg(expr("graft_kmv256(h)").as("sb")))
+      .crossJoin(a.union(b).agg(expr("graft_kmv256(h)").as("su")))
+      .select(
+        est("sa").as("est_a"), est("sb").as("est_b"), est("su").as("est_union"),
+        (est("sa") + est("sb") - est("su")).as("est_intersect"))
+  }
+
+  val q47Sql: String =
+    s"""WITH o AS (
+       |  SELECT o_custkey, o_orderpriority,
+       |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+       |    ((o_custkey % 2147483647) * 2654435761) % 2147483647 AS h
+       |  FROM orders),
+       |ka AS (SELECT DISTINCT h FROM o WHERE o_orderpriority = '1-URGENT'
+       |       ORDER BY h LIMIT 256),
+       |kb AS (SELECT DISTINCT h FROM o WHERE cents > $HighValueCents
+       |       ORDER BY h LIMIT 256),
+       |ku AS (SELECT DISTINCT h FROM (
+       |         SELECT h FROM o WHERE o_orderpriority = '1-URGENT'
+       |         UNION ALL SELECT h FROM o WHERE cents > $HighValueCents)
+       |       ORDER BY h LIMIT 256),
+       |ea AS (SELECT (CAST(255 AS BIGINT) * 2147483647) // max(h) AS e FROM ka),
+       |eb AS (SELECT (CAST(255 AS BIGINT) * 2147483647) // max(h) AS e FROM kb),
+       |eu AS (SELECT (CAST(255 AS BIGINT) * 2147483647) // max(h) AS e FROM ku)
+       |SELECT ea.e AS est_a, eb.e AS est_b, eu.e AS est_union,
+       |  ea.e + eb.e - eu.e AS est_intersect
+       |FROM ea, eb, eu""".stripMargin
+
   /** queries-map fragment: name → builder */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q47_sketch_algebra" -> (q47SketchAlgebra _),
     "q46_percentile_cont" -> (q46PercentileCont _),
     "q45_basket_lift" -> (q45BasketLift _),
     "q44_pit_features" -> (q44PitFeatures _),
@@ -1682,6 +1737,7 @@ object Relational {
 
   /** oracle-map fragment: name → DuckDB SQL */
   val oracles: Map[String, String] = Map(
+    "q47_sketch_algebra" -> q47Sql,
     "q46_percentile_cont" -> q46Sql,
     "q45_basket_lift" -> q45Sql,
     "q44_pit_features" -> q44Sql,

@@ -1838,7 +1838,29 @@ object GraphOps {
        |SELECT src % 8 AS src_tag, dst % 8 AS dst_tag, count(*) AS n_edges
        |FROM edges GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---- g31: strength (weighted degree) distribution ----
+  // g2 profiles the unweighted degree distribution; g31 is its
+  // weighted twin over the cached multiplicity-weighted edge table —
+  // node strength = Σ edge weights, then the |distinct strengths|-row
+  // histogram. Separates hubs-by-fanout from hubs-by-volume (a part
+  // touched by one order 1000× vs 1000 orders once), which is the
+  // distinction g15's weighted pagerank acts on. Two map-side-
+  // combined aggregates, nothing else.
+  def g31StrengthDistribution(spark: SparkSession, dir: String): DataFrame =
+    GraphTables.weightedEdges(spark, dir)
+      .groupBy(col("src").as("node"))
+      .agg(sum(col("w")).as("strength"))
+      .groupBy(col("strength"))
+      .agg(count(lit(1)).as("n_nodes"))
+      .orderBy(col("strength"))
+
+  val g31Sql: String =
+    s"""WITH ${GraphTables.wedgeSqlCtes}
+       |SELECT wsum AS strength, count(*) AS n_nodes
+       |FROM wdeg GROUP BY wsum ORDER BY strength""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g31_strength_distribution" -> (g31StrengthDistribution _),
     "g30_metapath_census" -> (g30MetapathCensus _),
     "g29_embeddedness" -> (g29Embeddedness _),
     "g28_copurchase" -> (g28Copurchase _),
@@ -1871,6 +1893,7 @@ object GraphOps {
     "g9_checkpoint_roundtrip" -> (g9CheckpointRoundtrip _))
 
   val oracles: Map[String, String] = Map(
+    "g31_strength_distribution" -> g31Sql,
     "g30_metapath_census" -> g30Sql,
     "g29_embeddedness" -> g29Sql,
     "g28_copurchase" -> g28Sql,

@@ -803,7 +803,12 @@ object MultimodalOps {
   private val GridW = 32
   private val PatchP = 8
 
-  def m13GridPatches(spark: SparkSession, dir: String): DataFrame = {
+  def m13GridPatches(spark: SparkSession, dir: String): DataFrame =
+    gridPatchesOf(spark, dir).orderBy(col("doc_id"), col("pr"), col("pc"))
+
+  /** The unordered patch manifest — shared by m13's gated dump and
+    * m14's patch-level dedup. */
+  def gridPatchesOf(spark: SparkSession, dir: String): DataFrame = {
     val rowBytes = GridW * PatchP // bytes per patch ROW of the grid
     val pcMax = GridW / PatchP - 1
     withBlob(spark, dir)
@@ -824,7 +829,50 @@ object MultimodalOps {
         expr(s"""aggregate(sequence(0, ${PatchP - 1}), cast(0 as bigint),
                 |  (a, j) -> a + element_at(cs, cast(p.off + j as int)))""".stripMargin)
           .as("row_sum"))
-      .orderBy(col("doc_id"), col("pr"), col("pc"))
+  }
+
+  // ---- m14: cross-document patch dedup (watermark / sprite finder) ----
+  // The patch-level analog of m5/m11's whole-payload hashing: group
+  // m13's manifest by the (first_code, row_sum) patch signature and
+  // surface signatures recurring across ≥2 DISTINCT documents — the
+  // repeated logo/watermark/boilerplate tile a vision pipeline wants
+  // to mask before training. One map-side-combined groupBy over the
+  // in-row manifest + a deterministic top-50; the signature is weak
+  // by design (8-byte probe row), exactly like a real first-pass
+  // banding step — candidates, not verdicts.
+  def m14PatchDup(spark: SparkSession, dir: String): DataFrame =
+    gridPatchesOf(spark, dir)
+      .groupBy(col("first_code"), col("row_sum"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_patches"))
+      .filter(col("n_docs") >= 2)
+      .orderBy(col("n_patches").desc, col("first_code"), col("row_sum"))
+      .limit(50)
+
+  val m14Sql: String = {
+    val rowBytes = GridW * PatchP
+    val pcMax = GridW / PatchP - 1
+    s"""WITH gsized AS (
+       |  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n
+       |  FROM documents WHERE length(text) >= $rowBytes),
+       |gr AS (
+       |  SELECT doc_id, text,
+       |    unnest(generate_series(0, (n // $GridW) // $PatchP - 1)) AS pr
+       |  FROM gsized),
+       |px AS (
+       |  SELECT doc_id, pr * $rowBytes + pc * $PatchP + 1 AS off, text
+       |  FROM gr, generate_series(0, $pcMax) g(pc)),
+       |sig AS (
+       |  SELECT doc_id,
+       |    CAST(ascii(substr(text, CAST(off AS INTEGER), 1)) AS BIGINT)
+       |      AS first_code,
+       |    CAST(list_sum([ascii(substr(text, CAST(off + j AS INTEGER), 1))
+       |      for j in generate_series(0, ${PatchP - 1})]) AS BIGINT) AS row_sum
+       |  FROM px)
+       |SELECT first_code, row_sum,
+       |  count(DISTINCT doc_id) AS n_docs, count(*) AS n_patches
+       |FROM sig GROUP BY 1, 2 HAVING count(DISTINCT doc_id) >= 2
+       |ORDER BY n_patches DESC, first_code, row_sum LIMIT 50""".stripMargin
   }
 
   val m13Sql: String = {
@@ -851,6 +899,7 @@ object MultimodalOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m14_patch_dup" -> (m14PatchDup _),
     "m13_grid_patches" -> (m13GridPatches _),
     "m12_rle_stats" -> (m12RleStats _),
     "m11_dhash_dup" -> (m11DhashDup _),
@@ -866,6 +915,7 @@ object MultimodalOps {
     "m3_frame_sample" -> (m3FrameSample _))
 
   val oracles: Map[String, String] = Map(
+    "m14_patch_dup" -> m14Sql,
     "m13_grid_patches" -> m13Sql,
     "m12_rle_stats" -> m12Sql,
     "m11_dhash_dup" -> m11Sql,
