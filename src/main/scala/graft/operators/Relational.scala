@@ -1685,8 +1685,50 @@ object Relational {
        |  ea.e + eb.e - eu.e AS est_intersect
        |FROM ea, eb, eu""".stripMargin
 
+  // ---- q48: frequent 3-itemsets (Apriori's inner step, done flat) ----
+  // q45 scores PAIRS; this is the next lattice level — part triples
+  // bought together in ≥2 orders, the candidate set an association-
+  // rule miner expands. Generation stays per-order over the SAME
+  // DfCache'd capped membership table (one build serves g28 + q45 +
+  // q48): two ordered self-joins ON THE ORDER KEY, so the within-key
+  // blowup is C(order size, 3) — a constant per row under the shared
+  // cap, total work linear in |lineitem|, never |part|³. The ≥2
+  // support filter prunes to the repeat signal; top-100 with a full
+  // lexicographic tie-break bounds the output at any scale.
+  def q48Itemset3(spark: SparkSession, dir: String): DataFrame = {
+    val capped = graft.operators.graph.GraphOps.coPurchaseMembers(spark, dir)
+    capped.as("x")
+      .join(capped.as("y"),
+        col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+      .join(capped.as("z"),
+        col("y.ok") === col("z.ok") && col("y.pk") < col("z.pk"))
+      .groupBy(col("x.pk").as("part_a"), col("y.pk").as("part_b"),
+        col("z.pk").as("part_c"))
+      .agg(count(lit(1)).as("n_orders"))
+      .filter(col("n_orders") >= 2)
+      .orderBy(col("n_orders").desc, col("part_a"), col("part_b"),
+        col("part_c"))
+      .limit(100)
+  }
+
+  val q48Sql: String = {
+    val cap = graft.operators.graph.GraphOps.CoOrderCap
+    s"""WITH li AS (
+       |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+       |okc AS (SELECT ok FROM li GROUP BY ok HAVING count(*) <= $cap),
+       |capped AS (SELECT li.* FROM li JOIN okc USING (ok))
+       |SELECT x.pk AS part_a, y.pk AS part_b, z.pk AS part_c,
+       |  count(*) AS n_orders
+       |FROM capped x
+       |JOIN capped y ON x.ok = y.ok AND x.pk < y.pk
+       |JOIN capped z ON y.ok = z.ok AND y.pk < z.pk
+       |GROUP BY 1, 2, 3 HAVING count(*) >= 2
+       |ORDER BY n_orders DESC, part_a, part_b, part_c LIMIT 100""".stripMargin
+  }
+
   /** queries-map fragment: name → builder */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q48_itemset3" -> (q48Itemset3 _),
     "q47_sketch_algebra" -> (q47SketchAlgebra _),
     "q46_percentile_cont" -> (q46PercentileCont _),
     "q45_basket_lift" -> (q45BasketLift _),
@@ -1737,6 +1779,7 @@ object Relational {
 
   /** oracle-map fragment: name → DuckDB SQL */
   val oracles: Map[String, String] = Map(
+    "q48_itemset3" -> q48Sql,
     "q47_sketch_algebra" -> q47Sql,
     "q46_percentile_cont" -> q46Sql,
     "q45_basket_lift" -> q45Sql,

@@ -1314,8 +1314,16 @@ object GraphOps {
     labels
   }
 
+  /** The LpaRounds-round community labels, DfCache'd: g17 gates the
+    * per-node table and g32 scores its quality — one propagation
+    * serves both (the g28/q45 shared-build pattern). */
+  private[operators] def lpaLabels(spark: SparkSession, dir: String): DataFrame =
+    graft.util.DfCache.cached(spark, dir, "lpa_labels") {
+      labelPropagation(withSym(spark, dir), initialLabels(spark, dir), LpaRounds)
+    }
+
   def g17LabelPropagation(spark: SparkSession, dir: String): DataFrame =
-    labelPropagation(withSym(spark, dir), initialLabels(spark, dir), LpaRounds)
+    lpaLabels(spark, dir)
       .select(col("node").as("node_id"), col("lbl").as("community"))
       .orderBy(col("node_id"))
 
@@ -1339,6 +1347,70 @@ object GraphOps {
     s"""WITH ${GraphTables.symSqlCtes.replace("sym AS (", "sym AS MATERIALIZED (")},
        |${lpaSqlCtes(LpaRounds)}
        |SELECT node AS node_id, lbl AS community FROM l$LpaRounds ORDER BY node_id""".stripMargin
+
+  // ---- g32: modularity of the LPA partition (community quality) ----
+  // The gauge that closes the community loop the way s8 closed ANN's:
+  // g17 PRODUCES a partition, g32 measures whether it is actually
+  // modular. On THIS derived graph the verdict is damning — Q ≈ −0.48,
+  // near the −1/2 floor — and that is the measurement doing its job:
+  // the graph is k-partite (customer–order–part–… branches), and
+  // synchronous LPA is known to oscillate across the parts (Raghavan
+  // et al. 2007 §V), parking each label's degree mass on the cut. A
+  // pipeline reading g17 without g32 would ship those labels;
+  // the gauge is what says don't. Newman's Q = Σ_c [e_c/m − (d_c/2m)²],
+  // through by S² (S = 2m = |sym| directed edges) so every gated cell
+  // is an exact integer: q_num_c = intra_dir_c·S − d_c², Q = Σ/S².
+  // Plan: the cached label vector joins the cached edge table twice
+  // (src- then dst-keyed — the LPA round's own shape), one count per
+  // community each for intra-edges/degree-mass; the one-row S frame
+  // rides a broadcast. Output is |communities| rows. q_num runs in
+  // DECIMAL(38,0) (HUGEINT on the oracle): intra·S and d_c² reach S²,
+  // which clears BIGINT once S passes ~3e9 directed edges — the
+  // q32/q40 wide-integer posture, cast back to BIGINT at the gate.
+  def g32Modularity(spark: SparkSession, dir: String): DataFrame = {
+    val sym = withSym(spark, dir)
+    val lbl = lpaLabels(spark, dir)
+    val s = sym.agg(count(lit(1)).as("s2m"))
+    val dc = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .join(lbl, col("src") === col("node"))
+      .groupBy(col("lbl"))
+      .agg(sum(col("deg")).as("deg_sum"), count(lit(1)).as("n_nodes"))
+    val intra = sym
+      .join(lbl.select(col("node").as("src"), col("lbl").as("la")), Seq("src"))
+      .join(lbl.select(col("node").as("dst"), col("lbl").as("lb")), Seq("dst"))
+      .filter(col("la") === col("lb"))
+      .groupBy(col("la").as("lbl")).agg(count(lit(1)).as("intra_dir"))
+    val big = org.apache.spark.sql.types.DecimalType(38, 0)
+    dc.join(intra, Seq("lbl"), "left_outer")
+      .crossJoin(broadcast(s))
+      .select(col("lbl").as("community"), col("n_nodes"),
+        col("deg_sum"),
+        coalesce(col("intra_dir"), lit(0L)).as("intra_dir"),
+        (coalesce(col("intra_dir"), lit(0L)).cast(big) * col("s2m") -
+          col("deg_sum").cast(big) * col("deg_sum")).cast("long").as("q_num"))
+      .orderBy(col("community"))
+  }
+
+  val g32Sql: String =
+    s"""WITH ${GraphTables.symSqlCtes.replace("sym AS (", "sym AS MATERIALIZED (")},
+       |${lpaSqlCtes(LpaRounds)},
+       |s AS (SELECT count(*) AS s2m FROM sym),
+       |dc AS (
+       |  SELECT l.lbl, sum(d.deg) AS deg_sum, count(*) AS n_nodes
+       |  FROM (SELECT src AS node, count(*) AS deg FROM sym GROUP BY src) d
+       |  JOIN l$LpaRounds l ON d.node = l.node GROUP BY l.lbl),
+       |ia AS (
+       |  SELECT a.lbl, count(*) AS intra_dir
+       |  FROM sym e JOIN l$LpaRounds a ON e.src = a.node
+       |  JOIN l$LpaRounds b ON e.dst = b.node AND a.lbl = b.lbl
+       |  GROUP BY a.lbl)
+       |SELECT dc.lbl AS community, CAST(dc.n_nodes AS BIGINT) AS n_nodes,
+       |  CAST(dc.deg_sum AS BIGINT) AS deg_sum,
+       |  CAST(coalesce(ia.intra_dir, 0) AS BIGINT) AS intra_dir,
+       |  CAST(CAST(coalesce(ia.intra_dir, 0) AS HUGEINT) * s.s2m
+       |       - CAST(dc.deg_sum AS HUGEINT) * dc.deg_sum AS BIGINT) AS q_num
+       |FROM dc LEFT JOIN ia ON dc.lbl = ia.lbl CROSS JOIN s
+       |ORDER BY community""".stripMargin
 
   // ---- g18: harmonic centrality from sampled sources ----
   // The centrality family beyond rank: harmonic centrality H(s) =
@@ -1860,6 +1932,7 @@ object GraphOps {
        |FROM wdeg GROUP BY wsum ORDER BY strength""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g32_modularity" -> (g32Modularity _),
     "g31_strength_distribution" -> (g31StrengthDistribution _),
     "g30_metapath_census" -> (g30MetapathCensus _),
     "g29_embeddedness" -> (g29Embeddedness _),
@@ -1893,6 +1966,7 @@ object GraphOps {
     "g9_checkpoint_roundtrip" -> (g9CheckpointRoundtrip _))
 
   val oracles: Map[String, String] = Map(
+    "g32_modularity" -> g32Sql,
     "g31_strength_distribution" -> g31Sql,
     "g30_metapath_census" -> g30Sql,
     "g29_embeddedness" -> g29Sql,

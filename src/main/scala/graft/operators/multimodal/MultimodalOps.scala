@@ -898,7 +898,59 @@ object MultimodalOps {
        |FROM px ORDER BY doc_id, pr, pc""".stripMargin
   }
 
+  // ---- m15: magic-byte format sniff (ingest dispatch table) ----
+  // The FIRST stage of any multimodal ingest: look at the leading
+  // bytes, route the blob to a decoder. Real pipelines switch on
+  // magic numbers (\x89PNG, RIFF, \xFF\xD8); these synthetic payloads
+  // are ASCII, so the dispatch classes are lead-byte ranges — the
+  // switch itself (class expression + a distinct-prefix census +
+  // byte accounting per route) is the real plumbing, computed in one
+  // narrow codegen'd scan + one map-side-combined aggregate, payload
+  // never shuffled. `n_ascii_clean` carries the octet==char probe (a
+  // multibyte blob would fail it — the m4 unit-mixing guard made a
+  // gauge); the magic64 census counts distinct 8-char openings per
+  // route (how many real decoders the route would fan into).
+  def m15MagicSniff(spark: SparkSession, dir: String): DataFrame = {
+    val first = ascii(substring(col("text"), 1, 1))
+    val cls = when(first >= 65 && first <= 90, "upper")
+      .when(first >= 97 && first <= 122, "lower")
+      .when(first >= 48 && first <= 57, "digit")
+      .when(first === 32 || first === 9 || first === 10, "space")
+      .otherwise("other")
+    withBlob(spark, dir)
+      .select(col("source"), col("payload"), col("text"))
+      .withColumn("fmt", cls)
+      .groupBy(col("source"), col("fmt"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(substring(col("text"), 1, 8)).as("n_magics"),
+        sum(octet_length(col("payload"))).as("total_bytes"),
+        sum((octet_length(col("payload")) === length(col("text")))
+          .cast("long")).as("n_ascii_clean"))
+      .orderBy(col("source"), col("fmt"))
+  }
+
+  val m15Sql: String =
+    """WITH b AS (
+      |  SELECT source, text, ascii(substr(text, 1, 1)) AS fc,
+      |    octet_length(CAST(text AS BLOB)) AS nbytes
+      |  FROM documents),
+      |c AS (
+      |  SELECT source, text, nbytes,
+      |    CASE WHEN fc BETWEEN 65 AND 90 THEN 'upper'
+      |         WHEN fc BETWEEN 97 AND 122 THEN 'lower'
+      |         WHEN fc BETWEEN 48 AND 57 THEN 'digit'
+      |         WHEN fc IN (32, 9, 10) THEN 'space'
+      |         ELSE 'other' END AS fmt
+      |  FROM b)
+      |SELECT source, fmt, count(*) AS n_docs,
+      |  CAST(count(DISTINCT substr(text, 1, 8)) AS BIGINT) AS n_magics,
+      |  CAST(sum(nbytes) AS BIGINT) AS total_bytes,
+      |  CAST(sum(CASE WHEN nbytes = length(text) THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_ascii_clean
+      |FROM c GROUP BY 1, 2 ORDER BY source, fmt""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m15_magic_sniff" -> (m15MagicSniff _),
     "m14_patch_dup" -> (m14PatchDup _),
     "m13_grid_patches" -> (m13GridPatches _),
     "m12_rle_stats" -> (m12RleStats _),
@@ -915,6 +967,7 @@ object MultimodalOps {
     "m3_frame_sample" -> (m3FrameSample _))
 
   val oracles: Map[String, String] = Map(
+    "m15_magic_sniff" -> m15Sql,
     "m14_patch_dup" -> m14Sql,
     "m13_grid_patches" -> m13Sql,
     "m12_rle_stats" -> m12Sql,

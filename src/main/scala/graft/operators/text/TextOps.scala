@@ -1071,7 +1071,47 @@ object TextOps {
       |FROM dg d JOIN df f USING (g)
       |GROUP BY d.doc_id ORDER BY doc_id""".stripMargin
 
+  // ---- t23: boilerplate detection by shared literal prefix ----
+  // Per source, how much of the corpus opens with text some OTHER doc
+  // also opens with — template headers, scraped navigation chrome,
+  // license preambles: the boilerplate a curation pass strips before
+  // dedup sees it (exact dup groups are a subset of shared-prefix
+  // groups, so this reads as an upper bound on d1's catch). Two
+  // map-side-combined aggregates — (source, 32-char prefix) counts,
+  // then the per-source rollup — nothing wider than the prefix ever
+  // shuffles; |sources| rows out. Exact integer ppm.
+  private val BoilerPrefixChars = 32
+
+  def t23Boilerplate(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("source"),
+        substring(col("text"), 1, BoilerPrefixChars).as("pfx"))
+      .groupBy(col("source"), col("pfx"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_prefixes"),
+        sum(col("n")).as("n_docs"),
+        sum(when(col("n") >= 2, col("n")).otherwise(0L)).as("n_boiler_docs"),
+        max(col("n")).as("max_group"))
+      .withColumn("boiler_ppm", expr("n_boiler_docs * 1000000 div n_docs"))
+      .orderBy(col("source"))
+
+  val t23Sql: String =
+    s"""WITH p AS (
+       |  SELECT source, substr(text, 1, $BoilerPrefixChars) AS pfx,
+       |    count(*) AS n
+       |  FROM documents GROUP BY 1, 2)
+       |SELECT source, count(*) AS n_prefixes,
+       |  CAST(sum(n) AS BIGINT) AS n_docs,
+       |  CAST(sum(CASE WHEN n >= 2 THEN n ELSE 0 END) AS BIGINT)
+       |    AS n_boiler_docs,
+       |  CAST(max(n) AS BIGINT) AS max_group,
+       |  CAST(sum(CASE WHEN n >= 2 THEN n ELSE 0 END) AS BIGINT) * 1000000
+       |    // CAST(sum(n) AS BIGINT) AS boiler_ppm
+       |FROM p GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t23_boilerplate" -> (t23Boilerplate _),
     "t22_ngram_novelty" -> (t22NgramNovelty _),
     "t21_lang_purity" -> (t21LangPurity _),
     "t20_rare_tokens" -> (t20RareTokens _),
@@ -1096,6 +1136,7 @@ object TextOps {
     "t9_curation_pipeline" -> (t9CurationPipeline _))
 
   val oracles: Map[String, String] = Map(
+    "t23_boilerplate" -> t23Sql,
     "t22_ngram_novelty" -> t22Sql,
     "t21_lang_purity" -> t21Sql,
     "t20_rare_tokens" -> t20Sql,

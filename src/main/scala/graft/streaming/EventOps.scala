@@ -952,7 +952,56 @@ object EventOps {
        |FROM l CROSS JOIN c GROUP BY wm_us ORDER BY wm_us""".stripMargin
   }
 
+  // ---- e25: DAU / WAU / stickiness (the product-analytics gauge) ----
+  // Daily active users, trailing-7-day weekly actives, and the
+  // DAU/WAU stickiness ratio — the engagement dashboard every event
+  // pipeline ships. The trap at scale: WAU is a distinct over a
+  // 7-day range, which can't be summed from daily distincts and which
+  // a range join (day grid × user-days) would execute as a nested
+  // loop. Scale shape instead: reduce events to the distinct
+  // (user, day) table FIRST (map-side combined — this is ≪ |events|),
+  // then EXPLODE each user-day to the ≤7 future days it covers — a
+  // constant 7× of the small table, pure equi-joins from there, and
+  // the semi-join against observed days drops the phantom tail past
+  // the stream's end. Exact integer ppm; days as 'yyyy-MM-dd' strings
+  // (the q-family date convention).
+  def e25DauWau(spark: SparkSession, dir: String): DataFrame = {
+    val ud = events(spark, dir)
+      .select(col("user_id"), col("ts").cast("date").as("day"))
+      .distinct()
+    val days = ud.select(col("day")).distinct()
+    val dau = ud.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    val wau = ud
+      .select(col("user_id"),
+        explode(expr("sequence(day, date_add(day, 6))")).as("day"))
+      .distinct()
+      .join(days, Seq("day"), "left_semi")
+      .groupBy(col("day")).agg(count(lit(1)).as("wau"))
+    dau.join(wau, Seq("day"))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("dau"), col("wau"),
+        expr("dau * 1000000 div wau").as("stickiness_ppm"))
+      .orderBy(col("day"))
+  }
+
+  val e25Sql: String =
+    """WITH ud AS (
+      |  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+      |  FROM events),
+      |days AS (SELECT DISTINCT day FROM ud),
+      |cov AS (
+      |  SELECT DISTINCT user_id, day + CAST(g.x AS INTEGER) AS day
+      |  FROM ud CROSS JOIN (SELECT unnest(range(0, 7)) AS x) g),
+      |dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY day),
+      |wau AS (
+      |  SELECT c.day, count(*) AS wau FROM cov c
+      |  WHERE c.day IN (SELECT day FROM days) GROUP BY c.day)
+      |SELECT strftime(d.day, '%Y-%m-%d') AS day, d.dau, w.wau,
+      |  d.dau * 1000000 // w.wau AS stickiness_ppm
+      |FROM dau d JOIN wau w USING (day) ORDER BY day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e25_dau_wau" -> (e25DauWau _),
     "e24_watermark_whatif" -> (e24WatermarkWhatif _),
     "e23_type_transitions" -> (e23TypeTransitions _),
     "e22_lateness_audit" -> (e22LatenessAudit _),
@@ -979,6 +1028,7 @@ object EventOps {
     "e8_funnel" -> (e8Funnel _))
 
   val oracles: Map[String, String] = Map(
+    "e25_dau_wau" -> e25Sql,
     "e24_watermark_whatif" -> e24Sql,
     "e23_type_transitions" -> e23Sql,
     "e22_lateness_audit" -> e22Sql,
