@@ -1726,8 +1726,54 @@ object Relational {
        |ORDER BY n_orders DESC, part_a, part_b, part_c LIMIT 100""".stripMargin
   }
 
+  // ---- q49: month-over-month growth (period-over-period KPI) ----
+  // The reporting primitive every dashboard leads with: monthly
+  // revenue with its prior-period delta in ppm. The heavy work is ONE
+  // map-side-combined aggregate over orders (exact integer cents);
+  // the lag window orders only the |months|-row SUMMARY — rows
+  // bounded by the stream's lifetime in months, the q40/e11 posture,
+  // never by order volume. Growth can be NEGATIVE, and Spark's `div`
+  // truncates toward zero while DuckDB's `//` floors — so the ppm is
+  // sign(Δ)·(|Δ|·1e6 div prev): division only ever sees non-negative
+  // integers, where the two semantics agree bit-for-bit (the
+  // cross-engine trap is designed out, not papered over).
+  def q49MomGrowth(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val m = t(spark, dir, "orders")
+      .select(date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+        (dec(col("o_totalprice")) * 100).cast("long").as("cents"))
+      .groupBy(col("month"))
+      .agg(sum(col("cents")).as("rev_cents"), count(lit(1)).as("n_orders"))
+    m.withColumn("prev_cents",
+        lag(col("rev_cents"), 1).over(Window.orderBy(col("month"))))
+      .withColumn("growth_ppm", expr(
+        """CASE WHEN prev_cents IS NOT NULL AND prev_cents > 0 THEN
+          |  CAST(sign(rev_cents - prev_cents) AS BIGINT)
+          |    * (abs(rev_cents - prev_cents) * 1000000 div prev_cents)
+          |END""".stripMargin))
+      .select(col("month"), col("n_orders"), col("rev_cents"),
+        col("prev_cents"), col("growth_ppm"))
+      .orderBy(col("month"))
+  }
+
+  val q49Sql: String =
+    """WITH m AS (
+      |  SELECT strftime(o_orderdate, '%Y-%m') AS month,
+      |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |      AS BIGINT) AS rev_cents,
+      |    count(*) AS n_orders
+      |  FROM orders GROUP BY 1),
+      |w AS (SELECT *, lag(rev_cents) OVER (ORDER BY month) AS prev_cents FROM m)
+      |SELECT month, n_orders, rev_cents, prev_cents,
+      |  CASE WHEN prev_cents IS NOT NULL AND prev_cents > 0 THEN
+      |    CAST(sign(rev_cents - prev_cents) AS BIGINT)
+      |      * (abs(rev_cents - prev_cents) * 1000000 // prev_cents)
+      |  END AS growth_ppm
+      |FROM w ORDER BY month""".stripMargin
+
   /** queries-map fragment: name → builder */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q49_mom_growth" -> (q49MomGrowth _),
     "q48_itemset3" -> (q48Itemset3 _),
     "q47_sketch_algebra" -> (q47SketchAlgebra _),
     "q46_percentile_cont" -> (q46PercentileCont _),
@@ -1779,6 +1825,7 @@ object Relational {
 
   /** oracle-map fragment: name → DuckDB SQL */
   val oracles: Map[String, String] = Map(
+    "q49_mom_growth" -> q49Sql,
     "q48_itemset3" -> q48Sql,
     "q47_sketch_algebra" -> q47Sql,
     "q46_percentile_cont" -> q46Sql,

@@ -1275,7 +1275,40 @@ object DedupOps {
        |FROM np JOIN nd USING (theta_ppm) ORDER BY theta_ppm""".stripMargin
   }
 
+  // ---- d22: representative weights (dedup as reweighting) ----
+  // The alternative to DROPPING duplicates that modern data recipes
+  // prefer: keep one representative per near-dup cluster and carry
+  // the cluster SIZE as a sampling weight (so dedup doesn't silently
+  // shift the corpus distribution — a document seen 40× can count 40×
+  // or log(40)×, but that's the trainer's choice; the pipeline's job
+  // is to surface the number). Composes d6's fixpoint clusters with
+  // the corpus frame: representatives = cluster minima, singletons
+  // keep weight 1 via the left anti pattern. Total weight is exactly
+  // |documents| — mass is conserved, never dropped (spec-pinned).
+  def d22RepWeights(spark: SparkSession, dir: String): DataFrame = {
+    val cl = d6DupClusters(spark, dir)
+    val w = cl.groupBy(col("cluster_id")).agg(count(lit(1)).as("cw"))
+    graft.sources.Tables.load(spark, dir, "documents").select(col("doc_id"))
+      .join(cl.select(col("doc_id"), col("is_kept")), Seq("doc_id"), "left_outer")
+      .filter(col("is_kept").isNull || col("is_kept"))
+      .join(w.select(col("cluster_id").as("doc_id"), col("cw")),
+        Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), coalesce(col("cw"), lit(1L)).as("weight"))
+      .orderBy(col("doc_id"))
+  }
+
+  val d22Sql: String =
+    s"""WITH cl AS ($d6Sql),
+       |w AS (SELECT cluster_id, count(*) AS cw FROM cl GROUP BY 1)
+       |SELECT d.doc_id AS doc_id, coalesce(w.cw, 1) AS weight
+       |FROM documents d
+       |LEFT JOIN cl ON d.doc_id = cl.doc_id
+       |LEFT JOIN w ON w.cluster_id = d.doc_id
+       |WHERE cl.doc_id IS NULL OR cl.is_kept
+       |ORDER BY d.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d22_rep_weights" -> (d22RepWeights _),
     "d21_threshold_sweep" -> (d21ThresholdSweep _),
     "d20_cluster_sizes" -> (d20ClusterSizes _),
     "d19_candidate_overlap" -> (d19CandidateOverlap _),
@@ -1299,6 +1332,7 @@ object DedupOps {
     "d9_incremental_dedup" -> (d9IncrementalDedup _))
 
   val oracles: Map[String, String] = Map(
+    "d22_rep_weights" -> d22Sql,
     "d21_threshold_sweep" -> d21Sql,
     "d20_cluster_sizes" -> d20Sql,
     "d19_candidate_overlap" -> d19Sql,

@@ -1412,6 +1412,95 @@ object GraphOps {
        |FROM dc LEFT JOIN ia ON dc.lbl = ia.lbl CROSS JOIN s
        |ORDER BY community""".stripMargin
 
+  // ---- g33: k-truss peel on the co-purchase projection ----
+  // The cohesion operator ABOVE triangles: the 4-truss keeps an edge
+  // only while it closes ≥ k−2 = 2 triangles among surviving edges —
+  // peeling strips tree-like and bridge structure until only
+  // triangle-dense cores remain (Cohen 2008, the standard community
+  // *backbone* pass). Per round, per-edge SUPPORT comes from g7's
+  // degree-oriented edge-iterator — each triangle found once as
+  // (ou, ov, w ∈ N⁺∩N⁺) and credited to its three edges via two
+  // in-row explodes (no wedge-stream join; the orientation re-derives
+  // per round because peeling changes degrees, keeping out-adjacency
+  // ~sqrt(E)-bounded on every round). localCheckpoint per round (the
+  // g10 lesson) keeps the plan constant; each round's edge count is a
+  // driver SCALAR (the g12 stop-check class, not a data collect).
+  // Gated output = the peel trajectory (round, n_edges) — the
+  // convergence readout; at sf0.01 the peel fixpoints by round 2
+  // (115 729 → 115 662 → 115 660 → 115 660).
+  private val TrussK = 4
+  private val TrussRounds = 3
+
+  /** Per-canonical-edge triangle support of an arbitrary undirected
+    * distinct (u, v) edge list — g7's enumeration, yielding elements
+    * instead of a count so each triangle credits all three edges. */
+  private[graft] def edgeSupportsOf(edges: DataFrame): DataFrame = {
+    val ord = orientEdgesOf(edges, degreesOf(edges))
+    val adj = adjacencyOf(ord)
+    val tri = ord.join(adj.as("au"), col("ou") === col("au.anode"))
+      .join(adj.as("av"), col("ov") === col("av.anode"))
+      .select(col("ou"), col("ov"),
+        expr("array_intersect(au.nbrs, av.nbrs)").as("ws"))
+      .filter(size(col("ws")) > 0)
+    val credits = tri
+      .select(col("ou").as("a"), col("ov").as("b"),
+        size(col("ws")).cast("long").as("c"))
+      .union(tri.select(col("ou").as("a"), explode(col("ws")).as("b"))
+        .withColumn("c", lit(1L)))
+      .union(tri.select(col("ov").as("a"), explode(col("ws")).as("b"))
+        .withColumn("c", lit(1L)))
+    credits
+      .select(least(col("a"), col("b")).as("u"),
+        greatest(col("a"), col("b")).as("v"), col("c"))
+      .groupBy(col("u"), col("v")).agg(sum(col("c")).as("sup"))
+  }
+
+  def g33Ktruss(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(spark)
+    var edges = g7Projection(spark, dir)
+    val traj = scala.collection.mutable.ListBuffer((0, edges.count()))
+    for (r <- 1 to TrussRounds) {
+      val next = edgeSupportsOf(edges)
+        .filter(col("sup") >= TrussK - 2)
+        .select(col("u"), col("v"))
+        .localCheckpoint(true)
+      traj += ((r, next.count()))
+      edges = next
+    }
+    import spark.implicits._
+    traj.toSeq.toDF("round", "n_edges")
+      .select(col("round").cast("int").as("round"), col("n_edges"))
+      .orderBy(col("round"))
+  }
+
+  val g33Sql: String = {
+    def tri(e: String, t: String) =
+      s"""$t AS (SELECT a.u AS x, a.v AS y, b.v AS z
+         |  FROM $e a JOIN $e b ON a.v = b.u
+         |  JOIN $e c ON c.u = a.u AND c.v = b.v)""".stripMargin
+    def peel(t: String, s: String, eNext: String) =
+      s"""$s AS (SELECT u, v, count(*) AS sup FROM (
+         |  SELECT x AS u, y AS v FROM $t
+         |  UNION ALL SELECT x, z FROM $t
+         |  UNION ALL SELECT y, z FROM $t) GROUP BY 1, 2),
+         |$eNext AS MATERIALIZED (SELECT u, v FROM $s WHERE sup >= ${TrussK - 2})"""
+        .stripMargin
+    val rounds = (0 until TrussRounds).map(r =>
+      s"${tri(s"e$r", s"t$r")},\n${peel(s"t$r", s"s$r", s"e${r + 1}")}")
+      .mkString(",\n")
+    val out = (0 to TrussRounds).map(r =>
+      s"SELECT CAST($r AS INTEGER) AS round, (SELECT count(*) FROM e$r) AS n_edges")
+      .mkString("\nUNION ALL ")
+    s"""WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+       |ok_orders AS (SELECT o FROM op GROUP BY o HAVING count(*) <= 25),
+       |capped AS (SELECT op.o, op.p FROM op JOIN ok_orders USING (o)),
+       |e0 AS MATERIALIZED (SELECT DISTINCT a.p AS u, b.p AS v
+       |  FROM capped a JOIN capped b ON a.o = b.o AND a.p < b.p),
+       |$rounds
+       |$out
+       |ORDER BY round""".stripMargin
+  }
+
   // ---- g18: harmonic centrality from sampled sources ----
   // The centrality family beyond rank: harmonic centrality H(s) =
   // Σ_{v≠s} 1/d(s,v) (unreachable ⇒ 0 contribution), computed EXACTLY
@@ -1932,6 +2021,7 @@ object GraphOps {
        |FROM wdeg GROUP BY wsum ORDER BY strength""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g33_ktruss" -> (g33Ktruss _),
     "g32_modularity" -> (g32Modularity _),
     "g31_strength_distribution" -> (g31StrengthDistribution _),
     "g30_metapath_census" -> (g30MetapathCensus _),
@@ -1966,6 +2056,7 @@ object GraphOps {
     "g9_checkpoint_roundtrip" -> (g9CheckpointRoundtrip _))
 
   val oracles: Map[String, String] = Map(
+    "g33_ktruss" -> g33Sql,
     "g32_modularity" -> g32Sql,
     "g31_strength_distribution" -> g31Sql,
     "g30_metapath_census" -> g30Sql,

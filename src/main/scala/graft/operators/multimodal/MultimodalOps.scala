@@ -949,7 +949,63 @@ object MultimodalOps {
       |    AS BIGINT) AS n_ascii_clean
       |FROM c GROUP BY 1, 2 ORDER BY source, fmt""".stripMargin
 
+  // ---- m16: loudness-normalization gain (audio mastering shape) ----
+  // The normalize step of an audio pipeline on the 1-D payload: treat
+  // byte codes as amplitude samples, compute the per-doc gain that
+  // brings MEAN amplitude to the target, and count the samples that
+  // gain would CLIP past full scale — the number a mastering pass
+  // reads before deciding gain vs compression. All integer: gain_ppm
+  // = T·1e6·n div Σa, and the clip test cross-multiplies
+  // (a·T·n > 255·Σa) instead of applying the gain — no division, no
+  // rounding choice to disagree on. Plan is m9's two-level shape:
+  // per-(doc, byte-value) counts first (≤ alphabet rows per doc — the
+  // explode collapses immediately), sums + clip census off the counts.
+  // Target chosen HOT on purpose: 208 sits above the corpus mean
+  // (~94) by ~2.2×, so the clip census actually fires on the loudest
+  // samples (codes ≥ ~116) — at a soft target the n_clipped branch
+  // would be structurally dead on ASCII payloads and the gate would
+  // prove nothing about it (the q37 both-branches-live rule).
+  private val TargetAmp = 208L
+
+  def m16GainNormalize(spark: SparkSession, dir: String): DataFrame = {
+    val cnt = withBlob(spark, dir)
+      .select(col("doc_id"), length(col("text")).cast("long").as("n"),
+        explode(split(col("text"), "")).as("ch"))
+      .filter(col("ch") =!= "")
+      .select(col("doc_id"), col("n"), ascii(col("ch")).cast("long").as("a"))
+      .groupBy(col("doc_id"), col("n"), col("a"))
+      .agg(count(lit(1)).as("c"))
+    val sums = cnt.groupBy(col("doc_id"), col("n"))
+      .agg(sum(col("a") * col("c")).as("sum_amp"))
+    cnt.join(sums, Seq("doc_id", "n"))
+      .groupBy(col("doc_id"), col("n"), col("sum_amp"))
+      .agg(sum(when(col("a") * TargetAmp * col("n") > lit(255L) * col("sum_amp"),
+        col("c")).otherwise(0L)).as("n_clipped"))
+      .select(col("doc_id"), col("n"), col("sum_amp"),
+        expr(s"$TargetAmp * 1000000 * n div sum_amp").as("gain_ppm"),
+        col("n_clipped"))
+      .orderBy(col("doc_id"))
+  }
+
+  val m16Sql: String =
+    s"""WITH ch AS (
+       |  SELECT doc_id, CAST(length(text) AS BIGINT) AS n,
+       |    unnest(string_split_regex(text, '')) AS ch
+       |  FROM documents),
+       |cnt AS (
+       |  SELECT doc_id, n, ascii(ch) AS a, count(*) AS c FROM ch
+       |  WHERE ch != '' GROUP BY 1, 2, 3),
+       |sm AS (SELECT doc_id, n, CAST(sum(a * c) AS BIGINT) AS sum_amp
+       |       FROM cnt GROUP BY 1, 2)
+       |SELECT c.doc_id, c.n, s.sum_amp,
+       |  $TargetAmp * 1000000 * c.n // s.sum_amp AS gain_ppm,
+       |  CAST(sum(CASE WHEN c.a * $TargetAmp * c.n > 255 * s.sum_amp
+       |    THEN c.c ELSE 0 END) AS BIGINT) AS n_clipped
+       |FROM cnt c JOIN sm s ON c.doc_id = s.doc_id AND c.n = s.n
+       |GROUP BY 1, 2, 3, 4 ORDER BY c.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m16_gain_normalize" -> (m16GainNormalize _),
     "m15_magic_sniff" -> (m15MagicSniff _),
     "m14_patch_dup" -> (m14PatchDup _),
     "m13_grid_patches" -> (m13GridPatches _),
@@ -967,6 +1023,7 @@ object MultimodalOps {
     "m3_frame_sample" -> (m3FrameSample _))
 
   val oracles: Map[String, String] = Map(
+    "m16_gain_normalize" -> m16Sql,
     "m15_magic_sniff" -> m15Sql,
     "m14_patch_dup" -> m14Sql,
     "m13_grid_patches" -> m13Sql,

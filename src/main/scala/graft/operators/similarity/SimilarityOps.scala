@@ -1738,14 +1738,12 @@ object SimilarityOps {
   // aggregate (O(K) state, map-side combined, no window sort), and
   // the mutuality check is a self-join of the K·N list table on the
   // reversed pair key — co-partitioned, linear in list size.
-  def s33MutualKnn(spark: SparkSession, dir: String): DataFrame = {
+  /** Rescore a (qid, cid) candidate set against the corpus features
+    * and keep each query's bounded top-K — the tail every kNN-graph
+    * builder shares (s33's band candidates, s37's expanded ones). */
+  private def rescoreTopK(spark: SparkSession, dir: String,
+      cand: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.registerAll(spark)
-    val capped = VectorExprs.cappedBands(spark, dir)
-    val cand = capped.as("x").join(capped.as("y"),
-        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey")
-          && col("x.vec_id") =!= col("y.vec_id"))
-      .select(col("x.vec_id").as("qid"), col("y.vec_id").as("cid"))
-      .distinct()
     val e = VectorExprs.embFeatures(spark, dir)
       .select(col("vec_id"), col("vd"), col("n2"))
     val pairs = cand
@@ -1754,11 +1752,29 @@ object SimilarityOps {
       .withColumn("dot", expr(VectorExprs.dotExpr("q.vd", "c.vd")))
       .select(col("qid").as("query_id"), col("cid").as("neighbor_id"),
         cosine.as("cosine"))
-    val lists = pairs.groupBy(col("query_id"))
+    pairs.groupBy(col("query_id"))
       .agg(expr("graft_top_neighbors5(cosine, neighbor_id)").as("top"))
       .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "p")))
       .select(col("query_id"), col("p.neighbor_id").as("neighbor_id"),
         col("p.cosine").as("cosine"), (col("pos") + 1).cast("int").as("rank"))
+  }
+
+  /** The whole-corpus per-vector top-K lists from the capped LSH
+    * bands — DfCache'd: s33 consumes them for mutuality, s37 as the
+    * NN-descent seed, s38 as the recall baseline. */
+  private[operators] def lshKnnLists(spark: SparkSession, dir: String): DataFrame =
+    graft.util.DfCache.cached(spark, dir, "lsh_knn_lists") {
+      val capped = VectorExprs.cappedBands(spark, dir)
+      val cand = capped.as("x").join(capped.as("y"),
+          col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey")
+            && col("x.vec_id") =!= col("y.vec_id"))
+        .select(col("x.vec_id").as("qid"), col("y.vec_id").as("cid"))
+        .distinct()
+      rescoreTopK(spark, dir, cand)
+    }
+
+  def s33MutualKnn(spark: SparkSession, dir: String): DataFrame = {
+    val lists = lshKnnLists(spark, dir)
     lists.as("f").join(lists.as("g"),
         col("f.query_id") === col("g.neighbor_id")
           && col("f.neighbor_id") === col("g.query_id")
@@ -1769,8 +1785,10 @@ object SimilarityOps {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
-  val s33Sql: String =
-    s"""WITH ${VectorExprs.bandCtes},
+  /** CTE chain ending at `mk` — the whole-corpus LSH top-K lists,
+    * the SQL twin of [[lshKnnLists]]. Shared by s33/s37/s38. */
+  private def knnListsCtes: String =
+    s"""${VectorExprs.bandCtes},
        |mc AS (
        |  SELECT DISTINCT x.vec_id AS qid, y.vec_id AS cid
        |  FROM capped x JOIN capped y
@@ -1781,13 +1799,111 @@ object SimilarityOps {
        |      / (sqrt(q.n2) * sqrt(c.n2)) AS cosine
        |  FROM mc d JOIN eb q ON d.qid = q.vec_id JOIN eb c ON d.cid = c.vec_id),
        |${topkCte("mr", "mp")},
-       |mk AS (SELECT * FROM mr WHERE rank <= $K)
+       |mk AS MATERIALIZED (SELECT * FROM mr WHERE rank <= $K)""".stripMargin
+
+  val s33Sql: String =
+    s"""WITH $knnListsCtes
        |SELECT f.query_id AS vec_a, f.neighbor_id AS vec_b,
        |  f.cosine AS cosine, f.rank AS rank_ab, g.rank AS rank_ba
        |FROM mk f JOIN mk g
        |  ON f.query_id = g.neighbor_id AND f.neighbor_id = g.query_id
        |  AND f.query_id < f.neighbor_id
        |ORDER BY vec_a, vec_b""".stripMargin
+
+  // ---- s37: one NN-descent round over the LSH kNN lists ----
+  // Dong et al. 2011's observation, as a relational pass: a neighbor
+  // of my neighbor is probably my neighbor. The LSH lists (s33's
+  // seed) miss true neighbors that share no band; ONE descent round
+  // expands each vector's candidates to its neighbors' neighbors and
+  // its REVERSE neighbors, rescores exactly, and re-trims to top-K —
+  // strictly-no-worse lists (the seed candidates are retained) for
+  // K²·N extra candidate rows, all equi-joins on vec ids, no new
+  // index. This is how production kNN graphs converge (a few rounds
+  // from any cheap seed); the round is idempotent machinery — chain
+  // it for round 2+. s38 measures what the round actually bought.
+  def s37NnDescent(spark: SparkSession, dir: String): DataFrame = {
+    val lists = lshKnnLists(spark, dir)
+      .select(col("query_id"), col("neighbor_id"))
+    val fwd = lists.select(col("query_id").as("qid"), col("neighbor_id").as("cid"))
+    val rev = lists.select(col("neighbor_id").as("qid"), col("query_id").as("cid"))
+    val non = lists.as("f").join(lists.as("g"),
+        col("f.neighbor_id") === col("g.query_id"))
+      .select(col("f.query_id").as("qid"), col("g.neighbor_id").as("cid"))
+    val cand = fwd.union(rev).union(non)
+      .filter(col("qid") =!= col("cid")).distinct()
+    rescoreTopK(spark, dir, cand).orderBy(col("query_id"), col("rank"))
+  }
+
+  val s37Sql: String =
+    s"""WITH $knnListsCtes,
+       |nc AS (
+       |  SELECT DISTINCT qid, cid FROM (
+       |    SELECT query_id AS qid, neighbor_id AS cid FROM mk
+       |    UNION ALL SELECT neighbor_id, query_id FROM mk
+       |    UNION ALL SELECT f.query_id, g.neighbor_id
+       |    FROM mk f JOIN mk g ON f.neighbor_id = g.query_id)
+       |  WHERE qid != cid),
+       |np AS (
+       |  SELECT d.qid AS query_id, d.cid AS neighbor_id,
+       |    ${VectorExprs.duckDot("q.vd", "c.vd")}
+       |      / (sqrt(q.n2) * sqrt(c.n2)) AS cosine
+       |  FROM nc d JOIN eb q ON d.qid = q.vec_id JOIN eb c ON d.cid = c.vec_id),
+       |${topkCte("nr", "np")}
+       |SELECT query_id, neighbor_id, cosine, rank FROM nr
+       |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
+
+  // ---- s38: what the descent round bought (recall, side by side) ----
+  // The s8 evaluator pointed at the kNN-GRAPH build: per probe query,
+  // recall of the seed LSH lists and of the descended lists against
+  // the exact top-K — the measured justification for spending the
+  // K²·N expansion (and the convergence signal that says when to stop
+  // chaining rounds). Exact side is s1's probe set; both approx sides
+  // are K·|queries| rows filtered from already-built lists.
+  def s38NndRecall(spark: SparkSession, dir: String): DataFrame = {
+    val ex = s1KnnBrute(spark, dir)
+    val seed = recallOf(ex, lshKnnLists(spark, dir).filter(col("query_id") < 10))
+      .select(col("query_id"), col("n_exact"),
+        col("n_hit").as("hit_seed"), col("recall").as("recall_seed"))
+    val desc = recallOf(ex, s37NnDescent(spark, dir).filter(col("query_id") < 10))
+      .select(col("query_id"), col("n_hit").as("hit_nnd"),
+        col("recall").as("recall_nnd"))
+    seed.join(desc, Seq("query_id")).orderBy(col("query_id"))
+  }
+
+  val s38Sql: String =
+    s"""WITH $knnListsCtes,
+       |nc AS (
+       |  SELECT DISTINCT qid, cid FROM (
+       |    SELECT query_id AS qid, neighbor_id AS cid FROM mk
+       |    UNION ALL SELECT neighbor_id, query_id FROM mk
+       |    UNION ALL SELECT f.query_id, g.neighbor_id
+       |    FROM mk f JOIN mk g ON f.neighbor_id = g.query_id)
+       |  WHERE qid != cid),
+       |np AS (
+       |  SELECT d.qid AS query_id, d.cid AS neighbor_id,
+       |    ${VectorExprs.duckDot("q.vd", "c.vd")}
+       |      / (sqrt(q.n2) * sqrt(c.n2)) AS cosine
+       |  FROM nc d JOIN eb q ON d.qid = q.vec_id JOIN eb c ON d.cid = c.vec_id),
+       |${topkCte("nr", "np")},
+       |${exactPairsCte("xp")},
+       |${topkCte("xr", "xp")},
+       |exact AS (SELECT query_id, neighbor_id FROM xr WHERE rank <= $K),
+       |sd AS (SELECT DISTINCT query_id, neighbor_id FROM mk WHERE query_id < 10),
+       |nd AS (SELECT DISTINCT query_id, neighbor_id FROM nr
+       |       WHERE rank <= $K AND query_id < 10)
+       |SELECT e.query_id, count(*) AS n_exact,
+       |  CAST(coalesce(sum(CASE WHEN s.neighbor_id IS NOT NULL THEN 1 END), 0)
+       |    AS BIGINT) AS hit_seed,
+       |  CAST(coalesce(sum(CASE WHEN s.neighbor_id IS NOT NULL THEN 1 END), 0)
+       |    AS DOUBLE) / count(*) AS recall_seed,
+       |  CAST(coalesce(sum(CASE WHEN n.neighbor_id IS NOT NULL THEN 1 END), 0)
+       |    AS BIGINT) AS hit_nnd,
+       |  CAST(coalesce(sum(CASE WHEN n.neighbor_id IS NOT NULL THEN 1 END), 0)
+       |    AS DOUBLE) / count(*) AS recall_nnd
+       |FROM exact e
+       |LEFT JOIN sd s ON e.query_id = s.query_id AND e.neighbor_id = s.neighbor_id
+       |LEFT JOIN nd n ON e.query_id = n.query_id AND e.neighbor_id = n.neighbor_id
+       |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin
 
   // ---- s34: recall@k curve (the index tuning plot as a query) ----
   // s8 reports recall at one k; tuning reads the CURVE — recall@1..K
@@ -1921,6 +2037,8 @@ object SimilarityOps {
        |$recallTailSql""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s37_nn_descent" -> (s37NnDescent _),
+    "s38_nnd_recall" -> (s38NndRecall _),
     "s36_residual_recall" -> (s36ResidualRecall _),
     "s35_residual_knn" -> (s35ResidualKnn _),
     "s34_recall_curve" -> (s34RecallCurve _),
@@ -1959,6 +2077,8 @@ object SimilarityOps {
     "s7_ivf_trained" -> (s7IvfTrained _))
 
   val oracles: Map[String, String] = Map(
+    "s37_nn_descent" -> s37Sql,
+    "s38_nnd_recall" -> s38Sql,
     "s36_residual_recall" -> s36Sql,
     "s35_residual_knn" -> s35Sql,
     "s34_recall_curve" -> s34Sql,

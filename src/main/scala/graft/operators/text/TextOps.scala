@@ -1110,7 +1110,61 @@ object TextOps {
        |    // CAST(sum(n) AS BIGINT) AS boiler_ppm
        |FROM p GROUP BY source ORDER BY source""".stripMargin
 
+  // ---- t24: word burstiness (Church & Gale's Var/Mean gauge) ----
+  // For the top-TopBursty words by document frequency: the
+  // variance-to-mean ratio of per-document counts, zeros included —
+  // the statistic that separates TOPICAL words (bursty: absent from
+  // most docs, concentrated where they appear; Var/Mean ≫ 1) from
+  // FUNCTION words (Poisson-like, ≈ 1 + mean-shift). The
+  // language-modeling literature's standard content-word detector,
+  // and the feature behind stopword-list induction and topic-shift
+  // segmentation. Exact like q32: zeros contribute nothing to Σc/Σc²,
+  // so two map-side-combined aggregates over present (doc, word)
+  // pairs plus the corpus N give burst_num = N·Σc² − (Σc)² and
+  // burst_den = N·Σc as exact BIGINTs (|docs|·counts² stays far under
+  // 2^63 at any plausible vocabulary concentration; DECIMAL(38)
+  // is the documented widening if a word dominates a 1e12-token
+  // corpus); the double is one IEEE division.
+  private val TopBursty = 20
+
+  def t24Burstiness(spark: SparkSession, dir: String): DataFrame = {
+    val dc = docs(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("w"), col("doc_id")).agg(count(lit(1)).as("c"))
+    val stats = dc.groupBy(col("w"))
+      .agg(count(lit(1)).as("df"), sum(col("c")).as("sc"),
+        sum(col("c") * col("c")).as("sc2"))
+    val n = docs(spark, dir).agg(count(lit(1)).as("nd"))
+    stats
+      .orderBy(col("df").desc, col("w")).limit(TopBursty)
+      .crossJoin(broadcast(n))
+      .select(col("w").as("word"), col("df"), col("sc").as("total_count"),
+        (col("nd") * col("sc2") - col("sc") * col("sc")).as("burst_num"),
+        (col("nd") * col("sc")).as("burst_den"))
+      .withColumn("burstiness",
+        col("burst_num").cast("double") / col("burst_den").cast("double"))
+      .orderBy(col("word"))
+  }
+
+  val t24Sql: String =
+    s"""WITH dc AS (
+       |  SELECT w, doc_id, count(*) AS c FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+       |  GROUP BY 1, 2),
+       |st AS (SELECT w, count(*) AS df, sum(c) AS sc, sum(c * c) AS sc2
+       |       FROM dc GROUP BY w),
+       |top AS (SELECT * FROM st ORDER BY df DESC, w LIMIT $TopBursty),
+       |n AS (SELECT count(*) AS nd FROM documents)
+       |SELECT w AS word, CAST(df AS BIGINT) AS df,
+       |  CAST(sc AS BIGINT) AS total_count,
+       |  CAST(n.nd * sc2 - sc * sc AS BIGINT) AS burst_num,
+       |  CAST(n.nd * sc AS BIGINT) AS burst_den,
+       |  CAST(CAST(n.nd * sc2 - sc * sc AS BIGINT) AS DOUBLE)
+       |    / CAST(CAST(n.nd * sc AS BIGINT) AS DOUBLE) AS burstiness
+       |FROM top CROSS JOIN n ORDER BY word""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t24_burstiness" -> (t24Burstiness _),
     "t23_boilerplate" -> (t23Boilerplate _),
     "t22_ngram_novelty" -> (t22NgramNovelty _),
     "t21_lang_purity" -> (t21LangPurity _),
@@ -1136,6 +1190,7 @@ object TextOps {
     "t9_curation_pipeline" -> (t9CurationPipeline _))
 
   val oracles: Map[String, String] = Map(
+    "t24_burstiness" -> t24Sql,
     "t23_boilerplate" -> t23Sql,
     "t22_ngram_novelty" -> t22Sql,
     "t21_lang_purity" -> t21Sql,

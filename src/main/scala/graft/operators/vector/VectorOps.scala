@@ -604,7 +604,82 @@ object VectorOps {
        |FROM qm ORDER BY vec_id""".stripMargin
   }
 
+  // ---- v11: ternary quantization ({−1, 0, +1} codes) ----
+  // The sparsity point between v5's 1-bit signs (everything fires)
+  // and v2's int8: dims with |x| below a per-dim threshold SNAP TO
+  // ZERO — 1.58-bit codes whose dot products skip dead dims (the
+  // BitNet-style trick, applied to embeddings). Threshold τ_d = half
+  // the corpus mean |x_d|, tested entirely in integers over the
+  // shared micro-unit features: 2N·q_d > Σ|q_d| (both sides exact
+  // BIGINTs — no rational τ is ever materialized; at 1e9 vectors ×
+  // 1e6 micro-units the products sit at ~1e15, well under 2^63).
+  // One corpus pass builds the 64-cell threshold frame (map-side
+  // combined, broadcast back), one narrow scan packs pos/neg masks —
+  // the v5 two-halves convention — plus the n_zero sparsity gauge.
+  private def ternMask(lo: Int, neg: Boolean): String = {
+    val q = if (neg) "-element_at(qv, i)" else "element_at(qv, i)"
+    s"""aggregate(sequence($lo, ${lo + 31}), cast(0 as bigint),
+       |  (acc, i) -> acc + IF(2 * nv * $q > element_at(sarr, i),
+       |    shiftleft(cast(1 as bigint), i - $lo), cast(0 as bigint)))"""
+      .stripMargin
+  }
+
+  def v11TernaryQuantize(spark: SparkSession, dir: String): DataFrame = {
+    val qv = graft.operators.similarity.SimilarityOps.embQuantized(spark, dir)
+      .select(col("vec_id"), col("qv"))
+    val thr = qv.select(posexplode(col("qv")).as(Seq("d0", "x")))
+      .groupBy(col("d0")).agg(sum(abs(col("x"))).as("s"), count(lit(1)).as("n"))
+      .groupBy()
+      .agg(expr("transform(sort_array(collect_list(struct(d0, s))), p -> p.s)")
+        .as("sarr"), max(col("n")).as("nv"))
+    qv.crossJoin(broadcast(thr))
+      .select(col("vec_id"),
+        expr(ternMask(1, neg = false)).as("pos_lo"),
+        expr(ternMask(33, neg = false)).as("pos_hi"),
+        expr(ternMask(1, neg = true)).as("neg_lo"),
+        expr(ternMask(33, neg = true)).as("neg_hi"))
+      .withColumn("n_pos",
+        expr("bit_count(pos_lo) + bit_count(pos_hi)").cast("long"))
+      .withColumn("n_neg",
+        expr("bit_count(neg_lo) + bit_count(neg_hi)").cast("long"))
+      .withColumn("n_zero", lit(64L) - col("n_pos") - col("n_neg"))
+      .orderBy(col("vec_id"))
+  }
+
+  val v11Sql: String = {
+    def mask(lo: Int, neg: Boolean) = {
+      val q = if (neg) "-qm.qv[i]" else "qm.qv[i]"
+      s"""CAST(list_sum(list_transform(generate_series($lo, ${lo + 31}),
+         |  i -> CASE WHEN 2 * t.nv * $q > t.sarr[i]
+         |       THEN (CAST(1 AS BIGINT) << (i - $lo)) ELSE CAST(0 AS BIGINT)
+         |       END)) AS BIGINT)""".stripMargin
+    }
+    s"""WITH ${VectorExprs.embCtes},
+       |qm AS (
+       |  SELECT vec_id, [CAST(round(x * 1000000) AS BIGINT) for x in vd] AS qv
+       |  FROM ef),
+       |th AS (
+       |  SELECT d, sum(abs(qv[d])) AS s, count(*) AS n
+       |  FROM qm, generate_series(1, 64) g(d) GROUP BY d),
+       |t AS (SELECT list(s ORDER BY d) AS sarr, max(n) AS nv FROM th)
+       |SELECT qm.vec_id,
+       |  ${mask(1, neg = false)} AS pos_lo,
+       |  ${mask(33, neg = false)} AS pos_hi,
+       |  ${mask(1, neg = true)} AS neg_lo,
+       |  ${mask(33, neg = true)} AS neg_hi,
+       |  CAST(bit_count(${mask(1, neg = false)})
+       |     + bit_count(${mask(33, neg = false)}) AS BIGINT) AS n_pos,
+       |  CAST(bit_count(${mask(1, neg = true)})
+       |     + bit_count(${mask(33, neg = true)}) AS BIGINT) AS n_neg,
+       |  64 - CAST(bit_count(${mask(1, neg = false)})
+       |          + bit_count(${mask(33, neg = false)}) AS BIGINT)
+       |     - CAST(bit_count(${mask(1, neg = true)})
+       |          + bit_count(${mask(33, neg = true)}) AS BIGINT) AS n_zero
+       |FROM qm CROSS JOIN t ORDER BY vec_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v11_ternary_quantize" -> (v11TernaryQuantize _),
     "v10_matryoshka" -> (v10Matryoshka _),
     "v9_residual_codes" -> (v9ResidualCodes _),
     "v8_sq_codes" -> (v8SqCodes _),
@@ -617,6 +692,7 @@ object VectorOps {
     "v3_random_projection" -> (v3RandomProjection _))
 
   val oracles: Map[String, String] = Map(
+    "v11_ternary_quantize" -> v11Sql,
     "v10_matryoshka" -> v10Sql,
     "v9_residual_codes" -> v9Sql,
     "v8_sq_codes" -> v8Sql,
