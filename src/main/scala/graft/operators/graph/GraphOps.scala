@@ -1431,42 +1431,62 @@ object GraphOps {
   private val TrussK = 4
   private val TrussRounds = 3
 
-  /** Per-canonical-edge triangle support of an arbitrary undirected
-    * distinct (u, v) edge list — g7's enumeration, yielding elements
-    * instead of a count so each triangle credits all three edges. */
-  private[graft] def edgeSupportsOf(edges: DataFrame): DataFrame = {
-    val ord = orientEdgesOf(edges, degreesOf(edges))
+  /** Per-ORIENTED-edge triangle support over an already-oriented
+    * (ou, ov) edge list — g7's enumeration with the intersect
+    * yielding elements, each triangle crediting its three edges.
+    * The orientation only has to be SOME fixed total order for the
+    * enumeration to see each triangle exactly once, so peel rounds
+    * can keep the round-0 (degree, id) order instead of re-deriving
+    * degrees per round — the bound degrades only as far as peeling
+    * shifts degrees (a few % of edges per round, measured), and three
+    * stages per round disappear (degree agg + two orient joins). */
+  private[graft] def orientedSupports(ord: DataFrame): DataFrame = {
     val adj = adjacencyOf(ord)
     val tri = ord.join(adj.as("au"), col("ou") === col("au.anode"))
       .join(adj.as("av"), col("ov") === col("av.anode"))
       .select(col("ou"), col("ov"),
         expr("array_intersect(au.nbrs, av.nbrs)").as("ws"))
       .filter(size(col("ws")) > 0)
-    val credits = tri
-      .select(col("ou").as("a"), col("ov").as("b"),
+    // each common neighbor w completes {ou, ov, w}; (ou,w) and (ov,w)
+    // are themselves oriented edges (w came from both out-lists)
+    tri.select(col("ou").as("a"), col("ov").as("b"),
         size(col("ws")).cast("long").as("c"))
       .union(tri.select(col("ou").as("a"), explode(col("ws")).as("b"))
         .withColumn("c", lit(1L)))
       .union(tri.select(col("ov").as("a"), explode(col("ws")).as("b"))
         .withColumn("c", lit(1L)))
-    credits
-      .select(least(col("a"), col("b")).as("u"),
-        greatest(col("a"), col("b")).as("v"), col("c"))
-      .groupBy(col("u"), col("v")).agg(sum(col("c")).as("sup"))
+      .groupBy(col("a"), col("b")).agg(sum(col("c")).as("sup"))
   }
+
+  /** Per-canonical-edge triangle support of an arbitrary undirected
+    * distinct (u, v) edge list (orients with its own degrees, then
+    * maps back) — the bring-your-own-graph API the specs use. */
+  private[graft] def edgeSupportsOf(edges: DataFrame): DataFrame =
+    orientedSupports(orientEdgesOf(edges, degreesOf(edges)))
+      .select(least(col("a"), col("b")).as("u"),
+        greatest(col("a"), col("b")).as("v"), col("sup"))
 
   def g33Ktruss(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.registerAll(spark)
-    var edges = g7Projection(spark, dir)
-    val traj = scala.collection.mutable.ListBuffer((0, edges.count()))
-    for (r <- 1 to TrussRounds) {
-      val next = edgeSupportsOf(edges)
+    // round 0 reuses g7's DfCache'd oriented layout — the peel shares
+    // its starting tables with the triangle count and g19
+    var ord = g7OrientedEdges(spark, dir)
+    val traj = scala.collection.mutable.ListBuffer((0, ord.count()))
+    var r = 1
+    // Early exit on fixpoint: a peel that removed nothing cannot
+    // remove anything next round, so remaining trajectory rows repeat
+    // the converged count without re-enumerating triangles.
+    while (r <= TrussRounds && (r == 1 || traj(r - 1)._2 < traj(r - 2)._2)) {
+      val next = orientedSupports(ord)
         .filter(col("sup") >= TrussK - 2)
-        .select(col("u"), col("v"))
+        .select(col("a").as("ou"), col("b").as("ov"))
+        .repartition(col("ou"))
         .localCheckpoint(true)
       traj += ((r, next.count()))
-      edges = next
+      ord = next
+      r += 1
     }
+    while (r <= TrussRounds) { traj += ((r, traj.last._2)); r += 1 }
     import spark.implicits._
     traj.toSeq.toDF("round", "n_edges")
       .select(col("round").cast("int").as("round"), col("n_edges"))
@@ -1499,6 +1519,60 @@ object GraphOps {
        |$rounds
        |$out
        |ORDER BY round""".stripMargin
+  }
+
+  // ---- g34: rich-club coefficient sweep ----
+  // Do the hubs club together? φ(k) = density among nodes with degree
+  // > k, swept over doubling thresholds — rising φ(k) = an elite core
+  // (the Internet-AS signature), flat/falling = hubs as bridges (the
+  // typical bipartite-ish signature this derived graph should show).
+  // One degree aggregate + one canonical-edge double join, then a
+  // 7-row broadcast threshold sweep (the d21/e24 VALUES pattern) —
+  // 7·E filter work, |thresholds| rows out, exact ppm with the
+  // n_rich ≥ 2 guard on the denominator.
+  private val RichClubKs = Seq(2L, 4L, 8L, 16L, 32L, 64L, 128L)
+
+  def g34RichClub(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sym = withSym(spark, dir)
+    val deg = sym.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("dg"))
+    val ks = RichClubKs.toDF("k")
+    val rich = deg.crossJoin(broadcast(ks)).filter(col("dg") > col("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("n_rich"))
+    val within = sym.filter(col("src") < col("dst"))
+      .join(deg.select(col("node").as("src"), col("dg").as("du")), Seq("src"))
+      .join(deg.select(col("node").as("dst"), col("dg").as("dv")), Seq("dst"))
+      .crossJoin(broadcast(ks))
+      .filter(col("du") > col("k") && col("dv") > col("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("n_within"))
+    rich.join(within, Seq("k"), "left_outer")
+      .select(col("k"), col("n_rich"),
+        coalesce(col("n_within"), lit(0L)).as("n_within"))
+      .withColumn("phi_ppm", expr(
+        "CASE WHEN n_rich >= 2 THEN 2000000 * n_within div (n_rich * (n_rich - 1)) END"))
+      .orderBy(col("k"))
+  }
+
+  val g34Sql: String = {
+    val vals = RichClubKs.mkString("(", "), (", ")")
+    s"""WITH ${GraphTables.symSqlCtes},
+       |deg AS (SELECT src AS node, count(*) AS dg FROM sym GROUP BY src),
+       |ks(k) AS (VALUES $vals),
+       |rich AS (SELECT k, count(*) AS n_rich FROM deg CROSS JOIN ks
+       |         WHERE dg > k GROUP BY k),
+       |w AS (
+       |  SELECT k.k, count(*) AS n_within
+       |  FROM sym e JOIN deg a ON e.src = a.node JOIN deg b ON e.dst = b.node
+       |  CROSS JOIN ks k
+       |  WHERE e.src < e.dst AND a.dg > k.k AND b.dg > k.k
+       |  GROUP BY k.k)
+       |SELECT CAST(r.k AS BIGINT) AS k, r.n_rich,
+       |  CAST(coalesce(w.n_within, 0) AS BIGINT) AS n_within,
+       |  CASE WHEN r.n_rich >= 2 THEN
+       |    2000000 * coalesce(w.n_within, 0) // (r.n_rich * (r.n_rich - 1))
+       |  END AS phi_ppm
+       |FROM rich r LEFT JOIN w ON r.k = w.k ORDER BY k""".stripMargin
   }
 
   // ---- g18: harmonic centrality from sampled sources ----
@@ -2021,6 +2095,7 @@ object GraphOps {
        |FROM wdeg GROUP BY wsum ORDER BY strength""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g34_rich_club" -> (g34RichClub _),
     "g33_ktruss" -> (g33Ktruss _),
     "g32_modularity" -> (g32Modularity _),
     "g31_strength_distribution" -> (g31StrengthDistribution _),
@@ -2056,6 +2131,7 @@ object GraphOps {
     "g9_checkpoint_roundtrip" -> (g9CheckpointRoundtrip _))
 
   val oracles: Map[String, String] = Map(
+    "g34_rich_club" -> g34Sql,
     "g33_ktruss" -> g33Sql,
     "g32_modularity" -> g32Sql,
     "g31_strength_distribution" -> g31Sql,

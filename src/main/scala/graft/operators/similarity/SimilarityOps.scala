@@ -48,13 +48,13 @@ object SimilarityOps {
   // consumed by s1Sql, s2Sql AND the s8 recall oracle, so a tuning
   // change to either index updates the recall gate in lockstep
   // instead of leaving a stale inlined copy behind.
-  private def exactPairsCte(name: String): String =
+  private def exactPairsCte(name: String, lo: Long = 0L, hi: Long = 10L): String =
     s"""$name AS (
        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
        |    ${VectorExprs.duckDot("q.vd", "c.vd")}
        |      / (sqrt(q.n2) * sqrt(c.n2)) AS cosine
        |  FROM eb q, eb c
-       |  WHERE q.vec_id < 10 AND q.vec_id != c.vec_id)""".stripMargin
+       |  WHERE q.vec_id >= $lo AND q.vec_id < $hi AND q.vec_id != c.vec_id)""".stripMargin
 
   private def lshPairsCtes(candName: String, pairsName: String): String =
     s"""$candName AS (
@@ -438,14 +438,24 @@ object SimilarityOps {
   // query docs × one corpus scan, graft_dot on the 16-dim vectors
   // (counts cast to double — exact ≤ 2^53, so the dot is an exact
   // integer and any summation order agrees), bounded top-k aggregate.
+  /** t14's hashed doc vectors with (vd, n2) — DfCache'd: the plan is
+    * a full-corpus tokenize + 16 filtered counts per doc, and s19
+    * otherwise re-runs it for BOTH join sides (bench r6: 24.5 s at
+    * sf0.1, the #2 query — two uncached corpus tokenizations). One
+    * build serves the query side, the corpus side, and reruns. */
+  private def docVecs(spark: SparkSession, dir: String): DataFrame =
+    graft.util.DfCache.cached(spark, dir, "doc_hash_vecs") {
+      graft.operators.text.TextOps
+        .hashEmbedOf(graft.sources.Tables.load(spark, dir, "documents"))
+        .select(col("doc_id"),
+          expr("transform(doc_vec, x -> cast(x as double))").as("vd"))
+        .withColumn("n2", expr(VectorExprs.dotExpr("vd", "vd")))
+        .filter(col("n2") > 0.0)
+    }
+
   def s19DocKnn(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.registerAll(spark)
-    val dv = graft.operators.text.TextOps
-      .hashEmbedOf(graft.sources.Tables.load(spark, dir, "documents"))
-      .select(col("doc_id"),
-        expr("transform(doc_vec, x -> cast(x as double))").as("vd"))
-      .withColumn("n2", expr(VectorExprs.dotExpr("vd", "vd")))
-      .filter(col("n2") > 0.0)
+    val dv = docVecs(spark, dir)
     val q = dv.filter(col("doc_id") < 10)
     val pairs = broadcast(q.as("q"))
       .join(dv.as("c"), col("q.doc_id") =!= col("c.doc_id"))
@@ -773,9 +783,11 @@ object SimilarityOps {
     * 16×8 entries (~2 KB) per query, broadcast to wherever packed
     * codes are scored. Shared by s10 (full-corpus ADC) and s12
     * (IVF-restricted ADC). */
-  private def pqQueryLut(spark: SparkSession, dir: String): DataFrame = {
+  private def pqQueryLut(spark: SparkSession, dir: String,
+      lo: Long = 0L, hi: Long = 10L): DataFrame = {
     import graft.operators.vector.VectorOps.{PqM, PqD, PqK, pqCents}
-    val q = VectorExprs.embFeatures(spark, dir).filter(col("vec_id") < 10)
+    val q = VectorExprs.embFeatures(spark, dir)
+      .filter(col("vec_id") >= lo && col("vec_id") < hi)
       .select(col("vec_id"), col("vd"), col("n2"))
     def subFold(a: String, b: String) =
       s"""transform(sequence(0, ${PqM - 1}), m ->
@@ -834,7 +846,8 @@ object SimilarityOps {
     * pick table's per-subspace codes (provably the nibbles of
     * pq_code), with both folds in subspace order like the Spark
     * side's `aggregate` over m. */
-  private def pqAdcPairsCtes(pairsName: String, probed: Boolean = false): String = {
+  private def pqAdcPairsCtes(pairsName: String, probed: Boolean = false,
+      lo: Long = 0L, hi: Long = 10L): String = {
     import graft.operators.vector.VectorOps.{PqM, PqD}
     def subFold(a: String, b: String) =
       s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
@@ -856,7 +869,7 @@ object SimilarityOps {
        |    ${subFold("q.vd", "c.cvd")} AS subdot,
        |    ${subFold("c.cvd", "c.cvd")} AS subn2
        |  FROM eb q CROSS JOIN pqcents c, generate_series(0, ${PqM - 1}) g(m)
-       |  WHERE q.vec_id < 10),
+       |  WHERE q.vec_id >= $lo AND q.vec_id < $hi),
        |$pairsName AS (
        |  SELECT l.qid AS query_id, p.vec_id AS neighbor_id,
        |    ${mFold("l.subdot")}
@@ -1905,6 +1918,229 @@ object SimilarityOps {
        |LEFT JOIN nd n ON e.query_id = n.query_id AND e.neighbor_id = n.neighbor_id
        |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin
 
+  // ---- s39: PQ symmetric-distance (SDC) search — codes vs codes ----
+  // The search mode v12's table exists for: BOTH sides quantized, the
+  // score assembled from 8 nibble-indexed lookups into the broadcast
+  // inter-centroid table — approx_cos(q, c) =
+  //   Σ_m T[m][q_m][c_m] / (sqrt(Σ_m T[m][q_m][q_m]) · sqrt(Σ_m T[m][c_m][c_m]))
+  // — cosine of reconstruction against reconstruction. vs ADC (s10):
+  // no per-query LUT build and no raw query vector needed (the shape
+  // of code-only dedup sweeps and index-side kNN-graph builds), for
+  // strictly more quantization noise — s40 prices that trade. Plan:
+  // codes-only scan × broadcast (10 query codes + the ~16 KB map),
+  // reconstructed norms precomputed per SIDE (not per pair), one
+  // codegen'd fold per pair, bounded top-k. Nothing corpus-sized
+  // shuffles; the corpus never re-reads raw vectors.
+  private def sdcFold(a: String, b: String): String =
+    s"""aggregate(sequence(0, ${graft.operators.vector.VectorOps.PqM - 1}),
+       |  cast(0.0 as double), (acc, m) -> acc + element_at(sdc,
+       |    cast(m*256 + (shiftright($a, cast(4*m as int)) & 15)*16
+       |         + (shiftright($b, cast(4*m as int)) & 15) as int)))""".stripMargin
+
+  /** One-row broadcast frame holding the FULL sdc lookup map keyed by
+    * m·256 + ci·16 + cj. */
+  private def sdcMap(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.vector.VectorOps.sdcEntries(spark, dir)
+      .select(((col("m") * 256) + (col("ci") * 16) + col("cj")).cast("int").as("k"),
+        col("dot"))
+      .agg(expr("map_from_entries(collect_list(struct(k, dot)))").as("sdc"))
+
+  // Probe set [SdcProbeLo, SdcProbeHi) sits OFF the codebook on
+  // purpose: vec_ids < PqK ARE the centroids, quantize losslessly,
+  // and make ADC ≡ SDC by construction — a degenerate comparison
+  // (measured: identical hit sets when probing < 10). Non-codebook
+  // probes carry real quantization error on the query side, which is
+  // exactly the ADC-vs-SDC difference s40 exists to price.
+  private[operators] val SdcProbeLo = 100L
+  private[operators] val SdcProbeHi = 110L
+
+  def s39SdcKnn(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(spark)
+    val codes = graft.operators.vector.VectorOps.pqAssigned(spark, dir)
+      .select(col("vec_id"), col("pq_code"))
+    val withN2 = codes.crossJoin(broadcast(sdcMap(spark, dir)))
+      .withColumn("cn2r", expr(sdcFold("pq_code", "pq_code")))
+    val q = withN2.filter(col("vec_id") >= SdcProbeLo && col("vec_id") < SdcProbeHi)
+      .select(col("vec_id").as("qid"), col("pq_code").as("q_code"),
+        col("cn2r").as("qn2r"))
+    val pairs = withN2.crossJoin(broadcast(q))
+      .filter(col("qid") =!= col("vec_id"))
+      .withColumn("sdot", expr(sdcFold("q_code", "pq_code")))
+      .select(col("qid").as("query_id"), col("vec_id").as("neighbor_id"),
+        (col("sdot") / (sqrt(col("qn2r")) * sqrt(col("cn2r")))).as("cosine"))
+    ranked(pairs)
+  }
+
+  /** CTE chain: full sdc table `sdf`, per-vector reconstructed norms
+    * `rn2`, SDC-scored pairs `$pairsName` — chains off embCtes +
+    * pqPickCtes. Shared by s39Sql and s40Sql. */
+  private def sdcPairsCtes(pairsName: String): String = {
+    import graft.operators.vector.VectorOps.{PqM, PqD, PqK}
+    def mFold(v: String, ord: String) =
+      s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list($v ORDER BY $ord)),
+         |    (a, x) -> a + x)""".stripMargin
+    // `pqcents` comes from pqPickCtes, which every consumer chains first
+    s"""sdf AS (
+       |  SELECT g.m, a.mid AS ci, b.mid AS cj,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      [ a.cvd[g.m*$PqD + d] * b.cvd[g.m*$PqD + d]
+       |        for d in generate_series(1, $PqD) ]), (x, y) -> x + y) AS dot
+       |  FROM pqcents a CROSS JOIN pqcents b, generate_series(0, ${PqM - 1}) g(m)),
+       |rn2 AS MATERIALIZED (
+       |  SELECT p.vec_id, ${mFold("t.dot", "p.m")} AS n2r
+       |  FROM pick p JOIN sdf t ON t.m = p.m AND t.ci = p.code AND t.cj = p.code
+       |  GROUP BY p.vec_id),
+       |$pairsName AS (
+       |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |    ${mFold("t.dot", "a.m")} / (sqrt(qa.n2r) * sqrt(qb.n2r)) AS cosine
+       |  FROM pick a JOIN pick b ON a.m = b.m AND a.vec_id != b.vec_id
+       |  JOIN sdf t ON t.m = a.m AND t.ci = a.code AND t.cj = b.code
+       |  JOIN rn2 qa ON qa.vec_id = a.vec_id
+       |  JOIN rn2 qb ON qb.vec_id = b.vec_id
+       |  WHERE a.vec_id >= $SdcProbeLo AND a.vec_id < $SdcProbeHi
+       |  GROUP BY a.vec_id, b.vec_id, qa.n2r, qb.n2r)""".stripMargin
+  }
+
+  val s39Sql: String =
+    s"""WITH ${VectorExprs.embCtes},
+       |${graft.operators.vector.VectorOps.pqPickCtes},
+       |${sdcPairsCtes("spairs")},
+       |${topkCte("sr", "spairs")}
+       |SELECT query_id, neighbor_id, cosine, rank FROM sr
+       |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
+
+  // ---- s40: ADC vs SDC, priced side by side ----
+  // The Jégou trade as one gated row set: recall of the asymmetric
+  // (raw query, s10) and symmetric (quantized query, s39) searches
+  // against the exact top-K, per probe query. ADC ≥ SDC is the
+  // textbook expectation (one side unquantized = strictly less
+  // noise); this measures by how much, per query — what an index
+  // designer reads before choosing code-only scoring.
+  def s40SdcRecall(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.vector.VectorOps.pqAssigned
+    graft.functions.GraftFunctions.registerAll(spark)
+    // exact baseline over the SAME off-codebook probe set
+    val e = VectorExprs.embFeatures(spark, dir)
+      .select(col("vec_id"), col("vd"), col("n2"))
+    val qe = e.filter(col("vec_id") >= SdcProbeLo && col("vec_id") < SdcProbeHi)
+    val ex = ranked(broadcast(qe.as("q"))
+      .join(e.as("c"), col("q.vec_id") =!= col("c.vec_id"))
+      .withColumn("dot", expr(VectorExprs.dotExpr("q.vd", "c.vd")))
+      .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"),
+        cosine.as("cosine")))
+    val codes = pqAssigned(spark, dir).select(col("vec_id"), col("pq_code"))
+    val adcLists = adcRanked(codes
+      .crossJoin(broadcast(pqQueryLut(spark, dir, SdcProbeLo, SdcProbeHi)))
+      .filter(col("qid") =!= col("vec_id")))
+    val adc = recallOf(ex, adcLists)
+      .select(col("query_id"), col("n_exact"),
+        col("n_hit").as("hit_adc"), col("recall").as("recall_adc"))
+    val sdc = recallOf(ex, s39SdcKnn(spark, dir))
+      .select(col("query_id"), col("n_hit").as("hit_sdc"),
+        col("recall").as("recall_sdc"))
+    adc.join(sdc, Seq("query_id")).orderBy(col("query_id"))
+  }
+
+  val s40Sql: String =
+    s"""WITH ${VectorExprs.embCtes},
+       |${exactPairsCte("xp", SdcProbeLo, SdcProbeHi)},
+       |${topkCte("xr", "xp")},
+       |exact AS (SELECT query_id, neighbor_id FROM xr WHERE rank <= $K),
+       |${graft.operators.vector.VectorOps.pqPickCtes},
+       |${pqAdcPairsCtes("apairs", lo = SdcProbeLo, hi = SdcProbeHi)},
+       |${topkCte("ar", "apairs")},
+       |ad AS (SELECT DISTINCT query_id, neighbor_id FROM ar WHERE rank <= $K),
+       |${sdcPairsCtes("spairs")},
+       |${topkCte("sr", "spairs")},
+       |sd AS (SELECT DISTINCT query_id, neighbor_id FROM sr WHERE rank <= $K)
+       |SELECT e.query_id, count(*) AS n_exact,
+       |  CAST(coalesce(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 END), 0)
+       |    AS BIGINT) AS hit_adc,
+       |  CAST(coalesce(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 END), 0)
+       |    AS DOUBLE) / count(*) AS recall_adc,
+       |  CAST(coalesce(sum(CASE WHEN s.neighbor_id IS NOT NULL THEN 1 END), 0)
+       |    AS BIGINT) AS hit_sdc,
+       |  CAST(coalesce(sum(CASE WHEN s.neighbor_id IS NOT NULL THEN 1 END), 0)
+       |    AS DOUBLE) / count(*) AS recall_sdc
+       |FROM exact e
+       |LEFT JOIN ad a ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+       |LEFT JOIN sd s ON e.query_id = s.query_id AND e.neighbor_id = s.neighbor_id
+       |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin
+
+  // ---- s41: ε-graph density sweep (choosing the radius) ----
+  // d21 swept Jaccard thresholds for the dedup family; this is the
+  // vector sibling: for a sweep of cosine radii τ, how many candidate
+  // pairs and distinct vectors an ε-graph at that radius would
+  // contain — the curve read before fixing d5/d11's τ or a range-
+  // search radius (too low: one giant component; too high: isolated
+  // points). Candidates come from the capped band self-join (scored
+  // ONCE — the 6-row threshold frame cross-joins the scored pairs,
+  // never rescoring), so the sweep costs one LSH pass + 6·|pairs|
+  // filter work; |thresholds| rows out. The cosine·1e6 ≥ τ test
+  // compares identical doubles on both engines.
+  // Grid matched to the MEASURED candidate-cosine distribution at the
+  // gate (median 0.035, p90 0.19, p99 0.32, max 0.51 — near-orthogonal
+  // synthetic embeddings): a 0.5–0.95 grid would be 5/6 empty rows.
+  // Zero-hit thresholds still emit (left join from the grid).
+  private val CosSweepPpm = Seq(100000L, 150000L, 200000L, 250000L,
+    300000L, 400000L)
+
+  def s41DensitySweep(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val capped = VectorExprs.cappedBands(spark, dir)
+    val cand = capped.as("x").join(capped.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey")
+          && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("va"), col("y.vec_id").as("vb"))
+      .distinct()
+    val e = VectorExprs.embFeatures(spark, dir)
+      .select(col("vec_id"), col("vd"), col("n2"))
+    val scored = cand
+      .join(e.as("q"), col("va") === col("q.vec_id"))
+      .join(e.as("c"), col("vb") === col("c.vec_id"))
+      .withColumn("dot", expr(VectorExprs.dotExpr("q.vd", "c.vd")))
+      .select(col("va"), col("vb"), cosine.as("cosine"))
+    val th = CosSweepPpm.toDF("theta_ppm")
+    val hits = scored.crossJoin(broadcast(th))
+      .filter(col("cosine") * 1000000.0 >= col("theta_ppm"))
+    val np = hits.groupBy(col("theta_ppm")).agg(count(lit(1)).as("n_pairs"))
+    val nv = hits.select(col("theta_ppm"), explode(array(col("va"), col("vb"))).as("v"))
+      .distinct()
+      .groupBy(col("theta_ppm")).agg(count(lit(1)).as("n_vecs"))
+    th.join(np, Seq("theta_ppm"), "left_outer")
+      .join(nv, Seq("theta_ppm"), "left_outer")
+      .select(col("theta_ppm"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_vecs"), lit(0L)).as("n_vecs"))
+      .orderBy(col("theta_ppm"))
+  }
+
+  val s41Sql: String = {
+    val vals = CosSweepPpm.mkString("(", "), (", ")")
+    s"""WITH ${VectorExprs.bandCtes},
+       |cd AS (
+       |  SELECT DISTINCT x.vec_id AS va, y.vec_id AS vb
+       |  FROM capped x JOIN capped y
+       |    ON x.band = y.band AND x.bkey = y.bkey AND x.vec_id < y.vec_id),
+       |sc AS (
+       |  SELECT d.va, d.vb,
+       |    ${VectorExprs.duckDot("q.vd", "c.vd")}
+       |      / (sqrt(q.n2) * sqrt(c.n2)) AS cosine
+       |  FROM cd d JOIN eb q ON d.va = q.vec_id JOIN eb c ON d.vb = c.vec_id),
+       |th(theta_ppm) AS (VALUES $vals),
+       |ht AS (SELECT th.theta_ppm, sc.va, sc.vb FROM sc CROSS JOIN th
+       |       WHERE sc.cosine * 1000000 >= th.theta_ppm),
+       |np AS (SELECT theta_ppm, count(*) AS n_pairs FROM ht GROUP BY 1),
+       |nv AS (SELECT theta_ppm, count(*) AS n_vecs FROM (
+       |  SELECT DISTINCT theta_ppm, v FROM (
+       |    SELECT theta_ppm, unnest([va, vb]) AS v FROM ht)) GROUP BY 1)
+       |SELECT CAST(th.theta_ppm AS BIGINT) AS theta_ppm,
+       |  CAST(coalesce(np.n_pairs, 0) AS BIGINT) AS n_pairs,
+       |  CAST(coalesce(nv.n_vecs, 0) AS BIGINT) AS n_vecs
+       |FROM th LEFT JOIN np USING (theta_ppm) LEFT JOIN nv USING (theta_ppm)
+       |ORDER BY theta_ppm""".stripMargin
+  }
+
   // ---- s34: recall@k curve (the index tuning plot as a query) ----
   // s8 reports recall at one k; tuning reads the CURVE — recall@1..K
   // of the LSH index against exact top-K, aggregated across queries.
@@ -2037,6 +2273,9 @@ object SimilarityOps {
        |$recallTailSql""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s41_density_sweep" -> (s41DensitySweep _),
+    "s39_sdc_knn" -> (s39SdcKnn _),
+    "s40_sdc_recall" -> (s40SdcRecall _),
     "s37_nn_descent" -> (s37NnDescent _),
     "s38_nnd_recall" -> (s38NndRecall _),
     "s36_residual_recall" -> (s36ResidualRecall _),
@@ -2077,6 +2316,9 @@ object SimilarityOps {
     "s7_ivf_trained" -> (s7IvfTrained _))
 
   val oracles: Map[String, String] = Map(
+    "s41_density_sweep" -> s41Sql,
+    "s39_sdc_knn" -> s39Sql,
+    "s40_sdc_recall" -> s40Sql,
     "s37_nn_descent" -> s37Sql,
     "s38_nnd_recall" -> s38Sql,
     "s36_residual_recall" -> s36Sql,

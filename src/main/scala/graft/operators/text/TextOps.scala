@@ -1127,15 +1127,22 @@ object TextOps {
   // corpus); the double is one IEEE division.
   private val TopBursty = 20
 
+  /** Corpus word statistics (w, df, sc = Σcount, sc2 = Σcount²) —
+    * DfCache'd: one tokenize pass serves t24's burstiness row and
+    * t25's stopword induction. */
+  private def wordDocStats(spark: SparkSession, dir: String): DataFrame =
+    graft.util.DfCache.cached(spark, dir, "word_doc_stats") {
+      docs(spark, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .groupBy(col("w"), col("doc_id")).agg(count(lit(1)).as("c"))
+        .groupBy(col("w"))
+        .agg(count(lit(1)).as("df"), sum(col("c")).as("sc"),
+          sum(col("c") * col("c")).as("sc2"))
+    }
+
   def t24Burstiness(spark: SparkSession, dir: String): DataFrame = {
-    val dc = docs(spark, dir)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-      .groupBy(col("w"), col("doc_id")).agg(count(lit(1)).as("c"))
-    val stats = dc.groupBy(col("w"))
-      .agg(count(lit(1)).as("df"), sum(col("c")).as("sc"),
-        sum(col("c") * col("c")).as("sc2"))
     val n = docs(spark, dir).agg(count(lit(1)).as("nd"))
-    stats
+    wordDocStats(spark, dir)
       .orderBy(col("df").desc, col("w")).limit(TopBursty)
       .crossJoin(broadcast(n))
       .select(col("w").as("word"), col("df"), col("sc").as("total_count"),
@@ -1163,7 +1170,53 @@ object TextOps {
        |    / CAST(CAST(n.nd * sc AS BIGINT) AS DOUBLE) AS burstiness
        |FROM top CROSS JOIN n ORDER BY word""".stripMargin
 
+  // ---- t25: stopword-list induction (t24 made actionable) ----
+  // The decision list t24's statistic exists for: words that are both
+  // CORPUS-WIDE (df ≥ 30% of docs) and NON-BURSTY (Var/Mean ≤ 1.35 —
+  // near-Poisson, i.e. function-word dispersion) are stopword
+  // candidates; what d22 is to d6, this is to t24 — the measurement
+  // turned into the artifact a pipeline consumes (t2's stopword
+  // ratio, retrieval pruning). Both tests are integer cross-products
+  // (10·df ≥ 3·N; 100·num ≤ 135·den) — no rational thresholds
+  // materialized, bit-exact on both engines. One shared DfCache'd
+  // stats pass (t24's), a broadcast one-row N frame, top-50 fully
+  // tie-broken.
+  private val StopDfPct = 30L       // df ≥ 30% of docs
+  private val StopBurstPct = 135L   // Var/Mean ≤ 1.35
+
+  def t25StopwordInduction(spark: SparkSession, dir: String): DataFrame = {
+    val n = docs(spark, dir).agg(count(lit(1)).as("nd"))
+    wordDocStats(spark, dir)
+      .crossJoin(broadcast(n))
+      .withColumn("burst_num", col("nd") * col("sc2") - col("sc") * col("sc"))
+      .withColumn("burst_den", col("nd") * col("sc"))
+      .filter(col("df") * 10 >= col("nd") * (StopDfPct / 10L) &&
+        col("burst_num") * 100 <= col("burst_den") * StopBurstPct)
+      .select(col("w").as("word"), col("df"), col("sc").as("total_count"),
+        col("burst_num"), col("burst_den"))
+      .orderBy(col("df").desc, col("word"))
+      .limit(50)
+  }
+
+  val t25Sql: String =
+    s"""WITH dc AS (
+       |  SELECT w, doc_id, count(*) AS c FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+       |  GROUP BY 1, 2),
+       |st AS (SELECT w, count(*) AS df, sum(c) AS sc, sum(c * c) AS sc2
+       |       FROM dc GROUP BY w),
+       |n AS (SELECT count(*) AS nd FROM documents)
+       |SELECT w AS word, CAST(df AS BIGINT) AS df,
+       |  CAST(sc AS BIGINT) AS total_count,
+       |  CAST(n.nd * sc2 - sc * sc AS BIGINT) AS burst_num,
+       |  CAST(n.nd * sc AS BIGINT) AS burst_den
+       |FROM st CROSS JOIN n
+       |WHERE df * 10 >= n.nd * ${StopDfPct / 10L}
+       |  AND (n.nd * sc2 - sc * sc) * 100 <= (n.nd * sc) * $StopBurstPct
+       |ORDER BY df DESC, word LIMIT 50""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t25_stopword_induction" -> (t25StopwordInduction _),
     "t24_burstiness" -> (t24Burstiness _),
     "t23_boilerplate" -> (t23Boilerplate _),
     "t22_ngram_novelty" -> (t22NgramNovelty _),
@@ -1190,6 +1243,7 @@ object TextOps {
     "t9_curation_pipeline" -> (t9CurationPipeline _))
 
   val oracles: Map[String, String] = Map(
+    "t25_stopword_induction" -> t25Sql,
     "t24_burstiness" -> t24Sql,
     "t23_boilerplate" -> t23Sql,
     "t22_ngram_novelty" -> t22Sql,

@@ -203,6 +203,52 @@ object VectorOps {
        |              (a, x) -> a + x) AS recon_err
        |FROM pick GROUP BY vec_id ORDER BY vec_id""".stripMargin
 
+  // ---- v12: PQ symmetric-distance (SDC) tables ----
+  // The OTHER half of Jégou et al.'s PQ search story: ADC (s10) keeps
+  // the query raw and pays a per-query lookup-table build; SDC
+  // quantizes the query too and scores CODE AGAINST CODE through this
+  // precomputed inter-centroid table — nothing per-query beyond a
+  // nibble unpack, which is what a code-to-code dedup sweep or an
+  // index-side kNN-graph build wants (no raw vector ever read). The
+  // table is tiny and STATIC: per subspace m, dot(c_i^m, c_j^m) for
+  // all centroid pairs — 8×16×16 entries, ~16 KB broadcast, built
+  // once from the same pqcents the codes were assigned against.
+  // Gated as the i ≤ j half (the symmetric closure is derived); the
+  // diagonal rows double as the reconstructed-norm terms SDC cosine
+  // needs. Folds are sequential per subspace — bit-identical doubles.
+  /** Full (both orders) inter-centroid subspace dot table —
+    * (m, ci, cj, dot); v12 gates the i ≤ j half, s39 broadcasts the
+    * whole thing as a lookup map. */
+  private[operators] def sdcEntries(spark: SparkSession, dir: String): DataFrame = {
+    val a = pqCents(spark, dir).select(col("mid").as("ci"), col("cvd").as("cva"))
+    val b = pqCents(spark, dir).select(col("mid").as("cj"), col("cvd").as("cvb"))
+    val subFold =
+      s"""transform(sequence(0, ${PqM - 1}), m ->
+         |  aggregate(sequence(1, $PqD), cast(0.0 as double),
+         |    (a, d) -> a + element_at(cva, m*$PqD + d) * element_at(cvb, m*$PqD + d)))"""
+        .stripMargin
+    a.crossJoin(b)
+      .select(col("ci"), col("cj"), posexplode(expr(subFold)).as(Seq("m", "dot")))
+      .select(col("m").cast("int").as("m"), col("ci"), col("cj"), col("dot"))
+  }
+
+  def v12SdcTables(spark: SparkSession, dir: String): DataFrame =
+    sdcEntries(spark, dir)
+      .filter(col("ci") <= col("cj"))
+      .orderBy(col("m"), col("ci"), col("cj"))
+
+  val v12Sql: String =
+    s"""WITH ${VectorExprs.embCtes},
+       |pqcents AS (SELECT vec_id AS mid, vd AS cvd FROM eb WHERE vec_id < $PqK),
+       |sd AS (
+       |  SELECT g.m, a.mid AS ci, b.mid AS cj,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      [ a.cvd[g.m*$PqD + d] * b.cvd[g.m*$PqD + d]
+       |        for d in generate_series(1, $PqD) ]), (x, y) -> x + y) AS dot
+       |  FROM pqcents a CROSS JOIN pqcents b, generate_series(0, ${PqM - 1}) g(m))
+       |SELECT CAST(m AS INTEGER) AS m, ci, cj, dot FROM sd
+       |WHERE ci <= cj ORDER BY m, ci, cj""".stripMargin
+
   // ---- v5: 1-bit sign quantization (binary codes) ----
   // The most aggressive compression row of the family: one sign bit
   // per dim (Charikar 2002's hyperplane-LSH degenerate case where the
@@ -679,6 +725,7 @@ object VectorOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v12_sdc_tables" -> (v12SdcTables _),
     "v11_ternary_quantize" -> (v11TernaryQuantize _),
     "v10_matryoshka" -> (v10Matryoshka _),
     "v9_residual_codes" -> (v9ResidualCodes _),
@@ -692,6 +739,7 @@ object VectorOps {
     "v3_random_projection" -> (v3RandomProjection _))
 
   val oracles: Map[String, String] = Map(
+    "v12_sdc_tables" -> v12Sql,
     "v11_ternary_quantize" -> v11Sql,
     "v10_matryoshka" -> v10Sql,
     "v9_residual_codes" -> v9Sql,
