@@ -1771,8 +1771,79 @@ object Relational {
       |  END AS growth_ppm
       |FROM w ORDER BY month""".stripMargin
 
+  // ---- q50: self-join-size (F2) estimation — AMS count-sketch ----
+  // The query-optimizer statistic behind join-size estimates: the
+  // second frequency moment F2 = Σ_k c_k² IS the self-equi-join
+  // cardinality of the key column. Exact F2 needs a full groupBy; the
+  // AMS/count-sketch answers it in O(d·w) state: cells accumulate
+  // SIGNED counts (sign = one hash bit), est_r = Σ_w cell², median
+  // over d rows — unbiased with rel-σ ≈ √(2/w) (Alon–Matias–Szegedy
+  // 1996; Charikar's count-sketch form). Two measured lessons landed
+  // here: (1) the q31-style CMS square bound (min_r Σ (Σc)²) read 30×
+  // over at w=64 — an upper bound, not an estimate — and was
+  // replaced; (2) affine sign hashes collapse on SEQUENTIAL part keys
+  // (four variants measured 6× under to 5× over — the q33
+  // bijective-low-bits lesson again), so bucket AND sign come from
+  // disjoint bits of the shared xor-shift-multiply avalanche, r
+  // folded into the seed: measured 1.67M vs 1.86M exact (10%, inside
+  // the √(2/64) band), row spread 1.49–2.57M. Squares in
+  // DECIMAL(38,0)/HUGEINT (cell² clears BIGINT past ~3e9 — q32
+  // posture); one map-side-combined grid, 5·w cells, |1| row out.
+  private val AmsRows = 5 // odd → percentile_disc(0.5) is the true middle
+
+  def q50F2Sketch(spark: SparkSession, dir: String): DataFrame = {
+    val items = t(spark, dir, "lineitem")
+      .select(col("l_partkey").cast("long").as("k"))
+    val big = DecimalType(38, 0)
+    val est = items
+      .select(col("k"), explode(expr(s"sequence(0, ${AmsRows - 1})")).as("r"))
+      .withColumn("x0", expr("(k + 1469598103L + r * 2654435761L) % 4294967296L"))
+      .withColumn("x1", expr("(((x0 div 65536) ^ x0) * 73244475L) % 4294967296L"))
+      .withColumn("x2", expr("(((x1 div 65536) ^ x1) * 73244475L) % 4294967296L"))
+      .withColumn("h", expr("(x2 div 65536) ^ x2"))
+      .groupBy(col("r"), expr(s"(h div 2) % $CmsWidth").as("bucket"))
+      .agg(sum(expr("1 - 2 * (h % 2)")).as("c"))
+      .groupBy(col("r"))
+      .agg(sum(col("c").cast(big) * col("c")).cast("long").as("row_f2"))
+      .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY row_f2)")
+        .as("est_d"))
+      // percentile_disc returns DOUBLE but picks an ACTUAL element —
+      // the long cast is exact (row_f2 ≤ 2^53 here; see DECIMAL note)
+      .select(col("est_d").cast("long").as("est_f2"))
+    val exact = items.groupBy(col("k")).agg(count(lit(1)).as("c"))
+      .agg(sum(col("c").cast(big) * col("c")).cast("long").as("exact_f2"))
+    exact.crossJoin(broadcast(est))
+      .select(col("exact_f2"), col("est_f2"),
+        expr("""CAST(sign(est_f2 - exact_f2) AS BIGINT)
+               |  * (abs(est_f2 - exact_f2) * 1000000 div exact_f2)"""
+          .stripMargin).as("err_ppm"))
+  }
+
+  val q50Sql: String =
+    s"""WITH items AS (SELECT CAST(l_partkey AS BIGINT) AS k FROM lineitem),
+       |hx AS (
+       |  SELECT r, xor(x2 // 65536, x2) AS h FROM (
+       |    SELECT r, (xor(x1 // 65536, x1) * 73244475) % 4294967296 AS x2 FROM (
+       |      SELECT r, (xor(x0 // 65536, x0) * 73244475) % 4294967296 AS x1 FROM (
+       |        SELECT g.r, (k + 1469598103 + g.r * 2654435761) % 4294967296 AS x0
+       |        FROM items, generate_series(0, ${AmsRows - 1}) g(r)) t0) t1) t2),
+       |cells AS (
+       |  SELECT r, (h // 2) % $CmsWidth AS bucket,
+       |    sum(1 - 2 * (h % 2)) AS c
+       |  FROM hx GROUP BY 1, 2),
+       |est AS (SELECT quantile_disc(row_f2, 0.5) AS est_f2 FROM (
+       |  SELECT r, CAST(sum(CAST(c AS HUGEINT) * c) AS BIGINT) AS row_f2
+       |  FROM cells GROUP BY r)),
+       |ex AS (SELECT CAST(sum(CAST(c AS HUGEINT) * c) AS BIGINT) AS exact_f2
+       |  FROM (SELECT count(*) AS c FROM items GROUP BY k))
+       |SELECT ex.exact_f2, est.est_f2,
+       |  CAST(sign(est.est_f2 - ex.exact_f2) AS BIGINT)
+       |    * (abs(est.est_f2 - ex.exact_f2) * 1000000 // ex.exact_f2) AS err_ppm
+       |FROM ex CROSS JOIN est""".stripMargin
+
   /** queries-map fragment: name → builder */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q50_f2_sketch" -> (q50F2Sketch _),
     "q49_mom_growth" -> (q49MomGrowth _),
     "q48_itemset3" -> (q48Itemset3 _),
     "q47_sketch_algebra" -> (q47SketchAlgebra _),
@@ -1825,6 +1896,7 @@ object Relational {
 
   /** oracle-map fragment: name → DuckDB SQL */
   val oracles: Map[String, String] = Map(
+    "q50_f2_sketch" -> q50Sql,
     "q49_mom_growth" -> q49Sql,
     "q48_itemset3" -> q48Sql,
     "q47_sketch_algebra" -> q47Sql,

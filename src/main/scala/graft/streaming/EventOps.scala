@@ -1000,7 +1000,80 @@ object EventOps {
       |  d.dau * 1000000 // w.wau AS stickiness_ppm
       |FROM dau d JOIN wau w USING (day) ORDER BY day""".stripMargin
 
+  // ---- e26: RFM segmentation (recency / frequency / monetary) ----
+  // The classic user-value segmentation every growth team runs: per
+  // user, days since last event (R), event count (F), total value in
+  // exact cents (M), each coded into quintiles against corpus-wide
+  // percentile_disc cut points — discrete percentiles return ACTUAL
+  // data values, so every code assignment is an integer comparison
+  // (no interpolated rational thresholds to disagree on). Codes are
+  // 1 + |{t_i : v > t_i}| (ties land deterministically on both
+  // engines); recency inverts so RECENT = 5. The user summary is one
+  // map-side-combined aggregate; the 12 cut points ride a broadcast
+  // one-row frame. percentile_disc buffers the summary per partition
+  // — at 1e9-user scale the q29/q38 binned-rank machinery replaces
+  // it (the documented high-cardinality posture).
+  def e26Rfm(spark: SparkSession, dir: String): DataFrame = {
+    val u = events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(max(col("ts").cast("date")).as("last_day"),
+        count(lit(1)).as("n_events"),
+        sum((col("value").cast("decimal(18,2)") * 100).cast("long"))
+          .as("monetary_cents"))
+    val withR = u.crossJoin(broadcast(
+        events(spark, dir).agg(max(col("ts").cast("date")).as("dmax"))))
+      .withColumn("r_days", datediff(col("dmax"), col("last_day")).cast("long"))
+    def cuts(c: String, out: String) = (1 to 4).map(i =>
+      expr(s"percentile_disc(0.${2 * i}) WITHIN GROUP (ORDER BY $c)")
+        .as(s"$out$i"))
+    val th = withR.agg(
+      (cuts("r_days", "rt") ++ cuts("n_events", "ft") ++
+        cuts("monetary_cents", "mt")).head,
+      (cuts("r_days", "rt") ++ cuts("n_events", "ft") ++
+        cuts("monetary_cents", "mt")).tail: _*)
+    def code(v: String, t: String) = expr(
+      s"1 + (CASE WHEN $v > ${t}1 THEN 1 ELSE 0 END) + (CASE WHEN $v > ${t}2 THEN 1 ELSE 0 END)" +
+        s" + (CASE WHEN $v > ${t}3 THEN 1 ELSE 0 END) + (CASE WHEN $v > ${t}4 THEN 1 ELSE 0 END)")
+    withR.crossJoin(broadcast(th))
+      .withColumn("r_code", lit(6L) - code("r_days", "rt"))
+      .withColumn("f_code", code("n_events", "ft").cast("long"))
+      .withColumn("m_code", code("monetary_cents", "mt").cast("long"))
+      .select(col("user_id"), col("r_days"), col("n_events"),
+        col("monetary_cents"), col("r_code"), col("f_code"), col("m_code"),
+        (col("r_code") * 100 + col("f_code") * 10 + col("m_code")).as("rfm_code"))
+      .orderBy(col("user_id"))
+  }
+
+  val e26Sql: String = {
+    def cuts(c: String, out: String) = (1 to 4).map(i =>
+      s"quantile_disc($c, 0.${2 * i}) AS $out$i").mkString(", ")
+    def code(v: String, t: String) =
+      s"1 + (CASE WHEN $v > ${t}1 THEN 1 ELSE 0 END) + (CASE WHEN $v > ${t}2 THEN 1 ELSE 0 END)" +
+        s" + (CASE WHEN $v > ${t}3 THEN 1 ELSE 0 END) + (CASE WHEN $v > ${t}4 THEN 1 ELSE 0 END)"
+    s"""WITH u AS (
+       |  SELECT user_id, max(CAST(date_trunc('day', ts) AS DATE)) AS last_day,
+       |    count(*) AS n_events,
+       |    CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+       |      AS monetary_cents
+       |  FROM events GROUP BY user_id),
+       |mx AS (SELECT max(CAST(date_trunc('day', ts) AS DATE)) AS dmax FROM events),
+       |ur AS (SELECT u.*, CAST(date_diff('day', last_day, mx.dmax) AS BIGINT)
+       |         AS r_days FROM u CROSS JOIN mx),
+       |th AS (SELECT ${cuts("r_days", "rt")}, ${cuts("n_events", "ft")},
+       |  ${cuts("monetary_cents", "mt")} FROM ur)
+       |SELECT user_id, r_days, CAST(n_events AS BIGINT) AS n_events,
+       |  monetary_cents,
+       |  6 - (${code("r_days", "rt")}) AS r_code,
+       |  CAST(${code("n_events", "ft")} AS BIGINT) AS f_code,
+       |  CAST(${code("monetary_cents", "mt")} AS BIGINT) AS m_code,
+       |  (6 - (${code("r_days", "rt")})) * 100
+       |    + (${code("n_events", "ft")}) * 10
+       |    + (${code("monetary_cents", "mt")}) AS rfm_code
+       |FROM ur CROSS JOIN th ORDER BY user_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e26_rfm" -> (e26Rfm _),
     "e25_dau_wau" -> (e25DauWau _),
     "e24_watermark_whatif" -> (e24WatermarkWhatif _),
     "e23_type_transitions" -> (e23TypeTransitions _),
@@ -1028,6 +1101,7 @@ object EventOps {
     "e8_funnel" -> (e8Funnel _))
 
   val oracles: Map[String, String] = Map(
+    "e26_rfm" -> e26Sql,
     "e25_dau_wau" -> e25Sql,
     "e24_watermark_whatif" -> e24Sql,
     "e23_type_transitions" -> e23Sql,
