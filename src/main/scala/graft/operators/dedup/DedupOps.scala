@@ -1275,6 +1275,148 @@ object DedupOps {
        |FROM np JOIN nd USING (theta_ppm) ORDER BY theta_ppm""".stripMargin
   }
 
+  // ---- d23: LSH band-tuning matrix (the (b, r) decision table) ----
+  // The table a production dedup reads before fixing its band shape:
+  // for each way of cutting the SAME 64 minhashes into (b bands × r
+  // rows), the full-corpus candidate volume (the cost), the measured
+  // recall against true Jaccard ≥ 0.5 pairs on a fixed probe sample
+  // (the d8 posture — broadcast probes × corpus, linear, never
+  // all-pairs), and the ANALYTIC S-curve catch probability at τ —
+  // computed in EXACT integers driver-side: τ = 1/2 makes
+  // 1−(1−τ^r)^b = 1 − (2^r−1)^b / 2^64, a BigInt ratio in ppm (no
+  // pow(), nothing for two engines' libm to disagree on). Theory says
+  // narrower bands catch more (r=2: 99.99%, r=8: 3.1% at τ exactly)
+  // at quadratically more candidate cost; this measures where THIS
+  // corpus actually sits between those poles. Measured verdict at the
+  // gate: recall 1.0 in EVERY config against an analytic 3%–99.99%
+  // spread — the corpus's near-dup mass sits at J = 1 (exact copies),
+  // and identical shingle sets give identical minhashes, hence
+  // identical keys under any (b, r) cut. The table is exactly the
+  // evidence that lets a pipeline pick the CHEAPEST config (8×8: 25
+  // candidates vs 177) when its dups are exact — and the s_curve
+  // column is what stops that choice the day genuinely-partial
+  // overlap (J ≈ 0.5) starts appearing.
+  // 100 probes, not 25: this corpus is BIMODAL (exact copies or
+  // near-zero Jaccard — measured: J ≥ 0.05 adds just one pair over
+  // J ≥ 0.5 on a 25-probe sample), so truth density comes from probe
+  // count, not from loosening τ. Still linear: probes × corpus.
+  private val TuneProbes = 100
+  private val TuneConfigs = Seq((8, 8), (16, 4), (32, 2)) // (bands, rows)
+
+  private def sCurvePpm(b: Int, r: Int): Long = {
+    val denom = BigInt(2).pow(r * b)
+    val miss = (BigInt(2).pow(r) - 1).pow(b)
+    ((denom - miss) * 1000000 / denom).toLong
+  }
+
+  /** 64-minhash vectors per doc — DfCache'd (d23 cuts them three
+    * ways; d2's band table derives the same folds inline). */
+  private def minhashTable(spark: SparkSession, dir: String): DataFrame =
+    graft.util.DfCache.cached(spark, dir, "dedup_mh64") {
+      shingleFeatures(spark, dir).withColumn("mh", expr(mhExpr))
+        .select(col("doc_id"), col("mh"))
+    }
+
+  def d23BandTuning(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(spark)
+    val sh = shingleFeatures(spark, dir)
+    // probe-sample ground truth: Jaccard ≥ 1/2 ⟺ 2·|∩| ≥ |∪|
+    val truth = broadcast(sh.filter(col("doc_id") < TuneProbes).as("a"))
+      .join(sh.as("b"), col("a.doc_id") =!= col("b.doc_id"))
+      .withColumn("inter",
+        expr("graft_sorted_intersect_count(a.shingles, b.shingles)"))
+      .withColumn("un",
+        size(col("a.shingles")) + size(col("b.shingles")) - col("inter"))
+      .filter(col("inter") * 2 >= col("un"))
+      .select(col("a.doc_id").as("pa"), col("b.doc_id").as("pb"))
+      .localCheckpoint(true)
+    val mh = minhashTable(spark, dir)
+    val rows = TuneConfigs.map { case (b, r) =>
+      val keys =
+        s"""transform(sequence(0, ${b - 1}), bb ->
+           |  aggregate(sequence(1, $r), cast(17 as bigint),
+           |    (acc, j) -> (acc*31 + element_at(mh, bb*$r + j)) % 2147483647))"""
+          .stripMargin
+      val bandRows = mh.select(col("doc_id"),
+        posexplode(expr(keys)).as(Seq("band", "bkey")))
+      val capped = graft.util.Buckets.cap(bandRows, Seq("band", "bkey"), MaxBucket)
+      val cand = capped.as("x").join(capped.as("y"),
+          col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey")
+            && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .distinct()
+      val nCand = cand.agg(count(lit(1)).as("n_candidates"))
+      val sym = cand.select(col("doc_a").as("pa"), col("doc_b").as("pb"))
+        .union(cand.select(col("doc_b").as("pa"), col("doc_a").as("pb")))
+      val caught = truth.join(sym, Seq("pa", "pb"), "left_semi")
+        .agg(count(lit(1)).as("n_caught"))
+      nCand.crossJoin(caught)
+        .crossJoin(truth.agg(count(lit(1)).as("n_truth")))
+        .select(lit(b).cast("int").as("bands"), lit(r).cast("int").as("rows_per_band"),
+          col("n_candidates"), col("n_truth"), col("n_caught"),
+          expr("CASE WHEN n_truth > 0 THEN n_caught * 1000000 div n_truth END")
+            .as("recall_ppm"),
+          lit(sCurvePpm(b, r)).as("s_curve_ppm"))
+    }
+    rows.reduce(_.union(_)).orderBy(col("rows_per_band"))
+  }
+
+  val d23Sql: String = {
+    def cfg(b: Int, r: Int): String = {
+      val tag = s"${b}_$r"
+      s"""bd$tag AS (
+         |  SELECT doc_id, bb AS band,
+         |    list_reduce(list_prepend(CAST(17 AS BIGINT),
+         |      [ mh[bb*$r + j] for j in generate_series(1, $r) ]),
+         |      (a, x) -> (a*31 + x) % 2147483647) AS bkey
+         |  FROM mh, generate_series(0, ${b - 1}) g(bb)),
+         |okb$tag AS (SELECT band, bkey FROM bd$tag
+         |  GROUP BY band, bkey HAVING count(*) <= $MaxBucket),
+         |cp$tag AS (SELECT d.doc_id, d.band, d.bkey
+         |  FROM bd$tag d JOIN okb$tag USING (band, bkey)),
+         |cd$tag AS MATERIALIZED (
+         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM cp$tag x JOIN cp$tag y
+         |    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+         |row$tag AS (
+         |  SELECT $b AS bands, $r AS rows_per_band,
+         |    (SELECT count(*) FROM cd$tag) AS n_candidates,
+         |    (SELECT count(*) FROM truth) AS n_truth,
+         |    (SELECT count(*) FROM truth t
+         |     WHERE EXISTS (SELECT 1 FROM cd$tag c
+         |       WHERE (c.doc_a = t.pa AND c.doc_b = t.pb)
+         |          OR (c.doc_b = t.pa AND c.doc_a = t.pb))) AS n_caught,
+         |    ${sCurvePpm(b, r)} AS s_curve_ppm)"""
+        .stripMargin
+    }
+    val cfgs = TuneConfigs.map { case (b, r) => cfg(b, r) }.mkString(",\n")
+    val sel = TuneConfigs.map { case (b, r) =>
+      s"SELECT * FROM row${b}_$r" }.mkString("\nUNION ALL ")
+    s"""WITH $shingleCtes,
+       |mh AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    [ list_min([ ((2*CAST(p AS BIGINT)+1)*s + p*p+1) % 2147483647
+       |                 for s in shingles ])
+       |      for p in generate_series(0,63) ] AS mh
+       |  FROM sh),
+       |truth AS MATERIALIZED (
+       |  SELECT a.doc_id AS pa, b.doc_id AS pb
+       |  FROM sh a JOIN sh b ON a.doc_id < $TuneProbes AND a.doc_id != b.doc_id
+       |  WHERE 2 * len(list_intersect(a.shingles, b.shingles))
+       |        >= len(a.shingles) + len(b.shingles)
+       |           - len(list_intersect(a.shingles, b.shingles))),
+       |$cfgs
+       |SELECT CAST(bands AS INTEGER) AS bands,
+       |  CAST(rows_per_band AS INTEGER) AS rows_per_band,
+       |  CAST(n_candidates AS BIGINT) AS n_candidates,
+       |  CAST(n_truth AS BIGINT) AS n_truth,
+       |  CAST(n_caught AS BIGINT) AS n_caught,
+       |  CASE WHEN n_truth > 0 THEN n_caught * 1000000 // n_truth END
+       |    AS recall_ppm,
+       |  CAST(s_curve_ppm AS BIGINT) AS s_curve_ppm
+       |FROM ($sel) ORDER BY rows_per_band""".stripMargin
+  }
+
   // ---- d22: representative weights (dedup as reweighting) ----
   // The alternative to DROPPING duplicates that modern data recipes
   // prefer: keep one representative per near-dup cluster and carry
@@ -1308,6 +1450,7 @@ object DedupOps {
        |ORDER BY d.doc_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d23_band_tuning" -> (d23BandTuning _),
     "d22_rep_weights" -> (d22RepWeights _),
     "d21_threshold_sweep" -> (d21ThresholdSweep _),
     "d20_cluster_sizes" -> (d20ClusterSizes _),
@@ -1332,6 +1475,7 @@ object DedupOps {
     "d9_incremental_dedup" -> (d9IncrementalDedup _))
 
   val oracles: Map[String, String] = Map(
+    "d23_band_tuning" -> d23Sql,
     "d22_rep_weights" -> d22Sql,
     "d21_threshold_sweep" -> d21Sql,
     "d20_cluster_sizes" -> d20Sql,
