@@ -1442,8 +1442,16 @@ object GraphOps {
     * stages per round disappear (degree agg + two orient joins). */
   private[graft] def orientedSupports(ord: DataFrame): DataFrame = {
     val adj = adjacencyOf(ord)
-    val tri = ord.join(adj.as("au"), col("ou") === col("au.anode"))
-      .join(adj.as("av"), col("ov") === col("av.anode"))
+    // SHUFFLE_HASH, not sort-merge: SMJ sorts E rows each dragging an
+    // out-adjacency ARRAY (~1 KB/row at sf10's 120M-edge projection —
+    // a ~120 GB sort spill PER probe join; measured: the sf10 peel
+    // overran a 250 GB scratch disk twice). Hash join builds on the
+    // V-row adjacency side (bounded per partition) and STREAMS the
+    // edge side — no array ever sorted.
+    val tri = ord.join(adj.as("au").hint("SHUFFLE_HASH"),
+        col("ou") === col("au.anode"))
+      .join(adj.as("av").hint("SHUFFLE_HASH"),
+        col("ov") === col("av.anode"))
       .select(col("ou"), col("ov"),
         expr("array_intersect(au.nbrs, av.nbrs)").as("ws"))
       .filter(size(col("ws")) > 0)
@@ -1473,6 +1481,16 @@ object GraphOps {
     var ord = g7OrientedEdges(spark, dir)
     val traj = scala.collection.mutable.ListBuffer((0, ord.count()))
     var r = 1
+    // Disk discipline for the big rounds: each round's localCheckpoint
+    // holds an E-row block set, and the credit shuffle's files are
+    // only reclaimed when their RDDs are GC'd — at sf10 (120M-edge
+    // projection) three retained rounds plus live shuffle spill
+    // overran a 250 GB scratch disk (measured). Unpersist the
+    // superseded round as soon as its successor is materialized and
+    // nudge the ContextCleaner so at most TWO rounds of blocks +
+    // shuffles are ever on disk. Round 0 is the DfCache-owned shared
+    // table and is never touched.
+    var owned: Option[DataFrame] = None
     // Early exit on fixpoint: a peel that removed nothing cannot
     // remove anything next round, so remaining trajectory rows repeat
     // the converged count without re-enumerating triangles.
@@ -1483,9 +1501,13 @@ object GraphOps {
         .repartition(col("ou"))
         .localCheckpoint(true)
       traj += ((r, next.count()))
+      owned.foreach(_.unpersist())
+      owned = Some(next)
+      System.gc() // lets ContextCleaner reap the superseded shuffles
       ord = next
       r += 1
     }
+    owned.foreach(_.unpersist())
     while (r <= TrussRounds) { traj += ((r, traj.last._2)); r += 1 }
     import spark.implicits._
     traj.toSeq.toDF("round", "n_edges")
