@@ -43,20 +43,20 @@ object Bench {
       "graph_wppr" -> ((s, d) => graft.operators.graph.GraphOps.g16WeightedPersonalized(s, d)),
       "winnow_fp" -> ((s, d) => graft.operators.dedup.DedupOps.winnowFingerprints(s, d)))
 
-    def timed(fn: => Long): (Double, Boolean) = {
+    def timed(fn: => Long): (Double, Boolean, Long) = {
       val t0 = System.nanoTime()
-      val ok = try { fn; true } catch { case _: Throwable => false }
-      ((System.nanoTime() - t0) / 1e9, ok)
+      val (ok, rows) = try { (true, fn) } catch { case _: Throwable => (false, 0L) }
+      ((System.nanoTime() - t0) / 1e9, ok, rows)
     }
 
     val warm = warmups.map { case (name, fn) =>
-      val (sec, ok) = timed(fn(spark, sfDir).count())
+      val (sec, ok, _) = timed(fn(spark, sfDir).count())
       (name, sec, ok)
     }
     // sorted order: deterministic run-to-run attribution
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val (sec, ok) = timed(fn(spark, sfDir).count())
-      (name, sec, ok)
+      val (sec, ok, rows) = timed(fn(spark, sfDir).count())
+      (name, sec, ok, rows)
     }
 
     // The driver captures only the LAST 2000 chars of output and greps
@@ -75,20 +75,30 @@ object Bench {
       entries.map { case (k, v, _) => "\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
     val warmTotal = warm.map(_._2).sum
     val queryTotal = results.map(_._2).sum
-    val failed = (warm ++ results).collect { case (k, _, false) => "\"" + k + "\"" }
+    val timings = results.map { case (k, s, ok, _) => (k, s, ok) }
+    val failed = (warm ++ timings).collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val detail = s"""{"metric":"total","value":${warmTotal + queryTotal},"unit":"sec",""" +
       s""""warmup_total":$warmTotal,"query_total":$queryTotal,""" +
-      s""""warmup":${obj(warm, _.toString)},"queries":${obj(results, _.toString)},""" +
+      s""""warmup":${obj(warm, _.toString)},"queries":${obj(timings, _.toString)},""" +
+      s""""rows":${timings.indices.map(i => "\"" + results(i)._1 + "\":" + results(i)._4).mkString("{", ",", "}")},""" +
       s""""failed":$failed,"sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_detail.json"),
       detail.getBytes("UTF-8"))
     val families = results.groupBy(_._1.head).toSeq.sortBy(_._1)
       .map { case (f, es) => (f.toString, es.map(_._2).sum, true) }
-    val top = results.sortBy(-_._2).take(30)
+    // printNumbers analog (Runner.java:31's hits/sec line): per-family
+    // result-row throughput at this SF — normalizes round-over-round
+    // comparison for board growth (board-size-invariant: 8 keys).
+    val famRps = results.groupBy(_._1.head).toSeq.sortBy(_._1)
+      .map { case (f, es) =>
+        val sec = es.map(_._2).sum
+        (f.toString, if (sec > 0) es.map(_._4).sum / sec else 0.0, true) }
+    val top = timings.sortBy(-_._2).take(30)
     val line = s"""{"metric":"total","value":${r2(warmTotal + queryTotal)},"unit":"sec",""" +
       s""""warmup_total":${r2(warmTotal)},"query_total":${r2(queryTotal)},""" +
       s""""n_queries":${results.size},"families":${obj(families, r2)},""" +
+      s""""rows_per_sec":${obj(famRps, v => math.round(v).toString)},""" +
       s""""queries":${obj(top, r2)},"failed":$failed,"sf":"$sfDir",""" +
       s""""detail":"bench_detail.json"}"""
     require(line.length <= 1900,

@@ -30,6 +30,14 @@ object GraftSession {
       // cost more than the shuffle they save).
       .config("spark.sql.autoBroadcastJoinThreshold", (16L * 1024 * 1024).toString)
       .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+      // Iterative peels (g33) retire an E-row localCheckpoint + its
+      // shuffle files every round; those disk blocks are only freed
+      // once the ContextCleaner sees the RDD collected. Default
+      // periodic GC is 30 min — far longer than a round — so spill
+      // accumulated across rounds (measured sf10 scratch overrun).
+      // A 30 s cadence bounds on-disk rounds without the former
+      // stop-the-world System.gc() per peel round.
+      .config("spark.cleaner.periodicGC.interval", "30s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Same effect as spark.sql.extensions=graft.functions.GraftExtensions

@@ -41,6 +41,33 @@ object ScaleTrail {
           s""""mismatches":${joined.getLong(1)},"loop_sec":${"%.1f".format(loopSec)},""" +
           s""""total_sec":${"%.1f".format(totalSec)}}""")
     }
+    // Split re-execution probes (round-7 verdict item 6): the gated
+    // loop vs the SAME machinery warm-started mid-way — the
+    // composition law that holds iff per-round checkpoint/persist
+    // plumbing perturbed nothing. Full-outer + value compare, so a
+    // node present on one side only also counts as a mismatch.
+    val splitProbes: Seq[(String, () => (org.apache.spark.sql.DataFrame,
+        org.apache.spark.sql.DataFrame, String, String))] = Seq(
+      "g17_label_propagation" -> (() => {
+        val (a, b) = GraphOps.g17SplitPair(spark, dir); (a, b, "node", "lbl") }),
+      "g20_kcore" -> (() => {
+        val (a, b) = GraphOps.g20SplitPair(spark, dir)
+        (a, b, "node_id", "deg_in_core") }))
+    splitProbes.foreach { case (name, probe) =>
+      val t0 = System.nanoTime()
+      val (full, split, key, value) = probe()
+      val joined = full.as("a")
+        .join(split.as("b"), Seq(key), "full_outer")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col(s"a.$value") === col(s"b.$value"), 0L).otherwise(1L))
+            .as("bad"))
+        .collect()(0)
+      val totalSec = (System.nanoTime() - t0) / 1e9
+      println(
+        s"""{"op":"$name","sf":"$dir","mode":"split_reexec",""" +
+          s""""rows":${joined.getLong(0)},"mismatches":${joined.getLong(1)},""" +
+          s""""total_sec":${"%.1f".format(totalSec)}}""")
+    }
     spark.stop()
   }
 }

@@ -15,7 +15,18 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     Relational.q1Agg(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2.
+    *
+    * Contract note: most entries return a LAZY plan (nothing executes
+    * until the caller acts), but the convergence-loop operators
+    * (g10–g12/g14 component/rank loops, g33's peel, d23's shared
+    * minhash checkpoint) necessarily run Spark jobs at
+    * DataFrame-CONSTRUCTION time — the loop's stop condition is data.
+    * Callers doing plan inspection only should prefer the sf0.001
+    * directory, and callers re-building the same entry should hold
+    * the returned DataFrame rather than calling the builder twice
+    * (loop results are localCheckpoints; only shared round-0 inputs
+    * are DfCache'd across builders). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ GraphOps.queries ++ TextOps.queries ++ DedupOps.queries ++ SimilarityOps.queries ++ graft.operators.vector.VectorOps.queries ++ EventOps.queries ++ MultimodalOps.queries
 

@@ -79,8 +79,13 @@ object GraphOps {
   // (the g10 lesson). Fixed rounds keep the oracle an unrolled CTE
   // chain; output = round-6 degrees (among round-5 survivors)
   // thresholded at k, exactly d6/dg>=3 on the oracle side.
-  def kcorePeel(sym: DataFrame, k: Int, rounds: Int): DataFrame = {
-    var alive = sym.select(col("src").as("n")).distinct()
+  def kcorePeel(sym: DataFrame, k: Int, rounds: Int,
+      start: Option[DataFrame] = None): DataFrame = {
+    // `start` warm-starts the peel from a prior round's survivor set —
+    // peel rounds compose (alive_r depends only on alive_{r-1}), the
+    // law ScaleTrail re-executes at sf10 where the unrolled oracle
+    // can't follow (the pagerankFrom resume analog).
+    var alive = start.getOrElse(sym.select(col("src").as("n")).distinct())
       .persist(StorageLevel.MEMORY_AND_DISK)
     var deg = sym.sparkSession.emptyDataFrame
     var r = 0
@@ -102,6 +107,20 @@ object GraphOps {
 
   def g20Kcore(spark: SparkSession, dir: String): DataFrame =
     kcorePeel(withSym(spark, dir), k = 3, rounds = 6)
+
+  /** ScaleTrail probe: g20's 6-round peel vs the SAME machinery
+    * split 2+4 (restart from the round-2 survivor set) — the
+    * composition law that must hold bit-exactly if per-round
+    * localCheckpoint/persist did not perturb a single degree. Run at
+    * sf10, where g20's unrolled MATERIALIZED oracle is infeasible. */
+  def g20SplitPair(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val sym = withSym(spark, dir)
+    val full = kcorePeel(sym, k = 3, rounds = 6)
+    val alive2 = kcorePeel(sym, k = 3, rounds = 2)
+      .select(col("node_id").as("n"))
+    val split = kcorePeel(sym, k = 3, rounds = 4, start = Some(alive2))
+    (full, split)
+  }
 
   val g20Sql: String = {
     def round(t: Int): String =
@@ -1327,6 +1346,19 @@ object GraphOps {
       .select(col("node").as("node_id"), col("lbl").as("community"))
       .orderBy(col("node_id"))
 
+  /** ScaleTrail probe: g17's LpaRounds synchronous rounds vs the SAME
+    * machinery split 1+(LpaRounds−1) — synchronous LPA composes
+    * (labels_r depends only on labels_{r-1}), so any divergence
+    * indicts the loop's checkpoint/persist plumbing, not the
+    * algorithm. Run at sf10, past the unrolled oracle's reach. */
+  def g17SplitPair(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val sym = withSym(spark, dir)
+    val full = labelPropagation(sym, initialLabels(spark, dir), LpaRounds)
+    val split = labelPropagation(sym,
+      labelPropagation(sym, initialLabels(spark, dir), 1), LpaRounds - 1)
+    (full, split)
+  }
+
   // Oracle: the same synchronous rounds unrolled — neighbor-label
   // counts then the (c DESC, lbl) argmax per node. Every l{t} is
   // MATERIALIZED (referenced by the next round's count CTE).
@@ -1486,10 +1518,12 @@ object GraphOps {
     // only reclaimed when their RDDs are GC'd — at sf10 (120M-edge
     // projection) three retained rounds plus live shuffle spill
     // overran a 250 GB scratch disk (measured). Unpersist the
-    // superseded round as soon as its successor is materialized and
-    // nudge the ContextCleaner so at most TWO rounds of blocks +
-    // shuffles are ever on disk. Round 0 is the DfCache-owned shared
-    // table and is never touched.
+    // superseded round as soon as its successor is materialized; the
+    // session's 30 s spark.cleaner.periodicGC.interval (GraftSession)
+    // lets the ContextCleaner reap the freed shuffles between rounds,
+    // so at most TWO rounds of blocks + shuffles are ever on disk —
+    // without a JVM-wide System.gc() pause per round. Round 0 is the
+    // DfCache-owned shared table and is never touched.
     var owned: Option[DataFrame] = None
     // Early exit on fixpoint: a peel that removed nothing cannot
     // remove anything next round, so remaining trajectory rows repeat
@@ -1503,7 +1537,6 @@ object GraphOps {
       traj += ((r, next.count()))
       owned.foreach(_.unpersist())
       owned = Some(next)
-      System.gc() // lets ContextCleaner reap the superseded shuffles
       ord = next
       r += 1
     }

