@@ -23,10 +23,20 @@ object GraftFunctions {
       s"$name requires exactly 2 arguments, got ${cs.length}")
   }
 
+  private def unary(name: String, mk: Expression => Expression)
+      : Seq[Expression] => Expression = {
+    case Seq(a) => mk(a)
+    case cs => throw new IllegalArgumentException(
+      s"$name requires exactly 1 argument, got ${cs.length}")
+  }
+
   private val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_dot" -> binary("graft_dot", DotProduct),
     "graft_sorted_intersect_count" ->
-      binary("graft_sorted_intersect_count", SortedIntersectCount))
+      binary("graft_sorted_intersect_count", SortedIntersectCount),
+    "graft_pack_deltas" -> unary("graft_pack_deltas", PackDeltas),
+    "graft_packed_intersect" ->
+      binary("graft_packed_intersect", PackedIntersect))
 
   def registerAll(spark: SparkSession): Unit = synchronized {
     all.foreach { case (name, builder) =>

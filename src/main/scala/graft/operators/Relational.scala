@@ -483,6 +483,36 @@ object Relational {
       |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
       |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
 
+  // ---- q51: grouping_id over a cube (level-tagged rollup rows) ----
+  // Completes q20/q21/q25's super-aggregate family with the piece a
+  // reporting layer actually keys on: `grouping_id()` distinguishes a
+  // REAL NULL group value from a super-aggregate NULL (the classic
+  // rollup-consumer bug), and the per-level tag lets one cube feed
+  // every drill-down view without re-aggregation. Bit order is the
+  // SQL standard's (first grouping column = most significant bit) on
+  // both engines. Plan: one pass, cube expansion in the aggregate —
+  // same cost class as q21.
+  def q51GroupingId(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().cast("long").as("gid"),
+        grouping(col("l_returnflag")).cast("long").as("g_flag"),
+        grouping(col("l_linestatus")).cast("long").as("g_status"),
+        sum(col("l_quantity").cast("long")).as("qty"),
+        count(lit(1)).as("cnt"))
+      .orderBy(col("gid"), asc_nulls_first("l_returnflag"),
+        asc_nulls_first("l_linestatus"))
+
+  val q51Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      | CAST(grouping(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+      | CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
+      | CAST(grouping(l_linestatus) AS BIGINT) AS g_status,
+      | CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty, count(*) AS cnt
+      |FROM lineitem
+      |GROUP BY CUBE (l_returnflag, l_linestatus)
+      |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+
   // ---- q26: pivot (wide aggregate over an enumerated domain) ----
   // Values are ENUMERATED (Seq("F","O")) so the pivot compiles to
   // CASE-filtered aggregates in ONE pass — no extra distinct-values
@@ -1134,7 +1164,7 @@ object Relational {
   // hash). At gate scale 662 set bits in 1024 give a measured-honest
   // ~23% FP rate — both verdict branches live; production sizes m to
   // n·10 bits for ~1% at k=2.
-  private val BloomBits = 1024
+  private[operators] val BloomBits = 1024
   def q37BloomFilter(spark: SparkSession, dir: String): DataFrame = {
     val keys = t(spark, dir, "part").filter(col("p_type") === "PROMO")
       .select(col("p_partkey").cast("long").as("k")).distinct()
@@ -1152,14 +1182,15 @@ object Relational {
     * factored so the spec can pin the no-false-negative law (every
     * member key passes, the property a runtime filter is allowed to
     * rely on). */
-  def bloomVerdictOf(keys: DataFrame, probeKeys: DataFrame): DataFrame = {
+  def bloomVerdictOf(keys: DataFrame, probeKeys: DataFrame,
+      bits: Int = BloomBits): DataFrame = {
     def hashed(df: DataFrame): DataFrame = df
       .withColumn("x0", expr("(k + 1469598103L) % 4294967296L"))
       .withColumn("x1", expr("(((x0 div 65536) ^ x0) * 73244475L) % 4294967296L"))
       .withColumn("x2", expr("(((x1 div 65536) ^ x1) * 73244475L) % 4294967296L"))
       .withColumn("h", expr("(x2 div 65536) ^ x2"))
-      .withColumn("p1", expr(s"h % $BloomBits"))
-      .withColumn("p2", expr(s"(h div $BloomBits) % $BloomBits"))
+      .withColumn("p1", expr(s"h % $bits"))
+      .withColumn("p2", expr(s"(h div $bits) % $bits"))
     val bloom = hashed(keys)
       .select(explode(array(col("p1"), col("p2"))).as("pos"))
       .select(expr("pos div 32").as("word"),
@@ -1843,6 +1874,7 @@ object Relational {
 
   /** queries-map fragment: name → builder */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q51_grouping_id" -> (q51GroupingId _),
     "q50_f2_sketch" -> (q50F2Sketch _),
     "q49_mom_growth" -> (q49MomGrowth _),
     "q48_itemset3" -> (q48Itemset3 _),
@@ -1896,6 +1928,7 @@ object Relational {
 
   /** oracle-map fragment: name → DuckDB SQL */
   val oracles: Map[String, String] = Map(
+    "q51_grouping_id" -> q51Sql,
     "q50_f2_sketch" -> q50Sql,
     "q49_mom_growth" -> q49Sql,
     "q48_itemset3" -> q48Sql,

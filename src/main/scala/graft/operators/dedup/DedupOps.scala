@@ -1449,7 +1449,96 @@ object DedupOps {
        |WHERE cl.doc_id IS NULL OR cl.is_kept
        |ORDER BY d.doc_id""".stripMargin
 
+  // ---- d24: Bloom prefilter for cross-shard exact dedup ----
+  // The cheap gate BEFORE d9's full index probe: the corpus's doc
+  // FINGERPRINTS (t4's base-1000003 fold — one long per doc) go into
+  // a Bloom filter (q37's machinery, m = D24BloomBits here; size m at
+  // ~10 bits/key in production); an arriving shard probes the bits
+  // and only bloom-passing docs proceed to expensive verification.
+  // Gated output: the confusion summary — shard size, bloom passes,
+  // true fingerprint dups, false positives, and the measured FP rate
+  // in ppm against the clean population. No false NEGATIVES by
+  // construction (BloomSpec's law), so the prefilter never drops a
+  // real dup — the property that makes it safe to deploy in front of
+  // d9. At 100 TB: the bit array is corpus-keyed but broadcastable
+  // (m/8 bytes); fingerprints ride the shard scan; nothing shuffles.
+  private val D24BloomBits = 65536
+
+  /** t4's doc fingerprint as a plain column expression (bigint). */
+  private val docFpExpr =
+    """aggregate(
+      |  transform(split(text, ' '), w -> length(w)*31 + ascii(substring(w,1,1))),
+      |  cast(0 as bigint),
+      |  (acc, x) -> (acc*1000003 + x) % 2147483647)""".stripMargin
+
+  def d24BloomPrefilter(spark: SparkSession, dir: String): DataFrame = {
+    val fp = docs(spark, dir).select(col("doc_id"), expr(docFpExpr).as("k"))
+    val corpus = fp.filter(!isNewDoc).select(col("k")).distinct()
+    val shard = fp.filter(isNewDoc).select(col("k"))
+    graft.operators.Relational.bloomVerdictOf(corpus, shard, D24BloomBits)
+      .agg(count(lit(1)).as("n_shard"),
+        sum(when(col("pass"), 1L).otherwise(0L)).as("n_pass_bloom"),
+        sum(when(col("is_true"), 1L).otherwise(0L)).as("n_true_dup"),
+        sum(when(col("pass") && col("is_true").isNull, 1L).otherwise(0L))
+          .as("n_false_pos"))
+      .withColumn("fp_ppm",
+        expr("CASE WHEN n_shard > n_true_dup" +
+          " THEN n_false_pos * 1000000 div (n_shard - n_true_dup) END"))
+  }
+
+  val d24Sql: String = {
+    def fpSel(pred: String) =
+      s"""SELECT list_reduce(
+         |    list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(string_split(text,' '),
+         |        w -> CAST(length(w)*31 + ascii(substr(w,1,1)) AS BIGINT))),
+         |    (acc, x) -> (acc*1000003 + x) % 2147483647) AS k
+         |  FROM documents
+         |  WHERE (((doc_id % 2147483647) * 2654435761) % 2147483647 % 100 >= 90)
+         |        = $pred""".stripMargin
+    def hashCte(src: String, out: String) =
+      s"""$out AS (
+         |  SELECT k, h % $D24BloomBits AS p1,
+         |    (h // $D24BloomBits) % $D24BloomBits AS p2 FROM (
+         |    SELECT k, xor(x2 // 65536, x2) AS h FROM (
+         |      SELECT k, (xor(x1 // 65536, x1) * 73244475) % 4294967296 AS x2 FROM (
+         |        SELECT k, (xor(x0 // 65536, x0) * 73244475) % 4294967296 AS x1 FROM (
+         |          SELECT k, (k + 1469598103) % 4294967296 AS x0 FROM $src)))))"""
+        .stripMargin
+    s"""WITH corpus AS (SELECT DISTINCT k FROM (${fpSel("false")})),
+       |shard AS (${fpSel("true")}),
+       |${hashCte("corpus", "kp")},
+       |${hashCte("shard", "sp")},
+       |bloom AS (
+       |  SELECT pos // 32 AS word,
+       |    bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INTEGER)) AS bits
+       |  FROM (SELECT unnest([p1, p2]) AS pos FROM kp) GROUP BY 1),
+       |verdict AS (
+       |  SELECT sp.k,
+       |    (coalesce(b1.bits, 0) & (CAST(1 AS BIGINT) << CAST(p1 % 32 AS INTEGER))) != 0
+       |      AND
+       |    (coalesce(b2.bits, 0) & (CAST(1 AS BIGINT) << CAST(p2 % 32 AS INTEGER))) != 0
+       |      AS pass,
+       |    t.is_true
+       |  FROM sp
+       |  LEFT JOIN bloom b1 ON p1 // 32 = b1.word
+       |  LEFT JOIN bloom b2 ON p2 // 32 = b2.word
+       |  LEFT JOIN (SELECT k, true AS is_true FROM corpus) t ON sp.k = t.k)
+       |SELECT count(*) AS n_shard,
+       |  CAST(sum(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_bloom,
+       |  CAST(sum(CASE WHEN is_true THEN 1 ELSE 0 END) AS BIGINT) AS n_true_dup,
+       |  CAST(sum(CASE WHEN pass AND is_true IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_false_pos,
+       |  CASE WHEN count(*) > CAST(sum(CASE WHEN is_true THEN 1 ELSE 0 END) AS BIGINT)
+       |    THEN CAST(sum(CASE WHEN pass AND is_true IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |      * 1000000
+       |      // (count(*) - CAST(sum(CASE WHEN is_true THEN 1 ELSE 0 END) AS BIGINT))
+       |  END AS fp_ppm
+       |FROM verdict""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d24_bloom_prefilter" -> (d24BloomPrefilter _),
     "d23_band_tuning" -> (d23BandTuning _),
     "d22_rep_weights" -> (d22RepWeights _),
     "d21_threshold_sweep" -> (d21ThresholdSweep _),
@@ -1475,6 +1564,7 @@ object DedupOps {
     "d9_incremental_dedup" -> (d9IncrementalDedup _))
 
   val oracles: Map[String, String] = Map(
+    "d24_bloom_prefilter" -> d24Sql,
     "d23_band_tuning" -> d23Sql,
     "d22_rep_weights" -> d22Sql,
     "d21_threshold_sweep" -> d21Sql,

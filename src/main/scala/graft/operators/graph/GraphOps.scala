@@ -1454,8 +1454,10 @@ object GraphOps {
   // (ou, ov, w ∈ N⁺∩N⁺) and credited to its three edges via two
   // in-row explodes (no wedge-stream join; the orientation re-derives
   // per round because peeling changes degrees, keeping out-adjacency
-  // ~sqrt(E)-bounded on every round). localCheckpoint per round (the
-  // g10 lesson) keeps the plan constant; each round's edge count is a
+  // ~sqrt(E)-bounded on every round). A parquet checkpoint per round
+  // (constant-depth plan, the g10 lesson, but compressed bytes on
+  // disk instead of block-manager files) bounds scratch to one
+  // retired round; each round's edge count is a
   // driver SCALAR (the g12 stop-check class, not a data collect).
   // Gated output = the peel trajectory (round, n_edges) — the
   // convergence readout; at sf0.01 the peel fixpoints by round 2
@@ -1473,19 +1475,27 @@ object GraphOps {
     * shifts degrees (a few % of edges per round, measured), and three
     * stages per round disappear (degree agg + two orient joins). */
   private[graft] def orientedSupports(ord: DataFrame): DataFrame = {
+    // Adjacency ships PACKED (delta-varint binary, ~2–3 B/neighbor
+    // vs 8 B + framing as array<bigint>): the ov-side probe exchange
+    // carries Σout² worth of neighbor payload per round — the
+    // measured scratch killer at sf10 (ENOSPC with arrays even after
+    // parquet round checkpoints; the packed form cuts that exchange
+    // ~3×). Packing is once per V-row; the E-row intersect walks the
+    // two buffers without unpacking (PackedOps.intersect, codegen'd).
     val adj = adjacencyOf(ord)
+      .select(col("anode"), expr("graft_pack_deltas(nbrs)").as("pn"))
     // SHUFFLE_HASH, not sort-merge: SMJ sorts E rows each dragging an
-    // out-adjacency ARRAY (~1 KB/row at sf10's 120M-edge projection —
+    // out-adjacency payload (~1 KB/row at sf10's 120M-edge projection —
     // a ~120 GB sort spill PER probe join; measured: the sf10 peel
     // overran a 250 GB scratch disk twice). Hash join builds on the
     // V-row adjacency side (bounded per partition) and STREAMS the
-    // edge side — no array ever sorted.
+    // edge side — no payload ever sorted.
     val tri = ord.join(adj.as("au").hint("SHUFFLE_HASH"),
         col("ou") === col("au.anode"))
       .join(adj.as("av").hint("SHUFFLE_HASH"),
         col("ov") === col("av.anode"))
       .select(col("ou"), col("ov"),
-        expr("array_intersect(au.nbrs, av.nbrs)").as("ws"))
+        expr("graft_packed_intersect(au.pn, av.pn)").as("ws"))
       .filter(size(col("ws")) > 0)
     // each common neighbor w completes {ou, ov, w}; (ou,w) and (ov,w)
     // are themselves oriented edges (w came from both out-lists)
@@ -1517,30 +1527,50 @@ object GraphOps {
     // holds an E-row block set, and the credit shuffle's files are
     // only reclaimed when their RDDs are GC'd — at sf10 (120M-edge
     // projection) three retained rounds plus live shuffle spill
-    // overran a 250 GB scratch disk (measured). Unpersist the
-    // superseded round as soon as its successor is materialized; the
-    // session's 30 s spark.cleaner.periodicGC.interval (GraftSession)
-    // lets the ContextCleaner reap the freed shuffles between rounds,
-    // so at most TWO rounds of blocks + shuffles are ever on disk —
-    // without a JVM-wide System.gc() pause per round. Round 0 is the
-    // DfCache-owned shared table and is never touched.
-    var owned: Option[DataFrame] = None
+    // overran a 250 GB scratch disk (measured). Round-7 change: each
+    // round lands in a snappy PARQUET checkpoint instead of
+    // localCheckpoint block files — two delta-friendly long columns
+    // compress ~10× smaller than serialized RDD blocks, the superseded
+    // round's directory is deleted as soon as its successor is
+    // counted, and the 30 s spark.cleaner.periodicGC.interval
+    // (GraftSession) lets the ContextCleaner reap each round's
+    // retired shuffle files between rounds — so scratch holds at most
+    // ONE compact round + the live round's shuffles, without a
+    // JVM-wide System.gc() pause. MEASURED at sf10 (119.6M-edge
+    // projection, local[32], zstd shuffle codec): the full 3-round
+    // peel completes in ~18 min with ≤ 34 GB peak scratch — the same
+    // trajectory that overran 250 GB (r6) and 77 GB (r7 pre-fix)
+    // scratch disks, and the counts match the sf0.1 run ×100 exactly
+    // (disjoint tiles ⇒ the peel is copy-local — a free oracle at
+    // 1000× the gate scale). Round 0 is the DfCache-owned shared
+    // table and is never touched. (The read-back loses the ou hash
+    // partitioning, costing one E-row exchange into the next round's
+    // adjacency build — measured noise next to the support stage, and
+    // the price of rounds that survive on bytes, not block managers.)
+    val ckptBase =
+      s"${checkpointRoot(spark)}/graft_ckpt_g33_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+    def roundPath(i: Int) = s"$ckptBase/round_$i"
+    def dropRound(i: Int): Unit = {
+      val d = new java.io.File(roundPath(i))
+      if (d.exists()) {
+        d.listFiles().foreach(_.delete()); d.delete()
+      }
+    }
     // Early exit on fixpoint: a peel that removed nothing cannot
     // remove anything next round, so remaining trajectory rows repeat
     // the converged count without re-enumerating triangles.
     while (r <= TrussRounds && (r == 1 || traj(r - 1)._2 < traj(r - 2)._2)) {
-      val next = orientedSupports(ord)
+      orientedSupports(ord)
         .filter(col("sup") >= TrussK - 2)
         .select(col("a").as("ou"), col("b").as("ov"))
-        .repartition(col("ou"))
-        .localCheckpoint(true)
+        .write.mode("overwrite").parquet(roundPath(r))
+      val next = spark.read.parquet(roundPath(r))
       traj += ((r, next.count()))
-      owned.foreach(_.unpersist())
-      owned = Some(next)
+      if (r >= 2) dropRound(r - 1)
       ord = next
       r += 1
     }
-    owned.foreach(_.unpersist())
+    if (r >= 2) dropRound(r - 1)
     while (r <= TrussRounds) { traj += ((r, traj.last._2)); r += 1 }
     import spark.implicits._
     traj.toSeq.toDF("round", "n_edges")
@@ -1639,6 +1669,62 @@ object GraphOps {
        |      // (CAST(r.n_rich AS BIGINT) * (CAST(r.n_rich AS BIGINT) - 1))
        |  END AS phi_ppm
        |FROM rich r LEFT JOIN w ON r.k = w.k ORDER BY k""".stripMargin
+  }
+
+  // ---- g35: coreness ladder (per-node core number, truncated) ----
+  // g20 answers "is the node in THE 3-core"; the sparsification
+  // ladder a pipeline actually tunes against is the CORE NUMBER —
+  // the largest k whose k-core keeps the node (Batagelj–Zaversnik's
+  // decomposition, here as the bounded ladder k ∈ {2,3,4} every
+  // triage pass needs before choosing its density threshold).
+  // Semantics are the k-truncated 6-round peel on BOTH engines (the
+  // g20 contract per rung), so the gate is exact by construction.
+  // Plan: three kcorePeel runs over the SAME cached sym table (each
+  // is 6 rounds of membership-join + map-side-combined degree count;
+  // the edge table never re-shuffles across rungs), one V-row
+  // max-rung aggregate, one left join back to the degree table.
+  // Nodes with edges but outside every rung get coreness 1. At
+  // 100 TB: rung cost is the g20 story ×3; the ladder shares sym's
+  // layout and each rung's alive set only shrinks.
+  private val CorenessKs = Seq(2, 3, 4)
+
+  def g35Coreness(spark: SparkSession, dir: String): DataFrame = {
+    val sym = withSym(spark, dir)
+    val allNodes = sym.groupBy(col("src").as("node_id"))
+      .agg(count(lit(1)).as("degree"))
+    val mem = CorenessKs.map { k =>
+      kcorePeel(sym, k, rounds = 6)
+        .select(col("node_id"), lit(k.toLong).as("k"))
+    }.reduce(_ unionAll _)
+      .groupBy(col("node_id")).agg(max(col("k")).as("core_k"))
+    allNodes.join(mem, Seq("node_id"), "left_outer")
+      .select(col("node_id"), col("degree"),
+        coalesce(col("core_k"), lit(1L)).as("coreness"))
+      .orderBy(col("node_id"))
+  }
+
+  val g35Sql: String = {
+    def chain(p: String, k: Int): String = {
+      def round(t: Int): String =
+        s"""${p}d$t AS (SELECT e.src AS n, count(*) AS dg FROM sym e
+           |  JOIN ${p}a${t - 1} u ON e.src = u.n JOIN ${p}a${t - 1} v ON e.dst = v.n
+           |  GROUP BY e.src),
+           |${p}a$t AS MATERIALIZED (SELECT n FROM ${p}d$t WHERE dg >= $k)""".stripMargin
+      (s"${p}a0 AS MATERIALIZED (SELECT DISTINCT src AS n FROM sym)" +:
+        (1 to 6).map(round)).mkString(",\n")
+    }
+    val chains = CorenessKs.map(k => chain(s"k$k", k)).mkString(",\n")
+    val mem = CorenessKs
+      .map(k => s"SELECT n, $k AS k FROM k${k}a6")
+      .mkString("\nUNION ALL ")
+    s"""WITH ${GraphTables.symSqlCtes.replace("sym AS (", "sym AS MATERIALIZED (")},
+       |$chains,
+       |mem AS (SELECT n, max(k) AS core_k FROM ($mem) GROUP BY n),
+       |deg AS (SELECT src AS node_id, count(*) AS degree FROM sym GROUP BY src)
+       |SELECT d.node_id, CAST(d.degree AS BIGINT) AS degree,
+       |  CAST(coalesce(m.core_k, 1) AS BIGINT) AS coreness
+       |FROM deg d LEFT JOIN mem m ON d.node_id = m.n
+       |ORDER BY node_id""".stripMargin
   }
 
   // ---- g18: harmonic centrality from sampled sources ----
@@ -2161,6 +2247,7 @@ object GraphOps {
        |FROM wdeg GROUP BY wsum ORDER BY strength""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g35_coreness" -> (g35Coreness _),
     "g34_rich_club" -> (g34RichClub _),
     "g33_ktruss" -> (g33Ktruss _),
     "g32_modularity" -> (g32Modularity _),
@@ -2197,6 +2284,7 @@ object GraphOps {
     "g9_checkpoint_roundtrip" -> (g9CheckpointRoundtrip _))
 
   val oracles: Map[String, String] = Map(
+    "g35_coreness" -> g35Sql,
     "g34_rich_club" -> g34Sql,
     "g33_ktruss" -> g33Sql,
     "g32_modularity" -> g32Sql,

@@ -1215,7 +1215,90 @@ object TextOps {
        |  AND (n.nd * sc2 - sc * sc) * 100 <= (n.nd * sc) * $StopBurstPct
        |ORDER BY df DESC, word LIMIT 50""".stripMargin
 
+  // ---- t26: Zipf rank-frequency profile (log2-binned, exact) ----
+  // The corpus-health fingerprint every tokenizer/pretraining audit
+  // plots: word frequency against frequency RANK, log-log. Zipf's law
+  // predicts slope −1, i.e. average frequency HALVING per doubling
+  // rank bucket — a corpus that deviates hard (machine-generated
+  // text, template floods) shows up as a bent profile, and t12/t23
+  // then localize the cause. Output: one row per log2 rank bucket
+  // b = ⌊log2 rank⌋ (ranks [2^b, 2^(b+1))): word count, exact total/
+  // max/min frequency, average in ppm.
+  //
+  // Scale shape — NO per-word rank window (vocabulary grows with the
+  // corpus; a global row_number over it is the q29 anti-pattern).
+  // Ranks only enter through the FREQUENCY HISTOGRAM: groupBy(sc)
+  // gives each frequency class its size, one window over that
+  // bounded summary assigns each class its [rank_start, rank_end]
+  // span, and each class's contribution to each bucket is pure
+  // interval-overlap arithmetic (classes explode into the ≤ log2 V
+  // buckets they straddle — the giant sc=1 tie class never needs
+  // intra-class order because buckets only need COUNTS). Exact
+  // integers end to end; ⌊log2 x⌋ = length(bin(x)) − 1 on both
+  // engines (string length of the binary rep — no float log).
+  def t26ZipfProfile(spark: SparkSession, dir: String): DataFrame = {
+    val hist = wordDocStats(spark, dir)
+      .groupBy(col("sc")).agg(count(lit(1)).as("nw"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("sc").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    hist
+      .withColumn("rank_end", sum(col("nw")).over(w))
+      .withColumn("rank_start", col("rank_end") - col("nw") + 1)
+      .select(col("sc"), col("rank_start"), col("rank_end"),
+        explode(expr(
+          "sequence(length(bin(rank_start)) - 1, length(bin(rank_end)) - 1)"))
+          .as("b"))
+      .withColumn("lo", greatest(col("rank_start"), expr("shiftleft(1L, b)")))
+      .withColumn("hi", least(col("rank_end"), expr("shiftleft(1L, b + 1) - 1")))
+      .withColumn("n_in", col("hi") - col("lo") + 1)
+      .groupBy(col("b"))
+      .agg(sum(col("n_in")).as("n_words"),
+        sum(col("n_in") * col("sc")).as("total_count"),
+        max(col("sc")).as("max_count"),
+        min(col("sc")).as("min_count"))
+      .withColumn("avg_count_ppm",
+        expr("total_count * 1000000 div n_words"))
+      .select(col("b").cast("long").as("rank_bucket"), col("n_words"),
+        col("total_count"), col("max_count"), col("min_count"),
+        col("avg_count_ppm"))
+      .orderBy(col("rank_bucket"))
+  }
+
+  val t26Sql: String =
+    """WITH st AS (
+      |  SELECT w, sum(c) AS sc FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS w, 1 AS c
+      |    FROM documents)
+      |  GROUP BY w),
+      |hist AS (SELECT sc, count(*) AS nw FROM st GROUP BY sc),
+      |spans AS (
+      |  SELECT sc, nw,
+      |    sum(nw) OVER (ORDER BY sc DESC ROWS UNBOUNDED PRECEDING) AS rank_end,
+      |    sum(nw) OVER (ORDER BY sc DESC ROWS UNBOUNDED PRECEDING) - nw + 1
+      |      AS rank_start
+      |  FROM hist),
+      |bs AS (
+      |  SELECT sc, rank_start, rank_end,
+      |    unnest(generate_series(length(bin(rank_start)) - 1,
+      |                           length(bin(rank_end)) - 1)) AS b
+      |  FROM spans),
+      |cells AS (
+      |  SELECT sc, b,
+      |    least(rank_end, (CAST(1 AS BIGINT) << (b + 1)) - 1)
+      |      - greatest(rank_start, CAST(1 AS BIGINT) << b) + 1 AS n_in
+      |  FROM bs)
+      |SELECT CAST(b AS BIGINT) AS rank_bucket,
+      |  CAST(sum(n_in) AS BIGINT) AS n_words,
+      |  CAST(sum(n_in * sc) AS BIGINT) AS total_count,
+      |  CAST(max(sc) AS BIGINT) AS max_count,
+      |  CAST(min(sc) AS BIGINT) AS min_count,
+      |  CAST(sum(n_in * sc) AS BIGINT) * 1000000 // CAST(sum(n_in) AS BIGINT)
+      |    AS avg_count_ppm
+      |FROM cells GROUP BY b ORDER BY rank_bucket""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t26_zipf_profile" -> (t26ZipfProfile _),
     "t25_stopword_induction" -> (t25StopwordInduction _),
     "t24_burstiness" -> (t24Burstiness _),
     "t23_boilerplate" -> (t23Boilerplate _),
@@ -1243,6 +1326,7 @@ object TextOps {
     "t9_curation_pipeline" -> (t9CurationPipeline _))
 
   val oracles: Map[String, String] = Map(
+    "t26_zipf_profile" -> t26Sql,
     "t25_stopword_induction" -> t25Sql,
     "t24_burstiness" -> t24Sql,
     "t23_boilerplate" -> t23Sql,

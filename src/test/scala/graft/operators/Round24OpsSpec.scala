@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-7 additions: the s42 descent-curve laws, the g17/g20 split
+  * re-execution laws at spec scale (ScaleTrail re-runs them at sf10),
+  * and g33's parquet-round-checkpoint hygiene. */
+class Round24OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val dir = "/root/testdata/sf0.001"
+  private lazy val spark = graft.GraftSession.local(threads = 4, shufflePartitions = 4)
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("s42: recall curve is monotone non-decreasing with constant denominator") {
+    val rows = graft.operators.similarity.SimilarityOps
+      .s42NndCurve(spark, dir).collect()
+    assert(rows.length == 5) // seed + 4 rounds
+    val recalls = rows.map(_.getAs[Double]("recall"))
+    recalls.sliding(2).foreach { case Array(a, b) =>
+      assert(b >= a, s"descent round regressed recall: $a -> $b")
+    }
+    val denominators = rows.map(_.getAs[Long]("n_exact")).distinct
+    assert(denominators.length == 1)
+    val hits = rows.map(_.getAs[Long]("n_hit"))
+    rows.indices.foreach { i =>
+      assert(hits(i) <= denominators.head)
+      assert(recalls(i) == hits(i).toDouble / denominators.head)
+    }
+  }
+
+  test("g17: 3 LPA rounds == 1 round then 2 warm-started rounds (bit-exact)") {
+    val (full, split) = graft.operators.graph.GraphOps.g17SplitPair(spark, dir)
+    val bad = full.as("a").join(split.as("b"), Seq("node"), "full_outer")
+      .filter(!(col("a.lbl") <=> col("b.lbl")))
+      .count()
+    assert(bad == 0L)
+  }
+
+  test("g20: 6 peel rounds == 2 rounds then 4 from the survivor set (bit-exact)") {
+    val (full, split) = graft.operators.graph.GraphOps.g20SplitPair(spark, dir)
+    val bad = full.as("a").join(split.as("b"), Seq("node_id"), "full_outer")
+      .filter(!(col("a.deg_in_core") <=> col("b.deg_in_core")))
+      .count()
+    assert(bad == 0L)
+  }
+
+  test("g35: coreness bounded to the ladder; rung 3 members == g20's core set") {
+    val core = graft.operators.graph.GraphOps.g35Coreness(spark, dir).collect()
+    assert(core.forall { r =>
+      val c = r.getAs[Long]("coreness"); c >= 1L && c <= 4L
+    })
+    val atLeast3 = core.filter(_.getAs[Long]("coreness") >= 3L)
+      .map(_.getAs[Long]("node_id")).toSet
+    val g20 = graft.operators.graph.GraphOps.g20Kcore(spark, dir)
+      .collect().map(_.getAs[Long]("node_id")).toSet
+    assert(atLeast3 == g20,
+      s"coreness>=3 set diverges from g20's 3-core: ${atLeast3.size} vs ${g20.size}")
+  }
+
+  test("t26: buckets are contiguous from 0 and partition the vocabulary") {
+    val rows = graft.operators.text.TextOps.t26ZipfProfile(spark, dir).collect()
+    val buckets = rows.map(_.getAs[Long]("rank_bucket"))
+    assert(buckets.head == 0L && buckets.toSeq == (0L until buckets.length).toSeq)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("min_count") <= r.getAs[Long]("max_count"))
+      assert(r.getAs[Long]("n_words") > 0L)
+    }
+    // bucket b covers ranks [2^b, 2^(b+1)) — so except the tail
+    // bucket, n_words must be exactly the bucket width
+    rows.dropRight(1).zipWithIndex.foreach { case (r, b) =>
+      assert(r.getAs[Long]("n_words") == (1L << b),
+        s"bucket $b not full: ${r.getAs[Long]("n_words")}")
+    }
+  }
+
+  test("d24: bloom passes cover every true dup (no false negatives)") {
+    val r = graft.operators.dedup.DedupOps
+      .d24BloomPrefilter(spark, dir).collect()(0)
+    val (nShard, nPass, nTrue, nFp) = (r.getAs[Long]("n_shard"),
+      r.getAs[Long]("n_pass_bloom"), r.getAs[Long]("n_true_dup"),
+      r.getAs[Long]("n_false_pos"))
+    assert(nPass == nTrue + nFp, "passes must split exactly into TP + FP")
+    assert(nPass <= nShard && nTrue <= nPass)
+  }
+
+  test("q51: grouping_id is the standard bit combination of grouping()") {
+    val rows = graft.SparkEntry.queries("q51_grouping_id")(spark, dir).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("gid") ==
+        2L * r.getAs[Long]("g_flag") + r.getAs[Long]("g_status"))
+    }
+    // a cube over 2 columns emits all 4 levels
+    assert(rows.map(_.getAs[Long]("gid")).distinct.sorted.toSeq ==
+      Seq(0L, 1L, 2L, 3L))
+  }
+
+  test("g33: every peel round's parquet checkpoint is deleted by completion") {
+    graft.operators.graph.GraphOps.g33Ktruss(spark, dir).collect()
+    val dirKey = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val base = new java.io.File(
+      s"${graft.operators.graph.GraphOps.checkpointRoot(spark)}/graft_ckpt_g33_$dirKey")
+    val rounds = Option(base.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith("round_"))
+    assert(rounds.isEmpty,
+      s"retired peel rounds left on scratch: ${rounds.map(_.getName).mkString(",")}")
+  }
+}
