@@ -1245,8 +1245,32 @@ object GraphOps {
       .orderBy(col("node_id"))
   }
 
+  /** Converged labels, DfCache'd: g11 gates the per-node table and
+    * g36 rolls up its size histogram — one fixpoint loop serves both
+    * (the lpaLabels sharing pattern). */
+  private def ccLabels(spark: SparkSession, dir: String): DataFrame =
+    graft.util.DfCache.cached(spark, dir, "cc_converged") {
+      componentsConverged(spark, dir)
+    }
+
   def g11ComponentsConverged(spark: SparkSession, dir: String): DataFrame =
-    componentsConverged(spark, dir)
+    ccLabels(spark, dir)
+
+  // ---- g36: component-size histogram (the fragmentation report) ----
+  // The one-page answer to "is this graph one blob or dust": per
+  // component SIZE, how many components and how many nodes they hold.
+  // What a pipeline reads before deciding partition-local vs global
+  // algorithms (a giant component ⇒ g5/g10-class global iteration; a
+  // dust field ⇒ per-component mapGroups). Derived from g11's CACHED
+  // converged labels — two map-side-combined aggregates on top, zero
+  // extra fixpoint work; output is |distinct sizes| rows (≪ V).
+  def g36ComponentSizes(spark: SparkSession, dir: String): DataFrame =
+    ccLabels(spark, dir)
+      .groupBy(col("component")).agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz")).agg(count(lit(1)).as("n_components"))
+      .select(col("sz").as("component_size"), col("n_components"),
+        (col("sz") * col("n_components")).as("n_nodes"))
+      .orderBy(col("component_size"))
 
   private def ccSqlCtes: String = {
     def iter(t: Int, prev: String) =
@@ -1292,6 +1316,16 @@ object GraphOps {
     s"""WITH ${GraphTables.symSqlCtes.replace("sym AS (", "sym AS MATERIALIZED (")},
        |${ccConvergedSqlCtes(8)}
        |SELECT node AS node_id, lbl AS component FROM l8 ORDER BY node_id""".stripMargin
+
+  // g36 oracle: g11's converged chain + the two-level size rollup.
+  val g36Sql: String =
+    s"""WITH ${GraphTables.symSqlCtes.replace("sym AS (", "sym AS MATERIALIZED (")},
+       |${ccConvergedSqlCtes(8)},
+       |cs AS (SELECT lbl, count(*) AS sz FROM l8 GROUP BY lbl)
+       |SELECT CAST(sz AS BIGINT) AS component_size,
+       |  count(*) AS n_components,
+       |  CAST(sz * count(*) AS BIGINT) AS n_nodes
+       |FROM cs GROUP BY sz ORDER BY component_size""".stripMargin
 
   // ---- g17: label-propagation communities (synchronous LPA) ----
   // l_{t+1}(v) = the label held by the MOST of v's neighbors at round
@@ -2247,6 +2281,7 @@ object GraphOps {
        |FROM wdeg GROUP BY wsum ORDER BY strength""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g36_component_sizes" -> (g36ComponentSizes _),
     "g35_coreness" -> (g35Coreness _),
     "g34_rich_club" -> (g34RichClub _),
     "g33_ktruss" -> (g33Ktruss _),
@@ -2284,6 +2319,7 @@ object GraphOps {
     "g9_checkpoint_roundtrip" -> (g9CheckpointRoundtrip _))
 
   val oracles: Map[String, String] = Map(
+    "g36_component_sizes" -> g36Sql,
     "g35_coreness" -> g35Sql,
     "g34_rich_club" -> g34Sql,
     "g33_ktruss" -> g33Sql,

@@ -1004,7 +1004,52 @@ object MultimodalOps {
        |FROM cnt c JOIN sm s ON c.doc_id = s.doc_id AND c.n = s.n
        |GROUP BY 1, 2, 3, 4 ORDER BY c.doc_id""".stripMargin
 
+  // ---- m17: exact blob dedup + per-source storage-reclaim report ----
+  // The FIRST pass any multimodal corpus runs (before m5/m11's
+  // perceptual hashing): byte-identical payload dedup, rolled up as
+  // the storage bill — per source: blob count, exact duplicates
+  // (keeper = min doc_id GLOBALLY, so cross-source copies dedupe
+  // once), total vs reclaimable bytes. The d1 exact-dedup law applied
+  // to binary, with the report a capacity planner reads. Plan: one
+  // digest+length scan, a |distinct blob|-row keeper aggregate, one
+  // hash join back, per-source rollup — all linear, payload bytes
+  // never shuffle (only the 16-byte digest does).
+  def m17DedupReclaim(spark: SparkSession, dir: String): DataFrame = {
+    val b = withBlob(spark, dir)
+      .select(col("doc_id"), col("source"), md5(col("payload")).as("h"),
+        octet_length(col("payload")).cast("long").as("nb"))
+    val keep = b.groupBy(col("h")).agg(min(col("doc_id")).as("keep_id"))
+    b.join(keep, Seq("h"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_blobs"),
+        sum(when(col("doc_id") === col("keep_id"), 0L).otherwise(1L))
+          .as("dup_blobs"),
+        sum(col("nb")).as("total_bytes"),
+        sum(when(col("doc_id") === col("keep_id"), 0L).otherwise(col("nb")))
+          .as("reclaimable_bytes"))
+      .orderBy(col("source"))
+  }
+
+  // md5 over the utf-8 payload == DuckDB's md5 over the VARCHAR's
+  // bytes — the same digest both sides (m1's CAST(text AS BLOB)
+  // length identity, applied to content).
+  val m17Sql: String =
+    """WITH b AS (
+      |  SELECT doc_id, source, md5(text) AS h,
+      |    CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS nb
+      |  FROM documents),
+      |keep AS (SELECT h, min(doc_id) AS keep_id FROM b GROUP BY h)
+      |SELECT b.source, count(*) AS n_blobs,
+      |  CAST(sum(CASE WHEN b.doc_id = k.keep_id THEN 0 ELSE 1 END) AS BIGINT)
+      |    AS dup_blobs,
+      |  CAST(sum(b.nb) AS BIGINT) AS total_bytes,
+      |  CAST(sum(CASE WHEN b.doc_id = k.keep_id THEN 0 ELSE b.nb END) AS BIGINT)
+      |    AS reclaimable_bytes
+      |FROM b JOIN keep k ON b.h = k.h
+      |GROUP BY b.source ORDER BY b.source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m17_dedup_reclaim" -> (m17DedupReclaim _),
     "m16_gain_normalize" -> (m16GainNormalize _),
     "m15_magic_sniff" -> (m15MagicSniff _),
     "m14_patch_dup" -> (m14PatchDup _),
@@ -1023,6 +1068,7 @@ object MultimodalOps {
     "m3_frame_sample" -> (m3FrameSample _))
 
   val oracles: Map[String, String] = Map(
+    "m17_dedup_reclaim" -> m17Sql,
     "m16_gain_normalize" -> m16Sql,
     "m15_magic_sniff" -> m15Sql,
     "m14_patch_dup" -> m14Sql,

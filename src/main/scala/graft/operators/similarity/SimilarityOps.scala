@@ -1934,6 +1934,56 @@ object SimilarityOps {
        |LEFT JOIN nd n ON e.query_id = n.query_id AND e.neighbor_id = n.neighbor_id
        |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin
 
+  // ---- s43: centroid shift of the Lloyd round (convergence gauge) ----
+  // s5/s18 run Lloyd updates, s17 scores the FIT (SSE) — this is the
+  // MOVEMENT gauge a k-means loop actually stops on: per cluster,
+  // how far did the centroid travel in the round (Lloyd's Δcentroid,
+  // the classic ‖c1−c0‖ < ε criterion). Exact form: with c0 in micro
+  // units and c1 = s/n implicitly, n²·10¹²·‖c1−c0‖² =
+  // Σ_d (s_d − n·c0_d)² — every term an integer, accumulated
+  // DECIMAL(38,0), emitted DOUBLE via the q1 convention (the s17
+  // lesson: never gate a raw decimal128). Plan: one assignment pass
+  // (broadcast 16 centroids), one (cluster, d) power-sum aggregate —
+  // the Lloyd-update shape itself, nothing extra shuffles. A shift
+  // table that has stopped moving (all ~0 rows) IS the converged
+  // codebook certificate s18's warm-start assumes.
+  def s43CentroidShift(spark: SparkSession, dir: String): DataFrame = {
+    val qv = embQuantized(spark, dir)
+    val c0 = qv.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("mid"),
+        expr("transform(qv, x -> cast(x as double) / 1000000.0)").as("cm"))
+    val s1 = qv.join(assignTo(qv, c0), Seq("vec_id"))
+      .select(col("cluster"), posexplode(col("qv")).as(Seq("d", "val")))
+      .groupBy(col("cluster"), col("d"))
+      .agg(sum(col("val")).as("s"), count(lit(1)).as("n"))
+    val seeds = qv.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cluster"), col("qv").as("q0"))
+    s1.join(seeds, Seq("cluster"))
+      .withColumn("diff",
+        (col("s") - col("n") * expr("element_at(q0, cast(d + 1 as int))"))
+          .cast("decimal(38,0)"))
+      .groupBy(col("cluster"))
+      .agg(max(col("n")).as("n_members"),
+        sum(col("diff") * col("diff")).cast("decimal(38,0)")
+          .cast("double").as("shift_scaled"))
+      .select(col("cluster").as("cluster_id"), col("n_members"),
+        col("shift_scaled"))
+      .orderBy(col("cluster_id"))
+  }
+
+  val s43Sql: String =
+    s"""WITH $codebookCtes,
+       |shift AS (
+       |  SELECT s1.cluster,
+       |    max(s1.n) AS n_members,
+       |    sum(CAST(s1.s - s1.n * q.qv[s1.d] AS HUGEINT)
+       |        * CAST(s1.s - s1.n * q.qv[s1.d] AS HUGEINT)) AS sh
+       |  FROM s1 JOIN qv q ON q.vec_id = s1.cluster
+       |  GROUP BY s1.cluster)
+       |SELECT cluster AS cluster_id, CAST(n_members AS BIGINT) AS n_members,
+       |  CAST(CAST(sh AS VARCHAR) AS DOUBLE) AS shift_scaled
+       |FROM shift ORDER BY cluster_id""".stripMargin
+
   // ---- s42: NN-descent chained to convergence (the recall curve) ----
   // Dong et al. 2011 run descent rounds until Δrecall < ε; s37 gates
   // one round of that machinery, this gates the CHAIN with its
@@ -2372,6 +2422,7 @@ object SimilarityOps {
     "s37_nn_descent" -> (s37NnDescent _),
     "s38_nnd_recall" -> (s38NndRecall _),
     "s42_nnd_curve" -> (s42NndCurve _),
+    "s43_centroid_shift" -> (s43CentroidShift _),
     "s36_residual_recall" -> (s36ResidualRecall _),
     "s35_residual_knn" -> (s35ResidualKnn _),
     "s34_recall_curve" -> (s34RecallCurve _),
@@ -2416,6 +2467,7 @@ object SimilarityOps {
     "s37_nn_descent" -> s37Sql,
     "s38_nnd_recall" -> s38Sql,
     "s42_nnd_curve" -> s42Sql,
+    "s43_centroid_shift" -> s43Sql,
     "s36_residual_recall" -> s36Sql,
     "s35_residual_knn" -> s35Sql,
     "s34_recall_curve" -> s34Sql,

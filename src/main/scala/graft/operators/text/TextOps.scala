@@ -1297,7 +1297,68 @@ object TextOps {
       |    AS avg_count_ppm
       |FROM cells GROUP BY b ORDER BY rank_bucket""".stripMargin
 
+  // ---- t27: span-level train/val contamination (decontamination) ----
+  // d7 flags WHOLE-document near-dups crossing the split; the leak a
+  // benchmark audit actually hunts is finer — val documents whose
+  // 8-word SPANS appear verbatim in train (quoted passages, shared
+  // boilerplate, copied answers: the Lee et al. substring-leak
+  // class). Per val doc: positional span count, spans present
+  // anywhere in train, contamination in exact ppm — the table a
+  // decontamination pass thresholds before releasing an eval set.
+  // Plan: d10's span-group table (DfCache-SHARED with d10 — one
+  // explode serves both) splits on the d7/d9 hash; the train side
+  // reduces to a distinct span-hash set and the val side hash-joins
+  // it (a hot boilerplate span is a skewed JOIN key AQE splits, the
+  // d10 posture). Output is |val docs| rows; everything integer.
+  def t27SpanContamination(spark: SparkSession, dir: String): DataFrame = {
+    val g = graft.util.DfCache.cached(spark, dir, "span_groups") {
+      graft.operators.dedup.DedupOps.spanGroupsOf(docs(spark, dir))
+    }
+    val isVal =
+      expr("((doc_id % 2147483647) * 2654435761) % 2147483647 % 100 >= 90")
+    val train = g.filter(!isVal).select(col("h")).distinct()
+      .withColumn("in_train", lit(true))
+    g.filter(isVal).join(train, Seq("h"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n_pos")).as("n_spans"),
+        coalesce(sum(when(col("in_train"), col("n_pos"))), lit(0L))
+          .as("n_contaminated"))
+      .withColumn("contam_ppm",
+        expr("n_contaminated * 1000000 div n_spans"))
+      .orderBy(col("doc_id"))
+  }
+
+  val t27Sql: String = {
+    val spanN = graft.operators.dedup.DedupOps.SpanN
+    s"""WITH wv AS (
+       |  SELECT doc_id,
+       |    list_transform(string_split(text,' '),
+       |      w -> (CAST(length(w) AS BIGINT)*31 + ascii(substr(w,1,1)))*31
+       |           + ascii(substr(w,-1,1))) AS wvs
+       |  FROM documents WHERE len(string_split(text,' ')) >= $spanN),
+       |sp AS (
+       |  SELECT doc_id,
+       |    unnest([ list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      [ wvs[j] for j in generate_series(i, i + ${spanN - 1}) ]),
+       |      (a, x) -> (a*131 + x) % 2147483647)
+       |      for i in generate_series(1, len(wvs) - ${spanN - 1}) ]) AS h
+       |  FROM wv),
+       |gp AS (SELECT h, doc_id, count(*) AS n_pos FROM sp GROUP BY h, doc_id),
+       |vl AS (SELECT * FROM gp
+       |  WHERE ((doc_id % 2147483647) * 2654435761) % 2147483647 % 100 >= 90),
+       |tr AS (SELECT DISTINCT h FROM gp
+       |  WHERE ((doc_id % 2147483647) * 2654435761) % 2147483647 % 100 < 90)
+       |SELECT vl.doc_id, CAST(sum(vl.n_pos) AS BIGINT) AS n_spans,
+       |  CAST(coalesce(sum(CASE WHEN tr.h IS NOT NULL THEN vl.n_pos END), 0)
+       |    AS BIGINT) AS n_contaminated,
+       |  CAST(coalesce(sum(CASE WHEN tr.h IS NOT NULL THEN vl.n_pos END), 0)
+       |    AS BIGINT) * 1000000 // CAST(sum(vl.n_pos) AS BIGINT) AS contam_ppm
+       |FROM vl LEFT JOIN tr ON vl.h = tr.h
+       |GROUP BY vl.doc_id ORDER BY vl.doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t27_span_contamination" -> (t27SpanContamination _),
     "t26_zipf_profile" -> (t26ZipfProfile _),
     "t25_stopword_induction" -> (t25StopwordInduction _),
     "t24_burstiness" -> (t24Burstiness _),
@@ -1326,6 +1387,7 @@ object TextOps {
     "t9_curation_pipeline" -> (t9CurationPipeline _))
 
   val oracles: Map[String, String] = Map(
+    "t27_span_contamination" -> t27Sql,
     "t26_zipf_profile" -> t26Sql,
     "t25_stopword_induction" -> t25Sql,
     "t24_burstiness" -> t24Sql,

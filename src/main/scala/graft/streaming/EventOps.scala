@@ -1072,7 +1072,53 @@ object EventOps {
        |FROM ur CROSS JOIN th ORDER BY user_id""".stripMargin
   }
 
+  // ---- e27: new vs returning users + cumulative user base ----
+  // The growth-accounting row under e25's DAU: per day, how many
+  // active users are NEW (first ever appearance) vs RETURNING, and
+  // the cumulative registered-user base — the decomposition every
+  // growth dashboard leads with (DAU can be flat while new-user
+  // intake collapses; this table shows it). Three map-side-combined
+  // aggregates — distinct (user, day) actives, min-day first-seen,
+  // per-day new counts — then one running sum over the |days|-row
+  // summary (the bounded-window q40 posture). All integers. In
+  // stream mode first-seen IS e25's exactly-once dedup state keyed
+  // by user alone — the same machinery, coarser key.
+  def e27NewVsReturning(spark: SparkSession, dir: String): DataFrame = {
+    val ud = events(spark, dir)
+      .select(col("user_id"), col("ts").cast("date").as("day"))
+    val active = ud.distinct()
+      .groupBy(col("day")).agg(count(lit(1)).as("active_users"))
+    val fresh = ud.groupBy(col("user_id")).agg(min(col("day")).as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("new_users"))
+    val w = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    active.join(fresh, Seq("day"), "left_outer")
+      .withColumn("new_users", coalesce(col("new_users"), lit(0L)))
+      .withColumn("returning_users", col("active_users") - col("new_users"))
+      .withColumn("cumulative_users", sum(col("new_users")).over(w))
+      .select(col("day"), col("active_users"), col("new_users"),
+        col("returning_users"), col("cumulative_users"))
+      .orderBy(col("day"))
+  }
+
+  val e27Sql: String =
+    """WITH ud AS (
+      |  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+      |  FROM events),
+      |act AS (SELECT day, count(*) AS active_users FROM ud GROUP BY day),
+      |fs AS (SELECT day, count(*) AS new_users FROM (
+      |  SELECT user_id, min(day) AS day FROM ud GROUP BY user_id) GROUP BY day)
+      |SELECT a.day, a.active_users,
+      |  CAST(coalesce(f.new_users, 0) AS BIGINT) AS new_users,
+      |  a.active_users - CAST(coalesce(f.new_users, 0) AS BIGINT)
+      |    AS returning_users,
+      |  CAST(sum(coalesce(f.new_users, 0)) OVER (ORDER BY a.day
+      |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumulative_users
+      |FROM act a LEFT JOIN fs f ON a.day = f.day
+      |ORDER BY a.day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e27_new_vs_returning" -> (e27NewVsReturning _),
     "e26_rfm" -> (e26Rfm _),
     "e25_dau_wau" -> (e25DauWau _),
     "e24_watermark_whatif" -> (e24WatermarkWhatif _),
@@ -1101,6 +1147,7 @@ object EventOps {
     "e8_funnel" -> (e8Funnel _))
 
   val oracles: Map[String, String] = Map(
+    "e27_new_vs_returning" -> e27Sql,
     "e26_rfm" -> e26Sql,
     "e25_dau_wau" -> e25Sql,
     "e24_watermark_whatif" -> e24Sql,

@@ -97,6 +97,62 @@ class Round24OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq(0L, 1L, 2L, 3L))
   }
 
+  test("s43: 16 shift rows, all non-negative, members cover the corpus") {
+    val rows = graft.operators.similarity.SimilarityOps
+      .s43CentroidShift(spark, dir).collect()
+    assert(rows.length == 16)
+    assert(rows.forall(_.getAs[Double]("shift_scaled") >= 0.0))
+    val corpus = graft.operators.similarity.SimilarityOps
+      .embQuantized(spark, dir).count()
+    assert(rows.map(_.getAs[Long]("n_members")).sum == corpus)
+  }
+
+  test("t27: contamination bounded to [0, 1e6] ppm and consistent with its parts") {
+    val rows = graft.operators.text.TextOps
+      .t27SpanContamination(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, c, ppm) = (r.getAs[Long]("n_spans"),
+        r.getAs[Long]("n_contaminated"), r.getAs[Long]("contam_ppm"))
+      assert(c >= 0L && c <= n)
+      assert(ppm == c * 1000000L / n)
+    }
+  }
+
+  test("e27: active splits into new + returning; cumulative is monotone; day 1 is all-new") {
+    val rows = graft.streaming.EventOps.e27NewVsReturning(spark, dir).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("active_users") ==
+        r.getAs[Long]("new_users") + r.getAs[Long]("returning_users"))
+      assert(r.getAs[Long]("returning_users") >= 0L)
+    }
+    assert(rows.head.getAs[Long]("returning_users") == 0L,
+      "the first day has no one to return")
+    val cums = rows.map(_.getAs[Long]("cumulative_users"))
+    cums.sliding(2).foreach { case Array(a, b) => assert(b >= a) }
+  }
+
+  test("m17: reclaim never exceeds total; keeper accounting is consistent") {
+    val rows = graft.operators.multimodal.MultimodalOps
+      .m17DedupReclaim(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("dup_blobs") <= r.getAs[Long]("n_blobs"))
+      assert(r.getAs[Long]("reclaimable_bytes") <= r.getAs[Long]("total_bytes"))
+    }
+  }
+
+  test("g36: the size histogram's node mass equals the node count") {
+    val rows = graft.operators.graph.GraphOps
+      .g36ComponentSizes(spark, dir).collect()
+    val v = graft.operators.graph.GraphOps.g1Degree(spark, dir).count()
+    assert(rows.map(_.getAs[Long]("n_nodes")).sum == v)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_nodes") ==
+        r.getAs[Long]("component_size") * r.getAs[Long]("n_components"))
+    }
+  }
+
   test("g33: every peel round's parquet checkpoint is deleted by completion") {
     graft.operators.graph.GraphOps.g33Ktruss(spark, dir).collect()
     val dirKey = dir.replaceAll("[^A-Za-z0-9]", "_")
