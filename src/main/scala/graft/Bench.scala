@@ -41,7 +41,13 @@ object Bench {
       "graph_dir_dst" -> ((s, d) => graft.operators.graph.GraphTables.directedByDst(s, d)),
       "graph_wpr" -> ((s, d) => graft.operators.graph.GraphOps.g15WeightedPagerank(s, d)),
       "graph_wppr" -> ((s, d) => graft.operators.graph.GraphOps.g16WeightedPersonalized(s, d)),
-      "winnow_fp" -> ((s, d) => graft.operators.dedup.DedupOps.winnowFingerprints(s, d)))
+      "winnow_fp" -> ((s, d) => graft.operators.dedup.DedupOps.winnowFingerprints(s, d)),
+      "lpa_labels" -> ((s, d) => graft.operators.graph.GraphOps.g17LabelPropagation(s, d)),
+      "cc_converged" -> ((s, d) => graft.operators.graph.GraphOps.g11ComponentsConverged(s, d)),
+      "span_groups" -> ((s, d) => graft.operators.dedup.DedupOps.d10SpanDedup(s, d)),
+      "ivf_assign" -> ((s, d) => graft.operators.similarity.SimilarityOps.trainedAssignment(s, d)),
+      "knn_lists" -> ((s, d) => graft.operators.similarity.SimilarityOps.s33MutualKnn(s, d)),
+      "nnd_round1" -> ((s, d) => graft.operators.similarity.SimilarityOps.s37NnDescent(s, d)))
 
     def timed(fn: => Long): (Double, Boolean, Long) = {
       val t0 = System.nanoTime()

@@ -35,6 +35,7 @@ object GraftFunctions {
     "graft_sorted_intersect_count" ->
       binary("graft_sorted_intersect_count", SortedIntersectCount),
     "graft_pack_deltas" -> unary("graft_pack_deltas", PackDeltas),
+    "graft_minhash64" -> unary("graft_minhash64", MinHash64),
     "graft_packed_intersect" ->
       binary("graft_packed_intersect", PackedIntersect))
 

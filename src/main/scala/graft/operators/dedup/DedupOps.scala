@@ -82,9 +82,14 @@ object DedupOps {
       |  FROM wvs)""".stripMargin
 
   // ---- d2: MinHash(64) + LSH (16 bands x 4 rows) candidate pairs ----
-  private val mhExpr =
-    """transform(sequence(0, 63), p -> array_min(transform(shingles,
-      |  s -> ((2*cast(p as bigint)+1)*s + p*p+1) % 2147483647)))""".stripMargin
+  // Native fused loop (graft.functions.MinHash64) — the HOF form
+  // `transform(sequence(0,63), p -> array_min(transform(shingles,
+  // s -> ((2p+1)s + p²+1) % M)))` computes identical values but runs
+  // interpreted (HOFs are CodegenFallback); at the sf10 index build
+  // it was the measured single-core bottleneck. Oracles keep the
+  // arithmetic spelled out — the function is definitionally that
+  // formula (MinHashSpec pins the equivalence element-wise).
+  private val mhExpr = "graft_minhash64(shingles)"
 
   private val bandKeysExpr =
     """transform(sequence(0, 15), b ->
@@ -1449,6 +1454,52 @@ object DedupOps {
        |WHERE cl.doc_id IS NULL OR cl.is_kept
        |ORDER BY d.doc_id""".stripMargin
 
+  // ---- d25: candidate-similarity histogram (threshold placement) ----
+  // d8/d12 price the bands' recall and precision AGAINST a fixed θ;
+  // this shows the DISTRIBUTION the θ cuts: all LSH candidate pairs
+  // (including sub-threshold — the rejected mass is the point),
+  // binned by exact Jaccard in integer tenths. A corpus whose
+  // candidate mass piles just under θ says "tune θ or add bands"; a
+  // bimodal plot says the threshold is safe anywhere in the gap. One
+  // re-score of the (capped, bounded) candidate set with the native
+  // merge-pass intersect, bins exact: bin = 10·inter div union — no
+  // float boundary ambiguity cross-engine.
+  def d25SimHistogram(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(spark)
+    val sh = shingleFeatures(spark, dir)
+    d2MinhashLsh(spark, dir)
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sa")),
+        Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sb")),
+        Seq("doc_b"))
+      .withColumn("inter", expr("graft_sorted_intersect_count(sa, sb)"))
+      // zero-overlap collisions (same band hash, disjoint shingles)
+      // are excluded on BOTH engines — the oracle's intersection CTE
+      // cannot see them at all (inner join on shared shingles)
+      .filter(col("inter") >= 1L)
+      .withColumn("uni", size(col("sa")) + size(col("sb")) - col("inter"))
+      .select(expr("inter * 10 div uni").as("sim_bin"))
+      .groupBy(col("sim_bin")).agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("sim_bin"))
+  }
+
+  val d25Sql: String =
+    s"""WITH $lshCtes,
+       |shx AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+       |ns AS (SELECT doc_id, len(shingles) AS n FROM sh),
+       |inter AS (
+       |  SELECT c.doc_a, c.doc_b, count(*) AS inter
+       |  FROM cand c
+       |  JOIN shx a ON a.doc_id = c.doc_a
+       |  JOIN shx b ON b.doc_id = c.doc_b AND a.s = b.s
+       |  GROUP BY c.doc_a, c.doc_b)
+       |SELECT CAST(i.inter * 10 // (na.n + nb.n - i.inter) AS BIGINT) AS sim_bin,
+       |  count(*) AS n_pairs
+       |FROM inter i
+       |JOIN ns na ON i.doc_a = na.doc_id
+       |JOIN ns nb ON i.doc_b = nb.doc_id
+       |GROUP BY 1 ORDER BY sim_bin""".stripMargin
+
   // ---- d24: Bloom prefilter for cross-shard exact dedup ----
   // The cheap gate BEFORE d9's full index probe: the corpus's doc
   // FINGERPRINTS (t4's base-1000003 fold — one long per doc) go into
@@ -1538,6 +1589,7 @@ object DedupOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d25_sim_histogram" -> (d25SimHistogram _),
     "d24_bloom_prefilter" -> (d24BloomPrefilter _),
     "d23_band_tuning" -> (d23BandTuning _),
     "d22_rep_weights" -> (d22RepWeights _),
@@ -1564,6 +1616,7 @@ object DedupOps {
     "d9_incremental_dedup" -> (d9IncrementalDedup _))
 
   val oracles: Map[String, String] = Map(
+    "d25_sim_histogram" -> d25Sql,
     "d24_bloom_prefilter" -> d24Sql,
     "d23_band_tuning" -> d23Sql,
     "d22_rep_weights" -> d22Sql,

@@ -1761,6 +1761,44 @@ object GraphOps {
        |ORDER BY node_id""".stripMargin
   }
 
+  // ---- g37: joint degree-mixing histogram (log2-binned) ----
+  // g24 compresses degree mixing into ONE assortativity scalar; this
+  // is the matrix behind it — per (⌊log2 du⌋, ⌊log2 dv⌋) unordered
+  // bin pair, how many edges connect those degree classes. The
+  // hub-to-hub vs hub-to-leaf structure read directly (g34 asks it
+  // about the elite only; this is the full mixing surface). One
+  // degree aggregate + the canonical-edge double join (g24/g34's
+  // shape), then a bounded (≤ log²V cells) rollup; ⌊log2⌋ via
+  // length(bin(x))−1 — integer on both engines, t26's convention.
+  def g37JointDegree(spark: SparkSession, dir: String): DataFrame = {
+    val sym = withSym(spark, dir)
+    val deg = sym.groupBy(col("src").as("node")).agg(count(lit(1)).as("dg"))
+    sym.filter(col("src") < col("dst"))
+      .join(deg.select(col("node").as("src"), col("dg").as("du")), Seq("src"))
+      .join(deg.select(col("node").as("dst"), col("dg").as("dv")), Seq("dst"))
+      .select(
+        least(expr("length(bin(du)) - 1"), expr("length(bin(dv)) - 1"))
+          .cast("long").as("bin_lo"),
+        greatest(expr("length(bin(du)) - 1"), expr("length(bin(dv)) - 1"))
+          .cast("long").as("bin_hi"))
+      .groupBy(col("bin_lo"), col("bin_hi"))
+      .agg(count(lit(1)).as("n_edges"))
+      .orderBy(col("bin_lo"), col("bin_hi"))
+  }
+
+  val g37Sql: String =
+    s"""WITH ${GraphTables.symSqlCtes.replace("sym AS (", "sym AS MATERIALIZED (")},
+       |deg AS MATERIALIZED (
+       |  SELECT src AS node, count(*) AS dg FROM sym GROUP BY src)
+       |SELECT CAST(least(length(bin(a.dg)) - 1, length(bin(b.dg)) - 1) AS BIGINT)
+       |    AS bin_lo,
+       |  CAST(greatest(length(bin(a.dg)) - 1, length(bin(b.dg)) - 1) AS BIGINT)
+       |    AS bin_hi,
+       |  count(*) AS n_edges
+       |FROM sym e JOIN deg a ON e.src = a.node JOIN deg b ON e.dst = b.node
+       |WHERE e.src < e.dst
+       |GROUP BY 1, 2 ORDER BY bin_lo, bin_hi""".stripMargin
+
   // ---- g18: harmonic centrality from sampled sources ----
   // The centrality family beyond rank: harmonic centrality H(s) =
   // Σ_{v≠s} 1/d(s,v) (unreachable ⇒ 0 contribution), computed EXACTLY
@@ -2281,6 +2319,7 @@ object GraphOps {
        |FROM wdeg GROUP BY wsum ORDER BY strength""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g37_joint_degree" -> (g37JointDegree _),
     "g36_component_sizes" -> (g36ComponentSizes _),
     "g35_coreness" -> (g35Coreness _),
     "g34_rich_club" -> (g34RichClub _),
@@ -2319,6 +2358,7 @@ object GraphOps {
     "g9_checkpoint_roundtrip" -> (g9CheckpointRoundtrip _))
 
   val oracles: Map[String, String] = Map(
+    "g37_joint_degree" -> g37Sql,
     "g36_component_sizes" -> g36Sql,
     "g35_coreness" -> g35Sql,
     "g34_rich_club" -> g34Sql,

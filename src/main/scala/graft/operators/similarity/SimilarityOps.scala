@@ -1859,9 +1859,15 @@ object SimilarityOps {
     rescoreTopK(spark, dir, cand)
   }
 
+  /** Round-1 descended lists, DfCache'd — s37 gates them and s42's
+    * chain starts from them (one K²·N expansion serves both). */
+  private def nndRound1(spark: SparkSession, dir: String): DataFrame =
+    graft.util.DfCache.cached(spark, dir, "nnd_round1") {
+      nnDescentRound(spark, dir, lshKnnLists(spark, dir))
+    }
+
   def s37NnDescent(spark: SparkSession, dir: String): DataFrame =
-    nnDescentRound(spark, dir, lshKnnLists(spark, dir))
-      .orderBy(col("query_id"), col("rank"))
+    nndRound1(spark, dir).orderBy(col("query_id"), col("rank"))
 
   val s37Sql: String =
     s"""WITH $knnListsCtes,
@@ -2015,7 +2021,9 @@ object SimilarityOps {
     var lists = lshKnnLists(spark, dir)
     var out = row(0, lists)
     for (r <- 1 to NndRounds) {
-      lists = nnDescentRound(spark, dir, lists).localCheckpoint(true)
+      lists =
+        if (r == 1) nndRound1(spark, dir) // shared with s37's gate
+        else nnDescentRound(spark, dir, lists).localCheckpoint(true)
       out = out.unionAll(row(r, lists))
     }
     out.orderBy(col("round"))

@@ -116,4 +116,44 @@ object TableIO {
     delete(old)
     nFiles.toLong
   }
+
+  /** Changelog → snapshot upsert-compaction of a parquet table (the
+    * e28 latest-state primitive as a SINK operation): fold `updates`
+    * into the table at `path`, keeping per `keyCol` only the row with
+    * the greatest (`versionCols`…) tuple — lexicographic struct max,
+    * one map-side-combined aggregate, no per-key window sort — then
+    * atomically swap the snapshot in (compactParquet's
+    * move-aside/rename discipline, so a concurrent reader sees either
+    * the old or the new snapshot, never a half-write). Passing an
+    * empty `updates` re-compacts in place (pure dedup of an
+    * append-accumulated log). Returns the snapshot row count. */
+  def upsertCompact(spark: SparkSession, path: String, updates: DataFrame,
+      keyCol: String, versionCols: Seq[String]): Long = {
+    import org.apache.spark.sql.functions._
+    val base = spark.read.parquet(path)
+    val all = base.unionByName(updates.select(base.columns.map(col): _*))
+    val payload = all.columns.filter(_ != keyCol)
+    // version columns lead the struct; remaining payload rides along
+    val ordered = versionCols ++ payload.filterNot(versionCols.contains)
+    val snap = all
+      .groupBy(col(keyCol))
+      .agg(max(struct(ordered.map(col): _*)).as("s"))
+      .select(col(keyCol) +: payload.map(c => col(s"s.$c").as(c)): _*)
+    val tmp = path + ".compact.tmp"
+    snap.write.mode(SaveMode.Overwrite).parquet(tmp)
+    val dir = new java.io.File(path)
+    val old = new java.io.File(path + ".compact.old")
+    def delete(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(delete)
+      f.delete(); ()
+    }
+    if (!dir.renameTo(old))
+      throw new java.io.IOException(s"upsert: cannot move $path aside")
+    if (!new java.io.File(tmp).renameTo(dir)) {
+      old.renameTo(dir)
+      throw new java.io.IOException(s"upsert: cannot swap $tmp into $path")
+    }
+    delete(old)
+    spark.read.parquet(path).count()
+  }
 }

@@ -1117,7 +1117,45 @@ object EventOps {
       |FROM act a LEFT JOIN fs f ON a.day = f.day
       |ORDER BY a.day""".stripMargin
 
+  // ---- e28: latest-state compaction (the CDC upsert primitive) ----
+  // The log-to-snapshot operator every changelog pipeline runs: per
+  // key, the LATEST row wins (here: each user's last event = their
+  // current state). NOT a row_number window — the snapshot falls out
+  // of ONE map-side-combined `max(struct(ts, event_id, ...))`
+  // aggregate: struct ordering is lexicographic, so (ts, event_id)
+  // is the version key and payload columns ride along in the same
+  // struct. At 100 TB this is the difference between a full sort of
+  // the log per key (window) and a combiner that keeps ONE row per
+  // key per task — the compaction shape object stores use. Ties on
+  // ts break on event_id deterministically on both engines.
+  def e28LatestState(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("ts"), col("event_id"), col("event_type"),
+        col("value").cast("decimal(18,2)").cast("double").as("value")))
+        .as("s"),
+        count(lit(1)).as("n_versions"))
+      .select(col("user_id"), col("s.ts").as("last_ts"),
+        col("s.event_id").as("last_event_id"),
+        col("s.event_type").as("last_type"),
+        col("s.value").as("last_value"), col("n_versions"))
+      .orderBy(col("user_id"))
+
+  val e28Sql: String =
+    """SELECT user_id, ts AS last_ts, event_id AS last_event_id,
+      |  event_type AS last_type,
+      |  CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS last_value,
+      |  n_versions
+      |FROM (
+      |  SELECT user_id, ts, event_id, event_type, value,
+      |    count(*) OVER (PARTITION BY user_id) AS n_versions,
+      |    row_number() OVER (PARTITION BY user_id
+      |      ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events) x
+      |WHERE rn = 1 ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e28_latest_state" -> (e28LatestState _),
     "e27_new_vs_returning" -> (e27NewVsReturning _),
     "e26_rfm" -> (e26Rfm _),
     "e25_dau_wau" -> (e25DauWau _),
@@ -1147,6 +1185,7 @@ object EventOps {
     "e8_funnel" -> (e8Funnel _))
 
   val oracles: Map[String, String] = Map(
+    "e28_latest_state" -> e28Sql,
     "e27_new_vs_returning" -> e27Sql,
     "e26_rfm" -> e26Sql,
     "e25_dau_wau" -> e25Sql,

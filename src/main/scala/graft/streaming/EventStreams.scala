@@ -300,6 +300,34 @@ object EventStreams {
       }
   }
 
+  /** e28's STREAM MODE: per-key latest-state maintenance (the CDC
+    * upsert primitive as running state). Input rows are
+    * (key, ts, row_id, payload); state per key is exactly the
+    * current winning row — O(1) regardless of log volume. Update
+    * semantics: a batch that touches a key emits that key's
+    * refreshed snapshot row; a LATE arrival older than the held
+    * (ts, row_id) version leaves state untouched and re-emits the
+    * unchanged winner (idempotent under replay — the law
+    * LatestStateStreamSpec pins against the batch max-struct). */
+  def latestStateStream(rows: Dataset[(Long, Long, Long, String)])
+      : Dataset[(Long, Long, Long, String)] = {
+    val sq = rows.sparkSession
+    import sq.implicits._
+    rows.groupByKey(_._1)
+      .mapGroupsWithState[(Long, Long, String), (Long, Long, Long, String)](
+        GroupStateTimeout.NoTimeout()) {
+        (key: Long, it: Iterator[(Long, Long, Long, String)],
+         state: GroupState[(Long, Long, String)]) =>
+          var best = state.getOption.getOrElse((Long.MinValue, Long.MinValue, ""))
+          it.foreach { case (_, ts, id, p) =>
+            if (ts > best._1 || (ts == best._1 && id > best._2))
+              best = (ts, id, p)
+          }
+          state.update(best)
+          (key, best._1, best._2, best._3)
+      }
+  }
+
   /** Interval join: purchase ⋈ clicks of the same user in the 30
     * minutes up to (and including) the purchase. On streams both sides
     * carry watermarks and the time-range bound lets Spark evict join

@@ -153,6 +153,52 @@ class Round24OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("plan pins: d24 bloom bits broadcast; new ops never cartesian/nested-loop") {
+    def planOf(name: String): String = {
+      val df = graft.SparkEntry.queries(name)(spark, dir)
+      df.collect()
+      df.queryExecution.executedPlan.toString
+    }
+    val d24 = planOf("d24_bloom_prefilter")
+    assert(d24.contains("BroadcastHashJoin"),
+      "the bloom word table must broadcast into the probe scan")
+    for (q <- Seq("d24_bloom_prefilter", "g35_coreness", "t26_zipf_profile",
+        "m17_dedup_reclaim", "e27_new_vs_returning", "t27_span_contamination")) {
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        s"$q must stay on equi-joins")
+    }
+  }
+
+  test("e28: snapshot keys are unique; versions sum to the log size") {
+    val rows = graft.streaming.EventOps.e28LatestState(spark, dir).collect()
+    val users = rows.map(_.getAs[Long]("user_id"))
+    assert(users.distinct.length == users.length, "one snapshot row per key")
+    val logSize = graft.sources.Tables.load(spark, dir, "events").count()
+    assert(rows.map(_.getAs[Long]("n_versions")).sum == logSize)
+  }
+
+  test("g37: mixing-matrix edge mass equals the canonical edge count") {
+    val rows = graft.operators.graph.GraphOps.g37JointDegree(spark, dir).collect()
+    rows.foreach(r =>
+      assert(r.getAs[Long]("bin_lo") <= r.getAs[Long]("bin_hi")))
+    val canon = graft.operators.graph.GraphOps.g1Degree(spark, dir)
+      .agg(org.apache.spark.sql.functions.sum(col("degree"))).collect()(0).getLong(0) / 2
+    assert(rows.map(_.getAs[Long]("n_edges")).sum == canon)
+  }
+
+  test("d25: bins confined to [0,10]; mass ≥ the verified-pair count") {
+    val rows = graft.operators.dedup.DedupOps.d25SimHistogram(spark, dir).collect()
+    rows.foreach { r =>
+      val b = r.getAs[Long]("sim_bin")
+      assert(b >= 0L && b <= 10L)
+    }
+    val verified = graft.operators.dedup.DedupOps.d4NgramJaccard(spark, dir).count()
+    assert(rows.map(_.getAs[Long]("n_pairs")).sum >= verified,
+      "the histogram covers at least every pair that verified")
+  }
+
   test("g33: every peel round's parquet checkpoint is deleted by completion") {
     graft.operators.graph.GraphOps.g33Ktruss(spark, dir).collect()
     val dirKey = dir.replaceAll("[^A-Za-z0-9]", "_")
