@@ -513,6 +513,95 @@ object Relational {
       |GROUP BY CUBE (l_returnflag, l_linestatus)
       |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
 
+  // ---- q52: gaps-and-islands (per-customer order-month streaks) ----
+  // The classic sessionization-in-SQL shape: collapse each customer's
+  // order history to distinct activity months, then group CONSECUTIVE
+  // months into islands via the month-minus-rank trick (two rows are
+  // in the same streak iff m - row_number() agrees). Per customer:
+  // number of streaks, longest streak, total active months — the
+  // engagement-tenure table a retention model trains on. Scale: the
+  // window partitions by o_custkey (grow-with-data key, never a
+  // global sort) over at most |months| rows per customer — bounded by
+  // the calendar, not the order volume; the distinct() before it is
+  // the only corpus-sized exchange. Mirrors the reference's repeated
+  // per-entity traversal summaries (Runner.java:60 per-node rollups).
+  def q52GapsIslands(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val m = t(spark, dir, "orders")
+      .select(col("o_custkey"),
+        (year(col("o_orderdate")).cast("long") * 12 +
+          month(col("o_orderdate")).cast("long")).as("m"))
+      .distinct()
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("m"))
+    m.withColumn("grp", col("m") - row_number().over(w))
+      .groupBy(col("o_custkey"), col("grp"))
+      .agg(count(lit(1)).as("len"))
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_streaks"),
+        max(col("len")).as("max_streak"),
+        sum(col("len")).as("active_months"))
+      .orderBy(col("o_custkey"))
+  }
+
+  val q52Sql: String =
+    """WITH m AS (SELECT DISTINCT o_custkey,
+      |    CAST(year(o_orderdate) AS BIGINT) * 12
+      |      + CAST(month(o_orderdate) AS BIGINT) AS m
+      |  FROM orders),
+      |i AS (SELECT o_custkey,
+      |    m - row_number() OVER (PARTITION BY o_custkey ORDER BY m) AS grp
+      |  FROM m),
+      |s AS (SELECT o_custkey, grp, count(*) AS len FROM i GROUP BY 1, 2)
+      |SELECT o_custkey, count(*) AS n_streaks,
+      |  CAST(max(len) AS BIGINT) AS max_streak,
+      |  CAST(sum(len) AS BIGINT) AS active_months
+      |FROM s GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
+
+  // ---- q53: exact running distinct count (cumulative cardinality) ----
+  // "Distinct customers to date" is the KPI that looks like it needs
+  // a running COUNT(DISTINCT) over an ever-growing window — quadratic
+  // if computed naively, and approximate if HLL'd. The exact linear
+  // form: a customer enters the cumulative count exactly once, at its
+  // FIRST month — so new_customers(month) = count of first
+  // appearances, and the cumulative series is a running sum over the
+  // |months|-row summary. Plan: two map-side-combined aggregates over
+  // orders (per-month distinct actives; per-customer min month) and
+  // one window over the bounded month summary — the q49 posture; the
+  // corpus is scanned once per aggregate and never self-joined.
+  def q53CumulativeDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val om = t(spark, dir, "orders")
+      .select(col("o_custkey"), date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+    val monthly = om.distinct()
+      .groupBy(col("month")).agg(count(lit(1)).as("active_customers"))
+    val firsts = om.groupBy(col("o_custkey")).agg(min(col("month")).as("month"))
+      .groupBy(col("month")).agg(count(lit(1)).as("new_customers"))
+    val w = Window.orderBy(col("month"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    monthly.join(firsts, Seq("month"), "left_outer")
+      .withColumn("new_customers", coalesce(col("new_customers"), lit(0L)))
+      .withColumn("cumulative_customers", sum(col("new_customers")).over(w))
+      .select(col("month"), col("active_customers"), col("new_customers"),
+        col("cumulative_customers"))
+      .orderBy(col("month"))
+  }
+
+  val q53Sql: String =
+    """WITH om AS (SELECT o_custkey, strftime(o_orderdate, '%Y-%m') AS month
+      |            FROM orders),
+      |a AS (SELECT month, count(*) AS active_customers
+      |      FROM (SELECT DISTINCT o_custkey, month FROM om) GROUP BY month),
+      |f AS (SELECT month, count(*) AS new_customers
+      |      FROM (SELECT o_custkey, min(month) AS month FROM om GROUP BY 1)
+      |      GROUP BY month)
+      |SELECT a.month, a.active_customers,
+      |  CAST(coalesce(f.new_customers, 0) AS BIGINT) AS new_customers,
+      |  CAST(sum(coalesce(f.new_customers, 0))
+      |    OVER (ORDER BY a.month ROWS UNBOUNDED PRECEDING) AS BIGINT)
+      |    AS cumulative_customers
+      |FROM a LEFT JOIN f ON a.month = f.month
+      |ORDER BY a.month""".stripMargin
+
   // ---- q26: pivot (wide aggregate over an enumerated domain) ----
   // Values are ENUMERATED (Seq("F","O")) so the pivot compiles to
   // CASE-filtered aggregates in ONE pass — no extra distinct-values
@@ -1875,6 +1964,8 @@ object Relational {
   /** queries-map fragment: name → builder */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q51_grouping_id" -> (q51GroupingId _),
+    "q52_gaps_islands" -> (q52GapsIslands _),
+    "q53_cumulative_distinct" -> (q53CumulativeDistinct _),
     "q50_f2_sketch" -> (q50F2Sketch _),
     "q49_mom_growth" -> (q49MomGrowth _),
     "q48_itemset3" -> (q48Itemset3 _),
@@ -1929,6 +2020,8 @@ object Relational {
   /** oracle-map fragment: name → DuckDB SQL */
   val oracles: Map[String, String] = Map(
     "q51_grouping_id" -> q51Sql,
+    "q52_gaps_islands" -> q52Sql,
+    "q53_cumulative_distinct" -> q53Sql,
     "q50_f2_sketch" -> q50Sql,
     "q49_mom_growth" -> q49Sql,
     "q48_itemset3" -> q48Sql,

@@ -99,9 +99,15 @@ object DedupOps {
   /** (doc_id, band, bkey) band rows of a shingle-feature DataFrame —
     * the builder behind [[bandTable]], reused by d9's index build and
     * shard probe. */
-  def bandRowsOf(sh: DataFrame): DataFrame =
+  def bandRowsOf(sh: DataFrame): DataFrame = {
+    // mhExpr resolves graft_minhash64 at analysis time — register on
+    // the frame's own session so standalone callers (buildDedupIndex
+    // on a fresh session) don't depend on a prior operator having
+    // registered it.
+    graft.functions.GraftFunctions.registerAll(sh.sparkSession)
     sh.withColumn("mh", expr(mhExpr))
       .select(col("doc_id"), posexplode(expr(bandKeysExpr)).as(Seq("band", "bkey")))
+  }
 
   /** (doc_id, band, bkey): 16 rows per doc, the LSH shuffle key.
     * Cached: both sides of the candidate self-join read it. */

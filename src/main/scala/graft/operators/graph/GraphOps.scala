@@ -168,11 +168,14 @@ object GraphOps {
         .select(col("node").as("src"), col("deg")), Seq("src"))
     }
 
-  /** The single wedge aggregation both link predictors read: one
-    * pass over the ≤ MaxWedgeDeg·|E| wedge rows computes the
-    * common-neighbor count AND the RA weight sum per non-ordered
-    * pair, then the existing-edge anti-join — cached so g21 and g22
-    * split the heaviest stage instead of streaming it twice. */
+  /** The single wedge aggregation all three link predictors read:
+    * one pass over the ≤ MaxWedgeDeg·|E| wedge rows computes the
+    * common-neighbor count, the RA weight sum AND the Adamic–Adar
+    * weight sum per non-ordered pair, then the existing-edge
+    * anti-join — cached so g21/g22/g39 split the heaviest stage
+    * instead of streaming it three times. Wedge centers have deg ≥ 2
+    * by construction (two distinct neighbors), so ⌊log2 deg⌋ ≥ 1 and
+    * the AA division never sees zero. */
   private def wedgePairScores(spark: SparkSession, dir: String): DataFrame =
     graft.util.DfCache.cached(spark, dir, "wedge_pair_scores") {
       val sym = withSym(spark, dir)
@@ -180,9 +183,11 @@ object GraphOps {
       ce.as("e1").join(ce.as("e2"),
           col("e1.src") === col("e2.src") && col("e1.dst") < col("e2.dst"))
         .select(col("e1.dst").as("node_a"), col("e2.dst").as("node_b"),
-          expr("cast(1000000000 as bigint) DIV e1.deg").as("w"))
+          expr("cast(1000000000 as bigint) DIV e1.deg").as("w"),
+          expr("cast(1000000000 as bigint) DIV (length(bin(e1.deg)) - 1)").as("aw"))
         .groupBy(col("node_a"), col("node_b"))
-        .agg(count(lit(1)).as("cn"), sum(col("w")).as("ra_nano"))
+        .agg(count(lit(1)).as("cn"), sum(col("w")).as("ra_nano"),
+          sum(col("aw")).as("aa_nano"))
         .filter(col("cn") >= MinCommon)
         .join(sym.select(col("src").as("node_a"), col("dst").as("node_b")),
           Seq("node_a", "node_b"), "left_anti")
@@ -242,6 +247,37 @@ object GraphOps {
        |      FROM ce e1 JOIN ce e2 ON e1.src = e2.src AND e1.dst < e2.dst
        |      GROUP BY 1, 2 HAVING count(*) >= $MinCommon)
        |SELECT p.node_a, p.node_b, p.cn, p.ra_nano
+       |FROM p LEFT JOIN sym s ON p.node_a = s.src AND p.node_b = s.dst
+       |WHERE s.src IS NULL
+       |ORDER BY node_a, node_b""".stripMargin
+
+  // ---- g39: Adamic–Adar link prediction (discretized) ----
+  // The third classic local index (Adamic & Adar 2003): score(a,b) =
+  // Σ over shared neighbors c of 1/log(deg c) — between g21's
+  // unweighted count and g22's 1/deg in how hard it punishes
+  // ubiquitous centers. Discretized for the exact-integer gate as
+  // 10^9 DIV ⌊log2 deg⌋ (the t26/g37 bin-length convention — no
+  // float logarithm to drift between engines; documented as the
+  // discretized variant). Zero new shuffle: the weight rides the
+  // SAME cached wedge aggregation g21/g22 read — the per-wedge
+  // column was added to the shared pass, so g39's marginal cost is
+  // a projection of the cached pair table.
+  def g39AdamicAdar(spark: SparkSession, dir: String): DataFrame =
+    wedgePairScores(spark, dir)
+      .select(col("node_a"), col("node_b"), col("cn"), col("aa_nano"))
+      .orderBy(col("node_a"), col("node_b"))
+
+  val g39Sql: String =
+    s"""WITH ${GraphTables.symSqlCtes},
+       |deg AS (SELECT src AS node, count(*) AS deg FROM sym GROUP BY src),
+       |ce AS (SELECT s.src, s.dst, d.deg FROM sym s
+       |       JOIN deg d ON s.src = d.node WHERE d.deg <= $MaxWedgeDeg),
+       |p AS (SELECT e1.dst AS node_a, e2.dst AS node_b, count(*) AS cn,
+       |        CAST(sum(CAST(1000000000 AS BIGINT)
+       |                 // (length(bin(e1.deg)) - 1)) AS BIGINT) AS aa_nano
+       |      FROM ce e1 JOIN ce e2 ON e1.src = e2.src AND e1.dst < e2.dst
+       |      GROUP BY 1, 2 HAVING count(*) >= $MinCommon)
+       |SELECT p.node_a, p.node_b, p.cn, p.aa_nano
        |FROM p LEFT JOIN sym s ON p.node_a = s.src AND p.node_b = s.dst
        |WHERE s.src IS NULL
        |ORDER BY node_a, node_b""".stripMargin
@@ -1086,6 +1122,42 @@ object GraphOps {
       |  (2000000 * COALESCE(tri, 0)) // (dg * (dg - 1)) AS coeff_ppm
       |FROM deg LEFT JOIN tn ON deg.n = tn.n
       |WHERE dg >= 2 ORDER BY part_id""".stripMargin
+
+  // ---- g38: global transitivity (closed-wedge ratio) ----
+  // The one-row summary g7/g19 feed: wedges = Σ dg·(dg−1)/2 over the
+  // co-purchase projection, closed wedges = 3·triangles, transitivity
+  // = their exact-ppm ratio — the global clustering gauge papers
+  // quote next to degree assortativity (g24). Rides the SAME DfCache
+  // stages as g7/g19 (projection degrees + oriented triangle count):
+  // the only new work is one V-row map-side-combined sum and a
+  // broadcast cross of two one-row frames. At 100 TB this adds
+  // nothing to g7's cost — the E-row intersect is already paid.
+  def g38Transitivity(spark: SparkSession, dir: String): DataFrame = {
+    val tri = g7Triangles(spark, dir).select(col("triangles"))
+    g7Degrees(spark, dir)
+      .agg(sum(expr("dg * (dg - 1) div 2")).as("n_wedges"))
+      .crossJoin(broadcast(tri))
+      .select(col("n_wedges"), col("triangles").as("n_triangles"))
+      .withColumn("closed_wedges", col("n_triangles") * 3)
+      .withColumn("transitivity_ppm",
+        expr("(3000000 * n_triangles) div n_wedges"))
+  }
+
+  val g38Sql: String =
+    """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      |ok_orders AS (SELECT o FROM op GROUP BY o HAVING count(*) <= 25),
+      |capped AS (SELECT op.o, op.p FROM op JOIN ok_orders USING (o)),
+      |pp AS (SELECT DISTINCT a.p AS u, b.p AS v FROM capped a JOIN capped b ON a.o = b.o AND a.p < b.p),
+      |deg AS (SELECT n, count(*) AS dg FROM (
+      |  SELECT u AS n FROM pp UNION ALL SELECT v AS n FROM pp) GROUP BY n),
+      |tri AS (SELECT count(*) AS n_triangles FROM pp e1
+      |  JOIN pp e2 ON e1.v = e2.u
+      |  JOIN pp e3 ON e1.u = e3.u AND e2.v = e3.v),
+      |wg AS (SELECT CAST(sum(dg * (dg - 1) // 2) AS BIGINT) AS n_wedges FROM deg)
+      |SELECT n_wedges, n_triangles,
+      |  CAST(n_triangles * 3 AS BIGINT) AS closed_wedges,
+      |  CAST((3000000 * n_triangles) // n_wedges AS BIGINT) AS transitivity_ppm
+      |FROM wg, tri""".stripMargin
 
   // ---- g8: interior-node counts on all shortest part→region paths ----
   def g8PathInteriorCounts(spark: SparkSession, dir: String): DataFrame = {
@@ -2320,6 +2392,8 @@ object GraphOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g37_joint_degree" -> (g37JointDegree _),
+    "g38_transitivity" -> (g38Transitivity _),
+    "g39_adamic_adar" -> (g39AdamicAdar _),
     "g36_component_sizes" -> (g36ComponentSizes _),
     "g35_coreness" -> (g35Coreness _),
     "g34_rich_club" -> (g34RichClub _),
@@ -2359,6 +2433,8 @@ object GraphOps {
 
   val oracles: Map[String, String] = Map(
     "g37_joint_degree" -> g37Sql,
+    "g38_transitivity" -> g38Sql,
+    "g39_adamic_adar" -> g39Sql,
     "g36_component_sizes" -> g36Sql,
     "g35_coreness" -> g35Sql,
     "g34_rich_club" -> g34Sql,

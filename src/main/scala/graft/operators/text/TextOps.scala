@@ -679,17 +679,23 @@ object TextOps {
   // bigrams, never a broadcast of an unbounded vocabulary.
   private val CommonMin = 3
 
-  def t15BigramCoverage(spark: SparkSession, dir: String): DataFrame = {
-    val ws = col("ws")
-    val grams = when(size(ws) >= 2,
-        transform(sequence(lit(1), size(ws) - 1),
-          i => concat_ws(" ", element_at(ws, i), element_at(ws, i + 1))))
-      .otherwise(array().cast("array<string>"))
-    val dg = graft.util.DfCache.cached(spark, dir, "doc_bigrams") {
+  /** One (doc_id, bigram) row per positional bigram — the shared
+    * explode behind t15's coverage and t28's LM score (one corpus
+    * pass serves both; DfCache key "doc_bigrams"). */
+  private[graft] def docBigrams(spark: SparkSession, dir: String): DataFrame =
+    graft.util.DfCache.cached(spark, dir, "doc_bigrams") {
+      val ws = col("ws")
+      val grams = when(size(ws) >= 2,
+          transform(sequence(lit(1), size(ws) - 1),
+            i => concat_ws(" ", element_at(ws, i), element_at(ws, i + 1))))
+        .otherwise(array().cast("array<string>"))
       docs(spark, dir)
         .select(col("doc_id"), split(col("text"), " ").as("ws"))
         .select(col("doc_id"), explode(grams).as("bg"))
     }
+
+  def t15BigramCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val dg = docBigrams(spark, dir)
     val common = dg.groupBy(col("bg")).agg(count(lit(1)).as("freq"))
       .filter(col("freq") >= CommonMin)
       .select(col("bg"), lit(1).as("hit"))
@@ -710,6 +716,124 @@ object TextOps {
        |  count(c.bg) * 1000000 // count(*) AS coverage_ppm
        |FROM g LEFT JOIN c ON g.bg = c.bg
        |GROUP BY g.doc_id ORDER BY doc_id""".stripMargin
+
+  // ---- t28: train-split bigram LM score (held-out fluency gauge) ----
+  // t15 scores documents against the WHOLE corpus — fine for triage,
+  // but a quality model must be fit on train and evaluated on held-out
+  // text or it grades its own memory. t28 is that honest version: the
+  // t27 90/10 hash split fits a bigram frequency table on train only,
+  // and each VAL document is scored by the mean log2-bucketed train
+  // frequency of its bigrams — an integer-exact perplexity proxy
+  // (floor(log2(cnt+1)) via binary-string length, bit-identical on
+  // both engines; no float logs) plus the OOV count a filter
+  // thresholds directly. Plan: the shared doc_bigrams explode splits
+  // on the hash; train reduces to a (bg, cnt) table and val hash-joins
+  // it on the bigram key — co-partitioned, AQE-skew-split on hot
+  // boilerplate bigrams, vocabulary never broadcast.
+  def t28LmScore(spark: SparkSession, dir: String): DataFrame = {
+    val dg = docBigrams(spark, dir)
+    val isVal =
+      expr("((doc_id % 2147483647) * 2654435761) % 2147483647 % 100 >= 90")
+    val train = dg.filter(!isVal)
+      .groupBy(col("bg")).agg(count(lit(1)).as("cnt"))
+    dg.filter(isVal).join(train, Seq("bg"), "left_outer")
+      .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+      .withColumn("lg", (length(bin(col("cnt") + 1)) - 1).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("cnt") === 0L, 1L).otherwise(0L)).as("n_oov"),
+        sum(col("lg")).as("sum_lg"))
+      .withColumn("lm_score_milli", expr("sum_lg * 1000 div n_bigrams"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_oov"),
+        col("lm_score_milli"))
+      .orderBy(col("doc_id"))
+  }
+
+  val t28Sql: String =
+    """WITH w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+      |g AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(ws)-1),
+      |                                           i -> ws[i]||' '||ws[i+1])) AS bg
+      |      FROM w WHERE len(ws) >= 2),
+      |tr AS (SELECT bg, count(*) AS cnt FROM g
+      |       WHERE ((doc_id % 2147483647) * 2654435761) % 2147483647 % 100 < 90
+      |       GROUP BY bg),
+      |vl AS (SELECT g.doc_id, coalesce(tr.cnt, 0) AS cnt
+      |       FROM g LEFT JOIN tr USING (bg)
+      |       WHERE ((g.doc_id % 2147483647) * 2654435761) % 2147483647 % 100 >= 90)
+      |SELECT doc_id, count(*) AS n_bigrams,
+      |  CAST(sum(CASE WHEN cnt = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+      |  CAST(sum(length(bin(cnt + 1)) - 1) AS BIGINT) * 1000 // count(*)
+      |    AS lm_score_milli
+      |FROM vl GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ---- t29: pairwise source divergence (mixture drift gauge) ----
+  // The domain-mixture health check a curation run reads before
+  // re-weighting (t11): total-variation distance between each pair of
+  // sources' unigram distributions, in exact ppm. TV needs the UNION
+  // vocabulary — a token present in a but not b contributes its full
+  // share — so the shared-token join alone undercounts. The exact
+  // integer identity used here: TV = (Σ_shared |pa−pb| + (Σpa −
+  // Σ_shared pa) + (Σpb − Σ_shared pb)) / 2, where Σpa is the
+  // source's total integer-ppm mass (NOT assumed to be 10^6 — integer
+  // shares under-sum, and both engines compute the same truncated
+  // shares). Plan: one (source, token) count, per-source totals
+  // broadcast (|sources| rows), the token-keyed self-join
+  // hash-partitions on tok — the vocabulary is never broadcast and
+  // join fan-out per token is |sources|² — and the pair frame comes
+  // from a broadcast cross of the tiny per-source summary so
+  // zero-overlap pairs still emit a row.
+  def t29SourceDivergence(spark: SparkSession, dir: String): DataFrame = {
+    val tok = docs(spark, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("cnt"))
+    val totals = tok.groupBy(col("source")).agg(sum(col("cnt")).as("total"))
+    val share = tok.join(broadcast(totals), Seq("source"))
+      .select(col("source"), col("tok"), expr("cnt * 1000000 div total").as("ppm"))
+    val sums = share.groupBy(col("source")).agg(sum(col("ppm")).as("ppm_sum"))
+    val both = share.as("a").join(share.as("b"),
+        col("a.tok") === col("b.tok") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("shared_vocab"),
+        sum(abs(col("a.ppm") - col("b.ppm"))).as("both_diff"),
+        sum(col("a.ppm")).as("both_a"), sum(col("b.ppm")).as("both_b"))
+    val pairs = sums.as("sa").crossJoin(broadcast(sums.as("sb")))
+      .filter(col("sa.source") < col("sb.source"))
+      .select(col("sa.source").as("source_a"), col("sb.source").as("source_b"),
+        col("sa.ppm_sum").as("sum_a"), col("sb.ppm_sum").as("sum_b"))
+    pairs.join(both, Seq("source_a", "source_b"), "left_outer")
+      .select(col("source_a"), col("source_b"),
+        coalesce(col("shared_vocab"), lit(0L)).as("shared_vocab"),
+        expr("""(coalesce(both_diff, 0L)
+                 + (sum_a - coalesce(both_a, 0L))
+                 + (sum_b - coalesce(both_b, 0L))) div 2""").as("tv_ppm"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  val t29Sql: String =
+    """WITH tk AS (SELECT source, unnest(string_split(text, ' ')) AS tok
+      |            FROM documents),
+      |c AS (SELECT source, tok, count(*) AS cnt FROM tk GROUP BY 1, 2),
+      |tt AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS total FROM c GROUP BY 1),
+      |sh AS (SELECT c.source, c.tok, c.cnt * 1000000 // tt.total AS ppm
+      |       FROM c JOIN tt USING (source)),
+      |sm AS (SELECT source, CAST(sum(ppm) AS BIGINT) AS ppm_sum FROM sh GROUP BY 1),
+      |bo AS (SELECT a.source AS source_a, b.source AS source_b,
+      |         count(*) AS shared_vocab,
+      |         CAST(sum(abs(a.ppm - b.ppm)) AS BIGINT) AS both_diff,
+      |         CAST(sum(a.ppm) AS BIGINT) AS both_a,
+      |         CAST(sum(b.ppm) AS BIGINT) AS both_b
+      |       FROM sh a JOIN sh b ON a.tok = b.tok AND a.source < b.source
+      |       GROUP BY 1, 2),
+      |pr AS (SELECT sa.source AS source_a, sb.source AS source_b,
+      |         sa.ppm_sum AS sum_a, sb.ppm_sum AS sum_b
+      |       FROM sm sa JOIN sm sb ON sa.source < sb.source)
+      |SELECT pr.source_a, pr.source_b,
+      |  CAST(coalesce(bo.shared_vocab, 0) AS BIGINT) AS shared_vocab,
+      |  CAST((coalesce(bo.both_diff, 0)
+      |        + (pr.sum_a - coalesce(bo.both_a, 0))
+      |        + (pr.sum_b - coalesce(bo.both_b, 0))) // 2 AS BIGINT) AS tv_ppm
+      |FROM pr LEFT JOIN bo USING (source_a, source_b)
+      |ORDER BY source_a, source_b""".stripMargin
 
   // ---- t16: per-source length distribution (curation dashboard) ----
   // The first report a curation run prints: how long are the docs of
@@ -1359,6 +1483,8 @@ object TextOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t27_span_contamination" -> (t27SpanContamination _),
+    "t28_lm_score" -> (t28LmScore _),
+    "t29_source_divergence" -> (t29SourceDivergence _),
     "t26_zipf_profile" -> (t26ZipfProfile _),
     "t25_stopword_induction" -> (t25StopwordInduction _),
     "t24_burstiness" -> (t24Burstiness _),
@@ -1388,6 +1514,8 @@ object TextOps {
 
   val oracles: Map[String, String] = Map(
     "t27_span_contamination" -> t27Sql,
+    "t28_lm_score" -> t28Sql,
+    "t29_source_divergence" -> t29Sql,
     "t26_zipf_profile" -> t26Sql,
     "t25_stopword_induction" -> t25Sql,
     "t24_burstiness" -> t24Sql,

@@ -1154,8 +1154,113 @@ object EventOps {
       |  FROM events) x
       |WHERE rn = 1 ORDER BY user_id""".stripMargin
 
+  // ---- e29: hour-of-week seasonality baseline (burst census) ----
+  // e11 flags anomalies against a ROLLING window; e29 builds the
+  // STATIC seasonal baseline that rolling detectors are calibrated
+  // against: per (event_type, hour-of-week) cell, the observed count,
+  // its exact-ppm share of the type's traffic, and the ratio to the
+  // type's uniform per-hour mean — cells above 2× mean are flagged as
+  // seasonal bursts (the "Monday 9am" load shape capacity planning
+  // reads). Output is |types|·168 rows — vocabulary-bounded. Plan:
+  // one map-side-combined count over the corpus, then a broadcast
+  // join of the per-type totals; nothing corpus-sized shuffles twice.
+  // Hour-of-week convention: Sunday 00:00 = 0 … Saturday 23:00 = 167
+  // (Spark dayofweek is 1-based Sunday, DuckDB 0-based — the Spark
+  // side subtracts 1 so both engines agree).
+  def e29Seasonality(spark: SparkSession, dir: String): DataFrame = {
+    val cells = events(spark, dir)
+      .select(col("event_type"),
+        ((dayofweek(col("ts")).cast("long") - 1) * 24 +
+          hour(col("ts")).cast("long")).as("how"))
+      .groupBy(col("event_type"), col("how"))
+      .agg(count(lit(1)).as("n"))
+    val totals = cells.groupBy(col("event_type"))
+      .agg(sum(col("n")).as("total"))
+    cells.join(broadcast(totals), Seq("event_type"))
+      .withColumn("share_ppm", expr("n * 1000000 div total"))
+      .withColumn("ratio_ppm", expr("n * 168 * 1000000 div total"))
+      .withColumn("is_burst", col("ratio_ppm") > 2000000L)
+      .select(col("event_type"), col("how"), col("n"),
+        col("share_ppm"), col("ratio_ppm"), col("is_burst"))
+      .orderBy(col("event_type"), col("how"))
+  }
+
+  val e29Sql: String =
+    """WITH c AS (
+      |  SELECT event_type,
+      |    CAST(dayofweek(ts) AS BIGINT) * 24 + CAST(hour(ts) AS BIGINT) AS how,
+      |    count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |t AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS total
+      |      FROM c GROUP BY 1)
+      |SELECT c.event_type, c.how, c.n,
+      |  CAST(c.n * 1000000 // t.total AS BIGINT) AS share_ppm,
+      |  CAST(c.n * 168 * 1000000 // t.total AS BIGINT) AS ratio_ppm,
+      |  (c.n * 168 * 1000000 // t.total) > 2000000 AS is_burst
+      |FROM c JOIN t USING (event_type)
+      |ORDER BY event_type, how""".stripMargin
+
+  // ---- e30: funnel conversion-latency distribution ----
+  // e8 reports HOW MANY convert; e30 reports HOW FAST — the
+  // time-to-convert distribution (first view → first qualifying
+  // purchase), cohorted by the acquisition day-of-week: which intake
+  // day converts fastest is the experiment readout growth teams act
+  // on. Exact discrete p50/p90/p99 in microseconds (the e20/q24
+  // convention — no interpolation to drift between engines), over at
+  // most |converting users| rows per dow cell. Plan: two
+  // map-side-combined per-user aggregates + one user_id-co-partitioned
+  // join (e8's shape), then a 7-group percentile aggregate — no
+  // window over corpus-sized data. Day convention: Sunday = 0
+  // (e29's), pinned on both engines.
+  def e30FunnelLatency(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val firstView = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("view_ts"))
+    ev.filter(col("event_type") === "purchase").as("p")
+      .join(firstView.as("v"),
+        col("p.user_id") === col("v.user_id") && col("p.ts") >= col("v.view_ts"))
+      .groupBy(col("v.user_id"), col("v.view_ts"))
+      .agg(min(unix_micros(col("p.ts"))).as("purchase_us"))
+      .select((dayofweek(col("view_ts")).cast("long") - 1).as("dow"),
+        (col("purchase_us") - unix_micros(col("view_ts"))).as("lat_us"))
+      .groupBy(col("dow"))
+      .agg(count(lit(1)).as("n_converted"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY lat_us)")
+          .cast("long").as("p50_us"),
+        expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY lat_us)")
+          .cast("long").as("p90_us"),
+        expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY lat_us)")
+          .cast("long").as("p99_us"),
+        max(col("lat_us")).as("max_us"))
+      .orderBy(col("dow"))
+  }
+
+  val e30Sql: String =
+    """WITH v AS (
+      |  SELECT user_id, min(ts) AS view_ts FROM events
+      |  WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (
+      |  SELECT v.user_id, v.view_ts, min(epoch_us(CAST(p.ts AS TIMESTAMP)))
+      |      AS purchase_us
+      |  FROM v JOIN events p
+      |    ON p.user_id = v.user_id AND p.event_type = 'purchase'
+      |   AND p.ts >= v.view_ts
+      |  GROUP BY v.user_id, v.view_ts),
+      |l AS (
+      |  SELECT CAST(dayofweek(view_ts) AS BIGINT) AS dow,
+      |    purchase_us - epoch_us(CAST(view_ts AS TIMESTAMP)) AS lat_us
+      |  FROM c)
+      |SELECT dow, count(*) AS n_converted,
+      |  CAST(quantile_disc(lat_us, 0.5) AS BIGINT) AS p50_us,
+      |  CAST(quantile_disc(lat_us, 0.9) AS BIGINT) AS p90_us,
+      |  CAST(quantile_disc(lat_us, 0.99) AS BIGINT) AS p99_us,
+      |  CAST(max(lat_us) AS BIGINT) AS max_us
+      |FROM l GROUP BY dow ORDER BY dow""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e28_latest_state" -> (e28LatestState _),
+    "e29_seasonality" -> (e29Seasonality _),
+    "e30_funnel_latency" -> (e30FunnelLatency _),
     "e27_new_vs_returning" -> (e27NewVsReturning _),
     "e26_rfm" -> (e26Rfm _),
     "e25_dau_wau" -> (e25DauWau _),
@@ -1186,6 +1291,8 @@ object EventOps {
 
   val oracles: Map[String, String] = Map(
     "e28_latest_state" -> e28Sql,
+    "e29_seasonality" -> e29Sql,
+    "e30_funnel_latency" -> e30Sql,
     "e27_new_vs_returning" -> e27Sql,
     "e26_rfm" -> e26Sql,
     "e25_dau_wau" -> e25Sql,
