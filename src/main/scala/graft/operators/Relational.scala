@@ -602,6 +602,60 @@ object Relational {
       |FROM a LEFT JOIN f ON a.month = f.month
       |ORDER BY a.month""".stripMargin
 
+  // ---- q54: winsorized statistics (outlier-robust training stats) ----
+  // The feature-engineering staple before fitting anything on heavy-
+  // tailed money columns: clip at the exact discrete p01/p99 (the
+  // e26/q46 percentile_disc ↔ quantile_disc convention) and report
+  // the winsorized mean next to the raw one, plus how many rows each
+  // tail clipped — the "is the mean three outliers in a trenchcoat"
+  // check. Two passes over lineitem: a per-group percentile aggregate
+  // (|groups| rows out), then the bounds broadcast back into one
+  // map-side-combined clipped aggregate — no corpus-sized window, no
+  // sort of the fact table. Exact integer cents end to end.
+  def q54Winsorized(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+      .select(col("l_returnflag"),
+        (dec(col("l_extendedprice")) * 100).cast("long").as("cents"))
+    val bounds = li.groupBy(col("l_returnflag"))
+      .agg(expr("percentile_disc(0.01) WITHIN GROUP (ORDER BY cents)")
+          .cast("long").as("lo_cents"),
+        expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY cents)")
+          .cast("long").as("hi_cents"))
+    li.join(broadcast(bounds), Seq("l_returnflag"))
+      .groupBy(col("l_returnflag"), col("lo_cents"), col("hi_cents"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("cents") < col("lo_cents"), 1L).otherwise(0L)).as("n_clip_lo"),
+        sum(when(col("cents") > col("hi_cents"), 1L).otherwise(0L)).as("n_clip_hi"),
+        expr("sum(cents) div count(1)").as("mean_cents"),
+        expr("sum(greatest(lo_cents, least(hi_cents, cents))) div count(1)")
+          .as("wmean_cents"))
+      .select(col("l_returnflag"), col("n"), col("lo_cents"), col("hi_cents"),
+        col("n_clip_lo"), col("n_clip_hi"), col("mean_cents"), col("wmean_cents"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val q54Sql: String =
+    """WITH li AS (
+      |  SELECT l_returnflag,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM lineitem),
+      |b AS (
+      |  SELECT l_returnflag,
+      |    CAST(quantile_disc(cents, 0.01) AS BIGINT) AS lo_cents,
+      |    CAST(quantile_disc(cents, 0.99) AS BIGINT) AS hi_cents
+      |  FROM li GROUP BY 1)
+      |SELECT li.l_returnflag, count(*) AS n, b.lo_cents, b.hi_cents,
+      |  CAST(sum(CASE WHEN cents < lo_cents THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_clip_lo,
+      |  CAST(sum(CASE WHEN cents > hi_cents THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_clip_hi,
+      |  CAST(sum(cents) // count(*) AS BIGINT) AS mean_cents,
+      |  CAST(sum(greatest(lo_cents, least(hi_cents, cents))) // count(*)
+      |    AS BIGINT) AS wmean_cents
+      |FROM li JOIN b USING (l_returnflag)
+      |GROUP BY li.l_returnflag, b.lo_cents, b.hi_cents
+      |ORDER BY l_returnflag""".stripMargin
+
   // ---- q26: pivot (wide aggregate over an enumerated domain) ----
   // Values are ENUMERATED (Seq("F","O")) so the pivot compiles to
   // CASE-filtered aggregates in ONE pass — no extra distinct-values
@@ -1966,6 +2020,7 @@ object Relational {
     "q51_grouping_id" -> (q51GroupingId _),
     "q52_gaps_islands" -> (q52GapsIslands _),
     "q53_cumulative_distinct" -> (q53CumulativeDistinct _),
+    "q54_winsorized" -> (q54Winsorized _),
     "q50_f2_sketch" -> (q50F2Sketch _),
     "q49_mom_growth" -> (q49MomGrowth _),
     "q48_itemset3" -> (q48Itemset3 _),
@@ -2022,6 +2077,7 @@ object Relational {
     "q51_grouping_id" -> q51Sql,
     "q52_gaps_islands" -> q52Sql,
     "q53_cumulative_distinct" -> q53Sql,
+    "q54_winsorized" -> q54Sql,
     "q50_f2_sketch" -> q50Sql,
     "q49_mom_growth" -> q49Sql,
     "q48_itemset3" -> q48Sql,

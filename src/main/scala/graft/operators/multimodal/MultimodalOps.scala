@@ -1048,8 +1048,76 @@ object MultimodalOps {
       |FROM b JOIN keep k ON b.h = k.h
       |GROUP BY b.source ORDER BY b.source""".stripMargin
 
+  // ---- m18: chunk-level CAS dedup (sub-blob storage reclaim) ----
+  // m17 reclaims only byte-identical WHOLE blobs; content-addressable
+  // storage dedups at chunk granularity — two videos sharing an intro
+  // share those chunks. Fixed 256-unit chunks (non-overlapping — the
+  // reclaim accounting is only meaningful when chunks tile the
+  // payload; m10/m13's overlapping grids are feature extractors, not
+  // storage units), each chunk addressed by its md5; keeper = the
+  // globally smallest (doc_id, chunk_idx), packed as doc_id·2^20 +
+  // idx so min() needs no struct ordering (payloads < 2^20 chunks ≈
+  // 256 MB — asserted by the explode bound). Only 16-byte digests
+  // shuffle — payload chunks stay in their scan partitions; the
+  // digest groupBy and the join back are both digest-keyed — the
+  // classic CAS index shape at any scale. Offsets are CHARACTER
+  // offsets on both engines (Spark substring and DuckDB substring
+  // are both char-indexed), so the digests agree on non-ASCII too.
+  private val CasChunk = 256L
+
+  def m18ChunkDedup(spark: SparkSession, dir: String): DataFrame = {
+    val c = graft.sources.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("text"),
+        length(col("text")).cast("long").as("n"))
+      .filter(col("n") > 0)
+      .withColumn("chunk_idx", explode(expr(s"sequence(0, (n - 1) div $CasChunk)")))
+      .withColumn("off", col("chunk_idx") * CasChunk + 1)
+      .withColumn("len", least(lit(CasChunk), col("n") - col("off") + 1))
+      .select(col("source"),
+        expr("doc_id * 1048576 + chunk_idx").as("ck"),
+        md5(expr("cast(substring(text, cast(off as int), cast(len as int)) as binary)"))
+          .as("h"),
+        col("len"))
+    val keep = c.groupBy(col("h")).agg(min(col("ck")).as("keep_ck"))
+    c.join(keep, Seq("h"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("ck") === col("keep_ck"), 0L).otherwise(1L))
+          .as("dup_chunks"),
+        sum(col("len")).as("total_units"),
+        sum(when(col("ck") === col("keep_ck"), 0L).otherwise(col("len")))
+          .as("reclaimable_units"))
+      .orderBy(col("source"))
+  }
+
+  val m18Sql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, source, text, CAST(length(text) AS BIGINT) AS n
+       |  FROM documents WHERE length(text) > 0),
+       |di AS (
+       |  SELECT doc_id, source, text, n,
+       |    unnest(generate_series(0, (n - 1) // $CasChunk)) AS i
+       |  FROM d),
+       |c AS (
+       |  SELECT source, doc_id * 1048576 + i AS ck,
+       |    md5(substring(text, CAST(i * $CasChunk + 1 AS INTEGER),
+       |      CAST(least($CasChunk, n - (i * $CasChunk + 1) + 1) AS INTEGER)))
+       |      AS h,
+       |    least($CasChunk, n - (i * $CasChunk + 1) + 1) AS len
+       |  FROM di),
+       |keep AS (SELECT h, min(ck) AS keep_ck FROM c GROUP BY h)
+       |SELECT c.source, count(*) AS n_chunks,
+       |  CAST(sum(CASE WHEN c.ck = k.keep_ck THEN 0 ELSE 1 END) AS BIGINT)
+       |    AS dup_chunks,
+       |  CAST(sum(c.len) AS BIGINT) AS total_units,
+       |  CAST(sum(CASE WHEN c.ck = k.keep_ck THEN 0 ELSE c.len END) AS BIGINT)
+       |    AS reclaimable_units
+       |FROM c JOIN keep k ON c.h = k.h
+       |GROUP BY c.source ORDER BY c.source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m17_dedup_reclaim" -> (m17DedupReclaim _),
+    "m18_chunk_dedup" -> (m18ChunkDedup _),
     "m16_gain_normalize" -> (m16GainNormalize _),
     "m15_magic_sniff" -> (m15MagicSniff _),
     "m14_patch_dup" -> (m14PatchDup _),
@@ -1069,6 +1137,7 @@ object MultimodalOps {
 
   val oracles: Map[String, String] = Map(
     "m17_dedup_reclaim" -> m17Sql,
+    "m18_chunk_dedup" -> m18Sql,
     "m16_gain_normalize" -> m16Sql,
     "m15_magic_sniff" -> m15Sql,
     "m14_patch_dup" -> m14Sql,

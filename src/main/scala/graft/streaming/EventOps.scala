@@ -1257,10 +1257,74 @@ object EventOps {
       |  CAST(max(lat_us) AS BIGINT) AS max_us
       |FROM l GROUP BY dow ORDER BY dow""".stripMargin
 
+  // ---- e31: Markov next-event baseline accuracy (held-out) ----
+  // e23 builds the transition matrix; e31 asks the question a
+  // sequence model is benchmarked against: how often does "predict
+  // the argmax next type" get it right on users the matrix never saw?
+  // The t28 honesty pattern applied to events — a 60/40
+  // multiplicative-hash split on user_id fits the transition counts
+  // on train users only; each VAL user's transitions are scored
+  // against the argmax prediction (tie-break: higher count, then
+  // lexicographically smaller type — encoded as min(struct(−n,
+  // type)) in Spark ≡ row_number ORDER BY n DESC, type in the
+  // oracle). Unseen prev-types fall through the left join and count
+  // as misses. Plan: the per-user lag window is e20/e23's single
+  // user_id exchange; the fitted matrix is |types|²-bounded and the
+  // prediction map broadcasts; accuracy rolls up map-side combined.
+  def e31MarkovAccuracy(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val pairs = events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .withColumn("is_val",
+        expr("((user_id % 2147483647) * 2654435761) % 2147483647 % 100 >= 60"))
+    val pred = pairs.filter(!col("is_val"))
+      .groupBy(col("prev_type"), col("event_type")).agg(count(lit(1)).as("n"))
+      .groupBy(col("prev_type"))
+      .agg(min(struct((-col("n")).as("nn"), col("event_type").as("et"))).as("m"))
+      .select(col("prev_type"), col("m.et").as("pred_type"))
+    pairs.filter(col("is_val"))
+      .join(broadcast(pred), Seq("prev_type"), "left_outer")
+      .groupBy(col("prev_type"))
+      .agg(count(lit(1)).as("n_eval"),
+        sum(when(col("event_type") === col("pred_type"), 1L).otherwise(0L))
+          .as("n_hit"))
+      .withColumn("acc_ppm", expr("n_hit * 1000000 div n_eval"))
+      .select(col("prev_type"), col("n_eval"), col("n_hit"), col("acc_ppm"))
+      .orderBy(col("prev_type"))
+  }
+
+  val e31Sql: String =
+    """WITH p AS (
+      |  SELECT user_id, event_type,
+      |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      AS prev_type,
+      |    ((user_id % 2147483647) * 2654435761) % 2147483647 % 100 >= 60
+      |      AS is_val
+      |  FROM events),
+      |pp AS (SELECT * FROM p WHERE prev_type IS NOT NULL),
+      |tr AS (SELECT prev_type, event_type, count(*) AS n
+      |       FROM pp WHERE NOT is_val GROUP BY 1, 2),
+      |pr AS (SELECT prev_type, event_type AS pred_type FROM (
+      |         SELECT *, row_number() OVER (
+      |           PARTITION BY prev_type ORDER BY n DESC, event_type) AS rn
+      |         FROM tr) WHERE rn = 1)
+      |SELECT pp.prev_type, count(*) AS n_eval,
+      |  CAST(sum(CASE WHEN pp.event_type = pr.pred_type THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_hit,
+      |  CAST(sum(CASE WHEN pp.event_type = pr.pred_type THEN 1 ELSE 0 END)
+      |    * 1000000 // count(*) AS BIGINT) AS acc_ppm
+      |FROM pp LEFT JOIN pr ON pp.prev_type = pr.prev_type
+      |WHERE pp.is_val
+      |GROUP BY pp.prev_type ORDER BY pp.prev_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e28_latest_state" -> (e28LatestState _),
     "e29_seasonality" -> (e29Seasonality _),
     "e30_funnel_latency" -> (e30FunnelLatency _),
+    "e31_markov_accuracy" -> (e31MarkovAccuracy _),
     "e27_new_vs_returning" -> (e27NewVsReturning _),
     "e26_rfm" -> (e26Rfm _),
     "e25_dau_wau" -> (e25DauWau _),
@@ -1293,6 +1357,7 @@ object EventOps {
     "e28_latest_state" -> e28Sql,
     "e29_seasonality" -> e29Sql,
     "e30_funnel_latency" -> e30Sql,
+    "e31_markov_accuracy" -> e31Sql,
     "e27_new_vs_returning" -> e27Sql,
     "e26_rfm" -> e26Sql,
     "e25_dau_wau" -> e25Sql,
