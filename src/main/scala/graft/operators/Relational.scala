@@ -656,6 +656,76 @@ object Relational {
       |GROUP BY li.l_returnflag, b.lo_cents, b.hi_cents
       |ORDER BY l_returnflag""".stripMargin
 
+  // ---- q55: ABC-XYZ inventory matrix (threshold classification) ----
+  // The supply-chain segmentation every demand planner starts from:
+  // ABC = revenue importance, XYZ = demand variability, crossed into
+  // a 9-cell matrix. Classified the way it must be done at scale —
+  // by THRESHOLDS, not by ranking: the textbook "sort parts by
+  // revenue, take the top 80% of cumulative share" is a global sort
+  // of a grow-with-data key; here A/B bounds are the exact discrete
+  // p80/p50 of the per-part revenue distribution (one percentile
+  // aggregate over the part summary, two scalars broadcast), and XYZ
+  // uses exact integer relative variance in ppm — relvar = 10^6 ·
+  // (n·Σq² − S²) DIV S² (the n·CV² identity, no float sqrt; X/Y/Z
+  // cuts at 0.2e6/0.8e6). Monthly demand quantities are exact
+  // integer units (×100). Two map-side-combined aggregates + one
+  // broadcast join; the 9-row matrix out.
+  def q55AbcXyz(spark: SparkSession, dir: String): DataFrame = {
+    val monthly = t(spark, dir, "lineitem")
+      .select(col("l_partkey"),
+        date_format(col("l_shipdate"), "yyyy-MM").as("month"),
+        (dec(col("l_quantity")) * 100).cast("long").as("q"),
+        (dec(col("l_extendedprice")) * 100).cast("long").as("cents"))
+      .groupBy(col("l_partkey"), col("month"))
+      .agg(sum(col("q")).as("mq"), sum(col("cents")).as("mc"))
+    val parts = monthly.groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("n_months"), sum(col("mq")).as("sq"),
+        sum(col("mq") * col("mq")).as("sq2"), sum(col("mc")).as("rev_cents"))
+      .withColumn("relvar_ppm",
+        expr("(n_months * sq2 - sq * sq) * 1000000 div (sq * sq)"))
+    val cuts = parts.agg(
+      expr("percentile_disc(0.80) WITHIN GROUP (ORDER BY rev_cents)")
+        .cast("long").as("a_cut"),
+      expr("percentile_disc(0.50) WITHIN GROUP (ORDER BY rev_cents)")
+        .cast("long").as("b_cut"))
+    parts.crossJoin(broadcast(cuts))
+      .withColumn("abc", when(col("rev_cents") >= col("a_cut"), "A")
+        .when(col("rev_cents") >= col("b_cut"), "B").otherwise("C"))
+      .withColumn("xyz", when(col("relvar_ppm") < 200000L, "X")
+        .when(col("relvar_ppm") < 800000L, "Y").otherwise("Z"))
+      .groupBy(col("abc"), col("xyz"))
+      .agg(count(lit(1)).as("n_parts"), sum(col("rev_cents")).as("rev_cents"))
+      .orderBy(col("abc"), col("xyz"))
+  }
+
+  val q55Sql: String =
+    """WITH m AS (
+      |  SELECT l_partkey, strftime(l_shipdate, '%Y-%m') AS month,
+      |    CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |      AS BIGINT) AS mq,
+      |    CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |      AS BIGINT) AS mc
+      |  FROM lineitem GROUP BY 1, 2),
+      |p AS (
+      |  SELECT l_partkey, count(*) AS n_months, CAST(sum(mq) AS BIGINT) AS sq,
+      |    CAST(sum(mq * mq) AS BIGINT) AS sq2,
+      |    CAST(sum(mc) AS BIGINT) AS rev_cents
+      |  FROM m GROUP BY 1),
+      |pv AS (
+      |  SELECT *, (n_months * sq2 - sq * sq) * 1000000 // (sq * sq)
+      |    AS relvar_ppm FROM p),
+      |c AS (
+      |  SELECT CAST(quantile_disc(rev_cents, 0.80) AS BIGINT) AS a_cut,
+      |    CAST(quantile_disc(rev_cents, 0.50) AS BIGINT) AS b_cut
+      |  FROM pv)
+      |SELECT
+      |  CASE WHEN rev_cents >= a_cut THEN 'A'
+      |       WHEN rev_cents >= b_cut THEN 'B' ELSE 'C' END AS abc,
+      |  CASE WHEN relvar_ppm < 200000 THEN 'X'
+      |       WHEN relvar_ppm < 800000 THEN 'Y' ELSE 'Z' END AS xyz,
+      |  count(*) AS n_parts, CAST(sum(rev_cents) AS BIGINT) AS rev_cents
+      |FROM pv, c GROUP BY 1, 2 ORDER BY abc, xyz""".stripMargin
+
   // ---- q26: pivot (wide aggregate over an enumerated domain) ----
   // Values are ENUMERATED (Seq("F","O")) so the pivot compiles to
   // CASE-filtered aggregates in ONE pass — no extra distinct-values
@@ -2021,6 +2091,7 @@ object Relational {
     "q52_gaps_islands" -> (q52GapsIslands _),
     "q53_cumulative_distinct" -> (q53CumulativeDistinct _),
     "q54_winsorized" -> (q54Winsorized _),
+    "q55_abc_xyz" -> (q55AbcXyz _),
     "q50_f2_sketch" -> (q50F2Sketch _),
     "q49_mom_growth" -> (q49MomGrowth _),
     "q48_itemset3" -> (q48Itemset3 _),
@@ -2078,6 +2149,7 @@ object Relational {
     "q52_gaps_islands" -> q52Sql,
     "q53_cumulative_distinct" -> q53Sql,
     "q54_winsorized" -> q54Sql,
+    "q55_abc_xyz" -> q55Sql,
     "q50_f2_sketch" -> q50Sql,
     "q49_mom_growth" -> q49Sql,
     "q48_itemset3" -> q48Sql,

@@ -282,6 +282,80 @@ object GraphOps {
        |WHERE s.src IS NULL
        |ORDER BY node_a, node_b""".stripMargin
 
+  // ---- g40: pseudo-diameter (double-sweep BFS lower bound) ----
+  // The classic two-sweep heuristic (Magnien, Latapy & Habib 2009):
+  // BFS from an arbitrary node, re-BFS from the farthest node found —
+  // the second eccentricity is a lower bound on the diameter that is
+  // exact on most real graphs. Deterministic anchors: sweep 1 seeds at
+  // min(node); sweep 2 at (max dist, then min node). Hop cap 8
+  // (mirrored in the oracle's recursion bound) — this entity graph's
+  // diameter is far below it, and the cap bounds worst-case rounds on
+  // a pathological chain. Per hop one frontier ⋈ sym join + anti-join
+  // against the seen set, localCheckpoint per level (the g6/g27
+  // planning-blowup lesson); the per-hop driver stop-check is a
+  // one-scalar count, the g10/g12 convergence-loop precedent. Cost is
+  // O(E) per hop — the frontier never re-expands settled nodes.
+  private def bfsDistsFrom(spark: SparkSession, dir: String,
+      seed: DataFrame): DataFrame = {
+    val sym = withSym(spark, dir)
+    var dists = seed.select(col("node"), lit(0L).as("dist"))
+      .localCheckpoint(true)
+    var frontier = dists.select(col("node"))
+    var h = 1L
+    while (h <= 8L && frontier.limit(1).count() > 0L) {
+      val nxt = frontier.join(sym, col("node") === col("src"))
+        .select(col("dst").as("node")).distinct()
+        .join(dists.select(col("node")), Seq("node"), "left_anti")
+        .localCheckpoint(true)
+      dists = dists.union(nxt.select(col("node"), lit(h).as("dist")))
+        .localCheckpoint(true)
+      frontier = nxt
+      h += 1
+    }
+    dists
+  }
+
+  def g40PseudoDiameter(spark: SparkSession, dir: String): DataFrame = {
+    val sym = withSym(spark, dir)
+    val seed1 = sym.agg(min(col("src")).as("node"))
+    val d1 = bfsDistsFrom(spark, dir, seed1)
+    val far = d1.orderBy(col("dist").desc, col("node")).limit(1)
+      .select(col("node"))
+    val d2 = bfsDistsFrom(spark, dir, far)
+    val s1 = d1.agg(max(col("dist")).as("ecc_seed"),
+      count(lit(1)).as("n_reached_seed"))
+    val s2 = d2.agg(max(col("dist")).as("ecc_far"),
+      count(lit(1)).as("n_reached_far"))
+    seed1.select(col("node").as("seed_node")).crossJoin(broadcast(s1))
+      .crossJoin(broadcast(far.select(col("node").as("far_node"))))
+      .crossJoin(broadcast(s2))
+  }
+
+  val g40Sql: String =
+    s"""WITH ${GraphTables.symSqlCtes},
+       |s1 AS (SELECT min(src) AS s FROM sym),
+       |r1 AS (
+       |  WITH RECURSIVE b(node, d) AS (
+       |    SELECT s, 0 FROM s1
+       |    UNION
+       |    SELECT e.dst, b.d + 1 FROM b JOIN sym e ON e.src = b.node
+       |    WHERE b.d < 8)
+       |  SELECT node, min(d) AS d FROM b GROUP BY node),
+       |f1 AS (SELECT node FROM r1 ORDER BY d DESC, node LIMIT 1),
+       |r2 AS (
+       |  WITH RECURSIVE b2(node, d) AS (
+       |    SELECT node, 0 FROM f1
+       |    UNION
+       |    SELECT e.dst, b2.d + 1 FROM b2 JOIN sym e ON e.src = b2.node
+       |    WHERE b2.d < 8)
+       |  SELECT node, min(d) AS d FROM b2 GROUP BY node)
+       |SELECT (SELECT s FROM s1) AS seed_node,
+       |  (SELECT CAST(max(d) AS BIGINT) FROM r1) AS ecc_seed,
+       |  (SELECT count(*) FROM r1) AS n_reached_seed,
+       |  (SELECT node FROM f1) AS far_node,
+       |  (SELECT CAST(max(d) AS BIGINT) FROM r2) AS ecc_far,
+       |  (SELECT count(*) FROM r2) AS n_reached_far""".stripMargin
+
   // ---- g4: deterministic pseudo-random-walk visit counts (3 hops) ----
   // The hash h depends only on (src, dst, t), so the chosen next hop is
   // a pure function of (src, t) — identical for every walker sitting on
@@ -2394,6 +2468,7 @@ object GraphOps {
     "g37_joint_degree" -> (g37JointDegree _),
     "g38_transitivity" -> (g38Transitivity _),
     "g39_adamic_adar" -> (g39AdamicAdar _),
+    "g40_pseudo_diameter" -> (g40PseudoDiameter _),
     "g36_component_sizes" -> (g36ComponentSizes _),
     "g35_coreness" -> (g35Coreness _),
     "g34_rich_club" -> (g34RichClub _),
@@ -2435,6 +2510,7 @@ object GraphOps {
     "g37_joint_degree" -> g37Sql,
     "g38_transitivity" -> g38Sql,
     "g39_adamic_adar" -> g39Sql,
+    "g40_pseudo_diameter" -> g40Sql,
     "g36_component_sizes" -> g36Sql,
     "g35_coreness" -> g35Sql,
     "g34_rich_club" -> g34Sql,

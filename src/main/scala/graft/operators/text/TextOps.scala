@@ -782,10 +782,18 @@ object TextOps {
   // join fan-out per token is |sources|² — and the pair frame comes
   // from a broadcast cross of the tiny per-source summary so
   // zero-overlap pairs still emit a row.
+  /** (source, tok, cnt) term frequencies — one corpus tokenize pass
+    * shared by t29's divergence and t30's distinctive terms
+    * (DfCache key "source_tok_counts"). */
+  private def sourceTokCounts(spark: SparkSession, dir: String): DataFrame =
+    graft.util.DfCache.cached(spark, dir, "source_tok_counts") {
+      docs(spark, dir)
+        .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("cnt"))
+    }
+
   def t29SourceDivergence(spark: SparkSession, dir: String): DataFrame = {
-    val tok = docs(spark, dir)
-      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
-      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("cnt"))
+    val tok = sourceTokCounts(spark, dir)
     val totals = tok.groupBy(col("source")).agg(sum(col("cnt")).as("total"))
     val share = tok.join(broadcast(totals), Seq("source"))
       .select(col("source"), col("tok"), expr("cnt * 1000000 div total").as("ppm"))
@@ -834,6 +842,51 @@ object TextOps {
       |        + (pr.sum_b - coalesce(bo.both_b, 0))) // 2 AS BIGINT) AS tv_ppm
       |FROM pr LEFT JOIN bo USING (source_a, source_b)
       |ORDER BY source_a, source_b""".stripMargin
+
+  // ---- t30: distinctive terms per source (concentration keywords) ----
+  // The qualitative companion to t29's scalar: WHICH terms make each
+  // source different — per source, the top 5 terms by concentration
+  // (share of the term's global occurrences that land in this source,
+  // exact ppm), among terms seen ≥ 5 times globally (hapax noise
+  // gate). The report a curation run prints when t29 flags drift.
+  // Deterministic rank: concentration DESC, local count DESC, term
+  // ASC, pinned on both engines. Plan: rides t29's cached
+  // (source, tok, cnt) pass; the global-count attach is a token-keyed
+  // co-partitioned join; the rank window partitions by source over
+  // vocabulary-bounded rows (the t25/t26 posture — vocab-bounded,
+  // never corpus-bounded).
+  def t30DistinctiveTerms(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = sourceTokCounts(spark, dir)
+    val tot = tok.groupBy(col("tok")).agg(sum(col("cnt")).as("total"))
+      .filter(col("total") >= 5L)
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("conc_ppm").desc, col("cnt").desc, col("tok"))
+    tok.join(tot, Seq("tok"))
+      .withColumn("conc_ppm", expr("cnt * 1000000 div total"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("source"), col("rank").cast("long").as("rank"),
+        col("tok"), col("cnt"), col("total"), col("conc_ppm"))
+      .orderBy(col("source"), col("rank"))
+  }
+
+  val t30Sql: String =
+    """WITH tk AS (SELECT source, unnest(string_split(text, ' ')) AS tok
+      |            FROM documents),
+      |c AS (SELECT source, tok, count(*) AS cnt FROM tk GROUP BY 1, 2),
+      |tt AS (SELECT tok, CAST(sum(cnt) AS BIGINT) AS total
+      |       FROM c GROUP BY 1 HAVING sum(cnt) >= 5),
+      |s AS (
+      |  SELECT c.source, c.tok, c.cnt, tt.total,
+      |    c.cnt * 1000000 // tt.total AS conc_ppm
+      |  FROM c JOIN tt USING (tok)),
+      |r AS (
+      |  SELECT *, row_number() OVER (
+      |    PARTITION BY source ORDER BY conc_ppm DESC, cnt DESC, tok) AS rank
+      |  FROM s)
+      |SELECT source, CAST(rank AS BIGINT) AS rank, tok, cnt, total, conc_ppm
+      |FROM r WHERE rank <= 5 ORDER BY source, rank""".stripMargin
 
   // ---- t16: per-source length distribution (curation dashboard) ----
   // The first report a curation run prints: how long are the docs of
@@ -1485,6 +1538,7 @@ object TextOps {
     "t27_span_contamination" -> (t27SpanContamination _),
     "t28_lm_score" -> (t28LmScore _),
     "t29_source_divergence" -> (t29SourceDivergence _),
+    "t30_distinctive_terms" -> (t30DistinctiveTerms _),
     "t26_zipf_profile" -> (t26ZipfProfile _),
     "t25_stopword_induction" -> (t25StopwordInduction _),
     "t24_burstiness" -> (t24Burstiness _),
@@ -1516,6 +1570,7 @@ object TextOps {
     "t27_span_contamination" -> t27Sql,
     "t28_lm_score" -> t28Sql,
     "t29_source_divergence" -> t29Sql,
+    "t30_distinctive_terms" -> t30Sql,
     "t26_zipf_profile" -> t26Sql,
     "t25_stopword_induction" -> t25Sql,
     "t24_burstiness" -> t24Sql,

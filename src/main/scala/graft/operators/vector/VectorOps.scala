@@ -302,6 +302,46 @@ object VectorOps {
        |  CAST(bit_count(sign_lo) + bit_count(sign_hi) AS BIGINT) AS n_pos
        |FROM sc ORDER BY vec_id""".stripMargin
 
+  // ---- v13: per-bit balance of the sign codes (code quality gauge) ----
+  // Hamming-space resolution lives or dies on bit balance: a bit set
+  // in ~50% of codes contributes a full bit of discrimination, a
+  // near-constant bit contributes none (the "dead dimension" that
+  // makes s20's distances collapse). v13 reports, per bit position,
+  // the exact ppm share of vectors with the bit set and the skew
+  // |2·ones − n| — the gauge read before trusting v5/s20/s29, and the
+  // diagnosis when s21's recall is poor (dims with one-sided signs).
+  // Plan: one sign-code scan, a 64-way in-row explode, one
+  // map-side-combined count — 64 rows out, zero joins; the corpus
+  // never shuffles (the groupBy key is the 64-value bit index).
+  def v13BitBalance(spark: SparkSession, dir: String): DataFrame = {
+    val sc = signCodes(spark, dir)
+      .select(col("vec_id"), col("sign_lo"), col("sign_hi"),
+        explode(expr("sequence(0, 63)")).as("bit"))
+      .select(col("bit"),
+        expr("""CASE WHEN bit < 32 THEN shiftright(sign_lo, bit) & 1
+               |     ELSE shiftright(sign_hi, bit - 32) & 1 END""".stripMargin)
+          .as("b"))
+    sc.groupBy(col("bit"))
+      .agg(count(lit(1)).as("n"), sum(col("b")).as("ones"))
+      .withColumn("ones_ppm", expr("ones * 1000000 div n"))
+      .withColumn("skew", expr("abs(2 * ones - n)"))
+      .select(col("bit"), col("n"), col("ones"), col("ones_ppm"), col("skew"))
+      .orderBy(col("bit"))
+  }
+
+  val v13Sql: String =
+    s"""WITH ${VectorExprs.embCtes},
+       |$signCte,
+       |bits AS (
+       |  SELECT b AS bit,
+       |    CASE WHEN b < 32 THEN (sign_lo >> b) & 1
+       |         ELSE (sign_hi >> (b - 32)) & 1 END AS v
+       |  FROM sc, generate_series(0, 63) g(b))
+       |SELECT bit, count(*) AS n, CAST(sum(v) AS BIGINT) AS ones,
+       |  CAST(sum(v) * 1000000 // count(*) AS BIGINT) AS ones_ppm,
+       |  CAST(abs(2 * sum(v) - count(*)) AS BIGINT) AS skew
+       |FROM bits GROUP BY bit ORDER BY bit""".stripMargin
+
   // ---- v6: TRAINED sign quantization (median thresholds) ----
   // v5's sign bits threshold at 0 — wherever a dimension's
   // distribution is off-center its bit is imbalanced and carries
@@ -726,6 +766,7 @@ object VectorOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v12_sdc_tables" -> (v12SdcTables _),
+    "v13_bit_balance" -> (v13BitBalance _),
     "v11_ternary_quantize" -> (v11TernaryQuantize _),
     "v10_matryoshka" -> (v10Matryoshka _),
     "v9_residual_codes" -> (v9ResidualCodes _),
@@ -740,6 +781,7 @@ object VectorOps {
 
   val oracles: Map[String, String] = Map(
     "v12_sdc_tables" -> v12Sql,
+    "v13_bit_balance" -> v13Sql,
     "v11_ternary_quantize" -> v11Sql,
     "v10_matryoshka" -> v10Sql,
     "v9_residual_codes" -> v9Sql,

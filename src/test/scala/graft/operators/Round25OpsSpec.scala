@@ -158,6 +158,57 @@ class Round25OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(w.filter(col("wjaccard_ppm") > 1000000L).count() == 0L)
   }
 
+  test("q55: matrix partitions the part population; classes cover A-C x X-Z") {
+    val rows = Relational.q55AbcXyz(spark, dir).collect()
+    assert(rows.nonEmpty && rows.length <= 9)
+    rows.foreach { r =>
+      assert(Set("A", "B", "C")(r.getAs[String]("abc")))
+      assert(Set("X", "Y", "Z")(r.getAs[String]("xyz")))
+      assert(r.getAs[Long]("n_parts") > 0L)
+    }
+    val nParts = graft.sources.Tables.load(spark, dir, "lineitem")
+      .select(col("l_partkey")).distinct().count()
+    assert(rows.map(_.getAs[Long]("n_parts")).sum == nParts)
+  }
+
+  test("v13: 64 bit rows; skew is exactly |2*ones - n|") {
+    val rows = vector.VectorOps.v13BitBalance(spark, dir).collect()
+    assert(rows.length == 64)
+    val n = rows.head.getAs[Long]("n")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n") == n) // every bit sees every vector
+      val ones = r.getAs[Long]("ones")
+      assert(ones >= 0L && ones <= n)
+      assert(r.getAs[Long]("skew") == math.abs(2 * ones - n))
+      assert(r.getAs[Long]("ones_ppm") == ones * 1000000L / n)
+    }
+  }
+
+  test("g40: the second sweep's eccentricity dominates the first") {
+    val r = graph.GraphOps.g40PseudoDiameter(spark, dir).collect().head
+    val (e1, e2) = (r.getAs[Long]("ecc_seed"), r.getAs[Long]("ecc_far"))
+    // dist(seed, far) = ecc_seed, so far's eccentricity is >= it
+    assert(e2 >= e1, s"double sweep shrank the bound: $r")
+    assert(e1 >= 1L && e2 <= 8L)
+    assert(r.getAs[Long]("n_reached_seed") > 1L)
+    assert(r.getAs[Long]("n_reached_far") > 1L)
+  }
+
+  test("t30: at most 5 contiguous ranks per source, concentration bounded") {
+    val rows = text.TextOps.t30DistinctiveTerms(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("source")).foreach { case (_, rs) =>
+      val ranks = rs.map(_.getAs[Long]("rank")).sorted
+      assert(ranks.length <= 5)
+      assert(ranks.toSeq == (1L to ranks.length).toSeq)
+    }
+    rows.foreach { r =>
+      assert(r.getAs[Long]("cnt") <= r.getAs[Long]("total"))
+      assert(r.getAs[Long]("total") >= 5L)
+      assert(r.getAs[Long]("conc_ppm") <= 1000000L)
+    }
+  }
+
   test("m18: chunk accounting laws per source") {
     val rows = multimodal.MultimodalOps.m18ChunkDedup(spark, dir).collect()
     assert(rows.nonEmpty)
