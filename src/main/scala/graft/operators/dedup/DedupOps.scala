@@ -508,6 +508,55 @@ object DedupOps {
        |FROM nodes n JOIN reach r ON r.a = n.n
        |GROUP BY n.n ORDER BY doc_id""".stripMargin
 
+  // ---- d27: keeper-policy comparison (min-id vs longest-doc) ----
+  // d6 keeps the min doc_id per cluster — deterministic and cheap,
+  // but a curation run usually wants the RICHEST representative
+  // (longest doc: most content survives). d27 prices the difference
+  // before anyone switches policy: per cluster, both keepers, whether
+  // they differ, and the kept-characters delta. The aggregate-level
+  // report (how many clusters change, how much content is at stake)
+  // is one filter away. Plan: rides d6's fixpoint labels; the
+  // n_chars attach is a doc_id-keyed join; the per-cluster argmax is
+  // min(struct(−n_chars, doc_id)) — map-side combined, no window over
+  // anything cluster-sized. Longest-doc tie-break = smaller doc_id,
+  // pinned identically in the oracle's row_number.
+  def d27KeeperPolicies(spark: SparkSession, dir: String): DataFrame = {
+    val len = docs(spark, dir).select(col("doc_id"), col("n_chars").cast("long"))
+    d6DupClusters(spark, dir)
+      .join(len, Seq("doc_id"))
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"),
+        min(col("doc_id")).as("keep_minid"),
+        min(when(col("doc_id") === col("cluster_id"), col("n_chars")))
+          .as("minid_chars"),
+        min(struct((-col("n_chars")).as("nn"), col("doc_id").as("id"))).as("m"))
+      .select(col("cluster_id"), col("cluster_size"), col("keep_minid"),
+        col("minid_chars"), col("m.id").as("keep_longest"),
+        (-col("m.nn")).as("longest_chars"))
+      .withColumn("differs", col("keep_minid") =!= col("keep_longest"))
+      .withColumn("chars_gained", col("longest_chars") - col("minid_chars"))
+      .orderBy(col("cluster_id"))
+  }
+
+  val d27Sql: String =
+    s"""WITH cl AS ($d6Sql),
+       |j AS (SELECT cl.doc_id, cl.cluster_id, CAST(d.n_chars AS BIGINT) AS nc
+       |      FROM cl JOIN documents d ON cl.doc_id = d.doc_id),
+       |lng AS (SELECT cluster_id, doc_id AS keep_longest, nc AS longest_chars
+       |        FROM (SELECT *, row_number() OVER (PARTITION BY cluster_id
+       |                ORDER BY nc DESC, doc_id) AS rn FROM j) WHERE rn = 1),
+       |agg AS (SELECT cluster_id, count(*) AS cluster_size,
+       |          min(doc_id) AS keep_minid,
+       |          CAST(min(CASE WHEN doc_id = cluster_id THEN nc END) AS BIGINT)
+       |            AS minid_chars
+       |        FROM j GROUP BY cluster_id)
+       |SELECT a.cluster_id, a.cluster_size, a.keep_minid, a.minid_chars,
+       |  l.keep_longest, l.longest_chars,
+       |  a.keep_minid <> l.keep_longest AS differs,
+       |  l.longest_chars - a.minid_chars AS chars_gained
+       |FROM agg a JOIN lng l USING (cluster_id)
+       |ORDER BY cluster_id""".stripMargin
+
   // ---- d7: train/val contamination screening ----
   // The eval-integrity check an LLM pipeline runs before training:
   // near-duplicate pairs that CROSS the train/validation split (a val
@@ -1656,6 +1705,7 @@ object DedupOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d25_sim_histogram" -> (d25SimHistogram _),
     "d26_idf_jaccard" -> (d26IdfJaccard _),
+    "d27_keeper_policies" -> (d27KeeperPolicies _),
     "d24_bloom_prefilter" -> (d24BloomPrefilter _),
     "d23_band_tuning" -> (d23BandTuning _),
     "d22_rep_weights" -> (d22RepWeights _),
@@ -1684,6 +1734,7 @@ object DedupOps {
   val oracles: Map[String, String] = Map(
     "d25_sim_histogram" -> d25Sql,
     "d26_idf_jaccard" -> d26Sql,
+    "d27_keeper_policies" -> d27Sql,
     "d24_bloom_prefilter" -> d24Sql,
     "d23_band_tuning" -> d23Sql,
     "d22_rep_weights" -> d22Sql,

@@ -1115,9 +1115,53 @@ object MultimodalOps {
        |FROM c JOIN keep k ON c.h = k.h
        |GROUP BY c.source ORDER BY c.source""".stripMargin
 
+  // ---- m19: compressibility proxy (dictionary-richness triage) ----
+  // Storage tiering wants to know WHICH blobs are worth compressing
+  // before spending codec CPU on a 100 TB corpus. The classic cheap
+  // proxy: distinct-unigram and distinct-bigram counts vs length — a
+  // blob whose bigram dictionary is tiny relative to its length is
+  // highly compressible (LZ-family codecs exploit exactly that
+  // repetition), one that saturates the dictionary is near-random.
+  // bigram_ratio_ppm = distinct bigrams · 10^6 DIV (n−1) is the
+  // triage score. Plan: everything is IN-ROW (transform over
+  // sequence(1, n−1) + array_distinct — no explode, no shuffle, one
+  // narrow scan); rows where n < 2 are excluded on both engines.
+  def m19Compressibility(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text"),
+        length(col("text")).cast("long").as("n"))
+      .filter(col("n") >= 2)
+      .select(col("doc_id"), col("n"),
+        expr("""size(array_distinct(transform(
+               |  sequence(1, cast(n as int)),
+               |  i -> substring(text, i, 1))))""".stripMargin)
+          .cast("long").as("uniq1"),
+        expr("""size(array_distinct(transform(
+               |  sequence(1, cast(n as int) - 1),
+               |  i -> substring(text, i, 2))))""".stripMargin)
+          .cast("long").as("uniq2"))
+      .withColumn("bigram_ratio_ppm", expr("uniq2 * 1000000 div (n - 1)"))
+      .orderBy(col("doc_id"))
+
+  val m19Sql: String =
+    """SELECT doc_id, CAST(length(text) AS BIGINT) AS n,
+      |  CAST(len(list_distinct(list_transform(
+      |    generate_series(1, CAST(length(text) AS INTEGER)),
+      |    i -> substring(text, i, 1)))) AS BIGINT) AS uniq1,
+      |  CAST(len(list_distinct(list_transform(
+      |    generate_series(1, CAST(length(text) AS INTEGER) - 1),
+      |    i -> substring(text, i, 2)))) AS BIGINT) AS uniq2,
+      |  CAST(len(list_distinct(list_transform(
+      |    generate_series(1, CAST(length(text) AS INTEGER) - 1),
+      |    i -> substring(text, i, 2)))) AS BIGINT) * 1000000
+      |    // (CAST(length(text) AS BIGINT) - 1) AS bigram_ratio_ppm
+      |FROM documents WHERE length(text) >= 2
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m17_dedup_reclaim" -> (m17DedupReclaim _),
     "m18_chunk_dedup" -> (m18ChunkDedup _),
+    "m19_compressibility" -> (m19Compressibility _),
     "m16_gain_normalize" -> (m16GainNormalize _),
     "m15_magic_sniff" -> (m15MagicSniff _),
     "m14_patch_dup" -> (m14PatchDup _),
@@ -1138,6 +1182,7 @@ object MultimodalOps {
   val oracles: Map[String, String] = Map(
     "m17_dedup_reclaim" -> m17Sql,
     "m18_chunk_dedup" -> m18Sql,
+    "m19_compressibility" -> m19Sql,
     "m16_gain_normalize" -> m16Sql,
     "m15_magic_sniff" -> m15Sql,
     "m14_patch_dup" -> m14Sql,

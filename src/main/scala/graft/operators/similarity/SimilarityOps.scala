@@ -652,12 +652,17 @@ object SimilarityOps {
         col("n2").as("qn2"), col("mid").as("qcluster"))
   }
 
-  def s7IvfTrained(spark: SparkSession, dir: String): DataFrame = {
-    val e = embQuantized(spark, dir)
-    val cents = ivfCodebook(spark, dir)
-    val corpus = e.join(assignTo(e, cents), Seq("vec_id"))
-      .select(col("vec_id"), col("vd"), col("n2"), col("cluster"))
-    val qprobe = ivfQueryProbes(spark, dir)
+  /** nprobe-parameterized s7 body — the assigned corpus is DfCache'd
+    * (one assignment pass serves every nprobe setting, s44's sweep
+    * included; the index build is the expensive half of trained IVF). */
+  def s7TrainedWith(spark: SparkSession, dir: String, nprobe: Int): DataFrame = {
+    val corpus = graft.util.DfCache.cached(spark, dir, "ivf_assigned_corpus") {
+      val e = embQuantized(spark, dir)
+      val cents = ivfCodebook(spark, dir)
+      e.join(assignTo(e, cents), Seq("vec_id"))
+        .select(col("vec_id"), col("vd"), col("n2"), col("cluster"))
+    }
+    val qprobe = ivfQueryProbes(spark, dir, nprobe)
     val pairs = broadcast(qprobe)
       .join(corpus.as("c"),
         col("qcluster") === col("c.cluster") && col("qid") =!= col("c.vec_id"))
@@ -667,10 +672,13 @@ object SimilarityOps {
     ranked(pairs)
   }
 
+  def s7IvfTrained(spark: SparkSession, dir: String): DataFrame =
+    s7TrainedWith(spark, dir, NPROBE)
+
   /** s7's trained-IVF probe CTEs (assignment + nprobe + scored
     * pairs) over the codebook CTEs — shared by s7Sql and the s9
     * recall oracle, so index tuning updates both in lockstep. */
-  private def ivfProbePairsCtes(pairsName: String): String =
+  private def ivfProbePairsCtes(pairsName: String, nprobe: Int = NPROBE): String =
     s"""psc AS (${duckCent("c1")}),
        |passign AS (SELECT vec_id AS cvec, mid AS cluster FROM (
        |  SELECT vec_id, mid, row_number() OVER (PARTITION BY vec_id
@@ -679,7 +687,7 @@ object SimilarityOps {
        |  SELECT p.vec_id AS qid, e.vd AS qvd, e.n2 AS qn2, p.mid AS qcluster FROM (
        |    SELECT vec_id, mid, row_number() OVER (PARTITION BY vec_id
        |      ORDER BY score DESC, mid) AS rn FROM psc WHERE vec_id < 10) p
-       |  JOIN eb e ON p.vec_id = e.vec_id WHERE p.rn <= $NPROBE),
+       |  JOIN eb e ON p.vec_id = e.vec_id WHERE p.rn <= $nprobe),
        |$pairsName AS (
        |  SELECT q.qid AS query_id, c.vec_id AS neighbor_id,
        |    ${VectorExprs.duckDot("q.qvd", "c.vd")}
@@ -713,6 +721,51 @@ object SimilarityOps {
        |${topkCte("ar", "apairs")},
        |approx AS (SELECT query_id, neighbor_id FROM ar WHERE rank <= $K)
        |$recallTailSql""".stripMargin
+
+  // ---- s44: recall vs nprobe — the IVF tuning curve as a query ----
+  // s9 prices the default nprobe; tuning reads the whole CURVE:
+  // aggregate recall@K of the trained IVF at nprobe ∈ {1,2,4,8}.
+  // Where the curve plateaus is the cheapest setting that loses
+  // nothing — the standard IVF tuning readout (query cost is linear
+  // in nprobe, so the plateau point IS the speed/recall frontier).
+  // The expensive half (corpus assignment to trained centroids) is
+  // DfCache'd and paid ONCE across all four settings — each curve
+  // point adds only its (10-query × probed lists) broadcast join;
+  // the per-point recall is the K·|queries|-bounded s8/s9 join.
+  def s44NprobeCurve(spark: SparkSession, dir: String): DataFrame = {
+    val exact = s1KnnBrute(spark, dir)
+    Seq(1, 2, 4, 8).map { np =>
+      recallOf(exact, s7TrainedWith(spark, dir, np))
+        .agg(count(lit(1)).as("n_queries"),
+          sum(col("n_exact")).as("n_exact"), sum(col("n_hit")).as("n_hit"))
+        .select(lit(np.toLong).as("nprobe"), col("n_queries"),
+          col("n_exact"), col("n_hit"),
+          (col("n_hit").cast("double") / col("n_exact")).as("recall"))
+    }.reduce(_.unionByName(_)).orderBy(col("nprobe"))
+  }
+
+  val s44Sql: String = {
+    def block(np: Int) =
+      s"""SELECT * FROM (
+         |WITH $codebookCtes,
+         |${exactPairsCte("xpairs")},
+         |${topkCte("xr", "xpairs")},
+         |exactk AS (SELECT query_id, neighbor_id FROM xr WHERE rank <= $K),
+         |${ivfProbePairsCtes("apairs", np)},
+         |${topkCte("ar", "apairs")},
+         |approxk AS (SELECT DISTINCT query_id, neighbor_id FROM ar
+         |            WHERE rank <= $K),
+         |j AS (SELECT e.query_id,
+         |        CASE WHEN a.query_id IS NULL THEN 0 ELSE 1 END AS hit
+         |      FROM exactk e LEFT JOIN approxk a
+         |        ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id)
+         |SELECT CAST($np AS BIGINT) AS nprobe,
+         |  count(DISTINCT query_id) AS n_queries,
+         |  count(*) AS n_exact, CAST(sum(hit) AS BIGINT) AS n_hit,
+         |  CAST(sum(hit) AS DOUBLE) / count(*) AS recall
+         |FROM j)""".stripMargin
+    Seq(1, 2, 4, 8).map(block).mkString("", "\nUNION ALL\n", "\nORDER BY nprobe")
+  }
 
   // ---- s8: ANN recall evaluation — s2's LSH vs s1's exact top-k ----
   // The quality gauge every approximate index needs next to its speed
@@ -2431,6 +2484,7 @@ object SimilarityOps {
     "s38_nnd_recall" -> (s38NndRecall _),
     "s42_nnd_curve" -> (s42NndCurve _),
     "s43_centroid_shift" -> (s43CentroidShift _),
+    "s44_nprobe_curve" -> (s44NprobeCurve _),
     "s36_residual_recall" -> (s36ResidualRecall _),
     "s35_residual_knn" -> (s35ResidualKnn _),
     "s34_recall_curve" -> (s34RecallCurve _),
@@ -2476,6 +2530,7 @@ object SimilarityOps {
     "s38_nnd_recall" -> s38Sql,
     "s42_nnd_curve" -> s42Sql,
     "s43_centroid_shift" -> s43Sql,
+    "s44_nprobe_curve" -> s44Sql,
     "s36_residual_recall" -> s36Sql,
     "s35_residual_knn" -> s35Sql,
     "s34_recall_curve" -> s34Sql,
