@@ -726,6 +726,60 @@ object Relational {
       |  count(*) AS n_parts, CAST(sum(rev_cents) AS BIGINT) AS rev_cents
       |FROM pv, c GROUP BY 1, 2 ORDER BY abc, xyz""".stripMargin
 
+  // ---- q56: weighted median / weighted quartiles ----
+  // "At what order size does half the revenue sit?" — the weighted
+  // median (and quartiles) of quantity weighted by revenue, per
+  // return flag. Unlike q24/q46's row-count percentiles, each value counts
+  // proportionally to its weight — the inventory/logistics question
+  // (planes full of small orders vs ships full of bulk) that a plain
+  // median hides. Two-phase at scale: phase 1 is one map-side-combined
+  // aggregate to the BOUNDED (mode × quantity-level) grid — quantity
+  // is a discrete 1..50 domain, so the grid is ≤ 7·50 rows at ANY
+  // corpus size; phase 2's cumulative window runs over that bounded
+  // summary only (the q40 posture — corpus-sized work never meets a
+  // window). Weighted p-quantile = smallest level whose cumulative
+  // weight reaches p of the total, all exact integer comparisons
+  // (cw·4 ≥ tw etc. — no rational thresholds to disagree on).
+  def q56WeightedMedian(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grid = t(spark, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_quantity").cast("long").as("qty"),
+        (dec(col("l_extendedprice")) * 100).cast("long").as("cents"))
+      .groupBy(col("l_returnflag"), col("qty"))
+      .agg(sum(col("cents")).as("w"))
+    val cum = Window.partitionBy(col("l_returnflag")).orderBy(col("qty"))
+    val whole = Window.partitionBy(col("l_returnflag"))
+    grid
+      .withColumn("cw", sum(col("w")).over(cum))
+      .withColumn("tw", sum(col("w")).over(whole))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_levels"),
+        max(col("tw")).as("total_cents"),
+        min(when(col("cw") * 4 >= col("tw"), col("qty"))).as("wq1_qty"),
+        min(when(col("cw") * 2 >= col("tw"), col("qty"))).as("wmedian_qty"),
+        min(when(col("cw") * 4 >= col("tw") * 3, col("qty"))).as("wq3_qty"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val q56Sql: String =
+    """WITH g AS (
+      |  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty,
+      |    CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+      |      AS BIGINT)) AS BIGINT) AS w
+      |  FROM lineitem GROUP BY 1, 2),
+      |c AS (
+      |  SELECT l_returnflag, qty,
+      |    CAST(sum(w) OVER (PARTITION BY l_returnflag ORDER BY qty)
+      |      AS BIGINT) AS cw,
+      |    CAST(sum(w) OVER (PARTITION BY l_returnflag) AS BIGINT) AS tw
+      |  FROM g)
+      |SELECT l_returnflag, count(*) AS n_levels,
+      |  CAST(max(tw) AS BIGINT) AS total_cents,
+      |  min(CASE WHEN cw * 4 >= tw THEN qty END) AS wq1_qty,
+      |  min(CASE WHEN cw * 2 >= tw THEN qty END) AS wmedian_qty,
+      |  min(CASE WHEN cw * 4 >= tw * 3 THEN qty END) AS wq3_qty
+      |FROM c GROUP BY 1 ORDER BY l_returnflag""".stripMargin
+
   // ---- q26: pivot (wide aggregate over an enumerated domain) ----
   // Values are ENUMERATED (Seq("F","O")) so the pivot compiles to
   // CASE-filtered aggregates in ONE pass — no extra distinct-values
@@ -2092,6 +2146,7 @@ object Relational {
     "q53_cumulative_distinct" -> (q53CumulativeDistinct _),
     "q54_winsorized" -> (q54Winsorized _),
     "q55_abc_xyz" -> (q55AbcXyz _),
+    "q56_weighted_median" -> (q56WeightedMedian _),
     "q50_f2_sketch" -> (q50F2Sketch _),
     "q49_mom_growth" -> (q49MomGrowth _),
     "q48_itemset3" -> (q48Itemset3 _),
@@ -2150,6 +2205,7 @@ object Relational {
     "q53_cumulative_distinct" -> q53Sql,
     "q54_winsorized" -> q54Sql,
     "q55_abc_xyz" -> q55Sql,
+    "q56_weighted_median" -> q56Sql,
     "q50_f2_sketch" -> q50Sql,
     "q49_mom_growth" -> q49Sql,
     "q48_itemset3" -> q48Sql,

@@ -356,6 +356,55 @@ object GraphOps {
        |  (SELECT CAST(max(d) AS BIGINT) FROM r2) AS ecc_far,
        |  (SELECT count(*) FROM r2) AS n_reached_far""".stripMargin
 
+  // ---- g41: DAG longest-path layering ----
+  // The derivation graph is a DAG by construction (edge branches all
+  // point from a lower type tag to a higher one: customer→order→part→
+  // supplier→nation→region), so it admits the classic DAG layering:
+  // layer(v) = length of the LONGEST path ending at v — the
+  // scheduling depth of v if each edge is a dependency, and the
+  // canonical drawing/ordering pass for dependency graphs (Coffman–
+  // Graham / Sugiyama layer assignment). NP-hard on general graphs,
+  // one max-plus fixpoint on a DAG: l(v) = max over in-edges (u,v) of
+  // l(u)+1, seeded at 0. The tag chain bounds depth at 5, so FIVE
+  // unrolled rounds reach the exact fixpoint — no stop-check collect.
+  // Each round joins the V-row layer vector into the cached
+  // src-partitioned [[GraphTables.directed]] layout (only the vector
+  // shuffles, never the E-row table) and max-merges by node
+  // (map-side combined). Output is the bounded (layer × tag) census —
+  // ≤ 6·6 rows at any corpus size — with vid ranges as spot anchors.
+  def g41DagLayers(spark: SparkSession, dir: String): DataFrame = {
+    val e = GraphTables.directed(spark, dir)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    var layers = nodes.withColumn("layer", lit(0L))
+    for (_ <- 1 to 5) {
+      val upd = layers.alias("l").join(e.alias("ed"), col("l.node") === col("ed.src"))
+        .select(col("ed.dst").as("node"), (col("l.layer") + 1L).as("layer"))
+      layers = layers.union(upd)
+        .groupBy(col("node")).agg(max(col("layer")).as("layer"))
+    }
+    layers
+      .withColumn("tag", expr("node % 8"))
+      .groupBy(col("layer"), col("tag"))
+      .agg(count(lit(1)).as("n_nodes"),
+        min(col("node")).as("min_vid"), max(col("node")).as("max_vid"))
+      .orderBy(col("layer"), col("tag"))
+  }
+
+  val g41Sql: String =
+    s"""WITH RECURSIVE ${GraphTables.symSqlCtes},
+       |vn AS (SELECT DISTINCT src AS node FROM edges
+       |       UNION SELECT DISTINCT dst FROM edges),
+       |p(node, d) AS (
+       |  SELECT node, 0 FROM vn
+       |  UNION
+       |  SELECT e.dst, p.d + 1 FROM p JOIN edges e ON e.src = p.node
+       |  WHERE p.d < 5),
+       |l AS (SELECT node, max(d) AS layer FROM p GROUP BY node)
+       |SELECT CAST(layer AS BIGINT) AS layer, node % 8 AS tag,
+       |  count(*) AS n_nodes, min(node) AS min_vid, max(node) AS max_vid
+       |FROM l GROUP BY 1, 2 ORDER BY layer, tag""".stripMargin
+
   // ---- g4: deterministic pseudo-random-walk visit counts (3 hops) ----
   // The hash h depends only on (src, dst, t), so the chosen next hop is
   // a pure function of (src, t) — identical for every walker sitting on
@@ -2469,6 +2518,7 @@ object GraphOps {
     "g38_transitivity" -> (g38Transitivity _),
     "g39_adamic_adar" -> (g39AdamicAdar _),
     "g40_pseudo_diameter" -> (g40PseudoDiameter _),
+    "g41_dag_layers" -> (g41DagLayers _),
     "g36_component_sizes" -> (g36ComponentSizes _),
     "g35_coreness" -> (g35Coreness _),
     "g34_rich_club" -> (g34RichClub _),
@@ -2511,6 +2561,7 @@ object GraphOps {
     "g38_transitivity" -> g38Sql,
     "g39_adamic_adar" -> g39Sql,
     "g40_pseudo_diameter" -> g40Sql,
+    "g41_dag_layers" -> g41Sql,
     "g36_component_sizes" -> g36Sql,
     "g35_coreness" -> g35Sql,
     "g34_rich_club" -> g34Sql,

@@ -888,6 +888,78 @@ object TextOps {
       |SELECT source, CAST(rank AS BIGINT) AS rank, tok, cnt, total, conc_ppm
       |FROM r WHERE rank <= 5 ORDER BY source, rank""".stripMargin
 
+  // ---- t31: vocabulary growth (Heaps-law readout per source) ----
+  // How fast does a source keep yielding NEW vocabulary as you read
+  // more of it? The Heaps-law curve (types vs tokens) is the classic
+  // corpus-health gauge: a template farm plateaus after a few docs, a
+  // diverse source keeps climbing — and the curve's knee tells a
+  // curation run when additional docs stop paying for themselves.
+  // Computed exactly: each token's FIRST document per source (one
+  // token-keyed min aggregate — vocabulary-sized, Zipf-bounded, never
+  // corpus-row shuffled), docs bucketed into reading-order deciles by
+  // row_number within source, then new-type counts accumulated over
+  // the BOUNDED (source × 10) grid. The doc-rank window partitions by
+  // source over doc METADATA only (two longs/row — the text column
+  // never enters the window); at extreme doc counts per source the
+  // q29/q38 binned-rank machinery replaces it (the documented
+  // high-cardinality posture, same as e26).
+  def t31VocabGrowth(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = docs(spark, dir)
+    val byId = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    val whole = Window.partitionBy(col("source"))
+    val ranked = d.select(col("source"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_toks"))
+      .withColumn("rn", row_number().over(byId))
+      .withColumn("nd", count(lit(1)).over(whole))
+      .withColumn("decile", expr("cast((rn - 1) * 10 div nd as bigint)"))
+    val newTypes = d.select(col("source"), col("doc_id"),
+        explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("source"), col("tok"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .join(ranked.select(col("source"), col("doc_id"), col("decile")),
+        Seq("source", "doc_id"))
+      .groupBy(col("source"), col("decile"))
+      .agg(count(lit(1)).as("new_types"))
+    val cum = Window.partitionBy(col("source")).orderBy(col("decile"))
+    ranked.groupBy(col("source"), col("decile"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("dec_tokens"))
+      .join(newTypes, Seq("source", "decile"), "left")
+      .na.fill(0L, Seq("new_types"))
+      .withColumn("cum_types", sum(col("new_types")).over(cum))
+      .withColumn("cum_tokens", sum(col("dec_tokens")).over(cum))
+      .select(col("source"), col("decile"), col("n_docs"),
+        col("new_types"), col("cum_types"), col("cum_tokens"))
+      .orderBy(col("source"), col("decile"))
+  }
+
+  val t31Sql: String =
+    """WITH dm AS (
+      |  SELECT source, doc_id, len(string_split(text, ' ')) AS n_toks,
+      |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn,
+      |    count(*) OVER (PARTITION BY source) AS nd
+      |  FROM documents),
+      |dd AS (SELECT source, doc_id, CAST(n_toks AS BIGINT) AS n_toks,
+      |       CAST((rn - 1) * 10 // nd AS BIGINT) AS decile FROM dm),
+      |fst AS (
+      |  SELECT source, tok, min(doc_id) AS doc_id FROM (
+      |    SELECT source, doc_id, unnest(string_split(text, ' ')) AS tok
+      |    FROM documents) GROUP BY 1, 2),
+      |nt AS (SELECT d.source, d.decile, count(*) AS new_types
+      |       FROM fst f JOIN dd d ON f.source = d.source AND f.doc_id = d.doc_id
+      |       GROUP BY 1, 2),
+      |tk AS (SELECT source, decile, count(*) AS n_docs,
+      |         CAST(sum(n_toks) AS BIGINT) AS dec_tokens
+      |       FROM dd GROUP BY 1, 2)
+      |SELECT t.source, t.decile, t.n_docs,
+      |  CAST(coalesce(n.new_types, 0) AS BIGINT) AS new_types,
+      |  CAST(sum(coalesce(n.new_types, 0)) OVER (
+      |    PARTITION BY t.source ORDER BY t.decile) AS BIGINT) AS cum_types,
+      |  CAST(sum(t.dec_tokens) OVER (
+      |    PARTITION BY t.source ORDER BY t.decile) AS BIGINT) AS cum_tokens
+      |FROM tk t LEFT JOIN nt n ON t.source = n.source AND t.decile = n.decile
+      |ORDER BY t.source, t.decile""".stripMargin
+
   // ---- t16: per-source length distribution (curation dashboard) ----
   // The first report a curation run prints: how long are the docs of
   // each source, as exact discrete percentiles (q24's machinery over
@@ -1539,6 +1611,7 @@ object TextOps {
     "t28_lm_score" -> (t28LmScore _),
     "t29_source_divergence" -> (t29SourceDivergence _),
     "t30_distinctive_terms" -> (t30DistinctiveTerms _),
+    "t31_vocab_growth" -> (t31VocabGrowth _),
     "t26_zipf_profile" -> (t26ZipfProfile _),
     "t25_stopword_induction" -> (t25StopwordInduction _),
     "t24_burstiness" -> (t24Burstiness _),
@@ -1571,6 +1644,7 @@ object TextOps {
     "t28_lm_score" -> t28Sql,
     "t29_source_divergence" -> t29Sql,
     "t30_distinctive_terms" -> t30Sql,
+    "t31_vocab_growth" -> t31Sql,
     "t26_zipf_profile" -> t26Sql,
     "t25_stopword_induction" -> t25Sql,
     "t24_burstiness" -> t24Sql,

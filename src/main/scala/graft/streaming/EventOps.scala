@@ -1320,11 +1320,57 @@ object EventOps {
       |WHERE pp.is_val
       |GROUP BY pp.prev_type ORDER BY pp.prev_type""".stripMargin
 
+  // ---- e32: activity streaks (gaps-and-islands on user-days) ----
+  // The engagement metric behind every "7-day streak" badge: per
+  // user, the longest run of CONSECUTIVE active days, plus how many
+  // distinct streaks the activity fragments into. Classic
+  // gaps-and-islands (q52's pattern on the behavioral axis): within a
+  // user, day − row_number(day) is constant exactly along a
+  // consecutive run, so grouping by that anchor splits the day set
+  // into maximal streaks with no self-join. The window partitions by
+  // user_id — a grows-with-data key whose per-partition row count is
+  // bounded by the calendar (≤ |days| rows per user after the
+  // distinct), so the sort inside each partition is trivially small
+  // at any corpus size; everything after is two map-side-combined
+  // aggregates. Day arithmetic runs in epoch-day integers on both
+  // engines — no interval types to disagree on.
+  def e32Streaks(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ud = events(spark, dir)
+      .select(col("user_id"), col("ts").cast("date").as("day")).distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    ud
+      .withColumn("anchor",
+        datediff(col("day"), lit("1970-01-01").cast("date"))
+          - row_number().over(w))
+      .groupBy(col("user_id"), col("anchor"))
+      .agg(count(lit(1)).as("len"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("len")).as("n_days"), count(lit(1)).as("n_streaks"),
+        max(col("len")).as("longest_streak"))
+      .orderBy(col("user_id"))
+  }
+
+  val e32Sql: String =
+    """WITH ud AS (
+      |  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+      |  FROM events),
+      |a AS (
+      |  SELECT user_id,
+      |    date_diff('day', DATE '1970-01-01', day)
+      |      - row_number() OVER (PARTITION BY user_id ORDER BY day) AS anchor
+      |  FROM ud),
+      |s AS (SELECT user_id, anchor, count(*) AS len FROM a GROUP BY 1, 2)
+      |SELECT user_id, CAST(sum(len) AS BIGINT) AS n_days,
+      |  count(*) AS n_streaks, CAST(max(len) AS BIGINT) AS longest_streak
+      |FROM s GROUP BY 1 ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e28_latest_state" -> (e28LatestState _),
     "e29_seasonality" -> (e29Seasonality _),
     "e30_funnel_latency" -> (e30FunnelLatency _),
     "e31_markov_accuracy" -> (e31MarkovAccuracy _),
+    "e32_streaks" -> (e32Streaks _),
     "e27_new_vs_returning" -> (e27NewVsReturning _),
     "e26_rfm" -> (e26Rfm _),
     "e25_dau_wau" -> (e25DauWau _),
@@ -1358,6 +1404,7 @@ object EventOps {
     "e29_seasonality" -> e29Sql,
     "e30_funnel_latency" -> e30Sql,
     "e31_markov_accuracy" -> e31Sql,
+    "e32_streaks" -> e32Sql,
     "e27_new_vs_returning" -> e27Sql,
     "e26_rfm" -> e26Sql,
     "e25_dau_wau" -> e25Sql,
