@@ -780,6 +780,61 @@ object Relational {
       |  min(CASE WHEN cw * 4 >= tw * 3 THEN qty END) AS wq3_qty
       |FROM c GROUP BY 1 ORDER BY l_returnflag""".stripMargin
 
+  // ---- q57: repeat-purchase latency (reorder gaps) ----
+  // How long until a customer comes back? Per customer, the gaps in
+  // days between CONSECUTIVE orders (lag over the customer's order
+  // history), rolled up per market segment as exact discrete
+  // percentiles — the retention/replenishment gauge behind every
+  // "expected reorder window" model. The lag window partitions by
+  // o_custkey — a grows-with-data key whose per-partition rows are
+  // one customer's orders (bounded, tiny) — and only (custkey, date,
+  // key) triples enter it, never the wide row. Tie days are ordered
+  // by o_orderkey on both engines so same-date orders produce
+  // deterministic zero gaps. The segment rollup joins the bounded
+  // gap stream to the customer dim co-partitioned on custkey and
+  // runs one percentile aggregate over 5 segment groups (q24
+  // convention — discrete percentiles return actual day values,
+  // bit-exact on both engines).
+  def q57ReorderGaps(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val gaps = t(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+      .withColumn("prev", lag(col("o_orderdate"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(col("o_custkey"),
+        datediff(col("o_orderdate"), col("prev")).cast("long").as("gap_days"))
+    gaps
+      .join(t(spark, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(col("gap_days")).as("sum_days"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY gap_days)")
+          .cast("long").as("p50_days"),
+        expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY gap_days)")
+          .cast("long").as("p90_days"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val q57Sql: String =
+    """WITH g AS (
+      |  SELECT o_custkey,
+      |    date_diff('day', lag(o_orderdate) OVER (
+      |      PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+      |      o_orderdate) AS gap_days
+      |  FROM orders),
+      |gd AS (SELECT o_custkey, CAST(gap_days AS BIGINT) AS gap_days
+      |       FROM g WHERE gap_days IS NOT NULL)
+      |SELECT c.c_mktsegment, count(*) AS n_gaps,
+      |  CAST(sum(gap_days) AS BIGINT) AS sum_days,
+      |  CAST(quantile_disc(gap_days, 0.5) AS BIGINT) AS p50_days,
+      |  CAST(quantile_disc(gap_days, 0.9) AS BIGINT) AS p90_days
+      |FROM gd JOIN customer c ON gd.o_custkey = c.c_custkey
+      |GROUP BY 1 ORDER BY c_mktsegment""".stripMargin
+
   // ---- q26: pivot (wide aggregate over an enumerated domain) ----
   // Values are ENUMERATED (Seq("F","O")) so the pivot compiles to
   // CASE-filtered aggregates in ONE pass — no extra distinct-values
@@ -2147,6 +2202,7 @@ object Relational {
     "q54_winsorized" -> (q54Winsorized _),
     "q55_abc_xyz" -> (q55AbcXyz _),
     "q56_weighted_median" -> (q56WeightedMedian _),
+    "q57_reorder_gaps" -> (q57ReorderGaps _),
     "q50_f2_sketch" -> (q50F2Sketch _),
     "q49_mom_growth" -> (q49MomGrowth _),
     "q48_itemset3" -> (q48Itemset3 _),
@@ -2206,6 +2262,7 @@ object Relational {
     "q54_winsorized" -> q54Sql,
     "q55_abc_xyz" -> q55Sql,
     "q56_weighted_median" -> q56Sql,
+    "q57_reorder_gaps" -> q57Sql,
     "q50_f2_sketch" -> q50Sql,
     "q49_mom_growth" -> q49Sql,
     "q48_itemset3" -> q48Sql,

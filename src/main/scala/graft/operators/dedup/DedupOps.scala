@@ -557,6 +557,36 @@ object DedupOps {
        |FROM agg a JOIN lng l USING (cluster_id)
        |ORDER BY cluster_id""".stripMargin
 
+  // ---- d28: prefix dedup (the cheap first-pass gate) ----
+  // The trick production crawls run BEFORE any minhash machinery:
+  // documents sharing an identical leading prefix (boilerplate
+  // headers, mirrored pages, template spam) collapse on the prefix
+  // alone — one hash-groupBy over a 48-char substring, no shingles,
+  // no candidate joins, map-side combined end to end. At 100 TB this
+  // is the O(corpus) pass that typically removes the bulk of exact-
+  // head duplication for ~1% of the LSH pipeline's cost; what
+  // survives proceeds to d2/d15. Groups are keyed by the prefix MD5
+  // (the full prefix never shuffles), keeper = min doc_id (d1/d6
+  // convention), with the cross-source spread as the triage signal
+  // (mirrored-across-sources vs within-source template).
+  def d28PrefixDup(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"), col("source"),
+        md5(substring(col("text"), 1, 48)).as("pk"))
+      .groupBy(col("pk"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_doc"),
+        max(col("doc_id")).as("max_doc"),
+        countDistinct(col("source")).as("n_sources"))
+      .filter(col("n_docs") >= 2)
+      .orderBy(col("pk"))
+
+  val d28Sql: String =
+    """SELECT md5(substr(text, 1, 48)) AS pk, count(*) AS n_docs,
+      |  min(doc_id) AS keep_doc, max(doc_id) AS max_doc,
+      |  count(DISTINCT source) AS n_sources
+      |FROM documents GROUP BY 1 HAVING count(*) >= 2
+      |ORDER BY pk""".stripMargin
+
   // ---- d7: train/val contamination screening ----
   // The eval-integrity check an LLM pipeline runs before training:
   // near-duplicate pairs that CROSS the train/validation split (a val
@@ -1706,6 +1736,7 @@ object DedupOps {
     "d25_sim_histogram" -> (d25SimHistogram _),
     "d26_idf_jaccard" -> (d26IdfJaccard _),
     "d27_keeper_policies" -> (d27KeeperPolicies _),
+    "d28_prefix_dup" -> (d28PrefixDup _),
     "d24_bloom_prefilter" -> (d24BloomPrefilter _),
     "d23_band_tuning" -> (d23BandTuning _),
     "d22_rep_weights" -> (d22RepWeights _),
@@ -1735,6 +1766,7 @@ object DedupOps {
     "d25_sim_histogram" -> d25Sql,
     "d26_idf_jaccard" -> d26Sql,
     "d27_keeper_policies" -> d27Sql,
+    "d28_prefix_dup" -> d28Sql,
     "d24_bloom_prefilter" -> d24Sql,
     "d23_band_tuning" -> d23Sql,
     "d22_rep_weights" -> d22Sql,

@@ -2122,6 +2122,137 @@ object SimilarityOps {
        |ORDER BY round""".stripMargin
   }
 
+  // ---- s45: graph-navigating ANN search (beam over the kNN graph) ----
+  // The serving mode the kNN graph (s37/s42) exists for — HNSW/
+  // NSG-style layer-0 navigation as bounded relational rounds: start
+  // every query at a fixed deterministic entry set (the K smallest
+  // corpus ids), then for three rounds expand the beam along the
+  // DESCENDED graph's out-edges, rescore exactly, and re-trim to the
+  // top-K beam (same bounded mergeable top-k aggregate — no window
+  // sort). Per round per query the candidate set is ≤ K + K² rows, so
+  // the search side stays broadcast-sized at ANY corpus scale; the
+  // corpus is touched only by vec_id-keyed joins into the cached
+  // feature layout — the whole point of graph ANN: query cost scales
+  // with beam × degree × rounds, not with N. True beam search is
+  // sequential per query; the batch form advances ALL queries one
+  // round per Spark stage (rounds = synchronized hops), which is the
+  // standard distributed-serving compromise. s46 prices the result
+  // against the exact top-K and the graph's own direct lists.
+  private val BeamRounds = 3
+
+  def s45GraphKnn(spark: SparkSession, dir: String): DataFrame = {
+    val ids = VectorExprs.embFeatures(spark, dir).select(col("vec_id"))
+    val entries = ids.filter(col("vec_id") >= 10)
+      .orderBy(col("vec_id")).limit(K)
+    val qs = ids.filter(col("vec_id") < 10).select(col("vec_id").as("qid"))
+    val g = nndRound1(spark, dir)
+      .select(col("query_id").as("gq"), col("neighbor_id").as("gn"))
+    var beam = rescoreTopK(spark, dir,
+      qs.crossJoin(broadcast(entries.select(col("vec_id").as("cid")))))
+    for (_ <- 1 to BeamRounds) {
+      val fwd = beam.select(col("query_id").as("qid"), col("neighbor_id").as("cid"))
+      val cand = fwd.union(
+          fwd.join(g, col("cid") === col("gq"))
+            .select(col("qid"), col("gn").as("cid")))
+        .filter(col("qid") =!= col("cid")).distinct()
+      beam = rescoreTopK(spark, dir, cand)
+    }
+    beam.orderBy(col("query_id"), col("rank"))
+  }
+
+  /** The descended-graph + unrolled-beam-round CTE chain shared by
+    * s45Sql and the s46 recall oracle. Ends at `bm$BeamRounds`. */
+  private def beamCtes: String = {
+    def score(cand: String, out: String) =
+      s"""$out AS (
+         |  SELECT d.qid AS query_id, d.cid AS neighbor_id,
+         |    ${VectorExprs.duckDot("q.vd", "c.vd")}
+         |      / (sqrt(q.n2) * sqrt(c.n2)) AS cosine
+         |  FROM $cand d JOIN eb q ON d.qid = q.vec_id
+         |  JOIN eb c ON d.cid = c.vec_id)""".stripMargin
+    val rounds = (1 to BeamRounds).map { r =>
+      s"""cr$r AS (
+         |  SELECT DISTINCT qid, cid FROM (
+         |    SELECT query_id AS qid, neighbor_id AS cid FROM bm${r - 1}
+         |    UNION ALL
+         |    SELECT b.query_id, g.gn FROM bm${r - 1} b
+         |    JOIN gg g ON b.neighbor_id = g.gq)
+         |  WHERE qid != cid),
+         |${score(s"cr$r", s"sc$r")},
+         |${topkCte(s"tr$r", s"sc$r")},
+         |bm$r AS MATERIALIZED (SELECT * FROM tr$r WHERE rank <= $K)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""nc AS (
+       |  SELECT DISTINCT qid, cid FROM (
+       |    SELECT query_id AS qid, neighbor_id AS cid FROM mk
+       |    UNION ALL SELECT neighbor_id, query_id FROM mk
+       |    UNION ALL SELECT f.query_id, g.neighbor_id
+       |    FROM mk f JOIN mk g ON f.neighbor_id = g.query_id)
+       |  WHERE qid != cid),
+       |${score("nc", "np")},
+       |${topkCte("nr", "np")},
+       |gg AS MATERIALIZED (SELECT query_id AS gq, neighbor_id AS gn
+       |                    FROM nr WHERE rank <= $K),
+       |ent AS (SELECT vec_id AS cid FROM eb WHERE vec_id >= 10
+       |        ORDER BY vec_id LIMIT $K),
+       |c0 AS (SELECT q.vec_id AS qid, e.cid FROM eb q, ent e
+       |       WHERE q.vec_id < 10),
+       |${score("c0", "sc0")},
+       |${topkCte("tr0", "sc0")},
+       |bm0 AS MATERIALIZED (SELECT * FROM tr0 WHERE rank <= $K),
+       |$rounds""".stripMargin
+  }
+
+  val s45Sql: String =
+    s"""WITH $knnListsCtes,
+       |$beamCtes
+       |SELECT query_id, neighbor_id, cosine, rank FROM bm$BeamRounds
+       |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
+
+  // ---- s46: what graph navigation kept (recall, side by side) ----
+  // The honest gauge for s45: per probe query, beam-search recall vs
+  // the exact top-K, NEXT TO the recall of the graph's own direct
+  // lists for that query (the ceiling a 3-round navigation from a
+  // cold entry point is trying to reach). Both approx sides are
+  // K·|queries| rows filtered from already-built lists — the gauge
+  // costs nothing beyond the s1 probe it shares with every other
+  // recall row.
+  def s46GraphRecall(spark: SparkSession, dir: String): DataFrame = {
+    val ex = s1KnnBrute(spark, dir)
+    val beam = recallOf(ex, s45GraphKnn(spark, dir))
+      .select(col("query_id"), col("n_exact"),
+        col("n_hit").as("hit_beam"), col("recall").as("recall_beam"))
+    val direct = recallOf(ex, nndRound1(spark, dir).filter(col("query_id") < 10))
+      .select(col("query_id"), col("n_hit").as("hit_list"),
+        col("recall").as("recall_list"))
+    beam.join(direct, Seq("query_id")).orderBy(col("query_id"))
+  }
+
+  val s46Sql: String =
+    s"""WITH $knnListsCtes,
+       |$beamCtes,
+       |${exactPairsCte("xp")},
+       |${topkCte("xr", "xp")},
+       |exact AS (SELECT query_id, neighbor_id FROM xr WHERE rank <= $K),
+       |bd AS (SELECT DISTINCT query_id, neighbor_id FROM bm$BeamRounds
+       |       WHERE rank <= $K),
+       |dl AS (SELECT DISTINCT gq AS query_id, gn AS neighbor_id FROM gg
+       |       WHERE gq < 10)
+       |SELECT e.query_id, count(*) AS n_exact,
+       |  CAST(coalesce(sum(CASE WHEN b.neighbor_id IS NOT NULL THEN 1 END), 0)
+       |    AS BIGINT) AS hit_beam,
+       |  CAST(coalesce(sum(CASE WHEN b.neighbor_id IS NOT NULL THEN 1 END), 0)
+       |    AS DOUBLE) / count(*) AS recall_beam,
+       |  CAST(coalesce(sum(CASE WHEN d.neighbor_id IS NOT NULL THEN 1 END), 0)
+       |    AS BIGINT) AS hit_list,
+       |  CAST(coalesce(sum(CASE WHEN d.neighbor_id IS NOT NULL THEN 1 END), 0)
+       |    AS DOUBLE) / count(*) AS recall_list
+       |FROM exact e
+       |LEFT JOIN bd b ON e.query_id = b.query_id AND e.neighbor_id = b.neighbor_id
+       |LEFT JOIN dl d ON e.query_id = d.query_id AND e.neighbor_id = d.neighbor_id
+       |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin
+
   // ---- s39: PQ symmetric-distance (SDC) search — codes vs codes ----
   // The search mode v12's table exists for: BOTH sides quantized, the
   // score assembled from 8 nibble-indexed lookups into the broadcast
@@ -2485,6 +2616,8 @@ object SimilarityOps {
     "s42_nnd_curve" -> (s42NndCurve _),
     "s43_centroid_shift" -> (s43CentroidShift _),
     "s44_nprobe_curve" -> (s44NprobeCurve _),
+    "s45_graph_knn" -> (s45GraphKnn _),
+    "s46_graph_recall" -> (s46GraphRecall _),
     "s36_residual_recall" -> (s36ResidualRecall _),
     "s35_residual_knn" -> (s35ResidualKnn _),
     "s34_recall_curve" -> (s34RecallCurve _),
@@ -2531,6 +2664,8 @@ object SimilarityOps {
     "s42_nnd_curve" -> s42Sql,
     "s43_centroid_shift" -> s43Sql,
     "s44_nprobe_curve" -> s44Sql,
+    "s45_graph_knn" -> s45Sql,
+    "s46_graph_recall" -> s46Sql,
     "s36_residual_recall" -> s36Sql,
     "s35_residual_knn" -> s35Sql,
     "s34_recall_curve" -> s34Sql,
