@@ -835,6 +835,41 @@ object Relational {
       |FROM gd JOIN customer c ON gd.o_custkey = c.c_custkey
       |GROUP BY 1 ORDER BY c_mktsegment""".stripMargin
 
+  // ---- q58: multi-count-distinct in one aggregate ----
+  // The monthly-health dashboard row: distinct buyers, parts,
+  // suppliers AND orders per ship month — FOUR count-distincts over
+  // different keys in ONE aggregate. Physically this is Spark's
+  // Expand shape: each input row fans out once per distinct-column
+  // group, partial distinct aggregation runs map-side per group, and
+  // only the surviving (month, key-group, key) triples shuffle —
+  // the standard multi-distinct plan (never four separate scans, and
+  // never a row-set collect). q8 gates a single count-distinct; this
+  // pins the multi-key Expand variant a reporting workload actually
+  // issues. Month comes from l_shipdate so the whole query reads one
+  // fact table; values are key columns only (the wide row never
+  // enters the Expand).
+  def q58MultiDistinct(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .join(t(spark, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(date_format(col("l_shipdate"), "yyyy-MM").as("month"),
+        col("o_custkey"), col("l_partkey"), col("l_suppkey"), col("l_orderkey"))
+      .groupBy(col("month"))
+      .agg(countDistinct(col("o_custkey")).as("n_buyers"),
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_suppliers"),
+        countDistinct(col("l_orderkey")).as("n_orders"))
+      .orderBy(col("month"))
+
+  val q58Sql: String =
+    """SELECT strftime(l_shipdate, '%Y-%m') AS month,
+      |  count(DISTINCT o_custkey) AS n_buyers,
+      |  count(DISTINCT l_partkey) AS n_parts,
+      |  count(DISTINCT l_suppkey) AS n_suppliers,
+      |  count(DISTINCT l_orderkey) AS n_orders
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY 1 ORDER BY month""".stripMargin
+
   // ---- q26: pivot (wide aggregate over an enumerated domain) ----
   // Values are ENUMERATED (Seq("F","O")) so the pivot compiles to
   // CASE-filtered aggregates in ONE pass — no extra distinct-values
@@ -2203,6 +2238,7 @@ object Relational {
     "q55_abc_xyz" -> (q55AbcXyz _),
     "q56_weighted_median" -> (q56WeightedMedian _),
     "q57_reorder_gaps" -> (q57ReorderGaps _),
+    "q58_multi_distinct" -> (q58MultiDistinct _),
     "q50_f2_sketch" -> (q50F2Sketch _),
     "q49_mom_growth" -> (q49MomGrowth _),
     "q48_itemset3" -> (q48Itemset3 _),
@@ -2263,6 +2299,7 @@ object Relational {
     "q55_abc_xyz" -> q55Sql,
     "q56_weighted_median" -> q56Sql,
     "q57_reorder_gaps" -> q57Sql,
+    "q58_multi_distinct" -> q58Sql,
     "q50_f2_sketch" -> q50Sql,
     "q49_mom_growth" -> q49Sql,
     "q48_itemset3" -> q48Sql,

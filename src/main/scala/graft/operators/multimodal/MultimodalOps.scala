@@ -420,6 +420,61 @@ object MultimodalOps {
        |  CAST(max(delta) AS BIGINT) AS max_delta
        |FROM d GROUP BY doc_id, nf ORDER BY doc_id""".stripMargin
 
+  // ---- m20: A/V alignment — cuts landing on silence ----
+  // The chaptering heuristic video pipelines run after m6+m7: a shot
+  // boundary that coincides with a low-energy frame is a NATURAL
+  // break (scene change over silence — safe to cut, splice, or
+  // chapter there); a boundary inside loud audio is mid-action. Per
+  // doc: boundary count (m6's |Δ| rule), silent-frame count (m7's
+  // cross-multiplied below-mean rule) and how many boundaries land
+  // ON silent frames — both signals read off ONE shared frameSums
+  // pass and two windows in the same bounded per-doc partition
+  // (payload/32 rows — the m3/m5/m6 class, grows with the doc, not
+  // the corpus), so the composite costs no more than either parent.
+  // All-integer gate; swap in decoded luma/RMS and only the signal
+  // expression changes.
+  def m20AvSync(spark: SparkSession, dir: String): DataFrame = {
+    val fsums = frameSums(spark, dir, minFrames = 2)
+    val wd = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+    val wo = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("frame"))
+    fsums
+      .withColumn("total", sum(col("fsum")).over(wd))
+      .withColumn("delta", abs(col("fsum") - lag(col("fsum"), 1).over(wo)))
+      .withColumn("silent", col("fsum") * col("nf") < col("total"))
+      .withColumn("bound", col("delta") > ShotDelta)
+      .groupBy(col("doc_id"), col("nf"))
+      .agg(sum(when(col("bound"), 1L).otherwise(0L)).as("n_bounds"),
+        sum(when(col("silent"), 1L).otherwise(0L)).as("n_silent"),
+        sum(when(col("bound") && col("silent"), 1L).otherwise(0L))
+          .as("n_aligned"))
+      .select(col("doc_id"), col("nf").as("n_frames"),
+        col("n_bounds"), col("n_silent"), col("n_aligned"))
+      .orderBy(col("doc_id"))
+  }
+
+  val m20Sql: String =
+    s"""WITH f AS (
+       |  SELECT doc_id, CAST(length(text) // $ShotFrameLen AS BIGINT) AS nf, text
+       |  FROM documents WHERE length(text) >= ${2 * ShotFrameLen}),
+       |pc AS (
+       |  SELECT doc_id, nf, (i - 1) // $ShotFrameLen AS frame,
+       |    CAST(ascii(substring(text, i, 1)) AS BIGINT) AS code
+       |  FROM (SELECT doc_id, nf, text, unnest(range(1, CAST(nf * $ShotFrameLen AS INTEGER) + 1)) AS i
+       |        FROM f) b),
+       |fs AS (SELECT doc_id, nf, frame, sum(code) AS fsum
+       |       FROM pc GROUP BY 1, 2, 3),
+       |x AS (SELECT doc_id, nf, fsum,
+       |        sum(fsum) OVER (PARTITION BY doc_id) AS total,
+       |        abs(fsum - lag(fsum) OVER (PARTITION BY doc_id ORDER BY frame)) AS delta
+       |      FROM fs)
+       |SELECT doc_id, nf AS n_frames,
+       |  CAST(sum(CASE WHEN delta > $ShotDelta THEN 1 ELSE 0 END) AS BIGINT) AS n_bounds,
+       |  CAST(sum(CASE WHEN fsum * nf < total THEN 1 ELSE 0 END) AS BIGINT) AS n_silent,
+       |  CAST(sum(CASE WHEN delta > $ShotDelta AND fsum * nf < total
+       |                THEN 1 ELSE 0 END) AS BIGINT) AS n_aligned
+       |FROM x GROUP BY doc_id, nf ORDER BY doc_id""".stripMargin
+
   // ---- m7: silence / low-energy segment detection (the VAD shape) ----
   // The audio-pipeline counterpart of m6: instead of diffing adjacent
   // frames, threshold each frame against the DOC's own mean energy —
@@ -1162,6 +1217,7 @@ object MultimodalOps {
     "m17_dedup_reclaim" -> (m17DedupReclaim _),
     "m18_chunk_dedup" -> (m18ChunkDedup _),
     "m19_compressibility" -> (m19Compressibility _),
+    "m20_av_sync" -> (m20AvSync _),
     "m16_gain_normalize" -> (m16GainNormalize _),
     "m15_magic_sniff" -> (m15MagicSniff _),
     "m14_patch_dup" -> (m14PatchDup _),
@@ -1183,6 +1239,7 @@ object MultimodalOps {
     "m17_dedup_reclaim" -> m17Sql,
     "m18_chunk_dedup" -> m18Sql,
     "m19_compressibility" -> m19Sql,
+    "m20_av_sync" -> m20Sql,
     "m16_gain_normalize" -> m16Sql,
     "m15_magic_sniff" -> m15Sql,
     "m14_patch_dup" -> m14Sql,

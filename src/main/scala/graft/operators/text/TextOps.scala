@@ -960,6 +960,55 @@ object TextOps {
       |FROM tk t LEFT JOIN nt n ON t.source = n.source AND t.decile = n.decile
       |ORDER BY t.source, t.decile""".stripMargin
 
+  // ---- t32: what dedup costs the corpus (token accounting) ----
+  // The report read right after a dedup pass ships: per source, how
+  // many documents and how many TOKENS survive the d6 keep/drop
+  // decision (keeper = cluster min, everything else drops), with the
+  // retained fraction in exact ppm. A source whose token mass
+  // collapses under dedup was mostly templates; one that barely
+  // shrinks is genuinely diverse — this is the t31 diversity signal
+  // cross-checked against the dedup family's actual decisions, and
+  // the number a data-mixture re-weighting (t11) must be corrected
+  // by. Plan: the drop set is d6's fixpoint labels (doc_id ≠
+  // cluster_id — rides the cached d4 verified pairs), left-joined
+  // into doc metadata on doc_id (co-partitioned key join, the text
+  // column contributes one split-count and never shuffles), then one
+  // map-side-combined per-source aggregate.
+  def t32DedupImpact(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select(col("doc_id"), col("source"),
+      size(split(col("text"), " ")).cast("long").as("toks"))
+    val dropped = graft.operators.dedup.DedupOps.d6DupClusters(spark, dir)
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id"), lit(true).as("dropped"))
+    d.join(dropped, Seq("doc_id"), "left_outer")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("dropped").isNull, 1L).otherwise(0L)).as("kept_docs"),
+        sum(col("toks")).as("n_tokens"),
+        sum(when(col("dropped").isNull, col("toks")).otherwise(0L))
+          .as("kept_tokens"))
+      .withColumn("retained_ppm", expr("kept_tokens * 1000000 div n_tokens"))
+      .orderBy(col("source"))
+  }
+
+  val t32Sql: String =
+    s"""WITH cl AS (${graft.operators.dedup.DedupOps.d6Sql}),
+       |dr AS (SELECT doc_id FROM cl WHERE doc_id <> cluster_id),
+       |d AS (SELECT doc_id, source,
+       |        CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+       |      FROM documents)
+       |SELECT d.source, count(*) AS n_docs,
+       |  CAST(sum(CASE WHEN dr.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS kept_docs,
+       |  CAST(sum(d.toks) AS BIGINT) AS n_tokens,
+       |  CAST(sum(CASE WHEN dr.doc_id IS NULL THEN d.toks ELSE 0 END)
+       |    AS BIGINT) AS kept_tokens,
+       |  CAST(sum(CASE WHEN dr.doc_id IS NULL THEN d.toks ELSE 0 END)
+       |    AS BIGINT) * 1000000 // CAST(sum(d.toks) AS BIGINT)
+       |    AS retained_ppm
+       |FROM d LEFT JOIN dr ON d.doc_id = dr.doc_id
+       |GROUP BY d.source ORDER BY d.source""".stripMargin
+
   // ---- t16: per-source length distribution (curation dashboard) ----
   // The first report a curation run prints: how long are the docs of
   // each source, as exact discrete percentiles (q24's machinery over
@@ -1612,6 +1661,7 @@ object TextOps {
     "t29_source_divergence" -> (t29SourceDivergence _),
     "t30_distinctive_terms" -> (t30DistinctiveTerms _),
     "t31_vocab_growth" -> (t31VocabGrowth _),
+    "t32_dedup_impact" -> (t32DedupImpact _),
     "t26_zipf_profile" -> (t26ZipfProfile _),
     "t25_stopword_induction" -> (t25StopwordInduction _),
     "t24_burstiness" -> (t24Burstiness _),
@@ -1645,6 +1695,7 @@ object TextOps {
     "t29_source_divergence" -> t29Sql,
     "t30_distinctive_terms" -> t30Sql,
     "t31_vocab_growth" -> t31Sql,
+    "t32_dedup_impact" -> t32Sql,
     "t26_zipf_profile" -> t26Sql,
     "t25_stopword_induction" -> t25Sql,
     "t24_burstiness" -> t24Sql,

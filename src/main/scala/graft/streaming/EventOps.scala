@@ -1365,12 +1365,73 @@ object EventOps {
       |  count(*) AS n_streaks, CAST(max(len) AS BIGINT) AS longest_streak
       |FROM s GROUP BY 1 ORDER BY user_id""".stripMargin
 
+  // ---- e33: activity concentration (Lorenz deciles) ----
+  // "Do 10% of users generate 90% of events?" — the Lorenz curve of
+  // per-user activity, exact: users ranked by (event count asc,
+  // user_id), bucketed into population deciles, each decile's share
+  // of total events in exact ppm plus the cumulative share (the
+  // Lorenz curve the Gini coefficient integrates). The global rank
+  // uses the q29 binned-rank machinery with the count LEVEL itself
+  // as the shard key: row_number partitions by n (per-level rows
+  // only), exclusive running offsets accumulate over the BOUNDED
+  // distinct-level table (≤ max-activity rows) and broadcast back —
+  // no corpus-sized single-partition sort at any scale. Everything
+  // downstream of the rank is integer arithmetic over 10 rows.
+  def e33ActivityLorenz(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val uc = events(spark, dir)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+    val wLocal = Window.partitionBy(col("n")).orderBy(col("user_id"))
+    val parts = uc.groupBy(col("n")).agg(count(lit(1)).as("c"))
+    val wOff = Window.orderBy(col("n"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = parts
+      .withColumn("off", coalesce(sum(col("c")).over(wOff), lit(0L)))
+      .select(col("n"), col("off"))
+    val tot = uc.agg(count(lit(1)).as("nu"), sum(col("n")).as("ne"))
+    val wCum = Window.orderBy(col("decile"))
+    uc.withColumn("lr", row_number().over(wLocal))
+      .join(broadcast(offsets), Seq("n"))
+      .crossJoin(broadcast(tot))
+      .withColumn("decile", expr("(lr + off - 1) * 10 div nu"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_users"), sum(col("n")).as("n_events"),
+        max(col("ne")).as("ne"))
+      .withColumn("share_ppm", expr("n_events * 1000000 div ne"))
+      .withColumn("cum_events", sum(col("n_events")).over(wCum))
+      .withColumn("cum_share_ppm", expr("cum_events * 1000000 div ne"))
+      .select(col("decile"), col("n_users"), col("n_events"),
+        col("share_ppm"), col("cum_share_ppm"))
+      .orderBy(col("decile"))
+  }
+
+  val e33Sql: String =
+    """WITH uc AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1),
+      |p AS (SELECT n, count(*) AS c FROM uc GROUP BY 1),
+      |o AS (SELECT n, CAST(coalesce(sum(c) OVER (ORDER BY n
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |        AS BIGINT) AS off FROM p),
+      |t AS (SELECT count(*) AS nu, CAST(sum(n) AS BIGINT) AS ne FROM uc),
+      |r AS (SELECT uc.n,
+      |        row_number() OVER (PARTITION BY uc.n ORDER BY uc.user_id)
+      |          + o.off AS r
+      |      FROM uc JOIN o USING (n)),
+      |d AS (SELECT CAST((r - 1) * 10 // nu AS BIGINT) AS decile, n FROM r, t),
+      |g AS (SELECT decile, count(*) AS n_users,
+      |        CAST(sum(n) AS BIGINT) AS n_events FROM d GROUP BY 1)
+      |SELECT decile, n_users, n_events,
+      |  n_events * 1000000 // ne AS share_ppm,
+      |  CAST(1000000 * CAST(sum(n_events) OVER (ORDER BY decile) AS BIGINT)
+      |    // ne AS BIGINT) AS cum_share_ppm
+      |FROM g, t ORDER BY decile""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e28_latest_state" -> (e28LatestState _),
     "e29_seasonality" -> (e29Seasonality _),
     "e30_funnel_latency" -> (e30FunnelLatency _),
     "e31_markov_accuracy" -> (e31MarkovAccuracy _),
     "e32_streaks" -> (e32Streaks _),
+    "e33_activity_lorenz" -> (e33ActivityLorenz _),
     "e27_new_vs_returning" -> (e27NewVsReturning _),
     "e26_rfm" -> (e26Rfm _),
     "e25_dau_wau" -> (e25DauWau _),
@@ -1405,6 +1466,7 @@ object EventOps {
     "e30_funnel_latency" -> e30Sql,
     "e31_markov_accuracy" -> e31Sql,
     "e32_streaks" -> e32Sql,
+    "e33_activity_lorenz" -> e33Sql,
     "e27_new_vs_returning" -> e27Sql,
     "e26_rfm" -> e26Sql,
     "e25_dau_wau" -> e25Sql,
