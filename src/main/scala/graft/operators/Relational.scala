@@ -870,6 +870,49 @@ object Relational {
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY 1 ORDER BY month""".stripMargin
 
+  // ---- q59: running balance + drawdown per part ----
+  // The inventory-ledger shape: per part, shipments replayed in
+  // time order (returns subtract), tracking the RUNNING net balance
+  // — final position, the deepest drawdown and the highest peak per
+  // part, the stockout/overstock gauge a replenishment model reads.
+  // The cumulative window partitions by l_partkey — a grows-with-
+  // data key whose per-partition rows are one part's movements
+  // (bounded by the part's own activity, ~30 rows at any TPC-H
+  // scale) — and only (key, date, line-id, qty-delta) tuples enter
+  // it. Replay order is pinned (shipdate, orderkey, linenumber) on
+  // both engines so same-day movements are deterministic. One
+  // map-side-combined aggregate collapses the ledger to |part| rows.
+  def q59PartDrawdown(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("l_partkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+    t(spark, dir, "lineitem")
+      .select(col("l_partkey"), col("l_shipdate"), col("l_orderkey"),
+        col("l_linenumber"),
+        when(col("l_returnflag") === "R", -col("l_quantity").cast("long"))
+          .otherwise(col("l_quantity").cast("long")).as("delta"))
+      .withColumn("run", sum(col("delta")).over(w))
+      .groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("n_moves"), max(col("run")).as("peak"),
+        min(col("run")).as("trough"), sum(col("delta")).as("final_qty"))
+      .orderBy(col("l_partkey"))
+  }
+
+  val q59Sql: String =
+    """WITH led AS (
+      |  SELECT l_partkey,
+      |    CASE WHEN l_returnflag = 'R' THEN -CAST(l_quantity AS BIGINT)
+      |         ELSE CAST(l_quantity AS BIGINT) END AS delta,
+      |    CAST(sum(CASE WHEN l_returnflag = 'R' THEN -CAST(l_quantity AS BIGINT)
+      |                  ELSE CAST(l_quantity AS BIGINT) END) OVER (
+      |      PARTITION BY l_partkey
+      |      ORDER BY l_shipdate, l_orderkey, l_linenumber) AS BIGINT) AS run
+      |  FROM lineitem)
+      |SELECT l_partkey, count(*) AS n_moves,
+      |  CAST(max(run) AS BIGINT) AS peak, CAST(min(run) AS BIGINT) AS trough,
+      |  CAST(sum(delta) AS BIGINT) AS final_qty
+      |FROM led GROUP BY 1 ORDER BY l_partkey""".stripMargin
+
   // ---- q26: pivot (wide aggregate over an enumerated domain) ----
   // Values are ENUMERATED (Seq("F","O")) so the pivot compiles to
   // CASE-filtered aggregates in ONE pass — no extra distinct-values
@@ -2239,6 +2282,7 @@ object Relational {
     "q56_weighted_median" -> (q56WeightedMedian _),
     "q57_reorder_gaps" -> (q57ReorderGaps _),
     "q58_multi_distinct" -> (q58MultiDistinct _),
+    "q59_part_drawdown" -> (q59PartDrawdown _),
     "q50_f2_sketch" -> (q50F2Sketch _),
     "q49_mom_growth" -> (q49MomGrowth _),
     "q48_itemset3" -> (q48Itemset3 _),
@@ -2300,6 +2344,7 @@ object Relational {
     "q56_weighted_median" -> q56Sql,
     "q57_reorder_gaps" -> q57Sql,
     "q58_multi_distinct" -> q58Sql,
+    "q59_part_drawdown" -> q59Sql,
     "q50_f2_sketch" -> q50Sql,
     "q49_mom_growth" -> q49Sql,
     "q48_itemset3" -> q48Sql,

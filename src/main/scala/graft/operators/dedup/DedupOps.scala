@@ -587,6 +587,45 @@ object DedupOps {
       |FROM documents GROUP BY 1 HAVING count(*) >= 2
       |ORDER BY pk""".stripMargin
 
+  // ---- d29: duplication rate by document length ----
+  // WHO duplicates? The stratified answer: docs binned by length
+  // (200-char bins), per bin the fraction that sits in any d6
+  // cluster and the fraction actually dropped, exact ppm. Short docs
+  // duplicating (boilerplate fragments) ask for a length floor;
+  // long docs duplicating (mirrored articles) ask for more LSH
+  // bands — the knob this report chooses between. Rides the cached
+  // d6 fixpoint labels via one doc_id-keyed left join into doc
+  // metadata (text never shuffles), then one map-side-combined
+  // aggregate to the bounded length-bin grid.
+  def d29DupRateByLength(spark: SparkSession, dir: String): DataFrame = {
+    val labels = d6DupClusters(spark, dir)
+      .select(col("doc_id"), (col("doc_id") =!= col("cluster_id")).as("dropped"))
+    docs(spark, dir)
+      .select(col("doc_id"), expr("n_chars div 200").as("len_bin"))
+      .join(labels, Seq("doc_id"), "left_outer")
+      .groupBy(col("len_bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("dropped").isNotNull, 1L).otherwise(0L)).as("n_clustered"),
+        sum(when(col("dropped") === true, 1L).otherwise(0L)).as("n_dropped"))
+      .withColumn("dup_ppm", expr("n_clustered * 1000000 div n_docs"))
+      .orderBy(col("len_bin"))
+  }
+
+  val d29Sql: String =
+    s"""WITH cl AS ($d6Sql),
+       |lb AS (SELECT d.doc_id, d.n_chars // 200 AS len_bin,
+       |         cl.doc_id IS NOT NULL AS clustered,
+       |         coalesce(cl.doc_id <> cl.cluster_id, FALSE) AS dropped
+       |       FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id)
+       |SELECT len_bin, count(*) AS n_docs,
+       |  CAST(sum(CASE WHEN clustered THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_clustered,
+       |  CAST(sum(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_dropped,
+       |  CAST(sum(CASE WHEN clustered THEN 1 ELSE 0 END) AS BIGINT)
+       |    * 1000000 // count(*) AS dup_ppm
+       |FROM lb GROUP BY 1 ORDER BY len_bin""".stripMargin
+
   // ---- d7: train/val contamination screening ----
   // The eval-integrity check an LLM pipeline runs before training:
   // near-duplicate pairs that CROSS the train/validation split (a val
@@ -1737,6 +1776,7 @@ object DedupOps {
     "d26_idf_jaccard" -> (d26IdfJaccard _),
     "d27_keeper_policies" -> (d27KeeperPolicies _),
     "d28_prefix_dup" -> (d28PrefixDup _),
+    "d29_dup_rate_by_length" -> (d29DupRateByLength _),
     "d24_bloom_prefilter" -> (d24BloomPrefilter _),
     "d23_band_tuning" -> (d23BandTuning _),
     "d22_rep_weights" -> (d22RepWeights _),
@@ -1767,6 +1807,7 @@ object DedupOps {
     "d26_idf_jaccard" -> d26Sql,
     "d27_keeper_policies" -> d27Sql,
     "d28_prefix_dup" -> d28Sql,
+    "d29_dup_rate_by_length" -> d29Sql,
     "d24_bloom_prefilter" -> d24Sql,
     "d23_band_tuning" -> d23Sql,
     "d22_rep_weights" -> d22Sql,

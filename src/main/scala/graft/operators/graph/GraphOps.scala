@@ -380,8 +380,13 @@ object GraphOps {
     for (_ <- 1 to 5) {
       val upd = layers.alias("l").join(e.alias("ed"), col("l.node") === col("ed.src"))
         .select(col("ed.dst").as("node"), (col("l.layer") + 1L).as("layer"))
+      // layers feeds BOTH the join and the union below — without a
+      // per-round cut the vector subtree doubles each round (the
+      // measured 2^h planning blowup of g27); localCheckpoint keeps
+      // every round a single V-row scan
       layers = layers.union(upd)
         .groupBy(col("node")).agg(max(col("layer")).as("layer"))
+        .localCheckpoint(true)
     }
     layers
       .withColumn("tag", expr("node % 8"))

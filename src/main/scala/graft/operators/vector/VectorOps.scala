@@ -313,6 +313,33 @@ object VectorOps {
   // Plan: one sign-code scan, a 64-way in-row explode, one
   // map-side-combined count — 64 rows out, zero joins; the corpus
   // never shuffles (the groupBy key is the 64-value bit index).
+  // ---- v14: PQ code-usage histogram (codebook balance) ----
+  // The codebook-health gauge PQ tuning reads next to the recall
+  // rows: per subspace m, how many vectors landed on each of the 16
+  // codes. A dead code is a wasted address (the subquantizer spends
+  // a bit pattern nothing uses); a dominant code means the subspace
+  // carries almost no information and its bits are better given to
+  // another — the classic motivation for re-training or OPQ-style
+  // rotation. Pure unpack of the cached packed codes (4-bit shifts
+  // in-row, no re-scoring) + one map-side-combined aggregate to the
+  // bounded M×16 grid. Oracle reads the same histogram off the
+  // shared `pick` CTE, so a codebook change moves both in lockstep.
+  def v14CodeHistogram(spark: SparkSession, dir: String): DataFrame =
+    pqAssigned(spark, dir)
+      .select(posexplode(expr(
+        s"""transform(sequence(0, ${PqM - 1}),
+           |  m -> cast(shiftright(pq_code, 4 * m) & 15 as bigint))"""
+          .stripMargin)).as(Seq("m", "code")))
+      .groupBy(col("m").cast("long").as("m"), col("code"))
+      .agg(count(lit(1)).as("n_vecs"))
+      .orderBy(col("m"), col("code"))
+
+  val v14Sql: String =
+    s"""WITH ${VectorExprs.embCtes},
+       |$pqPickCtes
+       |SELECT m, code, count(*) AS n_vecs FROM pick
+       |GROUP BY 1, 2 ORDER BY m, code""".stripMargin
+
   def v13BitBalance(spark: SparkSession, dir: String): DataFrame = {
     val sc = signCodes(spark, dir)
       .select(col("vec_id"), col("sign_lo"), col("sign_hi"),
@@ -767,6 +794,7 @@ object VectorOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v12_sdc_tables" -> (v12SdcTables _),
     "v13_bit_balance" -> (v13BitBalance _),
+    "v14_code_histogram" -> (v14CodeHistogram _),
     "v11_ternary_quantize" -> (v11TernaryQuantize _),
     "v10_matryoshka" -> (v10Matryoshka _),
     "v9_residual_codes" -> (v9ResidualCodes _),
@@ -782,6 +810,7 @@ object VectorOps {
   val oracles: Map[String, String] = Map(
     "v12_sdc_tables" -> v12Sql,
     "v13_bit_balance" -> v13Sql,
+    "v14_code_histogram" -> v14Sql,
     "v11_ternary_quantize" -> v11Sql,
     "v10_matryoshka" -> v10Sql,
     "v9_residual_codes" -> v9Sql,
