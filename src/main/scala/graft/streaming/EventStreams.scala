@@ -300,6 +300,41 @@ object EventStreams {
       }
   }
 
+  /** e32's STREAM MODE: per-user streak maintenance with O(1) state
+    * — five longs per user (last_day, current_len, longest, n_days,
+    * n_streaks), regardless of history length. Contract: days
+    * arrive NON-DECREASING per user (the e21/e22 watermark
+    * contract); a repeat of the held day is idempotent, a day
+    * older than the held one is late and ignored (state never
+    * regresses). Within a batch days are sorted before folding, so
+    * any intra-batch order is fine. Emits the user's full updated
+    * streak summary per batch (update semantics): (user, n_days,
+    * n_streaks, longest) — the exact e32 row shape, which
+    * StreakStreamSpec pins against the batch gaps-and-islands. */
+  def streakStateStream(userDays: Dataset[(Long, Long)])
+      : Dataset[(Long, Long, Long, Long)] = {
+    val sq = userDays.sparkSession
+    import sq.implicits._
+    userDays.groupByKey(_._1)
+      .mapGroupsWithState[(Long, Long, Long, Long, Long), (Long, Long, Long, Long)](
+        GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[(Long, Long)],
+         state: GroupState[(Long, Long, Long, Long, Long)]) =>
+          var (last, cur, longest, nDays, nStreaks) =
+            state.getOption.getOrElse((Long.MinValue, 0L, 0L, 0L, 0L))
+          rows.map(_._2).toSeq.distinct.sorted.foreach { d =>
+            if (d > last) {
+              if (d == last + 1) cur += 1
+              else { nStreaks += 1; cur = 1 }
+              last = d; nDays += 1
+              if (cur > longest) longest = cur
+            }
+          }
+          state.update((last, cur, longest, nDays, nStreaks))
+          (user, nDays, nStreaks, longest)
+      }
+  }
+
   /** e28's STREAM MODE: per-key latest-state maintenance (the CDC
     * upsert primitive as running state). Input rows are
     * (key, ts, row_id, payload); state per key is exactly the
