@@ -913,6 +913,53 @@ object Relational {
       |  CAST(sum(delta) AS BIGINT) AS final_qty
       |FROM led GROUP BY 1 ORDER BY l_partkey""".stripMargin
 
+  // ---- q60: market concentration (Herfindahl–Hirschman index) ----
+  // The antitrust/market-structure gauge: per ship month, each
+  // supplier's revenue share in exact ppm and HHI = Σ share² — the
+  // index regulators bucket at 1 500/2 500 points (here in ppm² DIV
+  // 10^6, so the classic 0..10 000-point scale × 100). Shares use
+  // the one-integer-division convention (rev·10^6 DIV total) so the
+  // gate is bit-exact; the squared sum stays far under int64 (≤
+  // 10^12). Two map-side-combined aggregates — (month, supplier)
+  // revenue, then the month rollup — with the month totals joined
+  // back on the BOUNDED month key (broadcast-sized at any corpus
+  // scale); no window, no corpus-row shuffle beyond the first
+  // aggregate's combine output.
+  def q60Hhi(spark: SparkSession, dir: String): DataFrame = {
+    val ms = t(spark, dir, "lineitem")
+      .select(date_format(col("l_shipdate"), "yyyy-MM").as("month"),
+        col("l_suppkey"),
+        (dec(col("l_extendedprice")) * 100).cast("long").as("cents"))
+      .groupBy(col("month"), col("l_suppkey"))
+      .agg(sum(col("cents")).as("rev"))
+    val tot = ms.groupBy(col("month")).agg(sum(col("rev")).as("tot"))
+    ms.join(broadcast(tot), Seq("month"))
+      .withColumn("share_ppm", expr("rev * 1000000 div tot"))
+      .groupBy(col("month"))
+      .agg(count(lit(1)).as("n_suppliers"),
+        max(col("share_ppm")).as("top_share_ppm"),
+        sum(expr("share_ppm * share_ppm")).as("sq"))
+      .withColumn("hhi", expr("sq div 1000000"))
+      .select(col("month"), col("n_suppliers"), col("top_share_ppm"),
+        col("hhi"))
+      .orderBy(col("month"))
+  }
+
+  val q60Sql: String =
+    """WITH ms AS (
+      |  SELECT strftime(l_shipdate, '%Y-%m') AS month, l_suppkey,
+      |    CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+      |      AS BIGINT)) AS BIGINT) AS rev
+      |  FROM lineitem GROUP BY 1, 2),
+      |t AS (SELECT month, CAST(sum(rev) AS BIGINT) AS tot
+      |      FROM ms GROUP BY 1),
+      |s AS (SELECT ms.month, rev * 1000000 // tot AS share_ppm
+      |      FROM ms JOIN t USING (month))
+      |SELECT month, count(*) AS n_suppliers,
+      |  CAST(max(share_ppm) AS BIGINT) AS top_share_ppm,
+      |  CAST(sum(share_ppm * share_ppm) AS BIGINT) // 1000000 AS hhi
+      |FROM s GROUP BY 1 ORDER BY month""".stripMargin
+
   // ---- q26: pivot (wide aggregate over an enumerated domain) ----
   // Values are ENUMERATED (Seq("F","O")) so the pivot compiles to
   // CASE-filtered aggregates in ONE pass — no extra distinct-values
@@ -2283,6 +2330,7 @@ object Relational {
     "q57_reorder_gaps" -> (q57ReorderGaps _),
     "q58_multi_distinct" -> (q58MultiDistinct _),
     "q59_part_drawdown" -> (q59PartDrawdown _),
+    "q60_hhi" -> (q60Hhi _),
     "q50_f2_sketch" -> (q50F2Sketch _),
     "q49_mom_growth" -> (q49MomGrowth _),
     "q48_itemset3" -> (q48Itemset3 _),
@@ -2345,6 +2393,7 @@ object Relational {
     "q57_reorder_gaps" -> q57Sql,
     "q58_multi_distinct" -> q58Sql,
     "q59_part_drawdown" -> q59Sql,
+    "q60_hhi" -> q60Sql,
     "q50_f2_sketch" -> q50Sql,
     "q49_mom_growth" -> q49Sql,
     "q48_itemset3" -> q48Sql,

@@ -410,6 +410,57 @@ object GraphOps {
        |  count(*) AS n_nodes, min(node) AS min_vid, max(node) AS max_vid
        |FROM l GROUP BY 1, 2 ORDER BY layer, tag""".stripMargin
 
+  // ---- g42: per-community conductance of the LPA partition ----
+  // The OTHER community-quality gauge next to g32's global
+  // modularity (Shi–Malik normalized cut): per community S,
+  // φ(S) = cut(S) / min(vol(S), vol(V∖S)) — how leaky each
+  // community's boundary is relative to its internal volume. g32
+  // scores the partition as a whole; φ ranks WHICH communities are
+  // real (low φ) vs artifacts of the propagation (φ near 10^6) —
+  // the per-cluster triage a community pipeline acts on. Plan: the
+  // cached LPA label vector joins BOTH endpoints of the cached sym
+  // edges (two V-row label joins into the src-partitioned edge
+  // layout — only the label vector shuffles), then one
+  // map-side-combined aggregate per community and a broadcast
+  // one-row total. vol ≥ 10 bounds the tail; exact integer ppm.
+  def g42Conductance(spark: SparkSession, dir: String): DataFrame = {
+    val sym = withSym(spark, dir)
+    val lbl = lpaLabels(spark, dir)
+    val e = sym
+      .join(lbl.select(col("node").as("src"), col("lbl").as("la")), Seq("src"))
+      .join(lbl.select(col("node").as("dst"), col("lbl").as("lb")), Seq("dst"))
+    val per = e.groupBy(col("la"))
+      .agg(count(lit(1)).as("vol"),
+        sum(when(col("la") =!= col("lb"), 1L).otherwise(0L)).as("cut"))
+      .select(col("la").as("community"), col("vol"), col("cut"))
+    val tot = per.agg(sum(col("vol")).as("tvol"))
+    per.crossJoin(broadcast(tot))
+      .filter(col("vol") >= 10)
+      .withColumn("conductance_ppm",
+        expr("cut * 1000000 div greatest(least(vol, tvol - vol), 1)"))
+      .select(col("community"), col("vol"), col("cut"),
+        col("conductance_ppm"))
+      .orderBy(col("community"))
+  }
+
+  // lazy: LpaRounds is declared further down the file — a strict val
+  // here would read 0 at object-init time and unroll zero rounds
+  lazy val g42Sql: String =
+    s"""WITH ${GraphTables.symSqlCtes.replace("sym AS (", "sym AS MATERIALIZED (")},
+       |${lpaSqlCtes(LpaRounds)},
+       |le AS (SELECT a.lbl AS la, b.lbl AS lb
+       |       FROM sym s JOIN l$LpaRounds a ON s.src = a.node
+       |       JOIN l$LpaRounds b ON s.dst = b.node),
+       |p AS (SELECT la AS community, count(*) AS vol,
+       |        CAST(sum(CASE WHEN la <> lb THEN 1 ELSE 0 END) AS BIGINT)
+       |          AS cut
+       |      FROM le GROUP BY 1),
+       |t AS (SELECT CAST(sum(vol) AS BIGINT) AS tvol FROM p)
+       |SELECT community, vol, cut,
+       |  cut * 1000000 // greatest(least(vol, tvol - vol), 1)
+       |    AS conductance_ppm
+       |FROM p, t WHERE vol >= 10 ORDER BY community""".stripMargin
+
   // ---- g4: deterministic pseudo-random-walk visit counts (3 hops) ----
   // The hash h depends only on (src, dst, t), so the chosen next hop is
   // a pure function of (src, t) — identical for every walker sitting on
@@ -2524,6 +2575,7 @@ object GraphOps {
     "g39_adamic_adar" -> (g39AdamicAdar _),
     "g40_pseudo_diameter" -> (g40PseudoDiameter _),
     "g41_dag_layers" -> (g41DagLayers _),
+    "g42_conductance" -> (g42Conductance _),
     "g36_component_sizes" -> (g36ComponentSizes _),
     "g35_coreness" -> (g35Coreness _),
     "g34_rich_club" -> (g34RichClub _),
@@ -2567,6 +2619,7 @@ object GraphOps {
     "g39_adamic_adar" -> g39Sql,
     "g40_pseudo_diameter" -> g40Sql,
     "g41_dag_layers" -> g41Sql,
+    "g42_conductance" -> g42Sql,
     "g36_component_sizes" -> g36Sql,
     "g35_coreness" -> g35Sql,
     "g34_rich_club" -> g34Sql,

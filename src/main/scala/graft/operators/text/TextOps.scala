@@ -1009,6 +1009,53 @@ object TextOps {
        |FROM d LEFT JOIN dr ON d.doc_id = dr.doc_id
        |GROUP BY d.source ORDER BY d.source""".stripMargin
 
+  // ---- t33: word-length histogram (subword-budget gauge) ----
+  // The lexical profile a tokenizer budget is planned from: per
+  // source, the distribution of word LENGTHS (how much of the corpus
+  // is short function words vs long content words decides subword
+  // vocabulary size and expected tokens-per-word fan-out). Exact
+  // ppm shares + cumulative shares over the bounded (source ×
+  // length) grid. Plan: lengths are computed IN-ROW (one transform
+  // over the split), so what explodes is an integer per word — the
+  // word STRINGS never leave the scan; the map-side combine then
+  // collapses to the bounded grid before any shuffle, and the
+  // cumulative window sees ≤ max-word-len rows per source.
+  def t33WordlenHistogram(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perDoc = docs(spark, dir)
+      .select(col("source"),
+        explode(expr(
+          """transform(split(text, ' '), w -> length(w))""")).as("wlen"))
+      .groupBy(col("source"), col("wlen").cast("long").as("wlen"))
+      .agg(count(lit(1)).as("n_words"))
+    val tot = Window.partitionBy(col("source"))
+    val cum = Window.partitionBy(col("source")).orderBy(col("wlen"))
+    perDoc
+      .withColumn("total", sum(col("n_words")).over(tot))
+      .withColumn("share_ppm", expr("n_words * 1000000 div total"))
+      .withColumn("cum_words", sum(col("n_words")).over(cum))
+      .withColumn("cum_ppm", expr("cum_words * 1000000 div total"))
+      .select(col("source"), col("wlen"), col("n_words"),
+        col("share_ppm"), col("cum_ppm"))
+      .orderBy(col("source"), col("wlen"))
+  }
+
+  val t33Sql: String =
+    """WITH w AS (
+      |  SELECT source, CAST(len(tok) AS BIGINT) AS wlen
+      |  FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
+      |        FROM documents)),
+      |g AS (SELECT source, wlen, count(*) AS n_words FROM w GROUP BY 1, 2),
+      |x AS (SELECT source, wlen, n_words,
+      |        CAST(sum(n_words) OVER (PARTITION BY source) AS BIGINT) AS total,
+      |        CAST(sum(n_words) OVER (PARTITION BY source ORDER BY wlen)
+      |          AS BIGINT) AS cum_words
+      |      FROM g)
+      |SELECT source, wlen, n_words,
+      |  n_words * 1000000 // total AS share_ppm,
+      |  cum_words * 1000000 // total AS cum_ppm
+      |FROM x ORDER BY source, wlen""".stripMargin
+
   // ---- t16: per-source length distribution (curation dashboard) ----
   // The first report a curation run prints: how long are the docs of
   // each source, as exact discrete percentiles (q24's machinery over
@@ -1662,6 +1709,7 @@ object TextOps {
     "t30_distinctive_terms" -> (t30DistinctiveTerms _),
     "t31_vocab_growth" -> (t31VocabGrowth _),
     "t32_dedup_impact" -> (t32DedupImpact _),
+    "t33_wordlen_histogram" -> (t33WordlenHistogram _),
     "t26_zipf_profile" -> (t26ZipfProfile _),
     "t25_stopword_induction" -> (t25StopwordInduction _),
     "t24_burstiness" -> (t24Burstiness _),
@@ -1696,6 +1744,7 @@ object TextOps {
     "t30_distinctive_terms" -> t30Sql,
     "t31_vocab_growth" -> t31Sql,
     "t32_dedup_impact" -> t32Sql,
+    "t33_wordlen_histogram" -> t33Sql,
     "t26_zipf_profile" -> t26Sql,
     "t25_stopword_induction" -> t25Sql,
     "t24_burstiness" -> t24Sql,
