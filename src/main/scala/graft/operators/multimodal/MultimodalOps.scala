@@ -475,6 +475,67 @@ object MultimodalOps {
        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_aligned
        |FROM x GROUP BY doc_id, nf ORDER BY doc_id""".stripMargin
 
+  // ---- m21: freeze-frame detection (stuck-encoder QA) ----
+  // The video-QA counterpart of m7's dead-air check: consecutive
+  // frames with IDENTICAL signal (Δ = 0) indicate a frozen feed, a
+  // stuck encoder, or padding — per doc, how many frame transitions
+  // freeze and the longest freeze run (gaps-and-islands over the
+  // zero-delta transitions, m7's run machinery pointed at equality
+  // instead of energy). Same ONE frameSums pass and bounded per-doc
+  // windows as m6/m7/m20 — the fourth consumer of the shared signal
+  // table costs one more window over payload/32 rows. All-integer.
+  def m21FreezeDetect(spark: SparkSession, dir: String): DataFrame = {
+    val fsums = frameSums(spark, dir, minFrames = 2)
+    val wo = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("frame"))
+    val flagged = fsums
+      .withColumn("frozen",
+        col("fsum") === lag(col("fsum"), 1).over(wo))
+      .filter(col("frozen").isNotNull)
+    val counts = flagged.groupBy(col("doc_id"), col("nf"))
+      .agg(sum(when(col("frozen"), 1L).otherwise(0L)).as("n_frozen"))
+    val runs = flagged.filter(col("frozen"))
+      .withColumn("grp", col("frame") - row_number().over(wo))
+      .groupBy(col("doc_id"), col("grp")).agg(count(lit(1)).as("runlen"))
+      .groupBy(col("doc_id")).agg(max(col("runlen")).as("max_freeze"))
+    counts.join(runs, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("nf").as("n_frames"), col("n_frozen"),
+        coalesce(col("max_freeze"), lit(0L)).as("max_freeze"))
+      .orderBy(col("doc_id"))
+  }
+
+  val m21Sql: String =
+    s"""WITH f AS (
+       |  SELECT doc_id, CAST(length(text) // $ShotFrameLen AS BIGINT) AS nf, text
+       |  FROM documents WHERE length(text) >= ${2 * ShotFrameLen}),
+       |pc AS (
+       |  SELECT doc_id, nf, (i - 1) // $ShotFrameLen AS frame,
+       |    CAST(ascii(substring(text, i, 1)) AS BIGINT) AS code
+       |  FROM (SELECT doc_id, nf, text, unnest(range(1, CAST(nf * $ShotFrameLen AS INTEGER) + 1)) AS i
+       |        FROM f) b),
+       |fs AS (SELECT doc_id, nf, frame, sum(code) AS fsum
+       |       FROM pc GROUP BY 1, 2, 3),
+       |d AS (SELECT doc_id, nf, frame,
+       |        fsum = lag(fsum) OVER (PARTITION BY doc_id ORDER BY frame)
+       |          AS frozen
+       |      FROM fs),
+       |dd AS (SELECT * FROM d WHERE frozen IS NOT NULL),
+       |c AS (SELECT doc_id, nf,
+       |        CAST(sum(CASE WHEN frozen THEN 1 ELSE 0 END) AS BIGINT)
+       |          AS n_frozen
+       |      FROM dd GROUP BY 1, 2),
+       |runs AS (SELECT doc_id,
+       |           frame - row_number() OVER (PARTITION BY doc_id ORDER BY frame)
+       |             AS grp
+       |         FROM dd WHERE frozen),
+       |rl AS (SELECT doc_id, count(*) AS runlen FROM runs GROUP BY doc_id, grp),
+       |mr AS (SELECT doc_id, CAST(max(runlen) AS BIGINT) AS max_freeze
+       |       FROM rl GROUP BY doc_id)
+       |SELECT c.doc_id, c.nf AS n_frames, c.n_frozen,
+       |  COALESCE(mr.max_freeze, 0) AS max_freeze
+       |FROM c LEFT JOIN mr ON c.doc_id = mr.doc_id
+       |ORDER BY c.doc_id""".stripMargin
+
   // ---- m7: silence / low-energy segment detection (the VAD shape) ----
   // The audio-pipeline counterpart of m6: instead of diffing adjacent
   // frames, threshold each frame against the DOC's own mean energy —
@@ -1218,6 +1279,7 @@ object MultimodalOps {
     "m18_chunk_dedup" -> (m18ChunkDedup _),
     "m19_compressibility" -> (m19Compressibility _),
     "m20_av_sync" -> (m20AvSync _),
+    "m21_freeze_detect" -> (m21FreezeDetect _),
     "m16_gain_normalize" -> (m16GainNormalize _),
     "m15_magic_sniff" -> (m15MagicSniff _),
     "m14_patch_dup" -> (m14PatchDup _),
@@ -1240,6 +1302,7 @@ object MultimodalOps {
     "m18_chunk_dedup" -> m18Sql,
     "m19_compressibility" -> m19Sql,
     "m20_av_sync" -> m20Sql,
+    "m21_freeze_detect" -> m21Sql,
     "m16_gain_normalize" -> m16Sql,
     "m15_magic_sniff" -> m15Sql,
     "m14_patch_dup" -> m14Sql,

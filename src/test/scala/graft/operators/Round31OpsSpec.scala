@@ -61,6 +61,25 @@ class Round31OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cross % 2 == 0, "directed sym double-counts each cross edge")
   }
 
+  test("m21: freeze transitions agree with the m6 delta census per doc") {
+    val freeze = multimodal.MultimodalOps.m21FreezeDetect(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val shots = multimodal.MultimodalOps.m6ShotDetect(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(freeze.keySet == shots.keySet, "same nf >= 2 doc universe as m6")
+    freeze.foreach { case (id, r) =>
+      val nTrans = r.getAs[Long]("n_frames") - 1
+      assert(r.getAs[Long]("n_frozen") <= nTrans)
+      assert(r.getAs[Long]("max_freeze") <= r.getAs[Long]("n_frozen"))
+      assert((r.getAs[Long]("max_freeze") == 0L) ==
+        (r.getAs[Long]("n_frozen") == 0L))
+      // a frozen transition has delta 0 < ShotDelta, so a doc whose
+      // every transition is a shot boundary cannot have any freeze
+      if (shots(id).getAs[Long]("n_shots") - 1 == nTrans)
+        assert(r.getAs[Long]("n_frozen") == 0L)
+    }
+  }
+
   test("q60: HHI sits between equality floor and monopoly ceiling") {
     val rows = Relational.q60Hhi(spark, dir).collect()
     assert(rows.nonEmpty)
