@@ -49,7 +49,7 @@ object Relational {
   // scale.
   private def d2d(sum: String) = s"CAST(CAST($sum AS VARCHAR) AS DOUBLE)"
 
-  val q1Sql: String =
+  lazy val q1Sql: String =
     s"""SELECT l_returnflag, l_linestatus,
        | ${d2d("sum(CAST(l_quantity AS DECIMAL(18,2)))")} AS sum_qty,
        | ${d2d("sum(CAST(l_extendedprice AS DECIMAL(18,2)))")} AS sum_base_price,
@@ -68,7 +68,7 @@ object Relational {
         col("p_retailprice").cast("double").as("price"))
       .orderBy(col("p_partkey"))
 
-  val q2Sql: String =
+  lazy val q2Sql: String =
     """SELECT p_partkey, p_name, p_type, CAST(p_retailprice AS DOUBLE) AS price
       |FROM part WHERE p_size < 20 AND p_type IN ('ECONOMY','PROMO')
       |ORDER BY p_partkey""".stripMargin
@@ -89,7 +89,7 @@ object Relational {
       .limit(10)
   }
 
-  val q3Sql: String =
+  lazy val q3Sql: String =
     """SELECT l_orderkey,
       | CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS VARCHAR) AS DOUBLE) AS revenue,
       | strftime(o_orderdate, '%Y-%m-%d') AS orderdate
@@ -111,7 +111,7 @@ object Relational {
       .orderBy(col("o_orderpriority"))
   }
 
-  val q4Sql: String =
+  lazy val q4Sql: String =
     """SELECT o_orderpriority, count(*) AS order_count
       |FROM orders
       |WHERE o_orderdate >= TIMESTAMP '1997-07-01' AND o_orderdate < TIMESTAMP '1997-10-01'
@@ -140,7 +140,7 @@ object Relational {
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
-  val q5Sql: String =
+  lazy val q5Sql: String =
     """SELECT n_name,
       | CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS VARCHAR) AS DOUBLE) AS revenue
       |FROM customer, orders, lineitem, supplier, nation, region
@@ -157,7 +157,7 @@ object Relational {
         col("l_discount") >= 0.05 && col("l_discount") <= 0.07 && col("l_quantity") < 24)
       .agg(sum(dec(col("l_extendedprice")) * dec(col("l_discount"))).cast("double").as("revenue"))
 
-  val q6Sql: String =
+  lazy val q6Sql: String =
     """SELECT CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS revenue
       |FROM lineitem
       |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
@@ -179,7 +179,7 @@ object Relational {
       .orderBy(col("o_custkey"), col("rnk"))
   }
 
-  val q7Sql: String =
+  lazy val q7Sql: String =
     """SELECT o_custkey, o_orderkey, rnk, running_spend FROM (
       |  SELECT o_custkey, o_orderkey,
       |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rnk,
@@ -194,7 +194,7 @@ object Relational {
         countDistinct(col("o_orderpriority")).as("n_prios"),
         count(lit(1)).as("n_orders"))
 
-  val q8Sql: String =
+  lazy val q8Sql: String =
     """SELECT count(DISTINCT o_custkey) AS n_custs, count(DISTINCT o_orderpriority) AS n_prios,
       |       count(*) AS n_orders
       |FROM orders WHERE o_orderstatus = 'O'""".stripMargin
@@ -207,7 +207,7 @@ object Relational {
       .orderBy(col("price").desc, col("l_orderkey"), col("l_linenumber"))
       .limit(20)
 
-  val q9Sql: String =
+  lazy val q9Sql: String =
     """SELECT l_orderkey, l_linenumber, CAST(l_extendedprice AS DOUBLE) AS price
       |FROM lineitem ORDER BY price DESC, l_orderkey, l_linenumber LIMIT 20""".stripMargin
 
@@ -220,7 +220,7 @@ object Relational {
       .orderBy(col("c_custkey"))
   }
 
-  val q10Sql: String =
+  lazy val q10Sql: String =
     """SELECT c_custkey, c_name FROM customer
       |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
       |ORDER BY c_custkey""".stripMargin
@@ -234,7 +234,7 @@ object Relational {
       .filter(col("qty") > 500.0)
       .orderBy(col("l_partkey"))
 
-  val q11Sql: String =
+  lazy val q11Sql: String =
     """SELECT l_partkey, CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS qty,
       |       count(*) AS n_lines
       |FROM lineitem GROUP BY l_partkey
@@ -254,7 +254,7 @@ object Relational {
       .orderBy(col("l_returnflag"))
   }
 
-  val q12Sql: String =
+  lazy val q12Sql: String =
     """SELECT l_returnflag,
       | CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
       | CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
@@ -275,7 +275,7 @@ object Relational {
       .orderBy(col("custdist").desc, col("c_count").desc)
   }
 
-  val q13Sql: String =
+  lazy val q13Sql: String =
     """SELECT c_count, count(*) AS custdist FROM (
       |  SELECT c_custkey, count(o_orderkey) AS c_count
       |  FROM customer LEFT OUTER JOIN orders
@@ -296,7 +296,7 @@ object Relational {
       .withColumn("promo_pct", lit(100.0) * col("promo_revenue") / col("total_revenue"))
   }
 
-  val q14Sql: String =
+  lazy val q14Sql: String =
     """SELECT promo_revenue, total_revenue, 100.0 * promo_revenue / total_revenue AS promo_pct
       |FROM (
       |  SELECT
@@ -323,7 +323,7 @@ object Relational {
       .orderBy(col("s_suppkey"))
   }
 
-  val q15Sql: String =
+  lazy val q15Sql: String =
     """WITH revenue AS (
       |  SELECT l_suppkey,
       |   CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS VARCHAR) AS DOUBLE) AS total_revenue
@@ -346,7 +346,7 @@ object Relational {
     building.union(bigSpenders).distinct().except(withF).orderBy(col("k"))
   }
 
-  val q16Sql: String =
+  lazy val q16Sql: String =
     """(SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
       | UNION
       | SELECT o_custkey AS k FROM orders WHERE o_totalprice > 300000.0)
@@ -375,7 +375,7 @@ object Relational {
       .agg((sum(dec(col("l_extendedprice"))).cast("double") / lit(7.0)).as("avg_yearly"))
   }
 
-  val q17Sql: String =
+  lazy val q17Sql: String =
     """SELECT CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) / 7.0 AS avg_yearly
       |FROM lineitem, part
       |WHERE p_partkey = l_partkey AND p_brand = 'Brand#23'
@@ -401,7 +401,7 @@ object Relational {
       .limit(20)
   }
 
-  val q18Sql: String =
+  lazy val q18Sql: String =
     """SELECT c_custkey, o_orderkey, CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS total_qty
       |FROM customer, orders, lineitem
       |WHERE o_orderkey IN (
@@ -426,7 +426,7 @@ object Relational {
         count(lit(1)).as("n_lines"))
   }
 
-  val q19Sql: String =
+  lazy val q19Sql: String =
     """SELECT
       | CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS VARCHAR) AS DOUBLE) AS revenue,
       | count(*) AS n_lines
@@ -443,7 +443,7 @@ object Relational {
       .agg(sum(dec(col("l_quantity"))).cast("double").as("qty"), count(lit(1)).as("cnt"))
       .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
 
-  val q20Sql: String =
+  lazy val q20Sql: String =
     """SELECT l_returnflag, l_linestatus,
       | CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS qty, count(*) AS cnt
       |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
@@ -456,7 +456,7 @@ object Relational {
       .agg(sum(dec(col("o_totalprice"))).cast("double").as("total"), count(lit(1)).as("cnt"))
       .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
 
-  val q21Sql: String =
+  lazy val q21Sql: String =
     """SELECT o_orderstatus, o_orderpriority,
       | CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS total, count(*) AS cnt
       |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
@@ -476,7 +476,7 @@ object Relational {
       .agg(sum(col("l_quantity").cast("long")).as("qty"), count(lit(1)).as("cnt"))
       .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
 
-  val q25Sql: String =
+  lazy val q25Sql: String =
     """SELECT l_returnflag, l_linestatus,
       | CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty, count(*) AS cnt
       |FROM lineitem
@@ -503,7 +503,7 @@ object Relational {
       .orderBy(col("gid"), asc_nulls_first("l_returnflag"),
         asc_nulls_first("l_linestatus"))
 
-  val q51Sql: String =
+  lazy val q51Sql: String =
     """SELECT l_returnflag, l_linestatus,
       | CAST(grouping(l_returnflag, l_linestatus) AS BIGINT) AS gid,
       | CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
@@ -543,7 +543,7 @@ object Relational {
       .orderBy(col("o_custkey"))
   }
 
-  val q52Sql: String =
+  lazy val q52Sql: String =
     """WITH m AS (SELECT DISTINCT o_custkey,
       |    CAST(year(o_orderdate) AS BIGINT) * 12
       |      + CAST(month(o_orderdate) AS BIGINT) AS m
@@ -586,7 +586,7 @@ object Relational {
       .orderBy(col("month"))
   }
 
-  val q53Sql: String =
+  lazy val q53Sql: String =
     """WITH om AS (SELECT o_custkey, strftime(o_orderdate, '%Y-%m') AS month
       |            FROM orders),
       |a AS (SELECT month, count(*) AS active_customers
@@ -634,7 +634,7 @@ object Relational {
       .orderBy(col("l_returnflag"))
   }
 
-  val q54Sql: String =
+  lazy val q54Sql: String =
     """WITH li AS (
       |  SELECT l_returnflag,
       |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
@@ -698,7 +698,7 @@ object Relational {
       .orderBy(col("abc"), col("xyz"))
   }
 
-  val q55Sql: String =
+  lazy val q55Sql: String =
     """WITH m AS (
       |  SELECT l_partkey, strftime(l_shipdate, '%Y-%m') AS month,
       |    CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT))
@@ -761,7 +761,7 @@ object Relational {
       .orderBy(col("l_returnflag"))
   }
 
-  val q56Sql: String =
+  lazy val q56Sql: String =
     """WITH g AS (
       |  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty,
       |    CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
@@ -819,7 +819,7 @@ object Relational {
       .orderBy(col("c_mktsegment"))
   }
 
-  val q57Sql: String =
+  lazy val q57Sql: String =
     """WITH g AS (
       |  SELECT o_custkey,
       |    date_diff('day', lag(o_orderdate) OVER (
@@ -861,7 +861,7 @@ object Relational {
         countDistinct(col("l_orderkey")).as("n_orders"))
       .orderBy(col("month"))
 
-  val q58Sql: String =
+  lazy val q58Sql: String =
     """SELECT strftime(l_shipdate, '%Y-%m') AS month,
       |  count(DISTINCT o_custkey) AS n_buyers,
       |  count(DISTINCT l_partkey) AS n_parts,
@@ -898,7 +898,7 @@ object Relational {
       .orderBy(col("l_partkey"))
   }
 
-  val q59Sql: String =
+  lazy val q59Sql: String =
     """WITH led AS (
       |  SELECT l_partkey,
       |    CASE WHEN l_returnflag = 'R' THEN -CAST(l_quantity AS BIGINT)
@@ -945,7 +945,7 @@ object Relational {
       .orderBy(col("month"))
   }
 
-  val q60Sql: String =
+  lazy val q60Sql: String =
     """WITH ms AS (
       |  SELECT strftime(l_shipdate, '%Y-%m') AS month, l_suppkey,
       |    CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
@@ -960,6 +960,70 @@ object Relational {
       |  CAST(sum(share_ppm * share_ppm) AS BIGINT) // 1000000 AS hhi
       |FROM s GROUP BY 1 ORDER BY month""".stripMargin
 
+  // ---- q61: grouped OLS regression, exact-integer (price ~ qty) ----
+  // Per brand, the least-squares slope of line-value (cents) on
+  // quantity — the workhorse "fit a trend per group" operator done as
+  // ONE map-side-combined aggregate: each group carries (n, Σx, Σy,
+  // Σxy, Σx²) and the slope comes out of the closed form
+  // (n·Σxy − Σx·Σy)/(n·Σx² − (Σx)²) — no per-group iteration, no
+  // second pass, no ml library. The per-row products stay in BIGINT
+  // (x ≤ 50, y ≤ 1e7 cents ⇒ Σxy < 9.2e18 up to ~sf1000); the
+  // COMBINATION arithmetic promotes to DECIMAL(38,0) (HUGEINT on the
+  // oracle side) because n·Σxy genuinely needs ~1e28 at sf100. Slope
+  // ships as sign-split ppm (q50's err_ppm convention — both engines
+  // truncate a positive magnitude, so floor-vs-trunc on negatives can
+  // never bite), plus the through-origin slope Σxy/Σx² and the unit
+  // price Σy/Σx as cross-checks. Degenerate groups (zero x-variance)
+  // drop on both sides.
+  def q61Regression(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+      .select(col("l_partkey"),
+        col("l_quantity").cast("long").as("x"),
+        (dec(col("l_extendedprice")) * 100).cast("long").as("y"))
+    val p = t(spark, dir, "part")
+      .select(col("p_partkey"), col("p_brand").as("brand"))
+    li.join(p, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("brand"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .withColumn("cov", expr(
+        """CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy"""))
+      .withColumn("varx", expr(
+        """CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx"""))
+      .filter(col("n") >= 2 && col("varx") > 0)
+      .select(col("brand"), col("n").as("n_items"),
+        expr("CAST(CAST(sign(cov) AS BIGINT) * CAST(abs(cov) * 1000000 div varx AS BIGINT) AS BIGINT)")
+          .as("slope_ppm"),
+        expr("CAST(CAST(sxy AS DECIMAL(38,0)) * 1000000 div sxx AS BIGINT)").as("slope0_ppm"),
+        expr("CAST(sy div sx AS BIGINT)").as("avg_unit_cents"))
+      .orderBy(col("brand"))
+  }
+
+  lazy val q61Sql: String =
+    """WITH j AS (
+      |  SELECT p.p_brand AS brand, CAST(l_quantity AS BIGINT) AS x,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+      |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+      |s AS (
+      |  SELECT brand, CAST(count(*) AS HUGEINT) AS n,
+      |    CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+      |    CAST(sum(x * y) AS HUGEINT) AS sxy,
+      |    CAST(sum(x * x) AS HUGEINT) AS sxx
+      |  FROM j GROUP BY 1),
+      |c AS (
+      |  SELECT brand, n, sxy, sxx, sx, sy,
+      |    n * sxy - sx * sy AS cov, n * sxx - sx * sx AS varx
+      |  FROM s)
+      |SELECT brand, CAST(n AS BIGINT) AS n_items,
+      |  CAST(CAST(sign(cov) AS HUGEINT)
+      |    * (abs(cov) * 1000000 // varx) AS BIGINT) AS slope_ppm,
+      |  CAST(sxy * 1000000 // sxx AS BIGINT) AS slope0_ppm,
+      |  CAST(sy // sx AS BIGINT) AS avg_unit_cents
+      |FROM c WHERE n >= 2 AND varx > 0
+      |ORDER BY brand""".stripMargin
+
   // ---- q26: pivot (wide aggregate over an enumerated domain) ----
   // Values are ENUMERATED (Seq("F","O")) so the pivot compiles to
   // CASE-filtered aggregates in ONE pass — no extra distinct-values
@@ -973,7 +1037,7 @@ object Relational {
       .select(col("l_returnflag"), col("F").as("qty_f"), col("O").as("qty_o"))
       .orderBy(col("l_returnflag"))
 
-  val q26Sql: String =
+  lazy val q26Sql: String =
     """SELECT l_returnflag,
       | CAST(sum(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS BIGINT) END) AS BIGINT) AS qty_f,
       | CAST(sum(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS BIGINT) END) AS BIGINT) AS qty_o
@@ -995,7 +1059,7 @@ object Relational {
       .orderBy(col("tail"))
   }
 
-  val q22Sql: String =
+  lazy val q22Sql: String =
     """SELECT tail, count(*) AS numcust,
       | CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS totacctbal
       |FROM (
@@ -1032,7 +1096,7 @@ object Relational {
           .as("estimate"))
   }
 
-  val q23Sql: String =
+  lazy val q23Sql: String =
     """WITH kmin AS (
       |  SELECT DISTINCT ((l_orderkey % 2147483647) * 2654435761) % 2147483647 AS h
       |  FROM lineitem ORDER BY h LIMIT 256)
@@ -1053,7 +1117,7 @@ object Relational {
         count(lit(1)).as("cnt"))
       .orderBy(col("l_returnflag"))
 
-  val q24Sql: String =
+  lazy val q24Sql: String =
     """SELECT l_returnflag,
       |  quantile_disc(l_extendedprice, 0.5) AS p50,
       |  quantile_disc(l_extendedprice, 0.95) AS p95,
@@ -1080,7 +1144,7 @@ object Relational {
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
 
-  val q27Sql: String =
+  lazy val q27Sql: String =
     """SELECT o_custkey, o_orderkey,
       |  strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
       |  CAST(date_diff('day',
@@ -1110,7 +1174,7 @@ object Relational {
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
 
-  val q28Sql: String =
+  lazy val q28Sql: String =
     """SELECT o_custkey, o_orderkey,
       |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS VARCHAR) AS DOUBLE) AS mov_sum,
       |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS VARCHAR) AS DOUBLE)
@@ -1188,7 +1252,7 @@ object Relational {
       .orderBy(col("o_orderpriority"), col("quartile"))
   }
 
-  val q29Sql: String =
+  lazy val q29Sql: String =
     """WITH q AS (
       |  SELECT o_orderpriority, CAST(o_totalprice AS DOUBLE) AS price,
       |    ntile(4) OVER (PARTITION BY o_orderpriority
@@ -1220,7 +1284,7 @@ object Relational {
         (max(col("cents")).cast("double") / 100).as("max_price"))
       .orderBy(col("bin"))
 
-  val q30Sql: String =
+  lazy val q30Sql: String =
     s"""WITH c AS (
        |  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
        |  FROM orders)
@@ -1275,7 +1339,7 @@ object Relational {
       .orderBy(col("part_key"))
   }
 
-  val q31Sql: String =
+  lazy val q31Sql: String =
     s"""WITH items AS (SELECT CAST(l_partkey AS BIGINT) AS k FROM lineitem),
        |cells AS (
        |  SELECT g.r, ((k + g.r * 131) * 2654435761) % 1000003 % $CmsWidth AS bucket,
@@ -1450,11 +1514,11 @@ object Relational {
        |    AS hll_raw
        |FROM s JOIN e USING (g) ORDER BY s.g""".stripMargin
 
-  val q33Sql: String =
+  lazy val q33Sql: String =
     hllSqlFor("lineitem", "l_returnflag", "CAST(l_orderkey AS BIGINT)",
       "l_returnflag")
 
-  val q32Sql: String =
+  lazy val q32Sql: String =
     """WITH l AS (
       |  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS x,
       |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
@@ -1506,7 +1570,7 @@ object Relational {
       .orderBy(col("l_suppkey"), col("rank"))
   }
 
-  val q34Sql: String =
+  lazy val q34Sql: String =
     """WITH pr AS (
       |  SELECT l_suppkey, l_partkey,
       |    CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT))
@@ -1538,7 +1602,7 @@ object Relational {
           |'sum_disc', sum_disc) AS (measure, value)""".stripMargin)
       .orderBy(col("l_returnflag"), col("measure"))
 
-  val q35Sql: String =
+  lazy val q35Sql: String =
     """WITH a AS (
       |  SELECT l_returnflag,
       |    CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_qty,
@@ -1579,7 +1643,7 @@ object Relational {
       .orderBy(col("o_orderkey"))
   }
 
-  val q36Sql: String =
+  lazy val q36Sql: String =
     """WITH o AS (
       |  SELECT o_orderkey, o_custkey,
       |    CAST(date_diff('day', DATE '1992-01-01', o_orderdate) AS BIGINT) AS days,
@@ -1660,7 +1724,7 @@ object Relational {
       .select(col("k"), col("pass"), col("is_true"))
   }
 
-  val q37Sql: String =
+  lazy val q37Sql: String =
     s"""WITH keys AS (
        |  SELECT DISTINCT CAST(p_partkey AS BIGINT) AS k
        |  FROM part WHERE p_type = 'PROMO'),
@@ -1732,7 +1796,7 @@ object Relational {
       .orderBy(col("l_returnflag"))
   }
 
-  val q38Sql: String =
+  lazy val q38Sql: String =
     """WITH l AS (
       |  SELECT l_returnflag,
       |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
@@ -1770,7 +1834,7 @@ object Relational {
       .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
 
-  val q39Sql: String =
+  lazy val q39Sql: String =
     """WITH c AS (
       |  SELECT l_returnflag, l_linestatus, CAST(l_quantity AS BIGINT) AS qty,
       |    count(*) AS cnt
@@ -1821,7 +1885,7 @@ object Relational {
       .orderBy(col("cum_ppm"))
   }
 
-  val q40Sql: String =
+  lazy val q40Sql: String =
     """WITH rev AS (
       |  SELECT p_brand,
       |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * 100) AS BIGINT)
@@ -1880,7 +1944,7 @@ object Relational {
       .orderBy(col("brand"))
   }
 
-  val q41Sql: String =
+  lazy val q41Sql: String =
     s"""WITH p AS (
        |  SELECT p_partkey AS k, p_brand AS brand,
        |    CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
@@ -1935,7 +1999,7 @@ object Relational {
       .orderBy(col("cents"), col("psize"), col("k"))
   }
 
-  val q42Sql: String =
+  lazy val q42Sql: String =
     """WITH p AS (
       |  SELECT p_partkey AS k, p_brand AS brand,
       |    CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
@@ -1972,7 +2036,7 @@ object Relational {
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
 
-  val q43Sql: String =
+  lazy val q43Sql: String =
     """SELECT o_custkey, o_orderkey,
       |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
       |  CAST(dense_rank() OVER w AS BIGINT) AS drank,
@@ -2009,7 +2073,7 @@ object Relational {
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
 
-  val q44Sql: String =
+  lazy val q44Sql: String =
     """SELECT o_custkey, o_orderkey,
       |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
       |  CAST(count(*) OVER w AS BIGINT) AS prior_n,
@@ -2055,7 +2119,7 @@ object Relational {
       .orderBy(col("part_a"), col("part_b"))
   }
 
-  val q45Sql: String =
+  lazy val q45Sql: String =
     s"""WITH li AS (
        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
        |okc AS (SELECT ok FROM li GROUP BY ok HAVING count(*) <= $LiftOrderCap),
@@ -2099,7 +2163,7 @@ object Relational {
         element_at(col("qs"), 3).as("q3"))
       .orderBy(col("o_orderpriority"))
 
-  val q46Sql: String =
+  lazy val q46Sql: String =
     """SELECT o_orderpriority, count(*) AS n_orders,
       |  quantile_cont(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT),
       |                0.25) AS q1,
@@ -2142,7 +2206,7 @@ object Relational {
         (est("sa") + est("sb") - est("su")).as("est_intersect"))
   }
 
-  val q47Sql: String =
+  lazy val q47Sql: String =
     s"""WITH o AS (
        |  SELECT o_custkey, o_orderpriority,
        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
@@ -2189,7 +2253,7 @@ object Relational {
       .limit(100)
   }
 
-  val q48Sql: String = {
+  lazy val q48Sql: String = {
     val cap = graft.operators.graph.GraphOps.CoOrderCap
     s"""WITH li AS (
        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
@@ -2234,7 +2298,7 @@ object Relational {
       .orderBy(col("month"))
   }
 
-  val q49Sql: String =
+  lazy val q49Sql: String =
     """WITH m AS (
       |  SELECT strftime(o_orderdate, '%Y-%m') AS month,
       |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
@@ -2297,7 +2361,7 @@ object Relational {
           .stripMargin).as("err_ppm"))
   }
 
-  val q50Sql: String =
+  lazy val q50Sql: String =
     s"""WITH items AS (SELECT CAST(l_partkey AS BIGINT) AS k FROM lineitem),
        |hx AS (
        |  SELECT r, xor(x2 // 65536, x2) AS h FROM (
@@ -2331,6 +2395,7 @@ object Relational {
     "q58_multi_distinct" -> (q58MultiDistinct _),
     "q59_part_drawdown" -> (q59PartDrawdown _),
     "q60_hhi" -> (q60Hhi _),
+    "q61_regression" -> (q61Regression _),
     "q50_f2_sketch" -> (q50F2Sketch _),
     "q49_mom_growth" -> (q49MomGrowth _),
     "q48_itemset3" -> (q48Itemset3 _),
@@ -2394,6 +2459,7 @@ object Relational {
     "q58_multi_distinct" -> q58Sql,
     "q59_part_drawdown" -> q59Sql,
     "q60_hhi" -> q60Sql,
+    "q61_regression" -> q61Sql,
     "q50_f2_sketch" -> q50Sql,
     "q49_mom_growth" -> q49Sql,
     "q48_itemset3" -> q48Sql,

@@ -31,7 +31,7 @@ object DedupOps {
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_docs"))
       .orderBy(col("text_hash"))
 
-  val d1Sql: String =
+  lazy val d1Sql: String =
     """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_docs
       |FROM documents GROUP BY md5(text) ORDER BY text_hash""".stripMargin
 
@@ -156,7 +156,7 @@ object DedupOps {
        |  FROM capped x JOIN capped y
        |    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id)""".stripMargin
 
-  val d2Sql: String =
+  lazy val d2Sql: String =
     s"""WITH $lshCtes
        |SELECT doc_a, doc_b FROM cand ORDER BY doc_a, doc_b""".stripMargin
 
@@ -244,7 +244,7 @@ object DedupOps {
       |  SELECT cpos, cval FROM chunks0 GROUP BY cpos, cval HAVING count(*) <= $MaxBucket),
       |chunks AS (SELECT c.* FROM chunks0 c JOIN ok_chunks USING (cpos, cval))""".stripMargin
 
-  val d3Sql: String =
+  lazy val d3Sql: String =
     s"""WITH $simhashCtes
        |SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
        |  bit_count(xor(x.simhash_lo, y.simhash_lo))
@@ -292,7 +292,7 @@ object DedupOps {
         .orderBy(col("doc_a"), col("doc_b"))
     }
 
-  val d4Sql: String =
+  lazy val d4Sql: String =
     s"""WITH $lshCtes,
        |shx AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
        |ns AS (SELECT doc_id, len(shingles) AS n FROM sh),
@@ -342,7 +342,7 @@ object DedupOps {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  val d26Sql: String =
+  lazy val d26Sql: String =
     s"""WITH jp AS ($d4Sql),
        |$shingleCtes,
        |shx2 AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
@@ -415,7 +415,7 @@ object DedupOps {
        |  FROM cand c JOIN eb a ON c.vec_a = a.vec_id JOIN eb b ON c.vec_b = b.vec_id),
        |dp AS (SELECT vec_a, vec_b, cosine FROM scored WHERE cosine > $DupTheta)""".stripMargin
 
-  val d5Sql: String =
+  lazy val d5Sql: String =
     s"""WITH ${VectorExprs.bandCtes},
        |$d5PairCtes
        |SELECT vec_a, vec_b, cosine FROM dp ORDER BY vec_a, vec_b""".stripMargin
@@ -449,7 +449,7 @@ object DedupOps {
     graft.operators.similarity.SimilarityOps.recallOf(exact, approx)
   }
 
-  val d8Sql: String =
+  lazy val d8Sql: String =
     s"""WITH ${VectorExprs.bandCtes},
        |$d5PairCtes,
        |xp AS (
@@ -491,7 +491,7 @@ object DedupOps {
 
   // Oracle: transitive closure over the (tiny) dup-pair graph —
   // cluster id = min reachable doc_id (including self).
-  val d6Sql: String =
+  lazy val d6Sql: String =
     s"""WITH jp AS ($d4Sql),
        |e AS (SELECT doc_a AS a, doc_b AS b FROM jp
        |      UNION SELECT doc_b, doc_a FROM jp),
@@ -538,7 +538,7 @@ object DedupOps {
       .orderBy(col("cluster_id"))
   }
 
-  val d27Sql: String =
+  lazy val d27Sql: String =
     s"""WITH cl AS ($d6Sql),
        |j AS (SELECT cl.doc_id, cl.cluster_id, CAST(d.n_chars AS BIGINT) AS nc
        |      FROM cl JOIN documents d ON cl.doc_id = d.doc_id),
@@ -580,7 +580,7 @@ object DedupOps {
       .filter(col("n_docs") >= 2)
       .orderBy(col("pk"))
 
-  val d28Sql: String =
+  lazy val d28Sql: String =
     """SELECT md5(substr(text, 1, 48)) AS pk, count(*) AS n_docs,
       |  min(doc_id) AS keep_doc, max(doc_id) AS max_doc,
       |  count(DISTINCT source) AS n_sources
@@ -611,7 +611,7 @@ object DedupOps {
       .orderBy(col("len_bin"))
   }
 
-  val d29Sql: String =
+  lazy val d29Sql: String =
     s"""WITH cl AS ($d6Sql),
        |lb AS (SELECT d.doc_id, d.n_chars // 200 AS len_bin,
        |         cl.doc_id IS NOT NULL AS clustered,
@@ -647,7 +647,7 @@ object DedupOps {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  val d7Sql: String =
+  lazy val d7Sql: String =
     s"""WITH jp AS ($d4Sql),
        |sp AS (
        |  SELECT doc_id,
@@ -811,7 +811,7 @@ object DedupOps {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  val d9Sql: String =
+  lazy val d9Sql: String =
     s"""WITH $lshCtes,
        |spl AS (
        |  SELECT doc_id,
@@ -914,7 +914,7 @@ object DedupOps {
       spanGroupsOf(docs(spark, dir))
     })
 
-  val d10Sql: String =
+  lazy val d10Sql: String =
     s"""WITH wv AS (
        |  SELECT doc_id,
        |    list_transform(string_split(text,' '),
@@ -967,7 +967,7 @@ object DedupOps {
       .orderBy(col("band"))
   }
 
-  val d12Sql: String =
+  lazy val d12Sql: String =
     s"""WITH ${VectorExprs.bandCtes},
        |$d5PairCtes,
        |candb AS (
@@ -1011,7 +1011,7 @@ object DedupOps {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  val d13Sql: String =
+  lazy val d13Sql: String =
     s"""WITH $lshCtes,
        |shx AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
        |ns AS (SELECT doc_id, len(shingles) AS n FROM sh),
@@ -1074,7 +1074,7 @@ object DedupOps {
       .orderBy(col("vec_id"))
   }
 
-  val d11Sql: String =
+  lazy val d11Sql: String =
     s"""WITH ${graft.operators.similarity.SimilarityOps.assignCtes},
        |m AS (SELECT a2.vec_id, a2.cluster, eb.vd, eb.n2
        |      FROM a2 JOIN eb ON a2.vec_id = eb.vec_id),
@@ -1111,7 +1111,7 @@ object DedupOps {
       .orderBy(col("source_a"), col("source_b"))
   }
 
-  val d14Sql: String =
+  lazy val d14Sql: String =
     s"""WITH jp AS ($d4Sql)
        |SELECT least(da.source, db.source) AS source_a,
        |  greatest(da.source, db.source) AS source_b,
@@ -1169,7 +1169,7 @@ object DedupOps {
         .orderBy(col("doc_a"), col("doc_b"))
     }
 
-  val d15Sql: String =
+  lazy val d15Sql: String =
     s"""WITH ${graft.operators.text.TextOps.winnowFpCtes},
        |hh AS (SELECT DISTINCT doc_id, sel // 4194304 AS h FROM fp),
        |nfp AS (SELECT doc_id, count(*) AS n_fp FROM hh GROUP BY 1),
@@ -1208,7 +1208,7 @@ object DedupOps {
       .orderBy(col("doc_id"))
   }
 
-  val d16Sql: String =
+  lazy val d16Sql: String =
     s"""WITH wp AS ($d15Sql),
        |e AS (SELECT doc_a AS a, doc_b AS b FROM wp
        |      WHERE containment_ppm >= 500000
@@ -1262,7 +1262,7 @@ object DedupOps {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  val d17Sql: String =
+  lazy val d17Sql: String =
     s"""WITH ${graft.operators.text.TextOps.winnowFpCtes},
        |hh AS (SELECT DISTINCT doc_id, sel // 4194304 AS h FROM fp),
        |okw AS (SELECT h FROM hh GROUP BY h HAVING count(*) <= 200),
@@ -1323,7 +1323,7 @@ object DedupOps {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  val d18Sql: String =
+  lazy val d18Sql: String =
     s"""WITH $lshCtes,
        |pre AS (SELECT doc_id, substr(text, 1, $LevPrefix) AS pre FROM documents)
        |SELECT c.doc_a, c.doc_b,
@@ -1363,7 +1363,7 @@ object DedupOps {
       .withColumn("agreement_ppm", expr("n_common * 1000000 div n_union"))
   }
 
-  val d19Sql: String =
+  lazy val d19Sql: String =
     s"""WITH $lshCtes,
        |${graft.operators.text.TextOps.winnowFpCtes},
        |whh AS (SELECT DISTINCT doc_id, sel // 4194304 AS h FROM fp),
@@ -1410,7 +1410,7 @@ object DedupOps {
       .orderBy(col("sz"))
   }
 
-  val d20Sql: String =
+  lazy val d20Sql: String =
     s"""WITH cl AS ($d6Sql),
        |h AS (SELECT sz, count(*) AS n_clusters FROM (
        |  SELECT cluster_id, count(*) AS sz FROM cl GROUP BY cluster_id)
@@ -1449,7 +1449,7 @@ object DedupOps {
     np.join(nd, Seq("theta_ppm")).orderBy(col("theta_ppm"))
   }
 
-  val d21Sql: String = {
+  lazy val d21Sql: String = {
     val vals = SweepThetasPpm.mkString("(", "), (", ")")
     s"""WITH jp AS ($d4Sql),
        |th(theta_ppm) AS (VALUES $vals),
@@ -1549,7 +1549,7 @@ object DedupOps {
     rows.reduce(_.union(_)).orderBy(col("rows_per_band"))
   }
 
-  val d23Sql: String = {
+  lazy val d23Sql: String = {
     def cfg(b: Int, r: Int): String = {
       val tag = s"${b}_$r"
       s"""bd$tag AS (
@@ -1627,7 +1627,7 @@ object DedupOps {
       .orderBy(col("doc_id"))
   }
 
-  val d22Sql: String =
+  lazy val d22Sql: String =
     s"""WITH cl AS ($d6Sql),
        |w AS (SELECT cluster_id, count(*) AS cw FROM cl GROUP BY 1)
        |SELECT d.doc_id AS doc_id, coalesce(w.cw, 1) AS weight
@@ -1666,7 +1666,7 @@ object DedupOps {
       .orderBy(col("sim_bin"))
   }
 
-  val d25Sql: String =
+  lazy val d25Sql: String =
     s"""WITH $lshCtes,
        |shx AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
        |ns AS (SELECT doc_id, len(shingles) AS n FROM sh),
@@ -1720,7 +1720,7 @@ object DedupOps {
           " THEN n_false_pos * 1000000 div (n_shard - n_true_dup) END"))
   }
 
-  val d24Sql: String = {
+  lazy val d24Sql: String = {
     def fpSel(pred: String) =
       s"""SELECT list_reduce(
          |    list_prepend(CAST(0 AS BIGINT),

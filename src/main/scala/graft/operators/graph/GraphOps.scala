@@ -47,7 +47,7 @@ object GraphOps {
       .withColumn("node_type", col("node_id") % 8)
       .orderBy(col("node_id"))
 
-  val g1Sql: String =
+  lazy val g1Sql: String =
     s"""WITH ${GraphTables.symSqlCtes}
        |SELECT src AS node_id, count(*) AS degree, src % 8 AS node_type
        |FROM sym GROUP BY src ORDER BY node_id""".stripMargin
@@ -61,7 +61,7 @@ object GraphOps {
       .agg(count(lit(1)).as("n_nodes"))
       .orderBy(col("degree"))
 
-  val g2Sql: String =
+  lazy val g2Sql: String =
     s"""WITH ${GraphTables.symSqlCtes},
        |deg AS (SELECT src, count(*) AS degree FROM sym GROUP BY src)
        |SELECT degree, count(*) AS n_nodes FROM deg GROUP BY degree ORDER BY degree""".stripMargin
@@ -122,7 +122,7 @@ object GraphOps {
     (full, split)
   }
 
-  val g20Sql: String = {
+  lazy val g20Sql: String = {
     def round(t: Int): String =
       s"""d$t AS (SELECT e.src AS n, count(*) AS dg FROM sym e
          |  JOIN a${t - 1} u ON e.src = u.n JOIN a${t - 1} v ON e.dst = v.n
@@ -204,7 +204,7 @@ object GraphOps {
       .orderBy(col("node_a"), col("node_b"))
   }
 
-  val g21Sql: String =
+  lazy val g21Sql: String =
     s"""WITH ${GraphTables.symSqlCtes},
        |deg AS (SELECT src AS node, count(*) AS deg FROM sym GROUP BY src),
        |ce AS (SELECT s.src, s.dst FROM sym s
@@ -237,7 +237,7 @@ object GraphOps {
       .select(col("node_a"), col("node_b"), col("cn"), col("ra_nano"))
       .orderBy(col("node_a"), col("node_b"))
 
-  val g22Sql: String =
+  lazy val g22Sql: String =
     s"""WITH ${GraphTables.symSqlCtes},
        |deg AS (SELECT src AS node, count(*) AS deg FROM sym GROUP BY src),
        |ce AS (SELECT s.src, s.dst, d.deg FROM sym s
@@ -267,7 +267,7 @@ object GraphOps {
       .select(col("node_a"), col("node_b"), col("cn"), col("aa_nano"))
       .orderBy(col("node_a"), col("node_b"))
 
-  val g39Sql: String =
+  lazy val g39Sql: String =
     s"""WITH ${GraphTables.symSqlCtes},
        |deg AS (SELECT src AS node, count(*) AS deg FROM sym GROUP BY src),
        |ce AS (SELECT s.src, s.dst, d.deg FROM sym s
@@ -331,7 +331,7 @@ object GraphOps {
       .crossJoin(broadcast(s2))
   }
 
-  val g40Sql: String =
+  lazy val g40Sql: String =
     s"""WITH ${GraphTables.symSqlCtes},
        |s1 AS (SELECT min(src) AS s FROM sym),
        |r1 AS (
@@ -396,7 +396,7 @@ object GraphOps {
       .orderBy(col("layer"), col("tag"))
   }
 
-  val g41Sql: String =
+  lazy val g41Sql: String =
     s"""WITH RECURSIVE ${GraphTables.symSqlCtes},
        |vn AS (SELECT DISTINCT src AS node FROM edges
        |       UNION SELECT DISTINCT dst FROM edges),
@@ -524,7 +524,7 @@ object GraphOps {
        |${step(3, "s2")}""".stripMargin
   }
 
-  val g4Sql: String =
+  lazy val g4Sql: String =
     s"""WITH ${GraphTables.symSqlCtes},
        |$walkSqlCtes
        |SELECT node AS node_id, count(*) AS visits
@@ -537,7 +537,7 @@ object GraphOps {
       .orderBy(col("visits").desc, col("node_id"))
       .limit(10)
 
-  val g3Sql: String =
+  lazy val g3Sql: String =
     s"""WITH ${GraphTables.symSqlCtes},
        |$walkSqlCtes
        |SELECT node AS node_id, count(*) AS visits
@@ -793,7 +793,7 @@ object GraphOps {
       weightedPagerankFrom(wed, start, 3)
     }.orderBy(col("node_id"))
 
-  val g15Sql: String = {
+  lazy val g15Sql: String = {
     def iter(t: Int, prev: String) =
       s"""w$t AS (
          |  SELECT e.dst AS node,
@@ -893,7 +893,7 @@ object GraphOps {
       personalizedPagerank(spark, dir, n => n % 8 === 5)
     }.orderBy(col("node_id"))
 
-  val g13Sql: String = {
+  lazy val g13Sql: String = {
     def iter(t: Int, prev: String) =
       s"""p$t AS (
          |  SELECT s.dst AS node,
@@ -970,7 +970,7 @@ object GraphOps {
         personalizedStart(wed, n => n % 8 === 5), 3)
     }.orderBy(col("node_id"))
 
-  val g16Sql: String = {
+  lazy val g16Sql: String = {
     def iter(t: Int, prev: String) =
       s"""v$t AS (
          |  SELECT e.dst AS node,
@@ -1000,7 +1000,7 @@ object GraphOps {
 
   private def prSqlCtes: String = prSqlCtesN(3, materialized = false)
 
-  val g5Sql: String =
+  lazy val g5Sql: String =
     s"""WITH ${GraphTables.symSqlCtes},
        |$prSqlCtes
        |SELECT node AS node_id, r AS rank FROM r3 ORDER BY node_id""".stripMargin
@@ -1024,7 +1024,7 @@ object GraphOps {
   private val G12UnrollRounds = 24
   private val G12MinIters = 4
 
-  val g12Sql: String = {
+  lazy val g12Sql: String = {
     val rounds = prSqlCtesN(G12UnrollRounds, materialized = true)
     val deltas = (1 to G12UnrollRounds).map(t =>
       s"SELECT $t AS t, (SELECT max(abs(a.r - b.r)) FROM r$t a JOIN r${t - 1} b USING (node)) AS mx")
@@ -1050,7 +1050,7 @@ object GraphOps {
   // rule (t ≥ minIters AND Δ·10⁶ ≤ relPpm·maxRank) — exact at every
   // test scale because the oracle re-derives the round count from the
   // same rule the loop runs.
-  val g14Sql: String = {
+  lazy val g14Sql: String = {
     val rounds = prSqlCtesN(G12UnrollRounds, materialized = true)
     val deltas = (1 to G12UnrollRounds).map(t =>
       s"""SELECT $t AS t,
@@ -1111,7 +1111,7 @@ object GraphOps {
       .select(col("node").as("node_id"), col("dist")).orderBy(col("node_id"))
   }
 
-  val g6Sql: String =
+  lazy val g6Sql: String =
     s"""WITH RECURSIVE ${GraphTables.symSqlCtes},
        |bfs(node, dist) AS (
        |  SELECT CAST(r_regionkey*8+5 AS BIGINT), 0 FROM region
@@ -1243,7 +1243,7 @@ object GraphOps {
       g7Adjacency(spark, dir))
   }
 
-  val g7Sql: String =
+  lazy val g7Sql: String =
     """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
       |ok_orders AS (SELECT o FROM op GROUP BY o HAVING count(*) <= 25),
       |capped AS (SELECT op.o, op.p FROM op JOIN ok_orders USING (o)),
@@ -1284,7 +1284,7 @@ object GraphOps {
       .orderBy(col("part_id"))
   }
 
-  val g19Sql: String =
+  lazy val g19Sql: String =
     """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
       |ok_orders AS (SELECT o FROM op GROUP BY o HAVING count(*) <= 25),
       |capped AS (SELECT op.o, op.p FROM op JOIN ok_orders USING (o)),
@@ -1322,7 +1322,7 @@ object GraphOps {
         expr("(3000000 * n_triangles) div n_wedges"))
   }
 
-  val g38Sql: String =
+  lazy val g38Sql: String =
     """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
       |ok_orders AS (SELECT o FROM op GROUP BY o HAVING count(*) <= 25),
       |capped AS (SELECT op.o, op.p FROM op JOIN ok_orders USING (o)),
@@ -1368,7 +1368,7 @@ object GraphOps {
       .orderBy(col("node_id"))
   }
 
-  val g8Sql: String =
+  lazy val g8Sql: String =
     """WITH sample_parts AS (
       |  SELECT CAST(p_partkey*8+2 AS BIGINT) AS pnode FROM part WHERE p_partkey % 20 = 0),
       |ps AS (SELECT DISTINCT CAST(l_partkey*8+2 AS BIGINT) AS psrc, CAST(l_suppkey*8+3 AS BIGINT) AS snode FROM lineitem),
@@ -1405,7 +1405,7 @@ object GraphOps {
   }
 
   // round-trip preserves content exactly → same oracle as g5
-  val g9Sql: String = g5Sql
+  lazy val g9Sql: String = g5Sql
 
   // ---- g10: connected components via min-label propagation ----
   // 3 synchronous rounds of l_{t+1}(v) = min(l_t(v), min_{u∈N(v)} l_t(u))
@@ -1537,7 +1537,7 @@ object GraphOps {
        |${iter(3, "l2")}""".stripMargin
   }
 
-  val g10Sql: String =
+  lazy val g10Sql: String =
     s"""WITH ${GraphTables.symSqlCtes},
        |$ccSqlCtes
        |SELECT node AS node_id, lbl AS component FROM l3 ORDER BY node_id""".stripMargin
@@ -1563,13 +1563,13 @@ object GraphOps {
       (1 to rounds).map(t => iter(t, s"l${t - 1}"))).mkString(",\n")
   }
 
-  val g11Sql: String =
+  lazy val g11Sql: String =
     s"""WITH ${GraphTables.symSqlCtes.replace("sym AS (", "sym AS MATERIALIZED (")},
        |${ccConvergedSqlCtes(8)}
        |SELECT node AS node_id, lbl AS component FROM l8 ORDER BY node_id""".stripMargin
 
   // g36 oracle: g11's converged chain + the two-level size rollup.
-  val g36Sql: String =
+  lazy val g36Sql: String =
     s"""WITH ${GraphTables.symSqlCtes.replace("sym AS (", "sym AS MATERIALIZED (")},
        |${ccConvergedSqlCtes(8)},
        |cs AS (SELECT lbl, count(*) AS sz FROM l8 GROUP BY lbl)
@@ -1577,6 +1577,46 @@ object GraphOps {
        |  count(*) AS n_components,
        |  CAST(sz * count(*) AS BIGINT) AS n_nodes
        |FROM cs GROUP BY sz ORDER BY component_size""".stripMargin
+
+  // ---- g43: per-component cycle rank (cyclomatic number) ----
+  // For each connected component: node count, undirected edge count,
+  // and the cycle rank E − V + 1 — the number of independent cycles
+  // (0 ⇔ the component is a tree). The tree-vs-tangle census a
+  // pipeline reads next to g36's size histogram: a giant component
+  // with near-zero cycle rank is a hierarchy (per-path algorithms
+  // apply); a high rank means dense feedback structure (fixpoint
+  // algorithms needed). Marginal cost on top of the CACHED g11
+  // labels: one canonical-edge (src < dst) count keyed by the src
+  // endpoint's component — edges never cross components by
+  // definition, so labeling ONE endpoint suffices and the join is a
+  // single key-shuffle (no second label join). Output is
+  // |components| rows. All-integer; rank ≥ 0 because a connected
+  // component always has E ≥ V − 1.
+  def g43Cyclomatic(spark: SparkSession, dir: String): DataFrame = {
+    val lbl = ccLabels(spark, dir)
+    val v = lbl.groupBy(col("component")).agg(count(lit(1)).as("n_nodes"))
+    val e = withSym(spark, dir).filter(col("src") < col("dst"))
+      .join(lbl.select(col("node_id").as("src"), col("component")), Seq("src"))
+      .groupBy(col("component")).agg(count(lit(1)).as("n_edges"))
+    v.join(e, Seq("component"), "left_outer")
+      .na.fill(0L, Seq("n_edges"))
+      .select(col("component"), col("n_nodes"), col("n_edges"),
+        (col("n_edges") - col("n_nodes") + 1).as("cycle_rank"))
+      .orderBy(col("component"))
+  }
+
+  lazy val g43Sql: String =
+    s"""WITH ${GraphTables.symSqlCtes.replace("sym AS (", "sym AS MATERIALIZED (")},
+       |${ccConvergedSqlCtes(8)},
+       |v AS (SELECT lbl AS component, count(*) AS n_nodes FROM l8 GROUP BY 1),
+       |e AS (SELECT l.lbl AS component, count(*) AS n_edges
+       |      FROM sym s JOIN l8 l ON s.src = l.node WHERE s.src < s.dst
+       |      GROUP BY 1)
+       |SELECT v.component, CAST(v.n_nodes AS BIGINT) AS n_nodes,
+       |  CAST(COALESCE(e.n_edges, 0) AS BIGINT) AS n_edges,
+       |  CAST(COALESCE(e.n_edges, 0) - v.n_nodes + 1 AS BIGINT) AS cycle_rank
+       |FROM v LEFT JOIN e ON v.component = e.component
+       |ORDER BY v.component""".stripMargin
 
   // ---- g17: label-propagation communities (synchronous LPA) ----
   // l_{t+1}(v) = the label held by the MOST of v's neighbors at round
@@ -1660,7 +1700,7 @@ object GraphOps {
       (1 to rounds).map(t => iter(t, s"l${t - 1}"))).mkString(",\n")
   }
 
-  val g17Sql: String =
+  lazy val g17Sql: String =
     s"""WITH ${GraphTables.symSqlCtes.replace("sym AS (", "sym AS MATERIALIZED (")},
        |${lpaSqlCtes(LpaRounds)}
        |SELECT node AS node_id, lbl AS community FROM l$LpaRounds ORDER BY node_id""".stripMargin
@@ -1708,7 +1748,7 @@ object GraphOps {
       .orderBy(col("community"))
   }
 
-  val g32Sql: String =
+  lazy val g32Sql: String =
     s"""WITH ${GraphTables.symSqlCtes.replace("sym AS (", "sym AS MATERIALIZED (")},
        |${lpaSqlCtes(LpaRounds)},
        |s AS (SELECT count(*) AS s2m FROM sym),
@@ -1863,7 +1903,7 @@ object GraphOps {
       .orderBy(col("round"))
   }
 
-  val g33Sql: String = {
+  lazy val g33Sql: String = {
     def tri(e: String, t: String) =
       s"""$t AS (SELECT a.u AS x, a.v AS y, b.v AS z
          |  FROM $e a JOIN $e b ON a.v = b.u
@@ -1932,7 +1972,7 @@ object GraphOps {
       .orderBy(col("k"))
   }
 
-  val g34Sql: String = {
+  lazy val g34Sql: String = {
     val vals = RichClubKs.mkString("(", "), (", ")")
     s"""WITH ${GraphTables.symSqlCtes.replace("sym AS (", "sym AS MATERIALIZED (")},
        |deg AS MATERIALIZED (
@@ -1988,7 +2028,7 @@ object GraphOps {
       .orderBy(col("node_id"))
   }
 
-  val g35Sql: String = {
+  lazy val g35Sql: String = {
     def chain(p: String, k: Int): String = {
       def round(t: Int): String =
         s"""${p}d$t AS (SELECT e.src AS n, count(*) AS dg FROM sym e
@@ -2037,7 +2077,7 @@ object GraphOps {
       .orderBy(col("bin_lo"), col("bin_hi"))
   }
 
-  val g37Sql: String =
+  lazy val g37Sql: String =
     s"""WITH ${GraphTables.symSqlCtes.replace("sym AS (", "sym AS MATERIALIZED (")},
        |deg AS MATERIALIZED (
        |  SELECT src AS node, count(*) AS dg FROM sym GROUP BY src)
@@ -2103,7 +2143,7 @@ object GraphOps {
       .orderBy(col("source_id"))
   }
 
-  val g18Sql: String =
+  lazy val g18Sql: String =
     s"""WITH RECURSIVE ${GraphTables.symSqlCtes},
        |srcs AS (SELECT CAST(r_regionkey*8+5 AS BIGINT) AS sid FROM region),
        |bfs(sid, node, dist) AS (
@@ -2196,7 +2236,7 @@ object GraphOps {
   // chain per consumer, the exact 2^k blowup the Spark side's
   // localCheckpoint kills (measured: >60 GB of temp spill at sf1
   // before the fix; seconds after).
-  val g23Sql: String = {
+  lazy val g23Sql: String = {
     def aStep(t: Int, hPrev: String) =
       s"""ar$t AS MATERIALIZED (
          |  SELECT e.dst AS id, CAST(sum(h.h) AS BIGINT) AS a
@@ -2268,7 +2308,7 @@ object GraphOps {
         .as("assortativity"))
   }
 
-  val g24Sql: String =
+  lazy val g24Sql: String =
     s"""WITH ${GraphTables.symSqlCtes},
        |deg AS (SELECT src AS id, count(*) AS d FROM sym GROUP BY src),
        |xy AS (
@@ -2311,7 +2351,7 @@ object GraphOps {
         expr("100 * n_directed_edges div n_nodes").as("avg_degree_x100"))
   }
 
-  val g25Sql: String =
+  lazy val g25Sql: String =
     s"""WITH ${GraphTables.symSqlCtes},
        |deg AS (SELECT src, count(*) AS d FROM sym GROUP BY src),
        |s AS (
@@ -2363,7 +2403,7 @@ object GraphOps {
   def g26FourCycles(spark: SparkSession, dir: String): DataFrame =
     fourCyclesOf(withSym(spark, dir))
 
-  val g26Sql: String =
+  lazy val g26Sql: String =
     s"""WITH ${GraphTables.symSqlCtes},
        |deg AS (SELECT src AS node, count(*) AS deg FROM sym GROUP BY src),
        |keep AS (SELECT node FROM deg WHERE deg <= $MaxWedgeDeg),
@@ -2426,7 +2466,7 @@ object GraphOps {
       .orderBy(col("seed"), col("dist"))
   }
 
-  val g27Sql: String =
+  lazy val g27Sql: String =
     s"""WITH RECURSIVE ${GraphTables.symSqlCtes},
        |sd AS (SELECT CAST(c_custkey*8 AS BIGINT) AS seed FROM customer
        |       ORDER BY 1 LIMIT 4),
@@ -2480,7 +2520,7 @@ object GraphOps {
       .orderBy(col("n_orders").desc, col("part_a"), col("part_b"))
       .limit(100)
 
-  val g28Sql: String =
+  lazy val g28Sql: String =
     s"""WITH li AS (
        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
        |okc AS (SELECT ok FROM li GROUP BY ok HAVING count(*) <= $CoOrderCap),
@@ -2515,7 +2555,7 @@ object GraphOps {
       .orderBy(col("emb"))
   }
 
-  val g29Sql: String =
+  lazy val g29Sql: String =
     s"""WITH ${GraphTables.symSqlCtes},
        |deg AS (SELECT src AS node, count(*) AS deg FROM sym GROUP BY src),
        |ce AS (SELECT s.src, s.dst FROM sym s
@@ -2543,7 +2583,7 @@ object GraphOps {
       .agg(count(lit(1)).as("n_edges"))
       .orderBy(col("src_tag"), col("dst_tag"))
 
-  val g30Sql: String =
+  lazy val g30Sql: String =
     s"""WITH ${GraphTables.symSqlCtes}
        |SELECT src % 8 AS src_tag, dst % 8 AS dst_tag, count(*) AS n_edges
        |FROM edges GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
@@ -2564,7 +2604,7 @@ object GraphOps {
       .agg(count(lit(1)).as("n_nodes"))
       .orderBy(col("strength"))
 
-  val g31Sql: String =
+  lazy val g31Sql: String =
     s"""WITH ${GraphTables.wedgeSqlCtes}
        |SELECT wsum AS strength, count(*) AS n_nodes
        |FROM wdeg GROUP BY wsum ORDER BY strength""".stripMargin
@@ -2576,6 +2616,7 @@ object GraphOps {
     "g40_pseudo_diameter" -> (g40PseudoDiameter _),
     "g41_dag_layers" -> (g41DagLayers _),
     "g42_conductance" -> (g42Conductance _),
+    "g43_cyclomatic" -> (g43Cyclomatic _),
     "g36_component_sizes" -> (g36ComponentSizes _),
     "g35_coreness" -> (g35Coreness _),
     "g34_rich_club" -> (g34RichClub _),
@@ -2620,6 +2661,7 @@ object GraphOps {
     "g40_pseudo_diameter" -> g40Sql,
     "g41_dag_layers" -> g41Sql,
     "g42_conductance" -> g42Sql,
+    "g43_cyclomatic" -> g43Sql,
     "g36_component_sizes" -> g36Sql,
     "g35_coreness" -> g35Sql,
     "g34_rich_club" -> g34Sql,

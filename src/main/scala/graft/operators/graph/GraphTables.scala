@@ -62,7 +62,7 @@ object GraphTables {
   }
 
   /** DuckDB CTE text equivalent of [[sym]]; prefix for graph oracles. */
-  val symSqlCtes: String =
+  lazy val symSqlCtes: String =
     s"""base AS (
        |  ${branchSql(Branches.head, distinct = true, aliased = true)}
        |  ${Branches.tail.map(b => "UNION ALL " + branchSql(b, distinct = true, aliased = false)).mkString("\n  ")}),
@@ -134,7 +134,7 @@ object GraphTables {
     }
 
   /** DuckDB CTE text equivalent of [[weightedEdges]]. */
-  val wedgeSqlCtes: String =
+  lazy val wedgeSqlCtes: String =
     s"""wbase AS (
        |  ${branchSql(Branches.head, distinct = false, aliased = true)}
        |  ${Branches.tail.map(b => "UNION ALL " + branchSql(b, distinct = false, aliased = false)).mkString("\n  ")}),

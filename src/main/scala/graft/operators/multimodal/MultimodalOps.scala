@@ -49,7 +49,7 @@ object MultimodalOps {
         max(octet_length(col("payload"))).as("max_bytes"))
       .orderBy(col("source"))
 
-  val m1Sql: String =
+  lazy val m1Sql: String =
     """SELECT source, count(*) AS n_blobs,
       |  CAST(sum(octet_length(CAST(text AS BLOB))) AS BIGINT) AS total_bytes,
       |  min(octet_length(CAST(text AS BLOB))) AS min_bytes,
@@ -86,7 +86,7 @@ object MultimodalOps {
     * payload byte), divide in FLOAT to mirror the decoder's float32
     * arithmetic (IEEE-identical on both engines), then round the
     * widened double exactly like the Spark side. */
-  val m2Sql: String =
+  lazy val m2Sql: String =
     """WITH h AS (
       |  SELECT doc_id,
       |    CAST(sum(CASE WHEN ascii(substring(text, i, 1)) % 8 = 0 THEN 1 ELSE 0 END) AS INTEGER) AS h0,
@@ -124,7 +124,7 @@ object MultimodalOps {
           .as("frame_md5"))
       .orderBy(col("doc_id"), col("frame_idx"))
 
-  val m3Sql: String =
+  lazy val m3Sql: String =
     s"""WITH f AS (
        |  SELECT doc_id, text, CAST(floor(length(text) / $FrameLen) AS BIGINT) AS n_frames
        |  FROM documents WHERE length(text) >= $FrameLen),
@@ -169,7 +169,7 @@ object MultimodalOps {
       .orderBy(col("doc_id"))
   }
 
-  val m4Sql: String = {
+  lazy val m4Sql: String = {
     val f = ResizeFactor
     val blockMean = (0 until f)
       .map(o => s"ascii(substr(text, b * $f + $o + 1, 1))")
@@ -292,7 +292,7 @@ object MultimodalOps {
 
   /** DuckDB CTEs mirroring [[aHashes]] (view `ah`: doc_id, ah_lo,
     * ah_hi) — shared by m5's pair oracle and m8's recall gauge. */
-  private val aHashSqlCtes: String = {
+  private lazy val aHashSqlCtes: String = {
     val nb = AHashBlocks
     s"""sized AS (
        |  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n
@@ -325,7 +325,7 @@ object MultimodalOps {
 
   /** DuckDB CTEs for m5's capped chunk-bucket candidate pass over
     * `ah` (view `m5pairs`: the verified hamming-≤-max pair set). */
-  private val aHashPairSqlCtes: String =
+  private lazy val aHashPairSqlCtes: String =
     s"""chunks0 AS (
        |  SELECT doc_id, ah_lo, ah_hi, c AS cpos,
        |    CASE c WHEN 0 THEN ah_lo % 65536 WHEN 1 THEN ah_lo // 65536
@@ -343,7 +343,7 @@ object MultimodalOps {
        |  WHERE bit_count(xor(x.ah_lo, y.ah_lo)) + bit_count(xor(x.ah_hi, y.ah_hi))
        |        <= $AHashHamMax)""".stripMargin
 
-  val m5Sql: String =
+  lazy val m5Sql: String =
     s"""WITH $aHashSqlCtes,
        |$aHashPairSqlCtes
        |SELECT doc_a, doc_b, hamming FROM m5pairs
@@ -401,7 +401,7 @@ object MultimodalOps {
       .orderBy(col("doc_id"))
   }
 
-  val m6Sql: String =
+  lazy val m6Sql: String =
     s"""WITH f AS (
        |  SELECT doc_id, CAST(length(text) // $ShotFrameLen AS BIGINT) AS nf, text
        |  FROM documents WHERE length(text) >= ${2 * ShotFrameLen}),
@@ -453,7 +453,7 @@ object MultimodalOps {
       .orderBy(col("doc_id"))
   }
 
-  val m20Sql: String =
+  lazy val m20Sql: String =
     s"""WITH f AS (
        |  SELECT doc_id, CAST(length(text) // $ShotFrameLen AS BIGINT) AS nf, text
        |  FROM documents WHERE length(text) >= ${2 * ShotFrameLen}),
@@ -504,7 +504,7 @@ object MultimodalOps {
       .orderBy(col("doc_id"))
   }
 
-  val m21Sql: String =
+  lazy val m21Sql: String =
     s"""WITH f AS (
        |  SELECT doc_id, CAST(length(text) // $ShotFrameLen AS BIGINT) AS nf, text
        |  FROM documents WHERE length(text) >= ${2 * ShotFrameLen}),
@@ -570,7 +570,7 @@ object MultimodalOps {
       .orderBy(col("doc_id"))
   }
 
-  val m7Sql: String =
+  lazy val m7Sql: String =
     s"""WITH f AS (
        |  SELECT doc_id, CAST(length(text) // $ShotFrameLen AS BIGINT) AS nf, text
        |  FROM documents WHERE length(text) >= $ShotFrameLen),
@@ -631,7 +631,7 @@ object MultimodalOps {
     graft.operators.similarity.SimilarityOps.recallOf(exact, approx)
   }
 
-  val m8Sql: String =
+  lazy val m8Sql: String =
     s"""WITH $aHashSqlCtes,
        |$aHashPairSqlCtes,
        |exact AS (
@@ -674,7 +674,7 @@ object MultimodalOps {
           .as("simpson_ppm"))
       .orderBy(col("doc_id"))
 
-  val m9Sql: String =
+  lazy val m9Sql: String =
     """WITH ch AS (
       |  SELECT doc_id, CAST(length(text) AS BIGINT) AS n,
       |    unnest(string_split_regex(text, '')) AS ch
@@ -725,7 +725,7 @@ object MultimodalOps {
         ascii(expr("substring(text, cast(off + len - 1 as int), 1)")).cast("int").as("last_c"))
       .orderBy(col("doc_id"), col("chunk_idx"))
 
-  val m10Sql: String =
+  lazy val m10Sql: String =
     s"""WITH d AS (
        |  SELECT doc_id, CAST(length(text) AS BIGINT) AS n, text,
        |    CASE WHEN length(text) <= $ChunkLen THEN 0
@@ -806,7 +806,7 @@ object MultimodalOps {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  private val dHashSqlCtes: String = {
+  private lazy val dHashSqlCtes: String = {
     val nb = DHashBlocks
     s"""dsized AS (
        |  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n
@@ -838,7 +838,7 @@ object MultimodalOps {
        |  FROM dnb WHERE nsum IS NOT NULL GROUP BY doc_id)""".stripMargin
   }
 
-  val m11Sql: String =
+  lazy val m11Sql: String =
     s"""WITH $dHashSqlCtes,
        |dchunks0 AS (
        |  SELECT doc_id, dh_lo, dh_hi, c AS cpos,
@@ -887,7 +887,7 @@ object MultimodalOps {
       .orderBy(col("doc_id"))
   }
 
-  val m12Sql: String =
+  lazy val m12Sql: String =
     """WITH jx AS (
       |  SELECT doc_id, text, unnest(generate_series(1, length(text))) AS p
       |  FROM documents WHERE length(text) >= 1),
@@ -965,7 +965,7 @@ object MultimodalOps {
       .orderBy(col("n_patches").desc, col("first_code"), col("row_sum"))
       .limit(50)
 
-  val m14Sql: String = {
+  lazy val m14Sql: String = {
     val rowBytes = GridW * PatchP
     val pcMax = GridW / PatchP - 1
     s"""WITH gsized AS (
@@ -991,7 +991,7 @@ object MultimodalOps {
        |ORDER BY n_patches DESC, first_code, row_sum LIMIT 50""".stripMargin
   }
 
-  val m13Sql: String = {
+  lazy val m13Sql: String = {
     val rowBytes = GridW * PatchP
     val pcMax = GridW / PatchP - 1
     s"""WITH gsized AS (
@@ -1045,7 +1045,7 @@ object MultimodalOps {
       .orderBy(col("source"), col("fmt"))
   }
 
-  val m15Sql: String =
+  lazy val m15Sql: String =
     """WITH b AS (
       |  SELECT source, text, ascii(substr(text, 1, 1)) AS fc,
       |    octet_length(CAST(text AS BLOB)) AS nbytes
@@ -1103,7 +1103,7 @@ object MultimodalOps {
       .orderBy(col("doc_id"))
   }
 
-  val m16Sql: String =
+  lazy val m16Sql: String =
     s"""WITH ch AS (
        |  SELECT doc_id, CAST(length(text) AS BIGINT) AS n,
        |    unnest(string_split_regex(text, '')) AS ch
@@ -1149,7 +1149,7 @@ object MultimodalOps {
   // md5 over the utf-8 payload == DuckDB's md5 over the VARCHAR's
   // bytes — the same digest both sides (m1's CAST(text AS BLOB)
   // length identity, applied to content).
-  val m17Sql: String =
+  lazy val m17Sql: String =
     """WITH b AS (
       |  SELECT doc_id, source, md5(text) AS h,
       |    CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS nb
@@ -1206,7 +1206,7 @@ object MultimodalOps {
       .orderBy(col("source"))
   }
 
-  val m18Sql: String =
+  lazy val m18Sql: String =
     s"""WITH d AS (
        |  SELECT doc_id, source, text, CAST(length(text) AS BIGINT) AS n
        |  FROM documents WHERE length(text) > 0),
@@ -1259,7 +1259,7 @@ object MultimodalOps {
       .withColumn("bigram_ratio_ppm", expr("uniq2 * 1000000 div (n - 1)"))
       .orderBy(col("doc_id"))
 
-  val m19Sql: String =
+  lazy val m19Sql: String =
     """SELECT doc_id, CAST(length(text) AS BIGINT) AS n,
       |  CAST(len(list_distinct(list_transform(
       |    generate_series(1, CAST(length(text) AS INTEGER)),

@@ -84,7 +84,7 @@ object SimilarityOps {
     ranked(pairs)
   }
 
-  val s1Sql: String =
+  lazy val s1Sql: String =
     s"""WITH ${VectorExprs.embCtes},
        |${exactPairsCte("pairs")},
        |${topkCte("r", "pairs")}
@@ -118,7 +118,7 @@ object SimilarityOps {
       col("q.label") === col("c.label"))
   }
 
-  val s16Sql: String =
+  lazy val s16Sql: String =
     s"""WITH ${VectorExprs.embCtes},
        |pairs AS (
        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -153,7 +153,7 @@ object SimilarityOps {
     ranked(pairs)
   }
 
-  val s2Sql: String =
+  lazy val s2Sql: String =
     s"""WITH ${VectorExprs.bandCtes},
        |${lshPairsCtes("cand", "pairs")},
        |${topkCte("r", "pairs")}
@@ -194,7 +194,7 @@ object SimilarityOps {
       .orderBy(col("label"), col("rank"))
   }
 
-  val s3Sql: String =
+  lazy val s3Sql: String =
     s"""WITH ${VectorExprs.bandCtes},
        |okl AS (
        |  SELECT label, band, bkey FROM ebb
@@ -261,7 +261,7 @@ object SimilarityOps {
     ranked(pairs)
   }
 
-  val s4Sql: String =
+  lazy val s4Sql: String =
     s"""WITH ${VectorExprs.embCtes},
        |cents AS (SELECT vec_id AS mid, vd AS mvd, n2 AS mn2 FROM eb WHERE vec_id < 16),
        |scored AS (
@@ -315,7 +315,7 @@ object SimilarityOps {
       .orderBy(col("query_id"), col("neighbor_id"))
   }
 
-  val s6Sql: String =
+  lazy val s6Sql: String =
     s"""WITH ${VectorExprs.embCtes}
        |SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
        |  ${VectorExprs.duckDot("q.vd", "c.vd")}
@@ -465,7 +465,7 @@ object SimilarityOps {
     ranked(pairs)
   }
 
-  val s19Sql: String =
+  lazy val s19Sql: String =
     s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
        |dm AS (SELECT doc_id,
        |  list_transform(ws, x ->
@@ -516,7 +516,7 @@ object SimilarityOps {
       .orderBy(col("cluster_id"))
   }
 
-  val s18Sql: String =
+  lazy val s18Sql: String =
     s"""WITH $codebookCtes,
        |sc2 AS (${duckCent("c1")}),
        |a2 AS MATERIALIZED (SELECT vec_id, mid AS cluster FROM (
@@ -572,7 +572,7 @@ object SimilarityOps {
       .orderBy(col("cluster_id"))
   }
 
-  val s17Sql: String =
+  lazy val s17Sql: String =
     s"""WITH $codebookCtes,
        |sc2 AS (${duckCent("c1")}),
        |a2 AS (SELECT vec_id, mid AS cluster FROM (
@@ -611,7 +611,7 @@ object SimilarityOps {
        |c1 AS MATERIALIZED (SELECT cluster AS mid,
        |  list(CAST(s AS DOUBLE) / (n * 1000000.0) ORDER BY d) AS cm FROM s1 GROUP BY cluster)""".stripMargin
 
-  val s5Sql: String =
+  lazy val s5Sql: String =
     s"""WITH $codebookCtes,
        |sc2 AS (${duckCent("c1")}),
        |a2 AS (SELECT vec_id, mid AS cluster FROM (
@@ -697,7 +697,7 @@ object SimilarityOps {
        |  JOIN eb c ON c.vec_id = a.cvec
        |  WHERE c.vec_id != q.qid)""".stripMargin
 
-  val s7Sql: String =
+  lazy val s7Sql: String =
     s"""WITH $codebookCtes,
        |${ivfProbePairsCtes("pairs")},
        |${topkCte("r", "pairs")}
@@ -712,7 +712,7 @@ object SimilarityOps {
   def s9IvfRecall(spark: SparkSession, dir: String): DataFrame =
     recallOf(s1KnnBrute(spark, dir), s7IvfTrained(spark, dir))
 
-  val s9Sql: String =
+  lazy val s9Sql: String =
     s"""WITH $codebookCtes,
        |${exactPairsCte("xpairs")},
        |${topkCte("xr", "xpairs")},
@@ -744,7 +744,7 @@ object SimilarityOps {
     }.reduce(_.unionByName(_)).orderBy(col("nprobe"))
   }
 
-  val s44Sql: String = {
+  lazy val s44Sql: String = {
     def block(np: Int) =
       s"""SELECT * FROM (
          |WITH $codebookCtes,
@@ -811,7 +811,7 @@ object SimilarityOps {
   // Oracle: s1's pair CTE and s2's candidate/pair CTEs — the SAME
   // shared bodies s1Sql/s2Sql are built from — chained off the band
   // CTEs and joined exactly like the Spark plan.
-  val s8Sql: String =
+  lazy val s8Sql: String =
     s"""WITH ${VectorExprs.bandCtes},
        |${exactPairsCte("xpairs")},
        |${topkCte("xr", "xpairs")},
@@ -940,7 +940,7 @@ object SimilarityOps {
        |  GROUP BY l.qid, p.vec_id, l.qn2)""".stripMargin
   }
 
-  val s10Sql: String =
+  lazy val s10Sql: String =
     s"""WITH ${VectorExprs.embCtes},
        |${graft.operators.vector.VectorOps.pqPickCtes},
        |${pqAdcPairsCtes("pairs")},
@@ -956,7 +956,7 @@ object SimilarityOps {
   def s11PqRecall(spark: SparkSession, dir: String): DataFrame =
     recallOf(s1KnnBrute(spark, dir), s10PqKnn(spark, dir))
 
-  val s11Sql: String =
+  lazy val s11Sql: String =
     s"""WITH ${VectorExprs.embCtes},
        |${exactPairsCte("xpairs")},
        |${topkCte("xr", "xpairs")},
@@ -1021,7 +1021,7 @@ object SimilarityOps {
        |    ORDER BY score DESC, mid) AS rn FROM psc WHERE vec_id < 10) p
        |  WHERE rn <= $NPROBE)""".stripMargin
 
-  val s12Sql: String =
+  lazy val s12Sql: String =
     s"""WITH $codebookCtes,
        |${graft.operators.vector.VectorOps.pqPickCtes},
        |$ivfCoarseCtes,
@@ -1039,7 +1039,7 @@ object SimilarityOps {
   def s13IvfPqRecall(spark: SparkSession, dir: String): DataFrame =
     recallOf(s1KnnBrute(spark, dir), s12IvfPq(spark, dir))
 
-  val s13Sql: String =
+  lazy val s13Sql: String =
     s"""WITH $codebookCtes,
        |${exactPairsCte("xpairs")},
        |${topkCte("xr", "xpairs")},
@@ -1192,7 +1192,7 @@ object SimilarityOps {
        |      ORDER BY dist, code) AS rn FROM rsc) x WHERE rn = 1)""".stripMargin
   }
 
-  val s14Sql: String =
+  lazy val s14Sql: String =
     s"""WITH ${VectorExprs.embCtes},
        |${graft.operators.vector.VectorOps.pqPickCtes},
        |$pqTrainedCtes
@@ -1235,7 +1235,7 @@ object SimilarityOps {
        |  GROUP BY l.qid, p.vec_id, l.qn2)""".stripMargin
   }
 
-  val s15Sql: String =
+  lazy val s15Sql: String =
     s"""WITH ${VectorExprs.embCtes},
        |${exactPairsCte("xpairs")},
        |${topkCte("xr", "xpairs")},
@@ -1281,7 +1281,7 @@ object SimilarityOps {
   def s25TrainedIvfPq(spark: SparkSession, dir: String): DataFrame =
     s25TrainedIvfPqWith(spark, dir, NPROBE)
 
-  val s25Sql: String =
+  lazy val s25Sql: String =
     s"""WITH $codebookCtes,
        |${graft.operators.vector.VectorOps.pqPickCtes},
        |${pqTrainedCtesFrom(withQv = false)},
@@ -1300,7 +1300,7 @@ object SimilarityOps {
   def s26TrainedIvfPqRecall(spark: SparkSession, dir: String): DataFrame =
     recallOf(s1KnnBrute(spark, dir), s25TrainedIvfPq(spark, dir))
 
-  val s26Sql: String =
+  lazy val s26Sql: String =
     s"""WITH $codebookCtes,
        |${exactPairsCte("xpairs")},
        |${topkCte("xr", "xpairs")},
@@ -1352,7 +1352,7 @@ object SimilarityOps {
        |  FROM sc q, sc c WHERE q.vec_id < 10 AND q.vec_id != c.vec_id)"""
       .stripMargin
 
-  val s20Sql: String =
+  lazy val s20Sql: String =
     s"""WITH ${VectorExprs.embCtes},
        |${graft.operators.vector.VectorOps.signCte},
        |${hammingPairsCtes("hp")},
@@ -1368,7 +1368,7 @@ object SimilarityOps {
   def s21HammingRecall(spark: SparkSession, dir: String): DataFrame =
     recallOf(s1KnnBrute(spark, dir), s20HammingKnn(spark, dir))
 
-  val s21Sql: String =
+  lazy val s21Sql: String =
     s"""WITH ${VectorExprs.embCtes},
        |${exactPairsCte("xpairs")},
        |${topkCte("xr", "xpairs")},
@@ -1390,7 +1390,7 @@ object SimilarityOps {
     recallOf(s1KnnBrute(spark, dir),
       hammingKnnOf(graft.operators.vector.VectorOps.trainedSignCodes(spark, dir)))
 
-  val s29Sql: String =
+  lazy val s29Sql: String =
     s"""WITH ${VectorExprs.embCtes},
        |${exactPairsCte("xpairs")},
        |${topkCte("xr", "xpairs")},
@@ -1451,7 +1451,7 @@ object SimilarityOps {
        |  FROM ef q, ef c
        |  WHERE q.vec_id < 10 AND q.vec_id != c.vec_id)""".stripMargin
 
-  val s22Sql: String =
+  lazy val s22Sql: String =
     s"""WITH ${VectorExprs.embCtes},
        |${truncPairsCte("tpairs")},
        |${topkCte("r", "tpairs")}
@@ -1512,7 +1512,7 @@ object SimilarityOps {
        |              JOIN eb c ON d.neighbor_id = c.vec_id),
        |${topkCte(approxTopk, "rpairs")}""".stripMargin
 
-  val s23Sql: String =
+  lazy val s23Sql: String =
     s"""WITH ${VectorExprs.embCtes},
        |${rerankCtes("r")}
        |SELECT query_id, neighbor_id, cosine, rank FROM r
@@ -1527,7 +1527,7 @@ object SimilarityOps {
   def s24RerankRecall(spark: SparkSession, dir: String): DataFrame =
     recallOf(s1KnnBrute(spark, dir), s23Rerank(spark, dir))
 
-  val s24Sql: String =
+  lazy val s24Sql: String =
     s"""WITH ${VectorExprs.embCtes},
        |${exactPairsCte("xpairs")},
        |${topkCte("xr", "xpairs")},
@@ -1575,7 +1575,7 @@ object SimilarityOps {
       .orderBy(col("query_id"))
   }
 
-  val s27Sql: String =
+  lazy val s27Sql: String =
     s"""WITH ${VectorExprs.embCtes},
        |${exactPairsCte("pairs")},
        |${topkCte("r", "pairs")},
@@ -1650,7 +1650,7 @@ object SimilarityOps {
       .orderBy(col("query_id"))
   }
 
-  val s28Sql: String =
+  lazy val s28Sql: String =
     s"""WITH ${VectorExprs.embCtes},
        |qvv AS (SELECT vec_id, label,
        |  [CAST(round(x * 1000000) AS BIGINT) for x in vd] AS qv FROM eb),
@@ -1706,7 +1706,7 @@ object SimilarityOps {
           .as("imbalance_x100"))
   }
 
-  val s30Sql: String =
+  lazy val s30Sql: String =
     s"""WITH $assignCtes,
        |sz AS (SELECT cluster, count(*) AS sz FROM a2 GROUP BY 1),
        |s AS (
@@ -1776,7 +1776,7 @@ object SimilarityOps {
        |      AS cosine
        |  FROM qn q, rn c WHERE q.vec_id != c.vec_id)""".stripMargin
 
-  val s31Sql: String =
+  lazy val s31Sql: String =
     s"""WITH ${VectorExprs.embCtes},
        |$sqPairsCtes,
        |${topkCte("r", "apairs")}
@@ -1791,7 +1791,7 @@ object SimilarityOps {
   def s32SqRecall(spark: SparkSession, dir: String): DataFrame =
     recallOf(s1KnnBrute(spark, dir), s31SqKnn(spark, dir))
 
-  val s32Sql: String =
+  lazy val s32Sql: String =
     s"""WITH ${VectorExprs.embCtes},
        |${exactPairsCte("xpairs")},
        |${topkCte("xr", "xpairs")},
@@ -1875,7 +1875,7 @@ object SimilarityOps {
        |${topkCte("mr", "mp")},
        |mk AS MATERIALIZED (SELECT * FROM mr WHERE rank <= $K)""".stripMargin
 
-  val s33Sql: String =
+  lazy val s33Sql: String =
     s"""WITH $knnListsCtes
        |SELECT f.query_id AS vec_a, f.neighbor_id AS vec_b,
        |  f.cosine AS cosine, f.rank AS rank_ab, g.rank AS rank_ba
@@ -1922,7 +1922,7 @@ object SimilarityOps {
   def s37NnDescent(spark: SparkSession, dir: String): DataFrame =
     nndRound1(spark, dir).orderBy(col("query_id"), col("rank"))
 
-  val s37Sql: String =
+  lazy val s37Sql: String =
     s"""WITH $knnListsCtes,
        |nc AS (
        |  SELECT DISTINCT qid, cid FROM (
@@ -1958,7 +1958,7 @@ object SimilarityOps {
     seed.join(desc, Seq("query_id")).orderBy(col("query_id"))
   }
 
-  val s38Sql: String =
+  lazy val s38Sql: String =
     s"""WITH $knnListsCtes,
        |nc AS (
        |  SELECT DISTINCT qid, cid FROM (
@@ -2030,7 +2030,7 @@ object SimilarityOps {
       .orderBy(col("cluster_id"))
   }
 
-  val s43Sql: String =
+  lazy val s43Sql: String =
     s"""WITH $codebookCtes,
        |shift AS (
        |  SELECT s1.cluster,
@@ -2082,7 +2082,7 @@ object SimilarityOps {
     out.orderBy(col("round"))
   }
 
-  val s42Sql: String = {
+  lazy val s42Sql: String = {
     def expand(src: String, nc: String, np: String, nr: String, mk: String) =
       s"""$nc AS (
          |  SELECT DISTINCT qid, cid FROM (
@@ -2204,7 +2204,7 @@ object SimilarityOps {
        |$rounds""".stripMargin
   }
 
-  val s45Sql: String =
+  lazy val s45Sql: String =
     s"""WITH $knnListsCtes,
        |$beamCtes
        |SELECT query_id, neighbor_id, cosine, rank FROM bm$BeamRounds
@@ -2229,7 +2229,7 @@ object SimilarityOps {
     beam.join(direct, Seq("query_id")).orderBy(col("query_id"))
   }
 
-  val s46Sql: String =
+  lazy val s46Sql: String =
     s"""WITH $knnListsCtes,
        |$beamCtes,
        |${exactPairsCte("xp")},
@@ -2336,7 +2336,7 @@ object SimilarityOps {
        |  GROUP BY a.vec_id, b.vec_id, qa.n2r, qb.n2r)""".stripMargin
   }
 
-  val s39Sql: String =
+  lazy val s39Sql: String =
     s"""WITH ${VectorExprs.embCtes},
        |${graft.operators.vector.VectorOps.pqPickCtes},
        |${sdcPairsCtes("spairs")},
@@ -2376,7 +2376,7 @@ object SimilarityOps {
     adc.join(sdc, Seq("query_id")).orderBy(col("query_id"))
   }
 
-  val s40Sql: String =
+  lazy val s40Sql: String =
     s"""WITH ${VectorExprs.embCtes},
        |${exactPairsCte("xp", SdcProbeLo, SdcProbeHi)},
        |${topkCte("xr", "xp")},
@@ -2450,7 +2450,7 @@ object SimilarityOps {
       .orderBy(col("theta_ppm"))
   }
 
-  val s41Sql: String = {
+  lazy val s41Sql: String = {
     val vals = CosSweepPpm.mkString("(", "), (", ")")
     s"""WITH ${VectorExprs.bandCtes},
        |cd AS (
@@ -2503,7 +2503,7 @@ object SimilarityOps {
       .orderBy(col("k"))
   }
 
-  val s34Sql: String =
+  lazy val s34Sql: String =
     s"""WITH ${VectorExprs.bandCtes},
        |${exactPairsCte("xpairs")},
        |${topkCte("xr", "xpairs")},
@@ -2588,7 +2588,7 @@ object SimilarityOps {
        |      AS cosine
        |  FROM rqn q JOIN rrn c ON q.vec_id != c.vec_id)""".stripMargin
 
-  val s35Sql: String =
+  lazy val s35Sql: String =
     s"""WITH $residualPairsCtes,
        |${topkCte("ar", "apairs")}
        |SELECT query_id, neighbor_id, cosine, rank FROM ar
@@ -2598,7 +2598,7 @@ object SimilarityOps {
   def s36ResidualRecall(spark: SparkSession, dir: String): DataFrame =
     recallOf(s1KnnBrute(spark, dir), s35ResidualKnn(spark, dir))
 
-  val s36Sql: String =
+  lazy val s36Sql: String =
     s"""WITH $residualPairsCtes,
        |${exactPairsCte("xpairs")},
        |${topkCte("xr", "xpairs")},

@@ -41,7 +41,7 @@ object TextOps {
           .otherwise(lit("fr")))
       .orderBy(col("doc_id"))
 
-  val t1Sql: String =
+  lazy val t1Sql: String =
     s"""SELECT doc_id,
        |  len(list_filter(string_split(text,' '), w -> w IN ${sqlSet(EN)})) AS en_hits,
        |  len(list_filter(string_split(text,' '), w -> w IN ${sqlSet(DE)})) AS de_hits,
@@ -67,7 +67,7 @@ object TextOps {
           + lit(0.5) * col("stop_ratio"))
       .orderBy(col("doc_id"))
 
-  val t2Sql: String =
+  lazy val t2Sql: String =
     s"""SELECT doc_id, n_chars,
        |  len(string_split(text,' ')) AS n_tokens,
        |  len(list_filter(string_split(text,' '), w -> w IN ${sqlSet(EN)})) AS stop_hits,
@@ -86,7 +86,7 @@ object TextOps {
         size(array_distinct(split(col("text"), " "))).as("distinct_tokens"))
       .orderBy(col("doc_id"))
 
-  val t3Sql: String =
+  lazy val t3Sql: String =
     """SELECT doc_id,
       |  len(string_split(text,' ')) AS ws_tokens,
       |  len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS re_tokens,
@@ -106,7 +106,7 @@ object TextOps {
           .as("fingerprint"))
       .orderBy(col("doc_id"))
 
-  val t4Sql: String =
+  lazy val t4Sql: String =
     """SELECT doc_id,
       |  list_reduce(
       |    list_prepend(CAST(0 AS BIGINT),
@@ -134,7 +134,7 @@ object TextOps {
       .limit(100)
   }
 
-  val t5Sql: String =
+  lazy val t5Sql: String =
     """WITH w AS (SELECT string_split(text,' ') AS ws FROM documents),
       |g AS (SELECT unnest(list_transform(generate_series(1, len(ws)-2),
       |                                   i -> ws[i]||' '||ws[i+1]||' '||ws[i+2])) AS ngram
@@ -200,7 +200,7 @@ object TextOps {
       .select(col("doc_id"), col("source"),
         size(split(col("text"), " ")).as("toks")))
 
-  val t6Sql: String =
+  lazy val t6Sql: String =
     s"""WITH tk AS (
        |  SELECT doc_id, source, len(string_split(text,' ')) AS toks FROM documents),
        |c AS (
@@ -225,7 +225,7 @@ object TextOps {
         sum(size(split(col("text"), " "))).as("n_tokens"))
       .orderBy(col("source"), col("split"))
 
-  val t7Sql: String =
+  lazy val t7Sql: String =
     """WITH h AS (
       |  SELECT source, text,
       |    CASE WHEN ((doc_id % 2147483647) * 2654435761) % 2147483647 % 100 < 90
@@ -262,7 +262,7 @@ object TextOps {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
       .orderBy(col("source"), col("pred_lang"))
 
-  val t8Sql: String =
+  lazy val t8Sql: String =
     s"""WITH f AS (
        |  SELECT doc_id, source, n_chars,
        |    len(string_split(text,' ')) AS n_tokens,
@@ -318,7 +318,7 @@ object TextOps {
     packManifest(train.select(col("doc_id"), col("source"), col("toks")))
   }
 
-  val t9Sql: String =
+  lazy val t9Sql: String =
     s"""WITH f AS (
        |  SELECT doc_id, source, n_chars, text,
        |    len(string_split(text,' ')) AS toks,
@@ -384,7 +384,7 @@ object TextOps {
       .orderBy(col("doc_id"), col("rank"))
   }
 
-  val t10Sql: String =
+  lazy val t10Sql: String =
     s"""WITH words AS (
        |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
        |tf AS (SELECT doc_id, word, count(*) AS tf FROM words GROUP BY doc_id, word),
@@ -448,7 +448,7 @@ object TextOps {
       .orderBy(col("source"), col("pred_lang"))
   }
 
-  val t11Sql: String =
+  lazy val t11Sql: String =
     s"""WITH f AS (
        |  SELECT doc_id, source,
        |    len(string_split(text,' ')) AS n_tokens,
@@ -532,7 +532,7 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
-  val t12Sql: String =
+  lazy val t12Sql: String =
     s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
        |top AS (
        |  SELECT doc_id, max(c) AS top_word_cnt FROM (
@@ -598,7 +598,7 @@ object TextOps {
           .as("redacted_fp"))
       .orderBy(col("doc_id"))
 
-  val t13Sql: String =
+  lazy val t13Sql: String =
     s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
        |SELECT doc_id,
        |  len(ws) AS n_words,
@@ -650,7 +650,7 @@ object TextOps {
           .as("doc_vec"))
       .orderBy(col("doc_id"))
 
-  val t14Sql: String = {
+  lazy val t14Sql: String = {
     val dimCols = (0 until EmbedDims)
       .map(i => f"  CAST(len(list_filter(dims, x -> x = $i)) AS BIGINT) AS v$i%02d")
       .mkString(",\n")
@@ -706,7 +706,7 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
-  val t15Sql: String =
+  lazy val t15Sql: String =
     s"""WITH w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
        |g AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(ws)-1),
        |                                           i -> ws[i]||' '||ws[i+1])) AS bg
@@ -716,6 +716,57 @@ object TextOps {
        |  count(c.bg) * 1000000 // count(*) AS coverage_ppm
        |FROM g LEFT JOIN c ON g.bg = c.bg
        |GROUP BY g.doc_id ORDER BY doc_id""".stripMargin
+
+  // ---- t34: collocation mining (PMI lift over adjacent pairs) ----
+  // The classic collocation extractor (Church & Hanks 1990): for each
+  // adjacent token pair, how much MORE often does it occur than the
+  // independence model predicts — lift = p(ab)/(p(a)·p(b)), which is
+  // exp(PMI), shipped as exact-integer ppm so the ranking gates
+  // without float logs. Marginals, total and pair counts all derive
+  // from ONE grouped re-aggregation of the shared docBigrams explode
+  // (the same cached pass t15/t28 read): pair table is vocab²-bounded
+  // after the count-≥-MinColloc floor, the two marginal joins are
+  // vocabulary-keyed hash joins, the one-row total broadcasts, and
+  // the final top-100 is a TakeOrdered — no corpus-row re-shuffle
+  // anywhere. The ppm arithmetic promotes to DECIMAL(38,0)/HUGEINT
+  // because n_pair·N_total·1e6 genuinely exceeds BIGINT once the
+  // corpus passes ~1e12 bigrams. (w1,w2) is unique per row, so the
+  // DESC-lift + lexicographic tiebreak makes the limit deterministic.
+  private val MinColloc = 5
+  def t34Collocations(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = docBigrams(spark, dir)
+      .select(split(col("bg"), " ").as("ws"))
+      .select(col("ws").getItem(0).as("w1"), col("ws").getItem(1).as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_pair"))
+    val left = pairs.groupBy(col("w1")).agg(sum(col("n_pair")).as("c1"))
+    val right = pairs.groupBy(col("w2")).agg(sum(col("n_pair")).as("c2"))
+    val total = pairs.agg(sum(col("n_pair")).as("n_total"))
+    pairs.filter(col("n_pair") >= MinColloc)
+      .join(left, Seq("w1")).join(right, Seq("w2"))
+      .crossJoin(broadcast(total))
+      .select(col("w1"), col("w2"), col("n_pair"),
+        expr("""CAST(CAST(n_pair AS DECIMAL(38,0)) * n_total * 1000000
+               |  div (CAST(c1 AS DECIMAL(38,0)) * c2) AS BIGINT)""".stripMargin)
+          .as("lift_ppm"))
+      .orderBy(col("lift_ppm").desc, col("w1"), col("w2"))
+      .limit(100)
+  }
+
+  lazy val t34Sql: String =
+    s"""WITH w AS (SELECT string_split(text,' ') AS ws FROM documents),
+       |g AS (SELECT ws[i] AS w1, ws[i + 1] AS w2
+       |      FROM (SELECT ws, unnest(generate_series(1, len(ws) - 1)) AS i
+       |            FROM w WHERE len(ws) >= 2) b),
+       |p AS (SELECT w1, w2, count(*) AS n_pair FROM g GROUP BY 1, 2),
+       |l AS (SELECT w1, CAST(sum(n_pair) AS HUGEINT) AS c1 FROM p GROUP BY 1),
+       |r AS (SELECT w2, CAST(sum(n_pair) AS HUGEINT) AS c2 FROM p GROUP BY 1),
+       |n AS (SELECT CAST(sum(n_pair) AS HUGEINT) AS n_total FROM p)
+       |SELECT p.w1, p.w2, CAST(p.n_pair AS BIGINT) AS n_pair,
+       |  CAST(CAST(p.n_pair AS HUGEINT) * n.n_total * 1000000
+       |    // (l.c1 * r.c2) AS BIGINT) AS lift_ppm
+       |FROM p JOIN l ON p.w1 = l.w1 JOIN r ON p.w2 = r.w2 CROSS JOIN n
+       |WHERE p.n_pair >= $MinColloc
+       |ORDER BY lift_ppm DESC, p.w1, p.w2 LIMIT 100""".stripMargin
 
   // ---- t28: train-split bigram LM score (held-out fluency gauge) ----
   // t15 scores documents against the WHOLE corpus — fine for triage,
@@ -749,7 +800,7 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
-  val t28Sql: String =
+  lazy val t28Sql: String =
     """WITH w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
       |g AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(ws)-1),
       |                                           i -> ws[i]||' '||ws[i+1])) AS bg
@@ -817,7 +868,7 @@ object TextOps {
       .orderBy(col("source_a"), col("source_b"))
   }
 
-  val t29Sql: String =
+  lazy val t29Sql: String =
     """WITH tk AS (SELECT source, unnest(string_split(text, ' ')) AS tok
       |            FROM documents),
       |c AS (SELECT source, tok, count(*) AS cnt FROM tk GROUP BY 1, 2),
@@ -871,7 +922,7 @@ object TextOps {
       .orderBy(col("source"), col("rank"))
   }
 
-  val t30Sql: String =
+  lazy val t30Sql: String =
     """WITH tk AS (SELECT source, unnest(string_split(text, ' ')) AS tok
       |            FROM documents),
       |c AS (SELECT source, tok, count(*) AS cnt FROM tk GROUP BY 1, 2),
@@ -933,7 +984,7 @@ object TextOps {
       .orderBy(col("source"), col("decile"))
   }
 
-  val t31Sql: String =
+  lazy val t31Sql: String =
     """WITH dm AS (
       |  SELECT source, doc_id, len(string_split(text, ' ')) AS n_toks,
       |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn,
@@ -991,7 +1042,7 @@ object TextOps {
       .orderBy(col("source"))
   }
 
-  val t32Sql: String =
+  lazy val t32Sql: String =
     s"""WITH cl AS (${graft.operators.dedup.DedupOps.d6Sql}),
        |dr AS (SELECT doc_id FROM cl WHERE doc_id <> cluster_id),
        |d AS (SELECT doc_id, source,
@@ -1040,7 +1091,7 @@ object TextOps {
       .orderBy(col("source"), col("wlen"))
   }
 
-  val t33Sql: String =
+  lazy val t33Sql: String =
     """WITH w AS (
       |  SELECT source, CAST(len(tok) AS BIGINT) AS wlen
       |  FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
@@ -1079,7 +1130,7 @@ object TextOps {
         sum(col("n_chars")).cast("long").as("total_chars"))
       .orderBy(col("source"))
 
-  val t16Sql: String =
+  lazy val t16Sql: String =
     """SELECT source,
       |  CAST(quantile_disc(n_chars, 0.5) AS BIGINT) AS p50,
       |  CAST(quantile_disc(n_chars, 0.9) AS BIGINT) AS p90,
@@ -1201,7 +1252,7 @@ object TextOps {
        |  WHERE pos <= greatest(m - ${WinW - 1}, 1))""".stripMargin
   }
 
-  val t17Sql: String =
+  lazy val t17Sql: String =
     s"""WITH $winnowFpCtes
        |SELECT doc_id, m AS n_spans, count(*) AS n_fp,
        |  1000000 * count(*) // m AS density_ppm,
@@ -1236,7 +1287,7 @@ object TextOps {
             / col("n_words").cast("double")))
       .orderBy(col("doc_id"))
 
-  val t18Sql: String =
+  lazy val t18Sql: String =
     """SELECT doc_id,
       |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
       |  CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT)
@@ -1274,7 +1325,7 @@ object TextOps {
         expr("n_hapax * 1000000 div n_types").as("hapax_ppm"))
       .orderBy(col("source"))
 
-  val t19Sql: String =
+  lazy val t19Sql: String =
     """WITH tc AS (
       |  SELECT source, token, count(*) AS cnt
       |  FROM (SELECT source, unnest(string_split(text, ' ')) AS token
@@ -1314,7 +1365,7 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
-  val t20Sql: String =
+  lazy val t20Sql: String =
     s"""WITH toks AS (
        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
        |freq AS (SELECT w, count(*) AS cf FROM toks GROUP BY w)
@@ -1353,7 +1404,7 @@ object TextOps {
         col("n_hits") >= PurityEvidenceMin && col("purity_ppm") < PurityPpmMin)
       .orderBy(col("doc_id"))
 
-  val t21Sql: String =
+  lazy val t21Sql: String =
     s"""WITH h AS (
        |  SELECT doc_id,
        |    CAST(len(list_filter(string_split(text,' '), w -> w IN ${sqlSet(EN)})) AS BIGINT) AS en_hits,
@@ -1401,7 +1452,7 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
-  val t22Sql: String =
+  lazy val t22Sql: String =
     """WITH w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
       |dg AS (
       |  SELECT DISTINCT doc_id,
@@ -1441,7 +1492,7 @@ object TextOps {
       .withColumn("boiler_ppm", expr("n_boiler_docs * 1000000 div n_docs"))
       .orderBy(col("source"))
 
-  val t23Sql: String =
+  lazy val t23Sql: String =
     s"""WITH p AS (
        |  SELECT source, substr(text, 1, $BoilerPrefixChars) AS pfx,
        |    count(*) AS n
@@ -1498,7 +1549,7 @@ object TextOps {
       .orderBy(col("word"))
   }
 
-  val t24Sql: String =
+  lazy val t24Sql: String =
     s"""WITH dc AS (
        |  SELECT w, doc_id, count(*) AS c FROM (
        |    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
@@ -1543,7 +1594,7 @@ object TextOps {
       .limit(50)
   }
 
-  val t25Sql: String =
+  lazy val t25Sql: String =
     s"""WITH dc AS (
        |  SELECT w, doc_id, count(*) AS c FROM (
        |    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
@@ -1610,7 +1661,7 @@ object TextOps {
       .orderBy(col("rank_bucket"))
   }
 
-  val t26Sql: String =
+  lazy val t26Sql: String =
     """WITH st AS (
       |  SELECT w, sum(c) AS sc FROM (
       |    SELECT doc_id, unnest(string_split(text, ' ')) AS w, 1 AS c
@@ -1673,7 +1724,7 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
-  val t27Sql: String = {
+  lazy val t27Sql: String = {
     val spanN = graft.operators.dedup.DedupOps.SpanN
     s"""WITH wv AS (
        |  SELECT doc_id,
@@ -1710,6 +1761,7 @@ object TextOps {
     "t31_vocab_growth" -> (t31VocabGrowth _),
     "t32_dedup_impact" -> (t32DedupImpact _),
     "t33_wordlen_histogram" -> (t33WordlenHistogram _),
+    "t34_collocations" -> (t34Collocations _),
     "t26_zipf_profile" -> (t26ZipfProfile _),
     "t25_stopword_induction" -> (t25StopwordInduction _),
     "t24_burstiness" -> (t24Burstiness _),
@@ -1745,6 +1797,7 @@ object TextOps {
     "t31_vocab_growth" -> t31Sql,
     "t32_dedup_impact" -> t32Sql,
     "t33_wordlen_histogram" -> t33Sql,
+    "t34_collocations" -> t34Sql,
     "t26_zipf_profile" -> t26Sql,
     "t25_stopword_induction" -> t25Sql,
     "t24_burstiness" -> t24Sql,

@@ -40,7 +40,7 @@ object VectorOps {
         element_at(col("nd"), 3).as("nd3"), element_at(col("nd"), 4).as("nd4"))
       .orderBy(col("vec_id"))
 
-  val v1Sql: String =
+  lazy val v1Sql: String =
     s"""WITH ${VectorExprs.embCtes}
        |SELECT vec_id, sqrt(n2) AS norm,
        |  vd[1] / sqrt(n2) AS nd1, vd[2] / sqrt(n2) AS nd2,
@@ -63,7 +63,7 @@ object VectorOps {
         expr("array_max(q)").as("q_max"))
       .orderBy(col("vec_id"))
 
-  val v2Sql: String =
+  lazy val v2Sql: String =
     s"""WITH ${VectorExprs.embCtes},
        |qd AS (
        |  SELECT vec_id, 127.0 / list_max([abs(x) for x in vd]) AS scale,
@@ -100,7 +100,7 @@ object VectorOps {
       .orderBy(col("vec_id"))
   }
 
-  val v3Sql: String =
+  lazy val v3Sql: String =
     s"""WITH ${VectorExprs.embCtes},
        |pr AS (
        |  SELECT vec_id,
@@ -194,7 +194,7 @@ object VectorOps {
        |      ORDER BY dist, mid) AS rn FROM pqsu) x WHERE rn = 1)""".stripMargin
   }
 
-  val v4Sql: String =
+  lazy val v4Sql: String =
     s"""WITH ${VectorExprs.embCtes},
        |$pqPickCtes
        |SELECT vec_id,
@@ -237,7 +237,7 @@ object VectorOps {
       .filter(col("ci") <= col("cj"))
       .orderBy(col("m"), col("ci"), col("cj"))
 
-  val v12Sql: String =
+  lazy val v12Sql: String =
     s"""WITH ${VectorExprs.embCtes},
        |pqcents AS (SELECT vec_id AS mid, vd AS cvd FROM eb WHERE vec_id < $PqK),
        |sd AS (
@@ -295,7 +295,7 @@ object VectorOps {
        |  FROM ef)""".stripMargin
   }
 
-  val v5Sql: String =
+  lazy val v5Sql: String =
     s"""WITH ${VectorExprs.embCtes},
        |$signCte
        |SELECT vec_id, sign_lo, sign_hi,
@@ -334,7 +334,7 @@ object VectorOps {
       .agg(count(lit(1)).as("n_vecs"))
       .orderBy(col("m"), col("code"))
 
-  val v14Sql: String =
+  lazy val v14Sql: String =
     s"""WITH ${VectorExprs.embCtes},
        |$pqPickCtes
        |SELECT m, code, count(*) AS n_vecs FROM pick
@@ -356,7 +356,7 @@ object VectorOps {
       .orderBy(col("bit"))
   }
 
-  val v13Sql: String =
+  lazy val v13Sql: String =
     s"""WITH ${VectorExprs.embCtes},
        |$signCte,
        |bits AS (
@@ -434,7 +434,7 @@ object VectorOps {
        |  FROM ef, mv)""".stripMargin
   }
 
-  val v6Sql: String =
+  lazy val v6Sql: String =
     s"""WITH ${VectorExprs.embCtes},
        |$trainedSignCte
        |SELECT vec_id, sign_lo, sign_hi,
@@ -468,7 +468,7 @@ object VectorOps {
           .as("var_micro2"))
       .orderBy(col("d"))
 
-  val v7Sql: String =
+  lazy val v7Sql: String =
     s"""WITH ${VectorExprs.embCtes},
        |q AS (
        |  SELECT d, CAST(round(vd[d] * 1000000) AS HUGEINT) AS q
@@ -559,7 +559,7 @@ object VectorOps {
       |     for d in generate_series(1, 64)] AS codes
       |  FROM qm, mm)""".stripMargin
 
-  val v8Sql: String =
+  lazy val v8Sql: String =
     s"""WITH ${VectorExprs.embCtes},
        |$sqCtes
        |SELECT vec_id, codes[1] AS c1, codes[2] AS c2, codes[3] AS c3,
@@ -667,7 +667,7 @@ object VectorOps {
        |     for d in generate_series(1, 64)] AS codes
        |  FROM rx JOIN bda USING (cluster))""".stripMargin
 
-  val v9Sql: String =
+  lazy val v9Sql: String =
     s"""WITH $residualCtes
        |SELECT vec_id, cluster, codes[1] AS c1, codes[2] AS c2,
        |  codes[3] AS c3, codes[4] AS c4,
@@ -700,7 +700,7 @@ object VectorOps {
         prefixShare(48).as("share48_ppm"))
       .orderBy(col("vec_id"))
 
-  val v10Sql: String = {
+  lazy val v10Sql: String = {
     def duckShare(k: Int): String =
       s"""CAST(1000000 * CAST(list_sum([qv[d] * qv[d]
          |    for d in generate_series(1, $k)]) AS HUGEINT)
@@ -759,7 +759,7 @@ object VectorOps {
       .orderBy(col("vec_id"))
   }
 
-  val v11Sql: String = {
+  lazy val v11Sql: String = {
     def mask(lo: Int, neg: Boolean) = {
       val q = if (neg) "-qm.qv[i]" else "qm.qv[i]"
       s"""CAST(list_sum(list_transform(generate_series($lo, ${lo + 31}),

@@ -19,7 +19,7 @@ object EventOps {
     EventStreams.tumbling(events(spark, dir))
       .orderBy(col("window_start"), col("event_type"))
 
-  val e1Sql: String =
+  lazy val e1Sql: String =
     """SELECT date_trunc('hour', ts) AS window_start, event_type,
       |  count(*) AS n_events,
       |  CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_value
@@ -32,7 +32,7 @@ object EventOps {
     EventStreams.sliding(events(spark, dir))
       .orderBy(col("window_start"), col("event_type"))
 
-  val e2Sql: String =
+  lazy val e2Sql: String =
     """WITH assigned AS (
       |  SELECT date_trunc('hour', ts) AS window_start, event_type, value FROM events
       |  UNION ALL
@@ -53,7 +53,7 @@ object EventOps {
   // [t+gap, t+2gap) touch and merge) and CustomSessions' inclusive
   // bounds — oracle, builtin and custom state agree on every input,
   // including exact-gap events (EventStreamsSpec pins the boundary).
-  val e3Sql: String =
+  lazy val e3Sql: String =
     """WITH marked AS (
       |  SELECT user_id, ts, value,
       |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
@@ -83,7 +83,7 @@ object EventOps {
       .agg(min(col("event_id")).as("kept_id"), count(lit(1)).as("n_dups"))
       .orderBy(col("user_id"), col("event_type"), col("minute"))
 
-  val e4Sql: String =
+  lazy val e4Sql: String =
     """SELECT user_id, event_type, date_trunc('minute', ts) AS minute,
       |  min(event_id) AS kept_id, count(*) AS n_dups
       |FROM events GROUP BY 1, 2, 3
@@ -116,7 +116,7 @@ object EventOps {
       .orderBy(col("purchase_id"))
   }
 
-  val e5Sql: String =
+  lazy val e5Sql: String =
     """WITH tagged AS (
       |  SELECT event_id, user_id, ts,
       |    CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS tr
@@ -147,7 +147,7 @@ object EventOps {
     EventStreams.intervalJoin(events(spark, dir))
       .orderBy(col("purchase_id"), col("click_id"))
 
-  val e7Sql: String =
+  lazy val e7Sql: String =
     """SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
       |  c.event_id AS click_id, c.ts AS click_ts
       |FROM events p JOIN events c
@@ -179,7 +179,7 @@ object EventOps {
           .as("delay_us_total")))
   }
 
-  val e8Sql: String =
+  lazy val e8Sql: String =
     """WITH v AS (
       |  SELECT user_id, min(ts) AS view_ts FROM events
       |  WHERE event_type = 'view' GROUP BY user_id),
@@ -230,7 +230,7 @@ object EventOps {
       .orderBy(col("cohort_week"), col("week_n"))
   }
 
-  val e9Sql: String =
+  lazy val e9Sql: String =
     """WITH cohorts AS (
       |  SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
       |  FROM events GROUP BY user_id),
@@ -267,7 +267,7 @@ object EventOps {
     EventStreams.rankWindows(EventStreams.tumbling(events(spark, dir)), TrendK)
       .orderBy(col("window_start"), col("rank"))
 
-  val e10Sql: String =
+  lazy val e10Sql: String =
     s"""WITH counts AS (
        |  SELECT date_trunc('hour', ts) AS window_start, event_type,
        |    count(*) AS n_events
@@ -328,7 +328,7 @@ object EventOps {
 
   // DuckDB sum(BIGINT) → HUGEINT: every windowed sum is cast back to
   // BIGINT before the integer algebra (the m1/t6 type-gate class).
-  val e11Sql: String =
+  lazy val e11Sql: String =
     s"""WITH counts AS (
        |  SELECT event_type, date_trunc('hour', ts) AS window_start, count(*) AS c
        |  FROM events GROUP BY 1, 2),
@@ -368,7 +368,7 @@ object EventOps {
       .orderBy(col("window_start"), col("n_name"))
   }
 
-  val e12Sql: String =
+  lazy val e12Sql: String =
     """SELECT date_trunc('hour', e.ts) AS window_start, n.n_name,
       |  count(*) AS n_events,
       |  CAST(CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_value
@@ -402,7 +402,7 @@ object EventOps {
       .orderBy(col("window_start"))
   }
 
-  val e13Sql: String = graft.operators.Relational.hllSqlFor(
+  lazy val e13Sql: String = graft.operators.Relational.hllSqlFor(
     "events", "date_trunc('hour', ts)", "CAST(user_id AS BIGINT)",
     "window_start")
 
@@ -439,7 +439,7 @@ object EventOps {
 
   // Oracle: e3's gaps-and-islands CTEs (same session rule, same
   // boundary semantics) + quantile_disc per band.
-  val e14Sql: String =
+  lazy val e14Sql: String =
     """WITH marked AS (
       |  SELECT user_id, ts,
       |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
@@ -513,7 +513,7 @@ object EventOps {
       .orderBy(col("window_start"), col("user_id"))
   }
 
-  val e15Sql: String = {
+  lazy val e15Sql: String = {
     import graft.operators.Relational.{CmsRows, CmsWidth}
     s"""WITH items AS (
        |  SELECT date_trunc('hour', ts) AS w, CAST(user_id AS BIGINT) AS k
@@ -568,7 +568,7 @@ object EventOps {
       .orderBy(col("decayed_micro").desc, col("event_type"))
   }
 
-  val e16Sql: String =
+  lazy val e16Sql: String =
     """WITH e AS (
       |  SELECT event_type, date_trunc('hour', ts) AS h FROM events),
       |nw AS (SELECT max(h) AS now FROM e),
@@ -620,7 +620,7 @@ object EventOps {
       .limit(10)
   }
 
-  val e17Sql: String =
+  lazy val e17Sql: String =
     """WITH marked AS (
       |  SELECT user_id, ts, event_id, event_type,
       |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
@@ -682,7 +682,7 @@ object EventOps {
       .orderBy(col("channel"))
   }
 
-  val e18Sql: String =
+  lazy val e18Sql: String =
     """WITH t AS (
       |  SELECT user_id, ts, event_id, event_type,
       |    last_value(CASE WHEN event_type != 'purchase' THEN event_type END
@@ -730,7 +730,7 @@ object EventOps {
       .orderBy(col("idle_days"))
   }
 
-  val e19Sql: String =
+  lazy val e19Sql: String =
     """WITH u AS (
       |  SELECT user_id, max(ts) AS last_ts, count(*) AS n_events
       |  FROM events GROUP BY 1),
@@ -771,7 +771,7 @@ object EventOps {
       .orderBy(col("event_type"))
   }
 
-  val e20Sql: String =
+  lazy val e20Sql: String =
     """WITH g AS (
       |  SELECT event_type,
       |    epoch_us(ts) - lag(epoch_us(ts)) OVER (
@@ -807,7 +807,7 @@ object EventOps {
       .withColumn("is_bursty", col("max_per_hour") >= BurstMin)
       .orderBy(col("user_id"))
 
-  val e21Sql: String =
+  lazy val e21Sql: String =
     s"""WITH c AS (
        |  SELECT user_id, date_trunc('hour', ts) AS h, count(*) AS n
        |  FROM events GROUP BY 1, 2)
@@ -846,7 +846,7 @@ object EventOps {
       .orderBy(col("event_type"))
   }
 
-  val e22Sql: String =
+  lazy val e22Sql: String =
     """WITH l AS (
       |  SELECT event_type,
       |    CASE WHEN hwm IS NULL OR hwm <= us THEN 0 ELSE hwm - us END AS late_us
@@ -887,7 +887,7 @@ object EventOps {
       .orderBy(col("prev_type"), col("event_type"))
   }
 
-  val e23Sql: String =
+  lazy val e23Sql: String =
     """WITH p AS (
       |  SELECT user_id, event_id, event_type,
       |    lag(event_type) OVER (PARTITION BY user_id
@@ -933,7 +933,7 @@ object EventOps {
       .orderBy(col("wm_us"))
   }
 
-  val e24Sql: String = {
+  lazy val e24Sql: String = {
     val vals = WatermarkCandidatesUs.mkString("(", "), (", ")")
     s"""WITH l AS (
        |  SELECT CASE WHEN hwm IS NULL OR hwm <= us THEN 0 ELSE hwm - us END
@@ -984,7 +984,7 @@ object EventOps {
       .orderBy(col("day"))
   }
 
-  val e25Sql: String =
+  lazy val e25Sql: String =
     """WITH ud AS (
       |  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
       |  FROM events),
@@ -1044,7 +1044,7 @@ object EventOps {
       .orderBy(col("user_id"))
   }
 
-  val e26Sql: String = {
+  lazy val e26Sql: String = {
     def cuts(c: String, out: String) = (1 to 4).map(i =>
       s"quantile_disc($c, 0.${2 * i}) AS $out$i").mkString(", ")
     def code(v: String, t: String) =
@@ -1101,7 +1101,7 @@ object EventOps {
       .orderBy(col("day"))
   }
 
-  val e27Sql: String =
+  lazy val e27Sql: String =
     """WITH ud AS (
       |  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
       |  FROM events),
@@ -1141,7 +1141,7 @@ object EventOps {
         col("s.value").as("last_value"), col("n_versions"))
       .orderBy(col("user_id"))
 
-  val e28Sql: String =
+  lazy val e28Sql: String =
     """SELECT user_id, ts AS last_ts, event_id AS last_event_id,
       |  event_type AS last_type,
       |  CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS last_value,
@@ -1185,7 +1185,7 @@ object EventOps {
       .orderBy(col("event_type"), col("how"))
   }
 
-  val e29Sql: String =
+  lazy val e29Sql: String =
     """WITH c AS (
       |  SELECT event_type,
       |    CAST(dayofweek(ts) AS BIGINT) * 24 + CAST(hour(ts) AS BIGINT) AS how,
@@ -1235,7 +1235,7 @@ object EventOps {
       .orderBy(col("dow"))
   }
 
-  val e30Sql: String =
+  lazy val e30Sql: String =
     """WITH v AS (
       |  SELECT user_id, min(ts) AS view_ts FROM events
       |  WHERE event_type = 'view' GROUP BY user_id),
@@ -1296,7 +1296,7 @@ object EventOps {
       .orderBy(col("prev_type"))
   }
 
-  val e31Sql: String =
+  lazy val e31Sql: String =
     """WITH p AS (
       |  SELECT user_id, event_type,
       |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
@@ -1351,7 +1351,7 @@ object EventOps {
       .orderBy(col("user_id"))
   }
 
-  val e32Sql: String =
+  lazy val e32Sql: String =
     """WITH ud AS (
       |  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
       |  FROM events),
@@ -1405,7 +1405,7 @@ object EventOps {
       .orderBy(col("decile"))
   }
 
-  val e33Sql: String =
+  lazy val e33Sql: String =
     """WITH uc AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1),
       |p AS (SELECT n, count(*) AS c FROM uc GROUP BY 1),
       |o AS (SELECT n, CAST(coalesce(sum(c) OVER (ORDER BY n
@@ -1425,7 +1425,91 @@ object EventOps {
       |    // ne AS BIGINT) AS cum_share_ppm
       |FROM g, t ORDER BY decile""".stripMargin
 
+  // ---- e34: peak session concurrency per day (interval sweep) ----
+  // "How many sessions were open AT ONCE" — the capacity-planning
+  // number behind every autoscaling decision, computed by the classic
+  // endpoint sweep: +1 at session_start, −1 at session_end (the
+  // half-open [start, end) of session_window), net deltas aggregated
+  // PER TIMESTAMP first (map-side combine ⇒ the sweep's row count is
+  // bounded by distinct seconds, not by session count), then a
+  // running sum. The sweep is day-sharded for scale: a bounded
+  // |days|-row window computes each day's carry-in (sessions still
+  // open at midnight), and the within-day running max runs in a
+  // day-partitioned window over ≤ 86 400 per-second rows — no global
+  // single-partition ordering over the corpus, the documented
+  // two-phase posture. greatest(carry, carry + max_run) covers the
+  // day whose concurrency high-water is at midnight (only net-closing
+  // days after a bigger carry). All-integer.
+  def e34PeakConcurrency(spark: SparkSession, dir: String): DataFrame = {
+    val s = EventStreams.sessions(events(spark, dir))
+      .select(col("session_start"), col("session_end"))
+    val deltas = s.select(col("session_start").as("ts"), lit(1L).as("d"))
+      .unionByName(s.select(col("session_end").as("ts"), lit(-1L).as("d")))
+      .groupBy(col("ts")).agg(sum(col("d")).as("net"))
+      .withColumn("day", to_date(col("ts")))
+    val wprev = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = deltas.groupBy(col("day")).agg(sum(col("net")).as("daynet"))
+      .withColumn("carry", coalesce(sum(col("daynet")).over(wprev), lit(0L)))
+      .select(col("day"), col("carry"))
+    val wrun = Window.partitionBy(col("day")).orderBy(col("ts"))
+    val peaks = deltas.withColumn("run", sum(col("net")).over(wrun))
+      .groupBy(col("day")).agg(max(col("run")).as("max_run"))
+    val starts = s.groupBy(to_date(col("session_start")).as("day"))
+      .agg(count(lit(1)).as("n_sessions_started"))
+    peaks.join(carry, Seq("day"))
+      .join(starts, Seq("day"), "left_outer")
+      .na.fill(0L, Seq("n_sessions_started"))
+      .select(col("day"), col("n_sessions_started"),
+        greatest(col("carry"), col("carry") + col("max_run"))
+          .as("peak_concurrent"))
+      .orderBy(col("day"))
+  }
+
+  lazy val e34Sql: String =
+    """WITH marked AS (
+      |  SELECT user_id, ts,
+      |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+      |           OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+      |              > INTERVAL 30 MINUTE
+      |         THEN 1 ELSE 0 END AS is_new
+      |  FROM events),
+      |islands AS (
+      |  SELECT user_id, ts,
+      |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+      |                      ROWS UNBOUNDED PRECEDING) AS session_id
+      |  FROM marked),
+      |sess AS (
+      |  SELECT min(ts) AS session_start,
+      |    max(ts) + INTERVAL 30 MINUTE AS session_end
+      |  FROM islands GROUP BY user_id, session_id),
+      |d AS (SELECT ts, CAST(sum(dd) AS BIGINT) AS net FROM (
+      |    SELECT session_start AS ts, 1 AS dd FROM sess
+      |    UNION ALL
+      |    SELECT session_end AS ts, -1 AS dd FROM sess) u
+      |  GROUP BY ts),
+      |dd AS (SELECT ts, net, CAST(ts AS DATE) AS day FROM d),
+      |pd AS (SELECT day, CAST(sum(net) AS BIGINT) AS daynet
+      |       FROM dd GROUP BY day),
+      |cr AS (SELECT day,
+      |         COALESCE(CAST(sum(daynet) OVER (ORDER BY day
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |           AS BIGINT), 0) AS carry
+      |       FROM pd),
+      |pk AS (SELECT day, CAST(max(run) AS BIGINT) AS max_run FROM (
+      |         SELECT day, sum(net) OVER (PARTITION BY day ORDER BY ts)
+      |           AS run FROM dd) r
+      |       GROUP BY day),
+      |st AS (SELECT CAST(session_start AS DATE) AS day, count(*) AS n
+      |       FROM sess GROUP BY 1)
+      |SELECT pk.day, CAST(COALESCE(st.n, 0) AS BIGINT) AS n_sessions_started,
+      |  greatest(cr.carry, cr.carry + pk.max_run) AS peak_concurrent
+      |FROM pk JOIN cr ON pk.day = cr.day
+      |LEFT JOIN st ON pk.day = st.day
+      |ORDER BY pk.day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e34_peak_concurrency" -> (e34PeakConcurrency _),
     "e28_latest_state" -> (e28LatestState _),
     "e29_seasonality" -> (e29Seasonality _),
     "e30_funnel_latency" -> (e30FunnelLatency _),
@@ -1467,6 +1551,7 @@ object EventOps {
     "e31_markov_accuracy" -> e31Sql,
     "e32_streaks" -> e32Sql,
     "e33_activity_lorenz" -> e33Sql,
+    "e34_peak_concurrency" -> e34Sql,
     "e27_new_vs_returning" -> e27Sql,
     "e26_rfm" -> e26Sql,
     "e25_dau_wau" -> e25Sql,
