@@ -1024,6 +1024,60 @@ object Relational {
       |FROM c WHERE n >= 2 AND varx > 0
       |ORDER BY brand""".stripMargin
 
+  // ---- q62: chi-square contingency (categorical association) ----
+  // Is order priority independent of customer market segment? The
+  // Pearson chi-square contingency table, per cell: observed count,
+  // expected count E = R·C/N (shipped in exact milli-units — one
+  // integer division, never a float), and the cell's chi-square
+  // contribution (O−E)²/E rewritten divisor-free as
+  // (O·N − R·C)² / (N·R·C) and shipped in exact ppm. The feature-
+  // association gauge a pipeline runs before one-hot-crossing two
+  // categoricals. Scale shape: ONE map-side-combined count over the
+  // bounded |priorities|×|segments| cell domain; marginals re-
+  // aggregate the 25-row cell table (no second corpus pass); the
+  // joins are on bounded keys. The squared numerator genuinely needs
+  // DECIMAL(38,0): (O·N)² ~ 1e30 at sf100 (O·N itself stays in
+  // BIGINT to ~sf300, but the square does not).
+  def q62Chi2(spark: SparkSession, dir: String): DataFrame = {
+    val cells = t(spark, dir, "orders")
+      .join(t(spark, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_orderpriority").as("priority"),
+        col("c_mktsegment").as("segment"))
+      .agg(count(lit(1)).as("observed"))
+    val rm = cells.groupBy(col("priority")).agg(sum(col("observed")).as("r"))
+    val cm = cells.groupBy(col("segment")).agg(sum(col("observed")).as("c"))
+    val n = cells.agg(sum(col("observed")).as("n"))
+    cells.join(rm, Seq("priority")).join(cm, Seq("segment"))
+      .crossJoin(broadcast(n))
+      .select(col("priority"), col("segment"), col("observed"),
+        expr("CAST(CAST(r AS DECIMAL(38,0)) * c * 1000 div n AS BIGINT)")
+          .as("expected_milli"),
+        expr("""CAST((CAST(observed AS DECIMAL(38,0)) * n - CAST(r AS DECIMAL(38,0)) * c)
+               |  * (CAST(observed AS DECIMAL(38,0)) * n - CAST(r AS DECIMAL(38,0)) * c)
+               |  * 1000000 div (CAST(n AS DECIMAL(38,0)) * r * c) AS BIGINT)""".stripMargin)
+          .as("contrib_ppm"))
+      .orderBy(col("priority"), col("segment"))
+  }
+
+  lazy val q62Sql: String =
+    """WITH cells AS (
+      |  SELECT o.o_orderpriority AS priority, c.c_mktsegment AS segment,
+      |    count(*) AS observed
+      |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |  GROUP BY 1, 2),
+      |rm AS (SELECT priority, CAST(sum(observed) AS HUGEINT) AS r
+      |       FROM cells GROUP BY 1),
+      |cm AS (SELECT segment, CAST(sum(observed) AS HUGEINT) AS c
+      |       FROM cells GROUP BY 1),
+      |n AS (SELECT CAST(sum(observed) AS HUGEINT) AS n FROM cells)
+      |SELECT cells.priority, cells.segment, cells.observed,
+      |  CAST(rm.r * cm.c * 1000 // n.n AS BIGINT) AS expected_milli,
+      |  CAST((CAST(cells.observed AS HUGEINT) * n.n - rm.r * cm.c)
+      |    * (CAST(cells.observed AS HUGEINT) * n.n - rm.r * cm.c)
+      |    * 1000000 // (n.n * rm.r * cm.c) AS BIGINT) AS contrib_ppm
+      |FROM cells JOIN rm USING (priority) JOIN cm USING (segment) CROSS JOIN n
+      |ORDER BY priority, segment""".stripMargin
+
   // ---- q26: pivot (wide aggregate over an enumerated domain) ----
   // Values are ENUMERATED (Seq("F","O")) so the pivot compiles to
   // CASE-filtered aggregates in ONE pass — no extra distinct-values
@@ -2396,6 +2450,7 @@ object Relational {
     "q59_part_drawdown" -> (q59PartDrawdown _),
     "q60_hhi" -> (q60Hhi _),
     "q61_regression" -> (q61Regression _),
+    "q62_chi2" -> (q62Chi2 _),
     "q50_f2_sketch" -> (q50F2Sketch _),
     "q49_mom_growth" -> (q49MomGrowth _),
     "q48_itemset3" -> (q48Itemset3 _),
@@ -2460,6 +2515,7 @@ object Relational {
     "q59_part_drawdown" -> q59Sql,
     "q60_hhi" -> q60Sql,
     "q61_regression" -> q61Sql,
+    "q62_chi2" -> q62Sql,
     "q50_f2_sketch" -> q50Sql,
     "q49_mom_growth" -> q49Sql,
     "q48_itemset3" -> q48Sql,

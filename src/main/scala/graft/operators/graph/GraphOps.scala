@@ -1618,6 +1618,77 @@ object GraphOps {
        |FROM v LEFT JOIN e ON v.component = e.component
        |ORDER BY v.component""".stripMargin
 
+  // ---- g44: weighted single-source shortest paths (SSSP) ----
+  // Bellman–Ford relaxation over the MULTIPLICITY-weighted graph:
+  // strong ties are short — cost(u,v) = max(1, 10^6 DIV w) micro-
+  // units, so a supplier shipping a part 50× sits 50× "closer" than
+  // a one-off. g6's hop-count BFS answers "reachable in k"; this
+  // answers the weighted version every routing/affinity query needs.
+  // Per round the V-row distance vector joins the src-partitioned
+  // weighted edge layout (only the vector shuffles), min-combines
+  // with its own previous row (the minLabelFixpoint "own" trick —
+  // convergence is a narrow filter, no V⋈V diff join), and
+  // localCheckpoints so the plan doesn't grow with rounds. Rounds =
+  // weighted-path hop radius from the seed; raises past SsspUnroll
+  // (the g14 convention) because the oracle unrolls exactly that
+  // horizon — relaxation is monotone with one fixpoint, so a Spark
+  // convergence at round k ≤ SsspUnroll proves the oracle's unroll
+  // is also converged. Seed = min node id (the g40 anchor
+  // convention). All-integer distances: exact at any scale.
+  private val SsspUnroll = 16
+
+  def g44WeightedSssp(spark: SparkSession, dir: String): DataFrame = {
+    val we = GraphTables.weightedEdges(spark, dir)
+      .select(col("src"), col("dst"),
+        greatest(lit(1L), expr("CAST(1000000 AS BIGINT) div w")).as("cost"))
+    val seed = we.agg(min(col("src")).as("node"))
+      .select(col("node"), lit(0L).as("dist"))
+    var dists = seed.localCheckpoint(true)
+    var it = 0
+    var done = false
+    while (it < SsspUnroll && !done) {
+      val relaxed = we.join(dists, col("src") === col("node"))
+        .select(col("dst").as("node"), (col("dist") + col("cost")).as("dist"),
+          lit(false).as("own"))
+      val next = dists.select(col("node"), col("dist"), lit(true).as("own"))
+        .union(relaxed)
+        .groupBy(col("node"))
+        .agg(min(col("dist")).as("dist"),
+          min(when(col("own"), col("dist"))).as("prev"))
+        .localCheckpoint(true)
+      done = next.filter(col("prev").isNull || col("dist") < col("prev"))
+        .limit(1).count() == 0L
+      dists = next.select(col("node"), col("dist"))
+      it += 1
+    }
+    if (!done) throw new IllegalStateException(
+      s"SSSP did not converge within $SsspUnroll rounds — raise SsspUnroll " +
+        "AND the oracle horizon together")
+    dists.select(col("node").as("node_id"), col("dist").as("dist_micro"))
+      .orderBy(col("node_id"))
+  }
+
+  private def ssspSqlCtes(rounds: Int): String = {
+    def iter(t: Int, prev: String) =
+      s"""d$t AS MATERIALIZED (
+         |  SELECT node, min(dist) AS dist FROM (
+         |    SELECT node, dist FROM $prev
+         |    UNION ALL
+         |    SELECT e.dst AS node, p.dist + e.cost AS dist
+         |    FROM wc e JOIN $prev p ON e.src = p.node) u
+         |  GROUP BY node)""".stripMargin
+    (s"""d0 AS (SELECT (SELECT min(src) FROM wc) AS node, CAST(0 AS BIGINT) AS dist)""" +:
+      (1 to rounds).map(t => iter(t, s"d${t - 1}"))).mkString(",\n")
+  }
+
+  lazy val g44Sql: String =
+    s"""WITH ${GraphTables.wedgeSqlCtes},
+       |wc AS (SELECT src, dst,
+       |  greatest(1, 1000000 // w) AS cost FROM wed),
+       |${ssspSqlCtes(SsspUnroll)}
+       |SELECT node AS node_id, CAST(dist AS BIGINT) AS dist_micro
+       |FROM d$SsspUnroll ORDER BY node_id""".stripMargin
+
   // ---- g17: label-propagation communities (synchronous LPA) ----
   // l_{t+1}(v) = the label held by the MOST of v's neighbors at round
   // t, ties to the smaller label (the deterministic synchronous
@@ -2617,6 +2688,7 @@ object GraphOps {
     "g41_dag_layers" -> (g41DagLayers _),
     "g42_conductance" -> (g42Conductance _),
     "g43_cyclomatic" -> (g43Cyclomatic _),
+    "g44_weighted_sssp" -> (g44WeightedSssp _),
     "g36_component_sizes" -> (g36ComponentSizes _),
     "g35_coreness" -> (g35Coreness _),
     "g34_rich_club" -> (g34RichClub _),
@@ -2662,6 +2734,7 @@ object GraphOps {
     "g41_dag_layers" -> g41Sql,
     "g42_conductance" -> g42Sql,
     "g43_cyclomatic" -> g43Sql,
+    "g44_weighted_sssp" -> g44Sql,
     "g36_component_sizes" -> g36Sql,
     "g35_coreness" -> g35Sql,
     "g34_rich_club" -> g34Sql,

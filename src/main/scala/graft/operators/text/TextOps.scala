@@ -768,6 +768,56 @@ object TextOps {
        |WHERE p.n_pair >= $MinColloc
        |ORDER BY lift_ppm DESC, p.w1, p.w2 LIMIT 100""".stripMargin
 
+  // ---- t35: cross-source vocabulary overlap (domain-shift gauge) ----
+  // For every pair of sources: vocabulary sizes, shared-type count,
+  // Jaccard |A∩B|/|A∪B| and the SMALLER side's containment
+  // |A∩B|/min(|A|,|B|) — both exact ppm. The corpus-comparison
+  // operator a mixture designer reads before weighting sources
+  // (t11): near-disjoint vocabularies mean the mixture adds breadth,
+  // near-identical ones mean it only adds mass. Scale shape: the
+  // corpus-sized token explode collapses to the distinct
+  // (source, word) TYPE table first (vocab-sized, ~√corpus by
+  // Heaps), the pair intersection is a word-keyed co-partitioned
+  // self-join on that small table, marginals re-aggregate it, and
+  // the output is |sources|² rows. No corpus-row self-join anywhere.
+  def t35SourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val sv = docs(spark, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .distinct()
+    val vocab = sv.groupBy(col("source")).agg(count(lit(1)).as("v"))
+    val shared = sv.as("a").join(sv.as("b"),
+        col("a.w") === col("b.w") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(vocab.select(col("source").as("source_a"), col("v").as("v_a")),
+        Seq("source_a"))
+      .join(vocab.select(col("source").as("source_b"), col("v").as("v_b")),
+        Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("v_a"), col("v_b"),
+        col("shared"),
+        expr("shared * 1000000 div (v_a + v_b - shared)").as("jaccard_ppm"),
+        expr("shared * 1000000 div least(v_a, v_b)").as("containment_ppm"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  lazy val t35Sql: String =
+    """WITH sv AS (
+      |  SELECT DISTINCT source, unnest(string_split(text, ' ')) AS w
+      |  FROM documents),
+      |vocab AS (SELECT source, count(*) AS v FROM sv GROUP BY 1),
+      |sh AS (SELECT a.source AS source_a, b.source AS source_b,
+      |    count(*) AS shared
+      |  FROM sv a JOIN sv b ON a.w = b.w AND a.source < b.source
+      |  GROUP BY 1, 2)
+      |SELECT sh.source_a, sh.source_b,
+      |  va.v AS v_a, vb.v AS v_b, sh.shared,
+      |  sh.shared * 1000000 // (va.v + vb.v - sh.shared) AS jaccard_ppm,
+      |  sh.shared * 1000000 // least(va.v, vb.v) AS containment_ppm
+      |FROM sh JOIN vocab va ON sh.source_a = va.source
+      |JOIN vocab vb ON sh.source_b = vb.source
+      |ORDER BY source_a, source_b""".stripMargin
+
   // ---- t28: train-split bigram LM score (held-out fluency gauge) ----
   // t15 scores documents against the WHOLE corpus — fine for triage,
   // but a quality model must be fit on train and evaluated on held-out
@@ -1762,6 +1812,7 @@ object TextOps {
     "t32_dedup_impact" -> (t32DedupImpact _),
     "t33_wordlen_histogram" -> (t33WordlenHistogram _),
     "t34_collocations" -> (t34Collocations _),
+    "t35_source_overlap" -> (t35SourceOverlap _),
     "t26_zipf_profile" -> (t26ZipfProfile _),
     "t25_stopword_induction" -> (t25StopwordInduction _),
     "t24_burstiness" -> (t24Burstiness _),
@@ -1798,6 +1849,7 @@ object TextOps {
     "t32_dedup_impact" -> t32Sql,
     "t33_wordlen_histogram" -> t33Sql,
     "t34_collocations" -> t34Sql,
+    "t35_source_overlap" -> t35Sql,
     "t26_zipf_profile" -> t26Sql,
     "t25_stopword_induction" -> t25Sql,
     "t24_burstiness" -> t24Sql,

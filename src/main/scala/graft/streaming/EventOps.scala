@@ -1425,6 +1425,49 @@ object EventOps {
       |    // ne AS BIGINT) AS cum_share_ppm
       |FROM g, t ORDER BY decile""".stripMargin
 
+  // ---- e35: semi-structured props extraction (JSON field stats) ----
+  // Every real event stream carries a JSON properties blob; the
+  // first thing a pipeline does with it is pull a typed field out
+  // and profile it per event type. get_json_object is the Spark-
+  // native path-extraction expression (codegen'd, no UDF); the
+  // oracle's json_extract_string is DuckDB's equivalent — both
+  // return the unquoted scalar text, cast to BIGINT on each side.
+  // Per event_type: event count, non-null k coverage, min/max/sum,
+  // the exact-value median (percentile_disc — an actual data
+  // element, the pinned e26 convention), and distinct users. Scale
+  // shape: ONE map-side-combined aggregate over the bounded
+  // event_type domain; the JSON parse is per-row work inside the
+  // scan projection (pushes through whole-stage codegen, no shuffle
+  // added). distinct-user count shuffles (type, user) pairs — the
+  // exact-distinct posture q8 documents.
+  def e35PropsStats(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .select(col("event_type"), col("user_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        count(col("k")).as("n_with_k"),
+        min(col("k")).as("k_min"),
+        max(col("k")).as("k_max"),
+        sum(col("k")).as("k_sum"),
+        expr("CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY k) AS BIGINT)")
+          .as("k_med"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("event_type"))
+
+  lazy val e35Sql: String =
+    """SELECT event_type,
+      |  count(*) AS n_events,
+      |  count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,
+      |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_min,
+      |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max,
+      |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+      |    AS k_sum,
+      |  quantile_disc(CAST(json_extract_string(props, '$.k') AS BIGINT), 0.5)
+      |    AS k_med,
+      |  count(DISTINCT user_id) AS n_users
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   // ---- e34: peak session concurrency per day (interval sweep) ----
   // "How many sessions were open AT ONCE" — the capacity-planning
   // number behind every autoscaling decision, computed by the classic
@@ -1510,6 +1553,7 @@ object EventOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e34_peak_concurrency" -> (e34PeakConcurrency _),
+    "e35_props_stats" -> (e35PropsStats _),
     "e28_latest_state" -> (e28LatestState _),
     "e29_seasonality" -> (e29Seasonality _),
     "e30_funnel_latency" -> (e30FunnelLatency _),
@@ -1552,6 +1596,7 @@ object EventOps {
     "e32_streaks" -> e32Sql,
     "e33_activity_lorenz" -> e33Sql,
     "e34_peak_concurrency" -> e34Sql,
+    "e35_props_stats" -> e35Sql,
     "e27_new_vs_returning" -> e27Sql,
     "e26_rfm" -> e26Sql,
     "e25_dau_wau" -> e25Sql,
