@@ -1078,6 +1078,56 @@ object Relational {
       |FROM cells JOIN rm USING (priority) JOIN cm USING (segment) CROSS JOIN n
       |ORDER BY priority, segment""".stripMargin
 
+  // ---- q63: Benford first-digit audit ----
+  // The classic forensic-accounting screen: the leading digit of
+  // naturally-occurring amounts follows log10(1+1/d); a ledger whose
+  // digit shares drift from that is synthetic or manipulated. Digit
+  // shares in exact ppm against the hardcoded Benford table (the 9
+  // constants are pre-rounded to ppm and shared verbatim by both
+  // engines — no runtime logarithm to drift). Leading digit via ONE
+  // string head over the integer cents (exact — no float log10
+  // binning); the whole query is a map-side-combined count over a
+  // 9-value domain. Note the synthetic uniform prices will NOT be
+  // Benford — the point of the gauge is the delta column.
+  private val BenfordPpm: Seq[(Int, Long)] = Seq(
+    1 -> 301030L, 2 -> 176091L, 3 -> 124939L, 4 -> 96910L, 5 -> 79181L,
+    6 -> 66947L, 7 -> 57992L, 8 -> 51153L, 9 -> 45757L)
+
+  def q63Benford(spark: SparkSession, dir: String): DataFrame = {
+    val digits = t(spark, dir, "lineitem")
+      .select((dec(col("l_extendedprice")) * 100).cast("long").as("cents"))
+      .filter(col("cents") >= 1)
+      .select(substring(col("cents").cast("string"), 1, 1).cast("long").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val total = digits.agg(sum(col("n")).as("total"))
+    val bport = BenfordPpm
+      .map { case (d, p) => s"WHEN $d THEN ${p}L" }.mkString(" ")
+    digits.crossJoin(broadcast(total))
+      .select(col("digit"), col("n"),
+        expr("n * 1000000 div total").as("share_ppm"),
+        expr(s"CAST(CASE digit $bport END AS BIGINT)").as("benford_ppm"))
+      .withColumn("delta_ppm", col("share_ppm") - col("benford_ppm"))
+      .orderBy(col("digit"))
+  }
+
+  lazy val q63Sql: String = {
+    val bcase = BenfordPpm
+      .map { case (d, p) => s"WHEN $d THEN $p" }.mkString(" ")
+    s"""WITH d AS (
+       |  SELECT CAST(substr(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+       |    AS VARCHAR), 1, 1) AS BIGINT) AS digit
+       |  FROM lineitem
+       |  WHERE CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) >= 1),
+       |g AS (SELECT digit, count(*) AS n FROM d GROUP BY 1),
+       |t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM g)
+       |SELECT digit, n,
+       |  n * 1000000 // total AS share_ppm,
+       |  CAST(CASE digit $bcase END AS BIGINT) AS benford_ppm,
+       |  n * 1000000 // total - CAST(CASE digit $bcase END AS BIGINT)
+       |    AS delta_ppm
+       |FROM g CROSS JOIN t ORDER BY digit""".stripMargin
+  }
+
   // ---- q26: pivot (wide aggregate over an enumerated domain) ----
   // Values are ENUMERATED (Seq("F","O")) so the pivot compiles to
   // CASE-filtered aggregates in ONE pass — no extra distinct-values
@@ -2451,6 +2501,7 @@ object Relational {
     "q60_hhi" -> (q60Hhi _),
     "q61_regression" -> (q61Regression _),
     "q62_chi2" -> (q62Chi2 _),
+    "q63_benford" -> (q63Benford _),
     "q50_f2_sketch" -> (q50F2Sketch _),
     "q49_mom_growth" -> (q49MomGrowth _),
     "q48_itemset3" -> (q48Itemset3 _),
@@ -2516,6 +2567,7 @@ object Relational {
     "q60_hhi" -> q60Sql,
     "q61_regression" -> q61Sql,
     "q62_chi2" -> q62Sql,
+    "q63_benford" -> q63Sql,
     "q50_f2_sketch" -> q50Sql,
     "q49_mom_growth" -> q49Sql,
     "q48_itemset3" -> q48Sql,

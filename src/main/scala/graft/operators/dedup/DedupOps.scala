@@ -160,6 +160,42 @@ object DedupOps {
     s"""WITH $lshCtes
        |SELECT doc_a, doc_b FROM cand ORDER BY doc_a, doc_b""".stripMargin
 
+  // ---- d30: LSH bucket-size observability (the tuning dashboard) ----
+  // Per band: bucket count, max bucket, how many buckets the
+  // MaxBucket skew guard drops, and the exact capped pair volume
+  // Σ k(k−1)/2 — the numbers an operator reads BEFORE running d2 at a
+  // new scale, because pair volume (not row count) is what explodes
+  // on boilerplate-heavy corpora. This is the d23 band-tuning matrix'
+  // runtime counterpart: d23 asks "which (bands, rows) config", this
+  // asks "is the CURRENT config's candidate volume sane, and how much
+  // is the cap silently pricing out". One re-aggregation of the
+  // cached band table (16 rows/doc), output |bands| rows — a
+  // dashboard query that costs one map-side-combined pass at any
+  // corpus size.
+  def d30BucketStats(spark: SparkSession, dir: String): DataFrame =
+    bandTable(spark, dir)
+      .groupBy(col("band"), col("bkey")).agg(count(lit(1)).as("k"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(col("k")).as("n_rows"),
+        max(col("k")).as("max_bucket"),
+        sum(when(col("k") > MaxBucket, 1L).otherwise(0L)).as("n_dropped"),
+        sum(when(col("k") <= MaxBucket,
+          expr("k * (k - 1) div 2")).otherwise(0L)).as("pair_volume"))
+      .orderBy(col("band"))
+
+  lazy val d30Sql: String =
+    s"""WITH $lshCtes,
+       |bs AS (SELECT band, bkey, count(*) AS k FROM bands GROUP BY 1, 2)
+       |SELECT band, count(*) AS n_buckets,
+       |  CAST(sum(k) AS BIGINT) AS n_rows,
+       |  CAST(max(k) AS BIGINT) AS max_bucket,
+       |  CAST(sum(CASE WHEN k > $MaxBucket THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_dropped,
+       |  CAST(sum(CASE WHEN k <= $MaxBucket THEN k * (k - 1) // 2 ELSE 0 END)
+       |    AS BIGINT) AS pair_volume
+       |FROM bs GROUP BY band ORDER BY band""".stripMargin
+
   // ---- d3: SimHash (two 31-bit halves) hamming-chunk near-dup ----
   // Restructured for codegen: explode tokens once, then ONE hash
   // aggregate with 62 bit-count sums (whole-stage codegen + map-side
@@ -1776,6 +1812,7 @@ object DedupOps {
     "d26_idf_jaccard" -> (d26IdfJaccard _),
     "d27_keeper_policies" -> (d27KeeperPolicies _),
     "d28_prefix_dup" -> (d28PrefixDup _),
+    "d30_bucket_stats" -> (d30BucketStats _),
     "d29_dup_rate_by_length" -> (d29DupRateByLength _),
     "d24_bloom_prefilter" -> (d24BloomPrefilter _),
     "d23_band_tuning" -> (d23BandTuning _),
@@ -1808,6 +1845,7 @@ object DedupOps {
     "d27_keeper_policies" -> d27Sql,
     "d28_prefix_dup" -> d28Sql,
     "d29_dup_rate_by_length" -> d29Sql,
+    "d30_bucket_stats" -> d30Sql,
     "d24_bloom_prefilter" -> d24Sql,
     "d23_band_tuning" -> d23Sql,
     "d22_rep_weights" -> d22Sql,

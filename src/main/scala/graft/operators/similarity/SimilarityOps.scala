@@ -1518,6 +1518,111 @@ object SimilarityOps {
        |SELECT query_id, neighbor_id, cosine, rank FROM r
        |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
 
+  // ---- s47: MMR diversified top-k (maximal marginal relevance) ----
+  // Carbonell & Goldstein 1998: greedily pick the candidate
+  // maximizing relevance(q,c) − max over already-selected s of
+  // sim(c,s) (λ = 1/2, the subtraction form) — the retrieval
+  // operator that stops a result page from being five near-copies
+  // of one document, and the selection step of every dedup-aware
+  // RAG pipeline. Two-phase scale shape (the s23 posture): the
+  // corpus-sized work is ONE exact-cosine pass kept to a top-
+  // `MmrPool` pool per query by the bounded mergeable aggregate
+  // (never a corpus window sort); the greedy runs K Spark rounds
+  // over the ≤ pool·|queries| survivors — pool vectors and the
+  // pool×pool sim table localCheckpoint once, each round is a
+  // broadcast-sized anti-join + argmax window over ≤ pool rows per
+  // query. Greedy is inherently sequential in K; K is small by
+  // definition of the operator. Ties break (score DESC, cid ASC) on
+  // both engines; the scores subtract IDENTICAL doubles (shared
+  // fold order), so the argmax — and the gate — is exact.
+  private val MmrPool = 25
+
+  def s47Mmr(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(spark)
+    val e = VectorExprs.embFeatures(spark, dir)
+      .select(col("vec_id"), col("vd"), col("n2"))
+    val pairs = broadcast(e.filter(col("vec_id") < 10).as("q"))
+      .join(e.as("c"), col("q.vec_id") =!= col("c.vec_id"))
+      .withColumn("dot", expr(VectorExprs.dotExpr("q.vd", "c.vd")))
+      .select(col("q.vec_id").as("query_id"),
+        col("c.vec_id").as("neighbor_id"), cosine.as("cosine"))
+    val pool = pairs.groupBy(col("query_id"))
+      .agg(expr(s"graft_top_neighbors$MmrPool(cosine, neighbor_id)").as("top"))
+      .select(col("query_id"), explode(col("top")).as("p"))
+      .select(col("query_id"), col("p.neighbor_id").as("cid"),
+        col("p.cosine").as("rel"))
+      .localCheckpoint(true)
+    val pv = pool.join(e.select(col("vec_id").as("cid"),
+      col("vd").as("cvd"), col("n2").as("cn2")), Seq("cid"))
+    val sims = pv.as("a").join(pv.as("b"),
+        col("a.query_id") === col("b.query_id") && col("a.cid") =!= col("b.cid"))
+      .select(col("a.query_id").as("query_id"), col("a.cid").as("cid"),
+        col("b.cid").as("other"),
+        (expr(VectorExprs.dotExpr("a.cvd", "b.cvd"))
+          / (sqrt(col("a.cn2")) * sqrt(col("b.cn2")))).as("sim"))
+      .localCheckpoint(true)
+    val w1 = Window.partitionBy(col("query_id"))
+      .orderBy(col("rel").desc, col("cid"))
+    var sel = pool.withColumn("rn", row_number().over(w1))
+      .filter(col("rn") === 1)
+      .select(col("query_id"), col("cid"), col("rel"), lit(1).as("rank"))
+      .localCheckpoint(true)
+    for (r <- 2 to K) {
+      val ms = sims.join(sel.select(col("query_id"), col("cid").as("other")),
+          Seq("query_id", "other"))
+        .groupBy(col("query_id"), col("cid")).agg(max(col("sim")).as("ms"))
+      val wr = Window.partitionBy(col("query_id"))
+        .orderBy((col("rel") - col("ms")).desc, col("cid"))
+      val pick = pool.join(sel.select(col("query_id"), col("cid")),
+          Seq("query_id", "cid"), "left_anti")
+        .join(ms, Seq("query_id", "cid"))
+        .withColumn("rn", row_number().over(wr))
+        .filter(col("rn") === 1)
+        .select(col("query_id"), col("cid"), col("rel"), lit(r).as("rank"))
+      sel = sel.unionByName(pick).localCheckpoint(true)
+    }
+    sel.select(col("query_id"), col("rank"),
+        col("cid").as("neighbor_id"), col("rel").as("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  lazy val s47Sql: String = {
+    def round(r: Int): String =
+      s"""pick$r AS (
+         |  SELECT query_id, cid, rel, $r AS rank FROM (
+         |    SELECT c.query_id, c.cid, c.rel,
+         |      row_number() OVER (PARTITION BY c.query_id
+         |        ORDER BY c.rel - m.ms DESC, c.cid) AS rn
+         |    FROM pool c
+         |    LEFT JOIN sel${r - 1} s ON c.query_id = s.query_id AND c.cid = s.cid
+         |    JOIN (SELECT si.query_id, si.cid, max(si.sim) AS ms
+         |          FROM sims si JOIN sel${r - 1} s2
+         |            ON si.query_id = s2.query_id AND si.other = s2.cid
+         |          GROUP BY 1, 2) m
+         |      ON c.query_id = m.query_id AND c.cid = m.cid
+         |    WHERE s.cid IS NULL) x WHERE rn = 1),
+         |sel$r AS (SELECT * FROM sel${r - 1} UNION ALL SELECT * FROM pick$r)""".stripMargin
+    s"""WITH ${VectorExprs.embCtes},
+       |${exactPairsCte("pairs")},
+       |${topkCte("pr", "pairs")},
+       |pool AS MATERIALIZED (SELECT query_id, neighbor_id AS cid, cosine AS rel
+       |  FROM pr WHERE rank <= $MmrPool),
+       |sims AS MATERIALIZED (
+       |  SELECT a.query_id, a.cid, b.cid AS other,
+       |    ${VectorExprs.duckDot("ea.vd", "eb2.vd")}
+       |      / (sqrt(ea.n2) * sqrt(eb2.n2)) AS sim
+       |  FROM pool a JOIN pool b
+       |    ON a.query_id = b.query_id AND a.cid != b.cid
+       |  JOIN eb ea ON a.cid = ea.vec_id
+       |  JOIN eb eb2 ON b.cid = eb2.vec_id),
+       |sel1 AS (SELECT query_id, cid, rel, 1 AS rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY rel DESC, cid) AS rn FROM pool) z WHERE rn = 1),
+       |${(2 to K).map(round).mkString(",\n")}
+       |SELECT query_id, rank, cid AS neighbor_id, rel AS cosine
+       |FROM sel$K ORDER BY query_id, rank""".stripMargin
+  }
+
   // ---- s24: recall of the two-stage pipeline vs exact ----
   // Seventh row of the ANN quality board: what the 16-dim prefilter
   // loses END-TO-END (rerank can only surface what stage 1 kept, so
@@ -2618,6 +2723,7 @@ object SimilarityOps {
     "s44_nprobe_curve" -> (s44NprobeCurve _),
     "s45_graph_knn" -> (s45GraphKnn _),
     "s46_graph_recall" -> (s46GraphRecall _),
+    "s47_mmr" -> (s47Mmr _),
     "s36_residual_recall" -> (s36ResidualRecall _),
     "s35_residual_knn" -> (s35ResidualKnn _),
     "s34_recall_curve" -> (s34RecallCurve _),
@@ -2666,6 +2772,7 @@ object SimilarityOps {
     "s44_nprobe_curve" -> s44Sql,
     "s45_graph_knn" -> s45Sql,
     "s46_graph_recall" -> s46Sql,
+    "s47_mmr" -> s47Sql,
     "s36_residual_recall" -> s36Sql,
     "s35_residual_knn" -> s35Sql,
     "s34_recall_curve" -> s34Sql,

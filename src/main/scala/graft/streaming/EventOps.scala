@@ -1425,6 +1425,69 @@ object EventOps {
       |    // ne AS BIGINT) AS cum_share_ppm
       |FROM g, t ORDER BY decile""".stripMargin
 
+  // ---- e36: bot-rate triage (superhuman cadence per user) ----
+  // The abuse screen a training-data pipeline runs before trusting
+  // user-generated events: per user the total volume, the distinct
+  // active minutes, the burst ceiling (max events inside one minute),
+  // the tightest inter-event gap in microseconds (−1 for one-event
+  // users — NULL would be the only nullable gate column), and how
+  // concentrated the user's behavior is on one event type (exact
+  // ppm). Humans don't sustain sub-second gaps or hundred-event
+  // minutes; downstream filters threshold these columns. Scale shape:
+  // three user-keyed map-side-combined aggregates plus the e20 lag
+  // window (partitioned by user_id — cardinality grows with data),
+  // joined on user_id; one row per user, ordered by user_id.
+  def e36BotScore(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+    val perMin = ev
+      .groupBy(col("user_id"), (col("us") - (col("us") % 60000000L)).as("m"))
+      .agg(count(lit(1)).as("k"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("active_minutes"), max(col("k")).as("max_per_min"),
+        sum(col("k")).as("n_events"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val gaps = ev
+      .withColumn("gap_us", col("us") - lag(col("us"), 1).over(w))
+      .groupBy(col("user_id"))
+      .agg(coalesce(min(col("gap_us")), lit(-1L)).as("min_gap_us"))
+    val conc = ev.groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("k"))
+      .groupBy(col("user_id")).agg(max(col("k")).as("top_type_n"))
+    perMin.join(gaps, Seq("user_id")).join(conc, Seq("user_id"))
+      .select(col("user_id"), col("n_events"), col("active_minutes"),
+        col("max_per_min"), col("min_gap_us"),
+        expr("top_type_n * 1000000 div n_events").as("top_type_ppm"))
+      .orderBy(col("user_id"))
+  }
+
+  lazy val e36Sql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+      |pm AS (
+      |  SELECT user_id, count(*) AS active_minutes, max(k) AS max_per_min,
+      |    CAST(sum(k) AS BIGINT) AS n_events
+      |  FROM (SELECT user_id, us - (us % 60000000) AS m, count(*) AS k
+      |        FROM ev GROUP BY 1, 2) x
+      |  GROUP BY user_id),
+      |gp AS (
+      |  SELECT user_id, COALESCE(min(gap_us), -1) AS min_gap_us
+      |  FROM (SELECT user_id, us - lag(us) OVER (
+      |          PARTITION BY user_id ORDER BY us, event_id) AS gap_us
+      |        FROM ev) y
+      |  GROUP BY user_id),
+      |cc AS (
+      |  SELECT user_id, max(k) AS top_type_n
+      |  FROM (SELECT user_id, event_type, count(*) AS k FROM ev GROUP BY 1, 2) z
+      |  GROUP BY user_id)
+      |SELECT pm.user_id, pm.n_events, pm.active_minutes, pm.max_per_min,
+      |  CAST(gp.min_gap_us AS BIGINT) AS min_gap_us,
+      |  cc.top_type_n * 1000000 // pm.n_events AS top_type_ppm
+      |FROM pm JOIN gp ON pm.user_id = gp.user_id
+      |JOIN cc ON pm.user_id = cc.user_id
+      |ORDER BY pm.user_id""".stripMargin
+
   // ---- e35: semi-structured props extraction (JSON field stats) ----
   // Every real event stream carries a JSON properties blob; the
   // first thing a pipeline does with it is pull a typed field out
@@ -1554,6 +1617,7 @@ object EventOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e34_peak_concurrency" -> (e34PeakConcurrency _),
     "e35_props_stats" -> (e35PropsStats _),
+    "e36_bot_score" -> (e36BotScore _),
     "e28_latest_state" -> (e28LatestState _),
     "e29_seasonality" -> (e29Seasonality _),
     "e30_funnel_latency" -> (e30FunnelLatency _),
@@ -1597,6 +1661,7 @@ object EventOps {
     "e33_activity_lorenz" -> e33Sql,
     "e34_peak_concurrency" -> e34Sql,
     "e35_props_stats" -> e35Sql,
+    "e36_bot_score" -> e36Sql,
     "e27_new_vs_returning" -> e27Sql,
     "e26_rfm" -> e26Sql,
     "e25_dau_wau" -> e25Sql,
