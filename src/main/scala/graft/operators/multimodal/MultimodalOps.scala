@@ -387,6 +387,58 @@ object MultimodalOps {
       .agg(sum(col("code")).as("fsum"))
   }
 
+  // ---- m22: shot-length census (cut cadence over the corpus) ----
+  // The distribution m6's per-doc boundary count can't show: HOW LONG
+  // shots run between cuts, corpus-wide — the number that sets chunk
+  // granularity for clip extraction (a corpus of 3-frame shots needs
+  // different chunking than one of 300-frame takes) and flags
+  // strobe-cut content (mass at length 1). Shots form by the m6 rule
+  // (first frame opens a shot; |Δ| > ShotDelta opens another), shot
+  // ids by running sum inside the same doc-bounded window m6 already
+  // pays, lengths by one re-aggregation, and the histogram is a
+  // bounded-domain rollup. Output |distinct lengths| rows.
+  def m22SceneLengths(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("frame"))
+    frameSums(spark, dir, minFrames = 2)
+      .withColumn("delta", abs(col("fsum") - lag(col("fsum"), 1).over(w)))
+      .withColumn("nb",
+        when(col("delta").isNull || col("delta") > ShotDelta, 1L).otherwise(0L))
+      .withColumn("shot", sum(col("nb")).over(w.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy(col("doc_id"), col("shot")).agg(count(lit(1)).as("len"))
+      .groupBy(col("len").as("shot_len"))
+      .agg(count(lit(1)).as("n_shots"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("shot_len"))
+  }
+
+  lazy val m22Sql: String =
+    s"""WITH f AS (
+       |  SELECT doc_id, CAST(length(text) // $ShotFrameLen AS BIGINT) AS nf, text
+       |  FROM documents WHERE length(text) >= ${2 * ShotFrameLen}),
+       |pc AS (
+       |  SELECT doc_id, nf, (i - 1) // $ShotFrameLen AS frame,
+       |    CAST(ascii(substring(text, i, 1)) AS BIGINT) AS code
+       |  FROM (SELECT doc_id, nf, text, unnest(range(1, CAST(nf * $ShotFrameLen AS INTEGER) + 1)) AS i
+       |        FROM f) b),
+       |fs AS (SELECT doc_id, nf, frame, sum(code) AS fsum
+       |       FROM pc GROUP BY 1, 2, 3),
+       |d AS (SELECT doc_id, frame,
+       |        CASE WHEN lag(fsum) OVER (PARTITION BY doc_id ORDER BY frame)
+       |               IS NULL
+       |             OR abs(fsum - lag(fsum) OVER (PARTITION BY doc_id
+       |               ORDER BY frame)) > $ShotDelta
+       |        THEN 1 ELSE 0 END AS nb
+       |      FROM fs),
+       |sid AS (SELECT doc_id, sum(nb) OVER (PARTITION BY doc_id
+       |          ORDER BY frame ROWS UNBOUNDED PRECEDING) AS shot
+       |        FROM d),
+       |sl AS (SELECT doc_id, shot, count(*) AS len FROM sid GROUP BY 1, 2)
+       |SELECT len AS shot_len, count(*) AS n_shots,
+       |  count(DISTINCT doc_id) AS n_docs
+       |FROM sl GROUP BY len ORDER BY shot_len""".stripMargin
+
   def m6ShotDetect(spark: SparkSession, dir: String): DataFrame = {
     val fsums = frameSums(spark, dir, minFrames = 2)
     val w = org.apache.spark.sql.expressions.Window
@@ -1280,6 +1332,7 @@ object MultimodalOps {
     "m19_compressibility" -> (m19Compressibility _),
     "m20_av_sync" -> (m20AvSync _),
     "m21_freeze_detect" -> (m21FreezeDetect _),
+    "m22_scene_lengths" -> (m22SceneLengths _),
     "m16_gain_normalize" -> (m16GainNormalize _),
     "m15_magic_sniff" -> (m15MagicSniff _),
     "m14_patch_dup" -> (m14PatchDup _),
@@ -1303,6 +1356,7 @@ object MultimodalOps {
     "m19_compressibility" -> m19Sql,
     "m20_av_sync" -> m20Sql,
     "m21_freeze_detect" -> m21Sql,
+    "m22_scene_lengths" -> m22Sql,
     "m16_gain_normalize" -> m16Sql,
     "m15_magic_sniff" -> m15Sql,
     "m14_patch_dup" -> m14Sql,

@@ -85,6 +85,22 @@ class Round34OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("m22: shot lengths conserve frames and agree with the m6 census") {
+    val rows = multimodal.MultimodalOps.m22SceneLengths(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val m6 = multimodal.MultimodalOps.m6ShotDetect(spark, dir).collect()
+    val frames = m6.map(_.getAs[Long]("n_frames")).sum
+    val shots = m6.map(_.getAs[Long]("n_shots")).sum
+    assert(rows.map(r => r.getAs[Long]("shot_len") * r.getAs[Long]("n_shots")).sum
+      == frames, "every frame belongs to exactly one shot")
+    assert(rows.map(_.getAs[Long]("n_shots")).sum == shots,
+      "histogram mass equals the m6 per-doc shot total")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_docs") <= r.getAs[Long]("n_shots"))
+      assert(r.getAs[Long]("shot_len") >= 1L)
+    }
+  }
+
   test("e36: bot gauges equal an event-log recount") {
     val rows = graft.streaming.EventOps.e36BotScore(spark, dir).collect()
     val ev = graft.sources.Tables.load(spark, dir, "events")
