@@ -1643,11 +1643,19 @@ object GraphOps {
         greatest(lit(1L), expr("CAST(1000000 AS BIGINT) div w")).as("cost"))
     val seed = we.agg(min(col("src")).as("node"))
       .select(col("node"), lit(0L).as("dist"))
+    // Frontier-based relaxation (the delta optimization): a settled
+    // node whose distance did not change this round has already
+    // propagated everything it ever will, so only the IMPROVED set
+    // joins the edges next round. Per-round edge volume is then
+    // edges-incident-to-frontier, not all E — the same wavefront
+    // shape the BFS operators use, and the difference between O(E)
+    // and O(E·rounds) total work on high-diameter graphs.
     var dists = seed.localCheckpoint(true)
+    var frontier = dists
     var it = 0
     var done = false
     while (it < SsspUnroll && !done) {
-      val relaxed = we.join(dists, col("src") === col("node"))
+      val relaxed = we.join(frontier, col("src") === col("node"))
         .select(col("dst").as("node"), (col("dist") + col("cost")).as("dist"),
           lit(false).as("own"))
       val next = dists.select(col("node"), col("dist"), lit(true).as("own"))
@@ -1656,8 +1664,9 @@ object GraphOps {
         .agg(min(col("dist")).as("dist"),
           min(when(col("own"), col("dist"))).as("prev"))
         .localCheckpoint(true)
-      done = next.filter(col("prev").isNull || col("dist") < col("prev"))
-        .limit(1).count() == 0L
+      frontier = next.filter(col("prev").isNull || col("dist") < col("prev"))
+        .select(col("node"), col("dist"))
+      done = frontier.limit(1).count() == 0L
       dists = next.select(col("node"), col("dist"))
       it += 1
     }
