@@ -68,6 +68,43 @@ object ScaleTrail {
           s""""rows":${joined.getLong(0)},"mismatches":${joined.getLong(1)},""" +
           s""""total_sec":${"%.1f".format(totalSec)}}""")
     }
+    // g44 SSSP fixpoint audit: the DuckDB oracle unrolls 16 E-row
+    // relaxation CTEs — infeasible past sf1 — but the converged
+    // vector certifies ITSELF: it is correct iff it is (a) feasible
+    // (no edge can shorten any label), (b) tight (every non-seed
+    // label is achieved by an in-edge), and (c) exactly covers the
+    // seed's connected component. All three are distributed joins —
+    // nothing collects — so the audit runs at any scale.
+    locally {
+      val t0 = System.nanoTime()
+      val d = GraphOps.g44WeightedSssp(spark, dir)
+        .select(col("node_id").as("node"), col("dist_micro").as("dist"))
+        .localCheckpoint(true)
+      val we = GraphOps.ssspCostEdges(spark, dir)
+      val scored = we
+        .join(d.select(col("node").as("src"), col("dist").as("du")), Seq("src"))
+        .join(d.select(col("node").as("dst"), col("dist").as("dv")),
+          Seq("dst"), "left_outer")
+      val infeasible = scored
+        .filter(col("dv").isNull || col("dv") > col("du") + col("cost")).count()
+      val seed = we.agg(min(col("src"))).collect()(0).getLong(0)
+      val loose = scored.groupBy(col("dst"))
+        .agg(min(col("du") + col("cost")).as("best"))
+        .join(d.select(col("node").as("dst"), col("dist")), Seq("dst"))
+        .filter(col("dst") =!= seed && col("best") =!= col("dist")).count()
+      val reach = d.count()
+      val comp = GraphOps.g11ComponentsConverged(spark, dir)
+      val seedComp = comp.filter(col("node_id") === seed)
+        .agg(min(col("component"))).collect()(0).getLong(0)
+      val compSize = comp.filter(col("component") === seedComp).count()
+      val totalSec = (System.nanoTime() - t0) / 1e9
+      println(
+        s"""{"op":"g44_weighted_sssp","sf":"$dir","mode":"fixpoint_audit",""" +
+          s""""rows":$reach,"infeasible":$infeasible,"untight":$loose,""" +
+          s""""component_size":$compSize,""" +
+          s""""mismatches":${infeasible + loose + math.abs(reach - compSize)},""" +
+          s""""total_sec":${"%.1f".format(totalSec)}}""")
+    }
     spark.stop()
   }
 }

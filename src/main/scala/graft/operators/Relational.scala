@@ -1128,6 +1128,69 @@ object Relational {
        |FROM g CROSS JOIN t ORDER BY digit""".stripMargin
   }
 
+  // ---- q64: duplicate-invoice screen (same payer, same amount) ----
+  // The forensic twin of q63: two orders by the SAME customer for the
+  // IDENTICAL total amount are double-payment / double-billing
+  // suspects, binned by how far apart they were placed (a same-week
+  // twin is a likely duplicate; a year apart is a subscription).
+  // "Identical" is quantized to the same $1000 band (the synthetic
+  // totals are continuous-uniform, so exact-cents twins never occur;
+  // a real screen would tighten the band). The self-join key is the
+  // (custkey, amount-band) COMPOSITE — cardinality ~|customers|·500,
+  // so bucket sizes stay tiny and pair volume is Σk² over
+  // same-band-same-customer groups, nowhere near a blow-up;
+  // canonical orderkey order counts each pair once. Output is a
+  // bounded gap-bucket histogram.
+  def q64DupInvoices(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+      .select(col("o_orderkey").as("k"), col("o_custkey").as("c"),
+        expr("CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) div 100000 AS BIGINT)")
+          .as("band"),
+        col("o_orderdate").as("d"))
+    val pairs = o.as("a").join(o.as("b"),
+        col("a.c") === col("b.c") && col("a.band") === col("b.band")
+          && col("a.k") < col("b.k"))
+      .select(col("a.c").as("cust"),
+        abs(datediff(col("b.d"), col("a.d"))).cast("long").as("gap_days"))
+    pairs
+      .withColumn("gap_bucket",
+        when(col("gap_days") === 0, "a_same_day")
+          .when(col("gap_days") <= 7, "b_within_week")
+          .when(col("gap_days") <= 30, "c_within_month")
+          .when(col("gap_days") <= 90, "d_within_quarter")
+          .otherwise("e_later"))
+      .groupBy(col("gap_bucket"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("cust")).as("n_customers"),
+        min(col("gap_days")).as("min_gap"),
+        max(col("gap_days")).as("max_gap"))
+      .orderBy(col("gap_bucket"))
+  }
+
+  lazy val q64Sql: String =
+    """WITH o AS (
+      |  SELECT o_orderkey AS k, o_custkey AS c,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) // 100000
+      |      AS band,
+      |    o_orderdate AS d
+      |  FROM orders),
+      |p AS (
+      |  SELECT a.c AS cust, abs(date_diff('day', a.d, b.d)) AS gap_days
+      |  FROM o a JOIN o b ON a.c = b.c AND a.band = b.band AND a.k < b.k),
+      |g AS (
+      |  SELECT cust, gap_days,
+      |    CASE WHEN gap_days = 0 THEN 'a_same_day'
+      |         WHEN gap_days <= 7 THEN 'b_within_week'
+      |         WHEN gap_days <= 30 THEN 'c_within_month'
+      |         WHEN gap_days <= 90 THEN 'd_within_quarter'
+      |         ELSE 'e_later' END AS gap_bucket
+      |  FROM p)
+      |SELECT gap_bucket, count(*) AS n_pairs,
+      |  count(DISTINCT cust) AS n_customers,
+      |  CAST(min(gap_days) AS BIGINT) AS min_gap,
+      |  CAST(max(gap_days) AS BIGINT) AS max_gap
+      |FROM g GROUP BY gap_bucket ORDER BY gap_bucket""".stripMargin
+
   // ---- q26: pivot (wide aggregate over an enumerated domain) ----
   // Values are ENUMERATED (Seq("F","O")) so the pivot compiles to
   // CASE-filtered aggregates in ONE pass — no extra distinct-values
@@ -2502,6 +2565,7 @@ object Relational {
     "q61_regression" -> (q61Regression _),
     "q62_chi2" -> (q62Chi2 _),
     "q63_benford" -> (q63Benford _),
+    "q64_dup_invoices" -> (q64DupInvoices _),
     "q50_f2_sketch" -> (q50F2Sketch _),
     "q49_mom_growth" -> (q49MomGrowth _),
     "q48_itemset3" -> (q48Itemset3 _),
@@ -2568,6 +2632,7 @@ object Relational {
     "q61_regression" -> q61Sql,
     "q62_chi2" -> q62Sql,
     "q63_benford" -> q63Sql,
+    "q64_dup_invoices" -> q64Sql,
     "q50_f2_sketch" -> q50Sql,
     "q49_mom_growth" -> q49Sql,
     "q48_itemset3" -> q48Sql,

@@ -1637,10 +1637,16 @@ object GraphOps {
   // convention). All-integer distances: exact at any scale.
   private val SsspUnroll = 16
 
-  def g44WeightedSssp(spark: SparkSession, dir: String): DataFrame = {
-    val we = GraphTables.weightedEdges(spark, dir)
+  /** The SSSP cost layout — multiplicity-weighted edges with the
+    * max(1, 10⁶ DIV w) micro-unit cost; shared by g44 and the
+    * ScaleTrail fixpoint audit so both read the SAME graph. */
+  private[graft] def ssspCostEdges(spark: SparkSession, dir: String): DataFrame =
+    GraphTables.weightedEdges(spark, dir)
       .select(col("src"), col("dst"),
         greatest(lit(1L), expr("CAST(1000000 AS BIGINT) div w")).as("cost"))
+
+  def g44WeightedSssp(spark: SparkSession, dir: String): DataFrame = {
+    val we = ssspCostEdges(spark, dir)
     val seed = we.agg(min(col("src")).as("node"))
       .select(col("node"), lit(0L).as("dist"))
     // Frontier-based relaxation (the delta optimization): a settled

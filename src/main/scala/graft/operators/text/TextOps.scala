@@ -51,6 +51,54 @@ object TextOps {
        |       WHEN de_hits >= fr_hits THEN 'de' ELSE 'fr' END AS pred_lang
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ---- t36: language-ID confusion matrix (classifier eval) ----
+  // The documents table carries a GOLD `lang` label; t1 predicts one.
+  // This is the evaluation operator every heuristic classifier needs
+  // before it gates a corpus: the gold × predicted confusion matrix
+  // with per-cell recall (share of the gold class) and precision
+  // (share of the predicted class) in exact ppm. Reads t1's per-doc
+  // output (same plan — one corpus scan), collapses to the bounded
+  // |langs|² cell domain map-side, marginals re-aggregate the cell
+  // table. The matrix diagonal IS the classifier's per-class quality;
+  // off-diagonal mass says which stopword sets collide.
+  def t36LangConfusion(spark: SparkSession, dir: String): DataFrame = {
+    val pred = t1LangId(spark, dir).select(col("doc_id"), col("pred_lang"))
+    val cells = docs(spark, dir).select(col("doc_id"), col("lang"))
+      .join(pred, Seq("doc_id"))
+      .groupBy(col("lang").as("gold"), col("pred_lang").as("pred"))
+      .agg(count(lit(1)).as("n"))
+    val gm = cells.groupBy(col("gold")).agg(sum(col("n")).as("gn"))
+    val pm = cells.groupBy(col("pred")).agg(sum(col("n")).as("pn"))
+    cells.join(gm, Seq("gold")).join(pm, Seq("pred"))
+      .select(col("gold"), col("pred"), col("n"),
+        expr("n * 1000000 div gn").as("recall_ppm"),
+        expr("n * 1000000 div pn").as("precision_ppm"))
+      .orderBy(col("gold"), col("pred"))
+  }
+
+  lazy val t36Sql: String =
+    s"""WITH t1 AS (
+       |  SELECT doc_id,
+       |    len(list_filter(string_split(text,' '), w -> w IN ${sqlSet(EN)})) AS eh,
+       |    len(list_filter(string_split(text,' '), w -> w IN ${sqlSet(DE)})) AS dh,
+       |    len(list_filter(string_split(text,' '), w -> w IN ${sqlSet(FR)})) AS fh,
+       |    lang
+       |  FROM documents),
+       |p AS (
+       |  SELECT lang AS gold,
+       |    CASE WHEN eh + dh + fh = 0 THEN 'unknown'
+       |         WHEN eh >= dh AND eh >= fh THEN 'en'
+       |         WHEN dh >= fh THEN 'de' ELSE 'fr' END AS pred
+       |  FROM t1),
+       |cells AS (SELECT gold, pred, count(*) AS n FROM p GROUP BY 1, 2),
+       |gm AS (SELECT gold, CAST(sum(n) AS BIGINT) AS gn FROM cells GROUP BY 1),
+       |pm AS (SELECT pred, CAST(sum(n) AS BIGINT) AS pn FROM cells GROUP BY 1)
+       |SELECT cells.gold, cells.pred, cells.n,
+       |  cells.n * 1000000 // gm.gn AS recall_ppm,
+       |  cells.n * 1000000 // pm.pn AS precision_ppm
+       |FROM cells JOIN gm USING (gold) JOIN pm USING (pred)
+       |ORDER BY gold, pred""".stripMargin
+
   // ---- t2: quality scoring ----
   // Single-division doubles only: both engines do the same IEEE ops in
   // the same order, so the exact-equality oracle contract holds.
@@ -1813,6 +1861,7 @@ object TextOps {
     "t33_wordlen_histogram" -> (t33WordlenHistogram _),
     "t34_collocations" -> (t34Collocations _),
     "t35_source_overlap" -> (t35SourceOverlap _),
+    "t36_lang_confusion" -> (t36LangConfusion _),
     "t26_zipf_profile" -> (t26ZipfProfile _),
     "t25_stopword_induction" -> (t25StopwordInduction _),
     "t24_burstiness" -> (t24Burstiness _),
@@ -1850,6 +1899,7 @@ object TextOps {
     "t33_wordlen_histogram" -> t33Sql,
     "t34_collocations" -> t34Sql,
     "t35_source_overlap" -> t35Sql,
+    "t36_lang_confusion" -> t36Sql,
     "t26_zipf_profile" -> t26Sql,
     "t25_stopword_induction" -> t25Sql,
     "t24_burstiness" -> t24Sql,

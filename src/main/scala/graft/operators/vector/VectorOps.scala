@@ -340,6 +340,62 @@ object VectorOps {
        |SELECT m, code, count(*) AS n_vecs FROM pick
        |GROUP BY 1, 2 ORDER BY m, code""".stripMargin
 
+  // ---- v15: quantizer rate–distortion gauge (per-vector SSE ppm) ----
+  // The distortion column the recall gauges (s21/s32) imply but never
+  // state: per vector, the reconstruction error of the int8 quantizer
+  // (v2's round(x·127/max|x|)/scale convention) and of the 1-bit sign
+  // quantizer (x̂ = ±mean|x|, the SSE-minimizing symmetric level for a
+  // fixed sign pattern), each as ⌊SSE·10⁶/‖x‖²⌋ — an INTEGER ratio of
+  // two identically-folded doubles, so the gate stays exact without
+  // banning float arithmetic. Reading v15 next to v8/v31's recall
+  // rows gives the rate–distortion curve: 8 bits/dim ≈ 10–30 ppm,
+  // 1 bit/dim ≈ hundreds of thousands — the storage-vs-fidelity
+  // tradeoff a 100 TB embedding store prices before choosing codes.
+  // One codegen'd scan, zero shuffle, V rows.
+  def v15QuantDistortion(spark: SparkSession, dir: String): DataFrame =
+    embPlain(spark, dir)
+      .withColumn("am", expr("array_max(transform(vd, x -> abs(x)))"))
+      .filter(col("am") > 0.0 && col("n2") > 0.0)
+      .withColumn("s8", lit(127.0) / col("am"))
+      .withColumn("sse8", expr(
+        """aggregate(vd, cast(0.0 as double), (a, x) ->
+          |  a + (x - round(x * s8) / s8) * (x - round(x * s8) / s8))"""
+          .stripMargin))
+      .withColumn("sm", expr(
+        "aggregate(vd, cast(0.0 as double), (a, x) -> a + abs(x)) / 64.0"))
+      .withColumn("sses", expr(
+        """aggregate(vd, cast(0.0 as double), (a, x) ->
+          |  a + (x - CASE WHEN x > 0 THEN sm ELSE -sm END)
+          |    * (x - CASE WHEN x > 0 THEN sm ELSE -sm END))""".stripMargin))
+      .select(col("vec_id"),
+        expr("floor(sse8 * 1000000 / n2)").as("int8_err_ppm"),
+        expr("floor(sses * 1000000 / n2)").as("sign_err_ppm"))
+      .orderBy(col("vec_id"))
+
+  lazy val v15Sql: String =
+    s"""WITH ${VectorExprs.embCtes},
+       |q AS (
+       |  SELECT vec_id, n2,
+       |    127.0 / list_max([abs(x) for x in vd]) AS s8,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), [ abs(x) for x in vd ]),
+       |      (a, b) -> a + b) / 64.0 AS sm,
+       |    vd
+       |  FROM eb WHERE list_max([abs(x) for x in vd]) > 0 AND n2 > 0),
+       |e AS (
+       |  SELECT vec_id, n2,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      [ (x - round(x * s8) / s8) * (x - round(x * s8) / s8)
+       |        for x in vd ]), (a, b) -> a + b) AS sse8,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      [ (x - CASE WHEN x > 0 THEN sm ELSE -sm END)
+       |        * (x - CASE WHEN x > 0 THEN sm ELSE -sm END)
+       |        for x in vd ]), (a, b) -> a + b) AS sses
+       |  FROM q)
+       |SELECT vec_id,
+       |  CAST(floor(sse8 * 1000000 / n2) AS BIGINT) AS int8_err_ppm,
+       |  CAST(floor(sses * 1000000 / n2) AS BIGINT) AS sign_err_ppm
+       |FROM e ORDER BY vec_id""".stripMargin
+
   def v13BitBalance(spark: SparkSession, dir: String): DataFrame = {
     val sc = signCodes(spark, dir)
       .select(col("vec_id"), col("sign_lo"), col("sign_hi"),
@@ -795,6 +851,7 @@ object VectorOps {
     "v12_sdc_tables" -> (v12SdcTables _),
     "v13_bit_balance" -> (v13BitBalance _),
     "v14_code_histogram" -> (v14CodeHistogram _),
+    "v15_quant_distortion" -> (v15QuantDistortion _),
     "v11_ternary_quantize" -> (v11TernaryQuantize _),
     "v10_matryoshka" -> (v10Matryoshka _),
     "v9_residual_codes" -> (v9ResidualCodes _),
@@ -811,6 +868,7 @@ object VectorOps {
     "v12_sdc_tables" -> v12Sql,
     "v13_bit_balance" -> v13Sql,
     "v14_code_histogram" -> v14Sql,
+    "v15_quant_distortion" -> v15Sql,
     "v11_ternary_quantize" -> v11Sql,
     "v10_matryoshka" -> v10Sql,
     "v9_residual_codes" -> v9Sql,
