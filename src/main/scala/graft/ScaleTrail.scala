@@ -20,11 +20,15 @@ object ScaleTrail {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    // optional probe-name filter: run only the named ops (resume a
+    // partial trail without re-paying completed probes)
+    val only = args.drop(1).toSet
+    def want(n: String): Boolean = only.isEmpty || only.contains(n)
     val spark = GraftSession.local(cpus, cpus)
     val probes: Seq[(String, () => (org.apache.spark.sql.DataFrame, Int))] = Seq(
       "g14_pagerank_rel_converged" -> (() => GraphOps.g14Probe(spark, dir)),
       "g12_pagerank_converged" -> (() => GraphOps.g12Probe(spark, dir)))
-    probes.foreach { case (name, probe) =>
+    probes.filter(p => want(p._1)).foreach { case (name, probe) =>
       val t0 = System.nanoTime()
       val (loopDf, k) = probe()
       val loopSec = (System.nanoTime() - t0) / 1e9
@@ -53,7 +57,7 @@ object ScaleTrail {
       "g20_kcore" -> (() => {
         val (a, b) = GraphOps.g20SplitPair(spark, dir)
         (a, b, "node_id", "deg_in_core") }))
-    splitProbes.foreach { case (name, probe) =>
+    splitProbes.filter(p => want(p._1)).foreach { case (name, probe) =>
       val t0 = System.nanoTime()
       val (full, split, key, value) = probe()
       val joined = full.as("a")
@@ -75,7 +79,7 @@ object ScaleTrail {
     // label is achieved by an in-edge), and (c) exactly covers the
     // seed's connected component. All three are distributed joins —
     // nothing collects — so the audit runs at any scale.
-    locally {
+    if (want("g44_weighted_sssp")) {
       val t0 = System.nanoTime()
       val d = GraphOps.g44WeightedSssp(spark, dir)
         .select(col("node_id").as("node"), col("dist_micro").as("dist"))

@@ -1191,6 +1191,52 @@ object Relational {
       |  CAST(max(gap_days) AS BIGINT) AS max_gap
       |FROM g GROUP BY gap_bucket ORDER BY gap_bucket""".stripMargin
 
+  // ---- q65: catalog growth (new vs cumulative vs active per month) ----
+  // The assortment-velocity dashboard (t31's Heaps curve, relational
+  // edition): per ship month, how many parts shipped for the FIRST
+  // time, the cumulative catalog ever shipped, and the distinct
+  // parts active that month — new≫active means churn-heavy range,
+  // cumulative plateau means assortment saturation. Scale shape:
+  // first-seen is one map-side-combined min per part (month strings
+  // order lexicographically); the monthly rollups are bounded-domain
+  // aggregates; the running catalog total is a window over |months|
+  // rows — the two-phase posture, never a corpus-sized sort. Exact
+  // distinct for n_active (the q8 posture; q33's HLL is the sketch
+  // path when exactness can be traded).
+  def q65CatalogGrowth(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+      .select(col("l_partkey"),
+        date_format(col("l_shipdate"), "yyyy-MM").as("month"))
+    val active = li.groupBy(col("month"))
+      .agg(countDistinct(col("l_partkey")).as("n_active"))
+    val news = li.groupBy(col("l_partkey")).agg(min(col("month")).as("month"))
+      .groupBy(col("month")).agg(count(lit(1)).as("n_new"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("month"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    active.join(news, Seq("month"), "left_outer")
+      .na.fill(0L, Seq("n_new"))
+      .withColumn("n_catalog", sum(col("n_new")).over(w))
+      .select(col("month"), col("n_new"), col("n_catalog"), col("n_active"))
+      .orderBy(col("month"))
+  }
+
+  lazy val q65Sql: String =
+    """WITH li AS (
+      |  SELECT l_partkey, strftime(l_shipdate, '%Y-%m') AS month
+      |  FROM lineitem),
+      |act AS (SELECT month, count(DISTINCT l_partkey) AS n_active
+      |        FROM li GROUP BY 1),
+      |fm AS (SELECT l_partkey, min(month) AS month FROM li GROUP BY 1),
+      |nw AS (SELECT month, count(*) AS n_new FROM fm GROUP BY 1),
+      |j AS (SELECT act.month, COALESCE(nw.n_new, 0) AS n_new, act.n_active
+      |      FROM act LEFT JOIN nw ON act.month = nw.month)
+      |SELECT month, CAST(n_new AS BIGINT) AS n_new,
+      |  CAST(sum(n_new) OVER (ORDER BY month
+      |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_catalog,
+      |  n_active
+      |FROM j ORDER BY month""".stripMargin
+
   // ---- q26: pivot (wide aggregate over an enumerated domain) ----
   // Values are ENUMERATED (Seq("F","O")) so the pivot compiles to
   // CASE-filtered aggregates in ONE pass — no extra distinct-values
@@ -2566,6 +2612,7 @@ object Relational {
     "q62_chi2" -> (q62Chi2 _),
     "q63_benford" -> (q63Benford _),
     "q64_dup_invoices" -> (q64DupInvoices _),
+    "q65_catalog_growth" -> (q65CatalogGrowth _),
     "q50_f2_sketch" -> (q50F2Sketch _),
     "q49_mom_growth" -> (q49MomGrowth _),
     "q48_itemset3" -> (q48Itemset3 _),
@@ -2633,6 +2680,7 @@ object Relational {
     "q62_chi2" -> q62Sql,
     "q63_benford" -> q63Sql,
     "q64_dup_invoices" -> q64Sql,
+    "q65_catalog_growth" -> q65Sql,
     "q50_f2_sketch" -> q50Sql,
     "q49_mom_growth" -> q49Sql,
     "q48_itemset3" -> q48Sql,

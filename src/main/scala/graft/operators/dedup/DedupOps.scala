@@ -196,6 +196,51 @@ object DedupOps {
        |    AS BIGINT) AS pair_volume
        |FROM bs GROUP BY band ORDER BY band""".stripMargin
 
+  // ---- d31: cross-detector agreement (Jaccard vs winnow clusters) ----
+  // Two independent dup detectors — d6's verified-Jaccard clusters
+  // and d16's winnowed-fingerprint clusters — SHOULD mostly agree;
+  // their pair-level Jaccard agreement is the consistency audit a
+  // pipeline runs before trusting either alone (low agreement means
+  // one family's thresholds are mistuned for this corpus). Pairs
+  // co-clustered per detector come from within-cluster self-joins
+  // (dup clusters are near-dup groups, so Σk² stays tiny by
+  // construction — the candidate caps upstream bound k), the
+  // intersection is one equi-join on the pair key, and the output is
+  // ONE row. Exact ppm over the union.
+  def d31ClusterAgreement(spark: SparkSession, dir: String): DataFrame = {
+    def pairsOf(df: DataFrame): DataFrame =
+      df.as("x").join(df.as("y"),
+          col("x.cluster_id") === col("y.cluster_id")
+            && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
+    val pa = pairsOf(d6DupClusters(spark, dir))
+    val pb = pairsOf(d16WinnowClusters(spark, dir))
+    val inter = pa.join(pb, Seq("da", "db"))
+    pa.agg(count(lit(1)).as("n_pairs_jaccard"))
+      .crossJoin(pb.agg(count(lit(1)).as("n_pairs_winnow")))
+      .crossJoin(inter.agg(count(lit(1)).as("n_common")))
+      .select(col("n_pairs_jaccard"), col("n_pairs_winnow"), col("n_common"),
+        expr("""n_common * 1000000 div greatest(
+               |  n_pairs_jaccard + n_pairs_winnow - n_common, 1)""".stripMargin)
+          .as("agreement_ppm"))
+  }
+
+  lazy val d31Sql: String =
+    s"""WITH ja AS ($d6Sql),
+       |wi AS ($d16Sql),
+       |pa AS (SELECT x.doc_id AS da, y.doc_id AS db FROM ja x JOIN ja y
+       |       ON x.cluster_id = y.cluster_id AND x.doc_id < y.doc_id),
+       |pb AS (SELECT x.doc_id AS da, y.doc_id AS db FROM wi x JOIN wi y
+       |       ON x.cluster_id = y.cluster_id AND x.doc_id < y.doc_id),
+       |i AS (SELECT * FROM pa INTERSECT SELECT * FROM pb)
+       |SELECT
+       |  (SELECT count(*) FROM pa) AS n_pairs_jaccard,
+       |  (SELECT count(*) FROM pb) AS n_pairs_winnow,
+       |  (SELECT count(*) FROM i) AS n_common,
+       |  (SELECT count(*) FROM i) * 1000000 // greatest(
+       |    (SELECT count(*) FROM pa) + (SELECT count(*) FROM pb)
+       |      - (SELECT count(*) FROM i), 1) AS agreement_ppm""".stripMargin
+
   // ---- d3: SimHash (two 31-bit halves) hamming-chunk near-dup ----
   // Restructured for codegen: explode tokens once, then ONE hash
   // aggregate with 62 bit-count sums (whole-stage codegen + map-side
@@ -1813,6 +1858,7 @@ object DedupOps {
     "d27_keeper_policies" -> (d27KeeperPolicies _),
     "d28_prefix_dup" -> (d28PrefixDup _),
     "d30_bucket_stats" -> (d30BucketStats _),
+    "d31_cluster_agreement" -> (d31ClusterAgreement _),
     "d29_dup_rate_by_length" -> (d29DupRateByLength _),
     "d24_bloom_prefilter" -> (d24BloomPrefilter _),
     "d23_band_tuning" -> (d23BandTuning _),
@@ -1846,6 +1892,7 @@ object DedupOps {
     "d28_prefix_dup" -> d28Sql,
     "d29_dup_rate_by_length" -> d29Sql,
     "d30_bucket_stats" -> d30Sql,
+    "d31_cluster_agreement" -> d31Sql,
     "d24_bloom_prefilter" -> d24Sql,
     "d23_band_tuning" -> d23Sql,
     "d22_rep_weights" -> d22Sql,

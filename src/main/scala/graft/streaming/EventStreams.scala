@@ -300,6 +300,64 @@ object EventStreams {
       }
   }
 
+  /** e36's STREAM MODE: live bot-cadence triage. Per-user state is
+    * O(horizon): the bounded per-type counter map (|event types| is
+    * a small vocabulary), one last-timestamp long, the running
+    * min-gap/max-per-minute scalars, and open minute cells — cells
+    * older than `horizonMinutes` behind the newest fold into two
+    * longs (count + max), the e21 fold discipline, so a user's state
+    * never grows with lifetime. Contract: per-user timestamps arrive
+    * non-decreasing across batches (the e21/e22 watermark contract);
+    * within a batch rows are sorted before folding. Emits the full
+    * updated profile per batch (update semantics): (user, n_events,
+    * active_minutes, max_per_min, min_gap_us, top_type_ppm) — the
+    * exact e36 row shape, which BotStreamSpec pins against the batch
+    * operator. */
+  def botScoreStream(events: Dataset[(Long, Long, String)],
+      horizonMinutes: Int = 60): Dataset[(Long, Long, Long, Long, Long, Long)] = {
+    val sq = events.sparkSession
+    import sq.implicits._
+    // state: (nEvents, lastUs, minGap, closedMinutes, closedMax,
+    // typeCounts, openCells)
+    events.groupByKey(_._1)
+      .mapGroupsWithState[
+        (Long, Long, Long, Long, Long, Map[String, Long], Map[Long, Long]),
+        (Long, Long, Long, Long, Long, Long)](
+        GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[(Long, Long, String)],
+         state: GroupState[(Long, Long, Long, Long, Long,
+           Map[String, Long], Map[Long, Long])]) =>
+          var (n, last, minGap, cMin, cMax, types, open) =
+            state.getOption.getOrElse(
+              (0L, Long.MinValue, Long.MaxValue, 0L, 0L,
+                Map.empty[String, Long], Map.empty[Long, Long]))
+          rows.toSeq.sortBy(_._2).foreach { case (_, us, tp) =>
+            if (us >= last) {
+              if (last != Long.MinValue && us - last < minGap) minGap = us - last
+              last = us
+              n += 1
+              types = types.updated(tp, types.getOrElse(tp, 0L) + 1L)
+              val m = us - (us % 60000000L)
+              open = open.updated(m, open.getOrElse(m, 0L) + 1L)
+            }
+          }
+          if (open.nonEmpty) {
+            val hi = open.keys.max
+            val (close, keep) = open.partition { case (m, _) =>
+              (hi - m) / 60000000L >= horizonMinutes }
+            cMin += close.size
+            if (close.nonEmpty) cMax = math.max(cMax, close.values.max)
+            open = keep
+          }
+          state.update((n, last, minGap, cMin, cMax, types, open))
+          val maxPerMin = math.max(cMax, if (open.isEmpty) 0L else open.values.max)
+          val top = if (types.isEmpty) 0L else types.values.max
+          (user, n, cMin + open.size, maxPerMin,
+            if (minGap == Long.MaxValue) -1L else minGap,
+            if (n == 0L) 0L else top * 1000000L / n)
+      }
+  }
+
   /** e32's STREAM MODE: per-user streak maintenance with O(1) state
     * — five longs per user (last_day, current_len, longest, n_days,
     * n_streaks), regardless of history length. Contract: days
