@@ -117,6 +117,21 @@ object TableIO {
     nFiles.toLong
   }
 
+  /** Schema-evolution read: a long-lived dataset accumulates files
+    * written under DIFFERENT schema versions (columns added over
+    * time); a plain parquet read takes the schema of one random
+    * footer and silently DROPS the others' columns. mergeSchema
+    * unions the footers instead: every column that ever existed
+    * appears, files that predate a column read it as NULL — the
+    * additive-evolution contract object-store tables live by. At
+    * scale: footer merging is a driver-side metadata pass over file
+    * footers (not data) and stays linear in file count, which
+    * [[compactParquet]] already bounds. Renames/retypes are NOT
+    * handled (they never are with footer merging) — that's a rewrite
+    * via [[upsertCompact]]. */
+  def readEvolved(spark: SparkSession, path: String): org.apache.spark.sql.DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
+
   /** Changelog → snapshot upsert-compaction of a parquet table (the
     * e28 latest-state primitive as a SINK operation): fold `updates`
     * into the table at `path`, keeping per `keyCol` only the row with

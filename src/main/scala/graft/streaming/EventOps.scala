@@ -1117,6 +1117,52 @@ object EventOps {
       |FROM act a LEFT JOIN fs f ON a.day = f.day
       |ORDER BY a.day""".stripMargin
 
+  // ---- e37: SCD2 dimension build (changelog → validity intervals) ----
+  // e28 is the type-1 snapshot (latest wins, history discarded); this
+  // is its type-2 sibling — the warehouse pattern that keeps EVERY
+  // version with a [valid_from, valid_to) interval so any past state
+  // is queryable "as of" a time. Each user's purchase events are the
+  // changelog of a per-user attribute: one lead() window per user
+  // (the key whose cardinality grows with data — parallel at any
+  // scale) assigns each version its successor's timestamp as
+  // valid_to; the open version gets the 9999-12-31 sentinel (the
+  // standard SCD2 convention — a real NULL would also poison the
+  // equality joins downstream asof lookups do). Ties on ts break on
+  // event_id on both engines. value rides through DECIMAL(18,2) (the
+  // e28 convention) so the payload compares exactly.
+  def e37Scd2(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("value").cast("decimal(18,2)").cast("double").as("value"))
+      .withColumn("version", row_number().over(w).cast("long"))
+      .withColumn("valid_to",
+        coalesce(lead(col("ts"), 1).over(w),
+          to_timestamp(lit("9999-12-31 00:00:00"))))
+      .select(col("user_id"), col("version"),
+        col("ts").as("valid_from"), col("valid_to"),
+        col("value"), (col("valid_to") === to_timestamp(lit("9999-12-31 00:00:00")))
+          .as("is_current"))
+      .orderBy(col("user_id"), col("version"))
+  }
+
+  lazy val e37Sql: String =
+    """WITH p AS (
+      |  SELECT user_id, ts, event_id,
+      |    CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS value
+      |  FROM events WHERE event_type = 'purchase'),
+      |v AS (
+      |  SELECT user_id, ts, event_id, value,
+      |    CAST(row_number() OVER w AS BIGINT) AS version,
+      |    COALESCE(lead(ts) OVER w, TIMESTAMP '9999-12-31 00:00:00')
+      |      AS valid_to
+      |  FROM p WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      |SELECT user_id, version, ts AS valid_from, valid_to, value,
+      |  valid_to = TIMESTAMP '9999-12-31 00:00:00' AS is_current
+      |FROM v ORDER BY user_id, version""".stripMargin
+
   // ---- e28: latest-state compaction (the CDC upsert primitive) ----
   // The log-to-snapshot operator every changelog pipeline runs: per
   // key, the LATEST row wins (here: each user's last event = their
@@ -1618,6 +1664,7 @@ object EventOps {
     "e34_peak_concurrency" -> (e34PeakConcurrency _),
     "e35_props_stats" -> (e35PropsStats _),
     "e36_bot_score" -> (e36BotScore _),
+    "e37_scd2" -> (e37Scd2 _),
     "e28_latest_state" -> (e28LatestState _),
     "e29_seasonality" -> (e29Seasonality _),
     "e30_funnel_latency" -> (e30FunnelLatency _),
@@ -1662,6 +1709,7 @@ object EventOps {
     "e34_peak_concurrency" -> e34Sql,
     "e35_props_stats" -> e35Sql,
     "e36_bot_score" -> e36Sql,
+    "e37_scd2" -> e37Sql,
     "e27_new_vs_returning" -> e27Sql,
     "e26_rfm" -> e26Sql,
     "e25_dau_wau" -> e25Sql,
