@@ -1047,7 +1047,7 @@ object Relational {
     val rm = cells.groupBy(col("priority")).agg(sum(col("observed")).as("r"))
     val cm = cells.groupBy(col("segment")).agg(sum(col("observed")).as("c"))
     val n = cells.agg(sum(col("observed")).as("n"))
-    cells.join(rm, Seq("priority")).join(cm, Seq("segment"))
+    cells.join(broadcast(rm), Seq("priority")).join(broadcast(cm), Seq("segment"))
       .crossJoin(broadcast(n))
       .select(col("priority"), col("segment"), col("observed"),
         expr("CAST(CAST(r AS DECIMAL(38,0)) * c * 1000 div n AS BIGINT)")
