@@ -1237,6 +1237,71 @@ object Relational {
       |  n_active
       |FROM j ORDER BY month""".stripMargin
 
+  // ---- q66: cohort LTV triangle (revenue by first-order cohort) ----
+  // The finance counterpart of e9's user-retention matrix: customers
+  // cohorted by FIRST order month; for each (cohort, months-since-
+  // first) cell, the revenue in exact cents, the cumulative revenue
+  // down the cohort's row, and cumulative cents per cohort member —
+  // the LTV curve a margin model discounts. Scale shape: first-order
+  // month is one map-side-combined min per customer; the activity
+  // join is orders ⋈ cohorts co-partitioned on custkey (e9's shape);
+  // month_n is exact integer month arithmetic on 'yyyy-MM' strings
+  // (never date subtraction in float days); the triangle itself is
+  // bounded |months|² rows and the running sum windows over one
+  // cohort's ≤|months| cells. All-integer.
+  def q66CohortLtv(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = t(spark, dir, "orders")
+      .select(col("o_custkey").as("cust"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+        (dec(col("o_totalprice")) * 100).cast("long").as("cents"))
+    val cohorts = o.groupBy(col("cust")).agg(min(col("month")).as("cohort"))
+    val sizes = cohorts.groupBy(col("cohort")).agg(count(lit(1)).as("n_customers"))
+    val monthN = expr(
+      """(CAST(substring(month, 1, 4) AS BIGINT) * 12
+        |  + CAST(substring(month, 6, 2) AS BIGINT))
+        | - (CAST(substring(cohort, 1, 4) AS BIGINT) * 12
+        |  + CAST(substring(cohort, 6, 2) AS BIGINT))""".stripMargin)
+    val cells = o.join(cohorts, Seq("cust"))
+      .withColumn("month_n", monthN)
+      .groupBy(col("cohort"), col("month_n"))
+      .agg(sum(col("cents")).as("revenue_cents"))
+    val w = Window.partitionBy(col("cohort")).orderBy(col("month_n"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    cells.join(broadcast(sizes), Seq("cohort"))
+      .withColumn("cum_cents", sum(col("revenue_cents")).over(w))
+      .select(col("cohort"), col("month_n"), col("revenue_cents"),
+        col("cum_cents"), col("n_customers"),
+        expr("cum_cents div n_customers").as("ltv_cents"))
+      .orderBy(col("cohort"), col("month_n"))
+  }
+
+  lazy val q66Sql: String =
+    """WITH o AS (
+      |  SELECT o_custkey AS cust, strftime(o_orderdate, '%Y-%m') AS month,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM orders),
+      |ch AS (SELECT cust, min(month) AS cohort FROM o GROUP BY 1),
+      |sz AS (SELECT cohort, count(*) AS n_customers FROM ch GROUP BY 1),
+      |cells AS (
+      |  SELECT ch.cohort,
+      |    (CAST(substring(o.month, 1, 4) AS BIGINT) * 12
+      |       + CAST(substring(o.month, 6, 2) AS BIGINT))
+      |    - (CAST(substring(ch.cohort, 1, 4) AS BIGINT) * 12
+      |       + CAST(substring(ch.cohort, 6, 2) AS BIGINT)) AS month_n,
+      |    CAST(sum(o.cents) AS BIGINT) AS revenue_cents
+      |  FROM o JOIN ch ON o.cust = ch.cust
+      |  GROUP BY 1, 2)
+      |SELECT c.cohort, c.month_n, c.revenue_cents,
+      |  CAST(sum(c.revenue_cents) OVER (PARTITION BY c.cohort
+      |    ORDER BY c.month_n ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents,
+      |  sz.n_customers,
+      |  CAST(sum(c.revenue_cents) OVER (PARTITION BY c.cohort
+      |    ORDER BY c.month_n ROWS UNBOUNDED PRECEDING) AS BIGINT)
+      |    // sz.n_customers AS ltv_cents
+      |FROM cells c JOIN sz ON c.cohort = sz.cohort
+      |ORDER BY c.cohort, c.month_n""".stripMargin
+
   // ---- q26: pivot (wide aggregate over an enumerated domain) ----
   // Values are ENUMERATED (Seq("F","O")) so the pivot compiles to
   // CASE-filtered aggregates in ONE pass — no extra distinct-values
@@ -2613,6 +2678,7 @@ object Relational {
     "q63_benford" -> (q63Benford _),
     "q64_dup_invoices" -> (q64DupInvoices _),
     "q65_catalog_growth" -> (q65CatalogGrowth _),
+    "q66_cohort_ltv" -> (q66CohortLtv _),
     "q50_f2_sketch" -> (q50F2Sketch _),
     "q49_mom_growth" -> (q49MomGrowth _),
     "q48_itemset3" -> (q48Itemset3 _),
@@ -2681,6 +2747,7 @@ object Relational {
     "q63_benford" -> q63Sql,
     "q64_dup_invoices" -> q64Sql,
     "q65_catalog_growth" -> q65Sql,
+    "q66_cohort_ltv" -> q66Sql,
     "q50_f2_sketch" -> q50Sql,
     "q49_mom_growth" -> q49Sql,
     "q48_itemset3" -> q48Sql,

@@ -1518,6 +1518,43 @@ object SimilarityOps {
        |SELECT query_id, neighbor_id, cosine, rank FROM r
        |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
 
+  // ---- s48: diversity cost of MMR vs plain top-k ----
+  // Every index family on the board pairs with its quality gauge
+  // (s2→s8, s10→s11, …); s47's is the DIVERSITY COST: per query, how
+  // many of the plain exact top-K survive MMR's reranking. Low
+  // overlap = the neighborhood was redundant and MMR traded relevance
+  // for coverage; overlap = K means the top-K was already diverse and
+  // MMR was a no-op. Both sides are K-row-per-query frames (the s47
+  // pool machinery and the s1 exact top-K), so this is a broadcast-
+  // sized join — the gauge costs nothing beyond what s47/s1 already
+  // built (shared DfCache stages).
+  def s48MmrOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val mmr = s47Mmr(spark, dir).select(col("query_id"), col("neighbor_id"))
+    val exact = s1KnnBrute(spark, dir).select(col("query_id"), col("neighbor_id"))
+    val kept = mmr.join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_kept"))
+    mmr.groupBy(col("query_id")).agg(count(lit(1)).as("k"))
+      .join(kept, Seq("query_id"), "left_outer")
+      .na.fill(0L, Seq("n_kept"))
+      .select(col("query_id"), col("n_kept"),
+        expr("n_kept * 1000000 div k").as("overlap_ppm"))
+      .orderBy(col("query_id"))
+  }
+
+  lazy val s48Sql: String =
+    s"""WITH m AS ($s47Sql),
+       |e AS ($s1Sql),
+       |kept AS (
+       |  SELECT m.query_id, count(*) AS n_kept
+       |  FROM m JOIN e ON m.query_id = e.query_id
+       |    AND m.neighbor_id = e.neighbor_id
+       |  GROUP BY 1),
+       |kk AS (SELECT query_id, count(*) AS k FROM m GROUP BY 1)
+       |SELECT kk.query_id, COALESCE(kept.n_kept, 0) AS n_kept,
+       |  COALESCE(kept.n_kept, 0) * 1000000 // kk.k AS overlap_ppm
+       |FROM kk LEFT JOIN kept ON kk.query_id = kept.query_id
+       |ORDER BY kk.query_id""".stripMargin
+
   // ---- s47: MMR diversified top-k (maximal marginal relevance) ----
   // Carbonell & Goldstein 1998: greedily pick the candidate
   // maximizing relevance(q,c) − max over already-selected s of
@@ -2724,6 +2761,7 @@ object SimilarityOps {
     "s45_graph_knn" -> (s45GraphKnn _),
     "s46_graph_recall" -> (s46GraphRecall _),
     "s47_mmr" -> (s47Mmr _),
+    "s48_mmr_overlap" -> (s48MmrOverlap _),
     "s36_residual_recall" -> (s36ResidualRecall _),
     "s35_residual_knn" -> (s35ResidualKnn _),
     "s34_recall_curve" -> (s34RecallCurve _),
@@ -2773,6 +2811,7 @@ object SimilarityOps {
     "s45_graph_knn" -> s45Sql,
     "s46_graph_recall" -> s46Sql,
     "s47_mmr" -> s47Sql,
+    "s48_mmr_overlap" -> s48Sql,
     "s36_residual_recall" -> s36Sql,
     "s35_residual_knn" -> s35Sql,
     "s34_recall_curve" -> s34Sql,
