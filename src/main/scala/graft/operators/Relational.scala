@@ -1302,6 +1302,54 @@ object Relational {
       |FROM cells c JOIN sz ON c.cohort = sz.cohort
       |ORDER BY c.cohort, c.month_n""".stripMargin
 
+  // ---- q67: share-of-parent hierarchy report (region ▸ nation) ----
+  // The percent-of-parent report pattern every BI layer renders:
+  // revenue per nation, each nation's share OF ITS REGION and each
+  // region's share of the global total, both in exact ppm with the
+  // one-division convention (shares of one parent sum to ~10⁶ with
+  // only truncation slack — spec-pinned). ONE corpus aggregate at
+  // the leaf grain (nation); region and global totals re-aggregate
+  // the |nations|-row leaf table; dimension joins are broadcast.
+  // This is the q20 rollup turned inside out: rollup gives the
+  // totals as extra rows, this gives them as RATIO columns on the
+  // leaf rows — what a treemap/drill-down UI actually binds to.
+  def q67ShareOfParent(spark: SparkSession, dir: String): DataFrame = {
+    val leaf = t(spark, dir, "customer")
+      .join(t(spark, dir, "orders"), col("c_custkey") === col("o_custkey"))
+      .join(broadcast(t(spark, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(spark, dir, "region")),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name").as("region"), col("n_name").as("nation"))
+      .agg(sum((dec(col("o_totalprice")) * 100).cast("long")).as("cents"))
+    val reg = leaf.groupBy(col("region")).agg(sum(col("cents")).as("rcents"))
+    val tot = leaf.agg(sum(col("cents")).as("gcents"))
+    leaf.join(broadcast(reg), Seq("region")).crossJoin(broadcast(tot))
+      .select(col("region"), col("nation"), col("cents"),
+        expr("cents * 1000000 div rcents").as("share_of_region_ppm"),
+        expr("rcents * 1000000 div gcents").as("region_share_ppm"))
+      .orderBy(col("region"), col("nation"))
+  }
+
+  lazy val q67Sql: String =
+    """WITH leaf AS (
+      |  SELECT r.r_name AS region, n.n_name AS nation,
+      |    CAST(sum(CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |      AS BIGINT) AS cents
+      |  FROM customer c
+      |  JOIN orders o ON c.c_custkey = o.o_custkey
+      |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |  JOIN region r ON n.n_regionkey = r.r_regionkey
+      |  GROUP BY 1, 2),
+      |reg AS (SELECT region, CAST(sum(cents) AS BIGINT) AS rcents
+      |        FROM leaf GROUP BY 1),
+      |tot AS (SELECT CAST(sum(cents) AS BIGINT) AS gcents FROM leaf)
+      |SELECT leaf.region, leaf.nation, leaf.cents,
+      |  leaf.cents * 1000000 // reg.rcents AS share_of_region_ppm,
+      |  reg.rcents * 1000000 // tot.gcents AS region_share_ppm
+      |FROM leaf JOIN reg USING (region) CROSS JOIN tot
+      |ORDER BY leaf.region, leaf.nation""".stripMargin
+
   // ---- q26: pivot (wide aggregate over an enumerated domain) ----
   // Values are ENUMERATED (Seq("F","O")) so the pivot compiles to
   // CASE-filtered aggregates in ONE pass — no extra distinct-values
@@ -2679,6 +2727,7 @@ object Relational {
     "q64_dup_invoices" -> (q64DupInvoices _),
     "q65_catalog_growth" -> (q65CatalogGrowth _),
     "q66_cohort_ltv" -> (q66CohortLtv _),
+    "q67_share_of_parent" -> (q67ShareOfParent _),
     "q50_f2_sketch" -> (q50F2Sketch _),
     "q49_mom_growth" -> (q49MomGrowth _),
     "q48_itemset3" -> (q48Itemset3 _),
@@ -2748,6 +2797,7 @@ object Relational {
     "q64_dup_invoices" -> q64Sql,
     "q65_catalog_growth" -> q65Sql,
     "q66_cohort_ltv" -> q66Sql,
+    "q67_share_of_parent" -> q67Sql,
     "q50_f2_sketch" -> q50Sql,
     "q49_mom_growth" -> q49Sql,
     "q48_itemset3" -> q48Sql,

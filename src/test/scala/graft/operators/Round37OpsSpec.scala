@@ -43,6 +43,30 @@ class Round37OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q67: shares of one parent sum to ~1e6 with truncation slack only") {
+    val rows = Relational.q67ShareOfParent(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("region")).foreach { case (reg, rs) =>
+      val s = rs.map(_.getAs[Long]("share_of_region_ppm")).sum
+      assert(s <= 1000000L && s >= 1000000L - rs.length,
+        s"$reg: nation shares sum to 1e6 up to one ppm per nation, got $s")
+      // region share is constant across the region's rows
+      assert(rs.map(_.getAs[Long]("region_share_ppm")).distinct.length == 1)
+    }
+    val regShares = rows.groupBy(_.getAs[String]("region"))
+      .map { case (_, rs) => rs.head.getAs[Long]("region_share_ppm") }
+    val rsSum = regShares.sum
+    assert(rsSum <= 1000000L && rsSum >= 1000000L - regShares.size)
+    val total = rows.map(_.getAs[Long]("cents")).sum
+    rows.foreach { r =>
+      val regTotal = rows.filter(_.getAs[String]("region") == r.getAs[String]("region"))
+        .map(_.getAs[Long]("cents")).sum
+      assert(r.getAs[Long]("share_of_region_ppm") ==
+        r.getAs[Long]("cents") * 1000000L / regTotal)
+      assert(r.getAs[Long]("region_share_ppm") == regTotal * 1000000L / total)
+    }
+  }
+
   test("s48: overlap equals a set recount; the argmax pick always survives") {
     val rows = similarity.SimilarityOps.s48MmrOverlap(spark, dir).collect()
     assert(rows.length == 10)
