@@ -1302,6 +1302,61 @@ object Relational {
       |FROM cells c JOIN sz ON c.cohort = sz.cohort
       |ORDER BY c.cohort, c.month_n""".stripMargin
 
+  // ---- q68: movers & shakers (month-over-month rank delta) ----
+  // The leaderboard-churn report: brands ranked by revenue within
+  // each month (DESC, name tiebreak), joined to their own previous-
+  // month rank; delta = prev − curr (positive = climbed). Reveals
+  // churn the raw totals hide — a #1 that's been #1 for a year vs a
+  // brand that jumped eight places. Scale shape: the corpus collapses
+  // to the bounded |months|×|brands| summary FIRST (one map-side
+  // aggregate); ranking windows partition by month over ≤|brands|
+  // rows; the self-join key is integer month index arithmetic
+  // (yyyy-MM strings), so no date-diff ambiguity. First month drops
+  // (no predecessor) on both engines.
+  def q68TopMovers(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val mi = expr(
+      """CAST(substring(month, 1, 4) AS BIGINT) * 12
+        | + CAST(substring(month, 6, 2) AS BIGINT)""".stripMargin)
+    val rev = t(spark, dir, "lineitem")
+      .join(t(spark, dir, "part"), col("l_partkey") === col("p_partkey"))
+      .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("month"),
+        col("p_brand").as("brand"))
+      .agg(sum((dec(col("l_extendedprice")) * 100).cast("long")).as("cents"))
+      .withColumn("mi", mi)
+    val w = Window.partitionBy(col("mi"))
+      .orderBy(col("cents").desc, col("brand"))
+    val ranked = rev.withColumn("rank", row_number().over(w).cast("long"))
+    ranked.as("cur").join(ranked.as("prev"),
+        col("cur.brand") === col("prev.brand")
+          && col("cur.mi") === col("prev.mi") + 1)
+      .select(col("cur.month").as("month"), col("cur.brand").as("brand"),
+        col("cur.cents").as("cents"), col("cur.rank").as("rank"),
+        col("prev.rank").as("prev_rank"),
+        (col("prev.rank") - col("cur.rank")).as("delta"))
+      .orderBy(col("month"), col("rank"))
+  }
+
+  lazy val q68Sql: String =
+    """WITH rev AS (
+      |  SELECT strftime(l_shipdate, '%Y-%m') AS month, p.p_brand AS brand,
+      |    CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |      AS BIGINT) AS cents
+      |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      |  GROUP BY 1, 2),
+      |r AS (
+      |  SELECT month, brand, cents,
+      |    CAST(substring(month, 1, 4) AS BIGINT) * 12
+      |      + CAST(substring(month, 6, 2) AS BIGINT) AS mi,
+      |    CAST(row_number() OVER (PARTITION BY month
+      |      ORDER BY cents DESC, brand) AS BIGINT) AS rank
+      |  FROM rev)
+      |SELECT cur.month, cur.brand, cur.cents, cur.rank,
+      |  prev.rank AS prev_rank, prev.rank - cur.rank AS delta
+      |FROM r cur JOIN r prev
+      |  ON cur.brand = prev.brand AND cur.mi = prev.mi + 1
+      |ORDER BY cur.month, cur.rank""".stripMargin
+
   // ---- q67: share-of-parent hierarchy report (region ▸ nation) ----
   // The percent-of-parent report pattern every BI layer renders:
   // revenue per nation, each nation's share OF ITS REGION and each
@@ -2728,6 +2783,7 @@ object Relational {
     "q65_catalog_growth" -> (q65CatalogGrowth _),
     "q66_cohort_ltv" -> (q66CohortLtv _),
     "q67_share_of_parent" -> (q67ShareOfParent _),
+    "q68_top_movers" -> (q68TopMovers _),
     "q50_f2_sketch" -> (q50F2Sketch _),
     "q49_mom_growth" -> (q49MomGrowth _),
     "q48_itemset3" -> (q48Itemset3 _),
@@ -2798,6 +2854,7 @@ object Relational {
     "q65_catalog_growth" -> q65Sql,
     "q66_cohort_ltv" -> q66Sql,
     "q67_share_of_parent" -> q67Sql,
+    "q68_top_movers" -> q68Sql,
     "q50_f2_sketch" -> q50Sql,
     "q49_mom_growth" -> q49Sql,
     "q48_itemset3" -> q48Sql,

@@ -196,6 +196,38 @@ object DedupOps {
        |    AS BIGINT) AS pair_volume
        |FROM bs GROUP BY band ORDER BY band""".stripMargin
 
+  // ---- d32: similarity-estimate calibration matrix ----
+  // d13 prices the 64-perm signature pair-by-pair; this is the
+  // CALIBRATION view a threshold-tuner actually reads: estimated-
+  // similarity bins (16ths — the granularity a 64-perm estimate can
+  // even express is 64ths, 16 is the dashboard rollup) × true-Jaccard
+  // deciles, with pair counts and the mean signed error per cell. A
+  // concentrated diagonal means signature-only dedup (the 100 TB
+  // temptation) is safe above some bin; off-diagonal mass locates
+  // exactly where it lies. One bounded-domain rollup over the d13
+  // pair frame (shared cached stages); output ≤ 16×10 rows.
+  def d32SimCalibration(spark: SparkSession, dir: String): DataFrame =
+    d13MinhashEstimate(spark, dir)
+      .select(
+        expr("least(15, est_ppm * 16 div 1000000)").as("est_bin"),
+        expr("least(9, exact_ppm * 10 div 1000000)").as("true_decile"),
+        col("err_ppm"))
+      .groupBy(col("est_bin"), col("true_decile"))
+      .agg(count(lit(1)).as("n_pairs"),
+        expr("""CAST(CAST(sign(sum(err_ppm)) AS BIGINT)
+          |  * (abs(sum(err_ppm)) div count(1)) AS BIGINT)""".stripMargin)
+          .as("mean_err_ppm"))
+      .orderBy(col("est_bin"), col("true_decile"))
+
+  lazy val d32Sql: String =
+    s"""WITH base AS ($d13Sql)
+       |SELECT least(15, est_ppm * 16 // 1000000) AS est_bin,
+       |  least(9, exact_ppm * 10 // 1000000) AS true_decile,
+       |  count(*) AS n_pairs,
+       |  CAST(CAST(sign(sum(err_ppm)) AS BIGINT)
+       |    * (abs(sum(err_ppm)) // count(*)) AS BIGINT) AS mean_err_ppm
+       |FROM base GROUP BY 1, 2 ORDER BY est_bin, true_decile""".stripMargin
+
   // ---- d31: cross-detector agreement (Jaccard vs winnow clusters) ----
   // Two independent dup detectors — d6's verified-Jaccard clusters
   // and d16's winnowed-fingerprint clusters — SHOULD mostly agree;
@@ -1859,6 +1891,7 @@ object DedupOps {
     "d28_prefix_dup" -> (d28PrefixDup _),
     "d30_bucket_stats" -> (d30BucketStats _),
     "d31_cluster_agreement" -> (d31ClusterAgreement _),
+    "d32_sim_calibration" -> (d32SimCalibration _),
     "d29_dup_rate_by_length" -> (d29DupRateByLength _),
     "d24_bloom_prefilter" -> (d24BloomPrefilter _),
     "d23_band_tuning" -> (d23BandTuning _),
@@ -1893,6 +1926,7 @@ object DedupOps {
     "d29_dup_rate_by_length" -> d29Sql,
     "d30_bucket_stats" -> d30Sql,
     "d31_cluster_agreement" -> d31Sql,
+    "d32_sim_calibration" -> d32Sql,
     "d24_bloom_prefilter" -> d24Sql,
     "d23_band_tuning" -> d23Sql,
     "d22_rep_weights" -> d22Sql,
