@@ -193,6 +193,60 @@ object GraphOps {
           Seq("node_a", "node_b"), "left_anti")
     }
 
+  // ---- g47: triadic-closure rate by degree class ----
+  // The calibration view behind g21/g22/g39's scores: of the 2-hop
+  // pairs (wedges), what fraction is ALREADY an edge — binned by
+  // ⌊log2 min(deg_a, deg_b)⌋ (the t26/g37 bin-length convention).
+  // Link predictors assume closure probability rises with local
+  // connectivity; this measures that curve on THIS graph, so a flat
+  // curve says common-neighbor scores carry no signal here. Same
+  // capped wedge pass as g21 (shared DfCache'd center-edge table),
+  // the closed flag is one left join against the cached sym edges,
+  // degrees join V-rows, and the output is ≤ log2(V) rows. Exact
+  // integer ppm.
+  def g47ClosureByDegree(spark: SparkSession, dir: String): DataFrame = {
+    val sym = withSym(spark, dir)
+    val deg = sym.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+    val ce = wedgeCenterEdges(spark, dir)
+    val pairs = ce.as("e1").join(ce.as("e2"),
+        col("e1.src") === col("e2.src") && col("e1.dst") < col("e2.dst"))
+      .select(col("e1.dst").as("node_a"), col("e2.dst").as("node_b"))
+      .distinct()
+    val flagged = pairs
+      .join(sym.select(col("src").as("node_a"), col("dst").as("node_b"),
+        lit(1L).as("closed")), Seq("node_a", "node_b"), "left_outer")
+      .na.fill(0L, Seq("closed"))
+      .join(deg.select(col("node").as("node_a"), col("deg").as("da")), Seq("node_a"))
+      .join(deg.select(col("node").as("node_b"), col("deg").as("db")), Seq("node_b"))
+    flagged
+      .select(expr("length(bin(least(da, db))) - 1").cast("long").as("deg_bin"),
+        col("closed"))
+      .groupBy(col("deg_bin"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("closed")).as("n_closed"))
+      .withColumn("closure_ppm", expr("n_closed * 1000000 div n_pairs"))
+      .orderBy(col("deg_bin"))
+  }
+
+  lazy val g47Sql: String =
+    s"""WITH ${GraphTables.symSqlCtes.replace("sym AS (", "sym AS MATERIALIZED (")},
+       |deg AS (SELECT src AS node, count(*) AS deg FROM sym GROUP BY src),
+       |ce AS (SELECT s.src, s.dst FROM sym s
+       |       JOIN deg d ON s.src = d.node WHERE d.deg <= $MaxWedgeDeg),
+       |p AS (SELECT DISTINCT e1.dst AS node_a, e2.dst AS node_b
+       |      FROM ce e1 JOIN ce e2 ON e1.src = e2.src AND e1.dst < e2.dst),
+       |f AS (SELECT p.node_a, p.node_b,
+       |        CASE WHEN s.src IS NULL THEN 0 ELSE 1 END AS closed
+       |      FROM p LEFT JOIN sym s
+       |        ON p.node_a = s.src AND p.node_b = s.dst),
+       |b AS (SELECT CAST(length(bin(least(da.deg, db.deg))) - 1
+       |          AS BIGINT) AS deg_bin, f.closed
+       |      FROM f JOIN deg da ON f.node_a = da.node
+       |             JOIN deg db ON f.node_b = db.node)
+       |SELECT deg_bin, count(*) AS n_pairs,
+       |  CAST(sum(closed) AS BIGINT) AS n_closed,
+       |  CAST(sum(closed) AS BIGINT) * 1000000 // count(*) AS closure_ppm
+       |FROM b GROUP BY deg_bin ORDER BY deg_bin""".stripMargin
+
   def g21CommonNeighbors(spark: SparkSession, dir: String): DataFrame = {
     val sym = withSym(spark, dir)
     val deg = sym.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
@@ -2704,6 +2758,7 @@ object GraphOps {
     "g42_conductance" -> (g42Conductance _),
     "g43_cyclomatic" -> (g43Cyclomatic _),
     "g44_weighted_sssp" -> (g44WeightedSssp _),
+    "g47_closure_by_degree" -> (g47ClosureByDegree _),
     "g36_component_sizes" -> (g36ComponentSizes _),
     "g35_coreness" -> (g35Coreness _),
     "g34_rich_club" -> (g34RichClub _),
@@ -2750,6 +2805,7 @@ object GraphOps {
     "g42_conductance" -> g42Sql,
     "g43_cyclomatic" -> g43Sql,
     "g44_weighted_sssp" -> g44Sql,
+    "g47_closure_by_degree" -> g47Sql,
     "g36_component_sizes" -> g36Sql,
     "g35_coreness" -> g35Sql,
     "g34_rich_club" -> g34Sql,

@@ -56,6 +56,25 @@ class Round38OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("g47: closure census is consistent with the g21 prediction frame") {
+    val rows = graph.GraphOps.g47ClosureByDegree(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_closed") <= r.getAs[Long]("n_pairs"))
+      val ppm = r.getAs[Long]("closure_ppm")
+      assert(ppm >= 0L && ppm <= 1000000L)
+      assert(ppm ==
+        r.getAs[Long]("n_closed") * 1000000L / r.getAs[Long]("n_pairs"))
+      assert(r.getAs[Long]("deg_bin") >= 0L)
+    }
+    // open wedge pairs are exactly what g21 predicts over (minus its
+    // cn >= MinCommon floor): every g21 row is an OPEN pair here, so
+    // total open pairs must be >= g21's row count
+    val open = rows.map(r => r.getAs[Long]("n_pairs") - r.getAs[Long]("n_closed")).sum
+    val g21n = graph.GraphOps.g21CommonNeighbors(spark, dir).count()
+    assert(open >= g21n, s"open wedge pairs $open vs g21 rows $g21n")
+  }
+
   test("d32: calibration matrix conserves and means match a recount") {
     val rows = dedup.DedupOps.d32SimCalibration(spark, dir).collect()
     val pairs = dedup.DedupOps.d13MinhashEstimate(spark, dir).collect()
