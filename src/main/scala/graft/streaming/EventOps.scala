@@ -1117,6 +1117,79 @@ object EventOps {
       |FROM act a LEFT JOIN fs f ON a.day = f.day
       |ORDER BY a.day""".stripMargin
 
+  // ---- e38: growth accounting (new / resurrected / continuing) ----
+  // The growth-accounting split behind every "quick ratio" chart:
+  // each week's active users decompose into NEW (first event ever
+  // falls in this week), RESURRECTED (prior history exists, but the
+  // nearest prior event is > 3 days before this week's first
+  // event — a comeback), and CONTINUING (≤ 3 days — retained).
+  // e19 prices who LEFT; this prices where the actives CAME FROM.
+  // Week/3-day grain because the synthetic stream spans ~30 days
+  // with max per-user gap 4; a real deployment flips the constants
+  // to month/30 — the plan shape is identical. Scale
+  // shape: events collapse to distinct (user, day) first (the e25
+  // posture), one lag window per user (key grows with data) marks
+  // each day's gap to its predecessor, each user-week classifies
+  // off its FIRST active day's gap (min-struct per user-week —
+  // map-side combined), and the week rollup is bounded.
+  // All-integer; ISO week truncation on both engines.
+  def e38GrowthAccounting(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    val userDays = events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      .withColumn("gap_days",
+        datediff(col("day"), lag(col("day"), 1).over(w)).cast("long"))
+    val firstOfMonth = userDays
+      .withColumn("week", date_trunc("week", col("day")).cast("date").cast("string"))
+      .groupBy(col("user_id"), col("week"))
+      .agg(min(struct(col("day"), col("gap_days"))).as("s"))
+      .select(col("user_id"), col("week"), col("s.gap_days").as("gap_days"))
+    firstOfMonth
+      .withColumn("status",
+        when(col("gap_days").isNull, "new")
+          .when(col("gap_days") > 3, "resurrected")
+          .otherwise("continuing"))
+      .groupBy(col("week"))
+      .agg(count(lit(1)).as("n_active"),
+        sum(when(col("status") === "new", 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("status") === "resurrected", 1L).otherwise(0L))
+          .as("n_resurrected"),
+        sum(when(col("status") === "continuing", 1L).otherwise(0L))
+          .as("n_continuing"))
+      .orderBy(col("week"))
+  }
+
+  lazy val e38Sql: String =
+    """WITH ud AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      |g AS (
+      |  SELECT user_id, day,
+      |    date_diff('day', lag(day) OVER (PARTITION BY user_id
+      |      ORDER BY day), day) AS gap_days
+      |  FROM ud),
+      |fm AS (
+      |  SELECT user_id, week, gap_days FROM (
+      |    SELECT user_id,
+      |      CAST(CAST(date_trunc('week', day) AS DATE) AS VARCHAR) AS week,
+      |      gap_days,
+      |      row_number() OVER (PARTITION BY user_id, date_trunc('week', day)
+      |        ORDER BY day) AS rn
+      |    FROM g) x WHERE rn = 1),
+      |cls AS (
+      |  SELECT week,
+      |    CASE WHEN gap_days IS NULL THEN 'new'
+      |         WHEN gap_days > 3 THEN 'resurrected'
+      |         ELSE 'continuing' END AS status
+      |  FROM fm)
+      |SELECT week, count(*) AS n_active,
+      |  CAST(sum(CASE WHEN status = 'new' THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_new,
+      |  CAST(sum(CASE WHEN status = 'resurrected' THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_resurrected,
+      |  CAST(sum(CASE WHEN status = 'continuing' THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_continuing
+      |FROM cls GROUP BY week ORDER BY week""".stripMargin
+
   // ---- e37: SCD2 dimension build (changelog → validity intervals) ----
   // e28 is the type-1 snapshot (latest wins, history discarded); this
   // is its type-2 sibling — the warehouse pattern that keeps EVERY
@@ -1665,6 +1738,7 @@ object EventOps {
     "e35_props_stats" -> (e35PropsStats _),
     "e36_bot_score" -> (e36BotScore _),
     "e37_scd2" -> (e37Scd2 _),
+    "e38_growth_accounting" -> (e38GrowthAccounting _),
     "e28_latest_state" -> (e28LatestState _),
     "e29_seasonality" -> (e29Seasonality _),
     "e30_funnel_latency" -> (e30FunnelLatency _),
@@ -1710,6 +1784,7 @@ object EventOps {
     "e35_props_stats" -> e35Sql,
     "e36_bot_score" -> e36Sql,
     "e37_scd2" -> e37Sql,
+    "e38_growth_accounting" -> e38Sql,
     "e27_new_vs_returning" -> e27Sql,
     "e26_rfm" -> e26Sql,
     "e25_dau_wau" -> e25Sql,
