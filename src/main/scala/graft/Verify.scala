@@ -33,6 +33,40 @@ object Verify {
         "(see the q1 decimal convention)")
   }
 
+  /** Value-range companion to the type guard above: a TimestampType
+    * column is hash-stable only while its VALUES fit pandas/pyarrow's
+    * ns-ranged datetime64 (max 2262-04-11T23:47); round 7's e37 was
+    * value-exact but hash-red because a 9999-12-31 SCD2 sentinel
+    * overflowed it, and the two driver fetch paths materialized
+    * different bit patterns. Checked on the gated OUTPUT (small,
+    * already coalesced) so a future sentinel-style timestamp/date is
+    * a named local failure, like the type guard made s17's decimal.
+    * Returns silently when no temporal columns exist (no extra scan). */
+  private val NsMaxMicros = 9223372036854775L  // (2^63-1) ns in µs = 2262-04-11
+  private val NsMaxDays   = 106751             // floor(ns-max / 86400 s)
+  def assertStableValues(name: String,
+      df: org.apache.spark.sql.DataFrame): Unit = {
+    import org.apache.spark.sql.functions.{col, max, unix_micros, datediff, lit, to_date}
+    val tsCols  = df.schema.fields.collect { case f if f.dataType == TimestampType => f.name }
+    val dtCols  = df.schema.fields.collect { case f if f.dataType == DateType => f.name }
+    if (tsCols.nonEmpty || dtCols.nonEmpty) {
+      val aggs = tsCols.map(c => max(unix_micros(col(c))).as(s"ts_$c")) ++
+        dtCols.map(c => max(datediff(col(c), to_date(lit("1970-01-01")))).as(s"dt_$c"))
+      val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+      val over = tsCols.zipWithIndex.collect {
+        case (c, i) if !row.isNullAt(i) && row.getLong(i) > NsMaxMicros => c
+      } ++ dtCols.zipWithIndex.collect {
+        case (c, i) if !row.isNullAt(tsCols.length + i) &&
+          row.getInt(tsCols.length + i) > NsMaxDays => c
+      }
+      require(over.isEmpty,
+        s"[verify] $name emits temporal value(s) beyond pandas' ns range " +
+          s"(2262-04-11) in column(s): ${over.mkString(", ")} — sentinel " +
+          "dates are banned from gated outputs; use NULL + a flag " +
+          "(the e37 convention) or epoch-µs BIGINT")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
     // optional trailing args: run only these queries (iteration aid —
@@ -49,6 +83,17 @@ object Verify {
         val df = fn(spark, sfDir)
         assertStableSchema(name, df.schema)
         df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        try assertStableValues(name, spark.read.parquet(s"$outDir/$name"))
+        catch { case e: Throwable =>
+          // a failed value guard must not leave output behind — the
+          // driver would hash-compare the bad parquet instead of
+          // recording a loud missing-query failure
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+          }
+          rm(new java.io.File(s"$outDir/$name"))
+          throw e
+        }
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }

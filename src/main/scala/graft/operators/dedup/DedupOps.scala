@@ -439,7 +439,11 @@ object DedupOps {
   def d26IdfJaccard(spark: SparkSession, dir: String): DataFrame = {
     val shx = shingleFeatures(spark, dir)
       .select(col("doc_id"), explode(col("shingles")).as("s"))
-    val dfw = shx.groupBy(col("s")).agg(expr("1000000 div count(1)").as("w"))
+    // weight floored at 1: with df(s) > 1e6 (a 100 TB-scale corpus)
+    // the IDF weight would round to 0 and a pair whose union is all
+    // ubiquitous shingles would divide by union_w = 0
+    val dfw = shx.groupBy(col("s"))
+      .agg(expr("greatest(1, 1000000 div count(1))").as("w"))
     val jp = d4NgramJaccard(spark, dir).select(col("doc_a"), col("doc_b"))
     val u = jp.join(shx.as("x"), col("x.doc_id") === col("doc_a"))
       .select(col("doc_a"), col("doc_b"), col("x.s"))
@@ -459,7 +463,7 @@ object DedupOps {
     s"""WITH jp AS ($d4Sql),
        |$shingleCtes,
        |shx2 AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
-       |dfw AS (SELECT s, 1000000 // count(*) AS w FROM shx2 GROUP BY s),
+       |dfw AS (SELECT s, greatest(1, 1000000 // count(*)) AS w FROM shx2 GROUP BY s),
        |u AS (
        |  SELECT p.doc_a, p.doc_b, x.s
        |  FROM jp p JOIN shx2 x ON x.doc_id = p.doc_a

@@ -1373,7 +1373,10 @@ object GraphOps {
       .select(col("n_wedges"), col("triangles").as("n_triangles"))
       .withColumn("closed_wedges", col("n_triangles") * 3)
       .withColumn("transitivity_ppm",
-        expr("(3000000 * n_triangles) div n_wedges"))
+        // greatest(...,1): a degenerate projection (no node with
+        // deg >= 2) has zero wedges — Spark's div would yield NULL
+        // while DuckDB errors (the g42/d31 guard convention)
+        expr("(3000000 * n_triangles) div greatest(n_wedges, 1)"))
   }
 
   lazy val g38Sql: String =
@@ -1389,7 +1392,7 @@ object GraphOps {
       |wg AS (SELECT CAST(sum(dg * (dg - 1) // 2) AS BIGINT) AS n_wedges FROM deg)
       |SELECT n_wedges, n_triangles,
       |  CAST(n_triangles * 3 AS BIGINT) AS closed_wedges,
-      |  CAST((3000000 * n_triangles) // n_wedges AS BIGINT) AS transitivity_ppm
+      |  CAST((3000000 * n_triangles) // greatest(n_wedges, 1) AS BIGINT) AS transitivity_ppm
       |FROM wg, tri""".stripMargin
 
   // ---- g8: interior-node counts on all shortest part→region paths ----

@@ -1198,11 +1198,14 @@ object EventOps {
   // changelog of a per-user attribute: one lead() window per user
   // (the key whose cardinality grows with data — parallel at any
   // scale) assigns each version its successor's timestamp as
-  // valid_to; the open version gets the 9999-12-31 sentinel (the
-  // standard SCD2 convention — a real NULL would also poison the
-  // equality joins downstream asof lookups do). Ties on ts break on
-  // event_id on both engines. value rides through DECIMAL(18,2) (the
-  // e28 convention) so the payload compares exactly.
+  // valid_to; the open version keeps valid_to NULL with an explicit
+  // is_current flag (the cleaner relational encoding of "no
+  // successor": the round-7 9999-12-31 sentinel was value-correct
+  // but overflows ns-ranged timestamp consumers — sentinel dates are
+  // banned from gated outputs, see Verify's range guard). Ties on ts
+  // break on event_id on both engines. value rides through
+  // DECIMAL(18,2) (the e28 convention) so the payload compares
+  // exactly.
   def e37Scd2(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
@@ -1211,13 +1214,10 @@ object EventOps {
       .select(col("user_id"), col("ts"), col("event_id"),
         col("value").cast("decimal(18,2)").cast("double").as("value"))
       .withColumn("version", row_number().over(w).cast("long"))
-      .withColumn("valid_to",
-        coalesce(lead(col("ts"), 1).over(w),
-          to_timestamp(lit("9999-12-31 00:00:00"))))
+      .withColumn("valid_to", lead(col("ts"), 1).over(w))
       .select(col("user_id"), col("version"),
         col("ts").as("valid_from"), col("valid_to"),
-        col("value"), (col("valid_to") === to_timestamp(lit("9999-12-31 00:00:00")))
-          .as("is_current"))
+        col("value"), col("valid_to").isNull.as("is_current"))
       .orderBy(col("user_id"), col("version"))
   }
 
@@ -1229,11 +1229,10 @@ object EventOps {
       |v AS (
       |  SELECT user_id, ts, event_id, value,
       |    CAST(row_number() OVER w AS BIGINT) AS version,
-      |    COALESCE(lead(ts) OVER w, TIMESTAMP '9999-12-31 00:00:00')
-      |      AS valid_to
+      |    lead(ts) OVER w AS valid_to
       |  FROM p WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
       |SELECT user_id, version, ts AS valid_from, valid_to, value,
-      |  valid_to = TIMESTAMP '9999-12-31 00:00:00' AS is_current
+      |  valid_to IS NULL AS is_current
       |FROM v ORDER BY user_id, version""".stripMargin
 
   // ---- e28: latest-state compaction (the CDC upsert primitive) ----
@@ -1295,9 +1294,15 @@ object EventOps {
       .agg(count(lit(1)).as("n"))
     val totals = cells.groupBy(col("event_type"))
       .agg(sum(col("n")).as("total"))
+    // ratio arithmetic promotes to DECIMAL(38,0) (HUGEINT in the
+    // oracle — the q61/t34 convention): n * 168e6 wraps BIGINT at
+    // ~5.5e10 events per (type, hour-of-week) cell, which a 100 TB
+    // log reaches
     cells.join(broadcast(totals), Seq("event_type"))
-      .withColumn("share_ppm", expr("n * 1000000 div total"))
-      .withColumn("ratio_ppm", expr("n * 168 * 1000000 div total"))
+      .withColumn("share_ppm",
+        expr("CAST(CAST(n AS DECIMAL(38,0)) * 1000000 div total AS BIGINT)"))
+      .withColumn("ratio_ppm",
+        expr("CAST(CAST(n AS DECIMAL(38,0)) * 168 * 1000000 div total AS BIGINT)"))
       .withColumn("is_burst", col("ratio_ppm") > 2000000L)
       .select(col("event_type"), col("how"), col("n"),
         col("share_ppm"), col("ratio_ppm"), col("is_burst"))
@@ -1313,9 +1318,9 @@ object EventOps {
       |t AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS total
       |      FROM c GROUP BY 1)
       |SELECT c.event_type, c.how, c.n,
-      |  CAST(c.n * 1000000 // t.total AS BIGINT) AS share_ppm,
-      |  CAST(c.n * 168 * 1000000 // t.total AS BIGINT) AS ratio_ppm,
-      |  (c.n * 168 * 1000000 // t.total) > 2000000 AS is_burst
+      |  CAST(CAST(c.n AS HUGEINT) * 1000000 // t.total AS BIGINT) AS share_ppm,
+      |  CAST(CAST(c.n AS HUGEINT) * 168 * 1000000 // t.total AS BIGINT) AS ratio_ppm,
+      |  (CAST(c.n AS HUGEINT) * 168 * 1000000 // t.total) > 2000000 AS is_burst
       |FROM c JOIN t USING (event_type)
       |ORDER BY event_type, how""".stripMargin
 

@@ -46,4 +46,39 @@ class GateTypeSpec extends AnyFunSuite {
       }
     } finally spark.stop()
   }
+
+  // -- the round-7 e37 lesson: TYPES can be stable while VALUES are
+  // not — a 9999-12-31 SCD2 sentinel overflows pandas' ns-ranged
+  // datetime64 (max 2262-04-11) and the driver's two fetch paths
+  // materialize different bit patterns. Verify.assertStableValues is
+  // the value-range companion guard.
+  test("an out-of-ns-range timestamp value is rejected with the column name") {
+    val spark = GraftSession.local(threads = 2, shufflePartitions = 2)
+    try {
+      import spark.implicits._
+      import org.apache.spark.sql.functions._
+      val bad = Seq(1L, 2L).toDF("id")
+        .withColumn("valid_to", when(col("id") === 1L,
+          to_timestamp(lit("9999-12-31 00:00:00")))
+          .otherwise(to_timestamp(lit("2024-01-01 00:00:00"))))
+      val e = intercept[IllegalArgumentException] {
+        Verify.assertStableValues("scd2ish", bad)
+      }
+      assert(e.getMessage.contains("valid_to") &&
+        e.getMessage.contains("scd2ish"))
+      // in-range timestamps, NULLs, and the DateType edge all pass
+      val ok = Seq(1L, 2L).toDF("id")
+        .withColumn("t", when(col("id") === 1L,
+          to_timestamp(lit("2262-04-10 00:00:00"))))
+        .withColumn("d", to_date(lit("2262-04-10")))
+      Verify.assertStableValues("ok", ok)
+      // an out-of-range DATE is just as unstable as a timestamp
+      intercept[IllegalArgumentException] {
+        Verify.assertStableValues("baddate",
+          Seq(1L).toDF("id").withColumn("d", to_date(lit("9999-12-31"))))
+      }
+      // no temporal columns → no extra scan, returns silently
+      Verify.assertStableValues("none", Seq(1L).toDF("id"))
+    } finally spark.stop()
+  }
 }

@@ -23,7 +23,9 @@ class InitOrderSpec extends AnyFunSuite {
   }
 
   test("every oracle SQL declaration is lazy (or a def)") {
-    val strict = "^\\s*(?:private\\s+)?val\\s+[A-Za-z0-9_]*Sql".r
+    // optional [scope] qualifier: `private[graft] val fooSql` is just
+    // as much an init-order hazard as `private val fooSql`
+    val strict = "^\\s*(?:private(?:\\[\\w+\\])?\\s+|protected(?:\\[\\w+\\])?\\s+)?val\\s+[A-Za-z0-9_]*Sql".r
     val offenders = opFiles.flatMap { f =>
       val lines = new String(
         java.nio.file.Files.readAllBytes(f.toPath),
