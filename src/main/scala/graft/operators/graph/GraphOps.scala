@@ -1740,6 +1740,305 @@ object GraphOps {
       .orderBy(col("node_id"))
   }
 
+  // ---- g45: strongly connected components (trim + FW-BW coloring) ----
+  // The one classic graph operator the deck lacked. The derivation
+  // graph is a DAG (edge tags strictly increase), so the gated
+  // instance adds deterministic synthetic back-edges supplier→part
+  // for lineitems with l_orderkey % 7 == 0 — cycles then exist, and
+  // BY CONSTRUCTION only among part/supplier nodes (the only back
+  // edges land in tag 2, and from tags 2/3 the forward derivation
+  // only descends to nations/regions, never returns). The oracle
+  // exploits exactly that: a DuckDB recursive reachability closure
+  // over the part/supplier subgraph (mutual-reach pairs → min mutual
+  // partner), a genuinely DIFFERENT algorithm from the Spark side.
+  //
+  // Spark side is the distributed FW-BW-Trim algorithm (Fleischer/
+  // Hendrickson/Pinar 2000, the coloring variant of Orzan 2004 —
+  // what Slota et al. run at billion-edge scale):
+  //   per outer round over the remaining graph:
+  //   1. TRIM to fixpoint: a node with no in-edge or no out-edge is
+  //      a singleton SCC (removes the DAG bulk — without it, FW-BW
+  //      peels one pivot SCC per round on DAG-heavy graphs);
+  //   2. COLOR: forward min-label fixpoint (color(v) = min node that
+  //      reaches v) — reuses minLabelFixpoint on the directed edges;
+  //   3. MARK: backward flag propagation from each color's pivot
+  //      RESTRICTED to its color class (sound: an SCC never spans
+  //      color classes, and v backward-reaching its own pivot within
+  //      the class certifies mutual reachability). marked = exactly
+  //      the union of pivot SCCs; scc_id = color = min member id.
+  //   Remove marked, repeat. Every color class assigns at least its
+  //   pivot, so progress is guaranteed.
+  // All three phases are V-row label vectors joining into the cached
+  // edge layout — the AnalysisRound shape; per-round volume is
+  // edges-incident-to-remaining, shrinking monotonically. Driver-side
+  // scalars are the convergence counts only (the g44 loop class).
+  private val SccOuterCap = 8
+  private val SccTrimCap = 40
+  private val SccPropCap = 64
+
+  /** SCC ids (scc_id = min member) for every node of a directed
+    * (src, dst) edge table. */
+  def sccOf(edges0: DataFrame): DataFrame = {
+    val spark = edges0.sparkSession
+    var e = edges0.localCheckpoint(true)
+    var rem = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct().localCheckpoint(true)
+    var remCnt = rem.count()
+    val acc = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var outer = 0
+    while (remCnt > 0 && outer < SccOuterCap) {
+      // -- phase 1: trim fixpoint (no-in or no-out ⇒ singleton SCC)
+      var trimDone = false
+      var t = 0
+      while (!trimDone && t < SccTrimCap) {
+        val alive = e.select(col("src").as("node")).distinct()
+          .join(e.select(col("dst").as("node")).distinct(), Seq("node"))
+          .localCheckpoint(true)
+        val aliveCnt = alive.count()
+        if (aliveCnt == remCnt) trimDone = true
+        else {
+          acc += rem.join(alive, Seq("node"), "left_anti")
+            .select(col("node"), col("node").as("scc"))
+            .localCheckpoint(true)
+          e = e.join(alive.select(col("node").as("src")), Seq("src"))
+            .join(alive.select(col("node").as("dst")), Seq("dst"))
+            .select(col("src"), col("dst")).localCheckpoint(true)
+          rem = alive
+          remCnt = aliveCnt
+        }
+        t += 1
+      }
+      if (!trimDone) throw new IllegalStateException(
+        s"SCC trim did not reach fixpoint within $SccTrimCap rounds")
+      if (remCnt > 0) {
+        // -- phase 2: forward min-label colors
+        val colors = minLabelFixpoint(e,
+          rem.select(col("node"), col("node").as("lbl")),
+          SccPropCap, untilConverged = true)
+        // -- phase 3: backward mark within color classes. Propagation
+        // edges are the REVERSED intra-color edges; the pivot seeds 0,
+        // everyone else 1, and min-label flips a node to 0 exactly
+        // when it reaches its pivot — minLabelFixpoint reused verbatim.
+        val intraRev = e
+          .join(colors.select(col("node").as("src"), col("lbl").as("cs")), Seq("src"))
+          .join(colors.select(col("node").as("dst"), col("lbl").as("cd")), Seq("dst"))
+          .filter(col("cs") === col("cd"))
+          .select(col("dst").as("src"), col("src").as("dst"))
+          .localCheckpoint(true)
+        val seed = colors.select(col("node"),
+          when(col("lbl") === col("node"), lit(0L)).otherwise(lit(1L)).as("lbl"))
+        val marked = minLabelFixpoint(intraRev, seed, SccPropCap,
+            untilConverged = true)
+          .filter(col("lbl") === 0L).select(col("node"))
+          .localCheckpoint(true)
+        acc += marked.join(colors, Seq("node"))
+          .select(col("node"), col("lbl").as("scc"))
+          .localCheckpoint(true)
+        rem = rem.join(marked, Seq("node"), "left_anti").localCheckpoint(true)
+        remCnt = rem.count()
+        e = e.join(marked.select(col("node").as("src")), Seq("src"), "left_anti")
+          .join(marked.select(col("node").as("dst")), Seq("dst"), "left_anti")
+          .select(col("src"), col("dst")).localCheckpoint(true)
+      }
+      outer += 1
+    }
+    if (remCnt > 0) throw new IllegalStateException(
+      s"SCC peeling did not finish within $SccOuterCap outer rounds")
+    acc.reduce(_.union(_))
+  }
+
+  /** The directed derivation graph plus the synthetic supplier→part
+    * back-edges — the gated SCC instance's topology, cached like the
+    * other edge layouts. */
+  private[graft] def sccEdges(spark: SparkSession, dir: String): DataFrame =
+    graft.util.DfCache.cached(spark, dir, "graph_dir_cyclic") {
+      val back = graft.sources.Tables.load(spark, dir, "lineitem")
+        .filter(col("l_orderkey") % 7 === 0)
+        .select((col("l_suppkey").cast("long") * 8 + 3).as("src"),
+          (col("l_partkey").cast("long") * 8 + 2).as("dst"))
+      GraphTables.directed(spark, dir).union(back)
+        .repartition(col("src"))
+        .distinct()
+        .sortWithinPartitions(col("src"))
+    }
+
+  def g45Scc(spark: SparkSession, dir: String): DataFrame =
+    sccOf(sccEdges(spark, dir))
+      .select(col("node").as("node_id"), col("scc").as("scc_id"))
+      .orderBy(col("node_id"))
+
+  lazy val g45Sql: String = {
+    // NB: inside WITH RECURSIVE, DuckDB does NOT apply UNION's dedup
+    // semantics to non-self-referencing CTEs (UNION is parsed as the
+    // base/step separator) — every set union below is therefore an
+    // explicit SELECT DISTINCT over UNION ALL
+    val dirBranches =
+      """SELECT CAST(o_custkey*8+0 AS BIGINT) AS src, CAST(o_orderkey*8+1 AS BIGINT) AS dst FROM orders
+        |  UNION ALL SELECT CAST(l_orderkey*8+1 AS BIGINT), CAST(l_partkey*8+2 AS BIGINT) FROM lineitem
+        |  UNION ALL SELECT CAST(l_partkey*8+2 AS BIGINT), CAST(l_suppkey*8+3 AS BIGINT) FROM lineitem
+        |  UNION ALL SELECT CAST(c_custkey*8+0 AS BIGINT), CAST(c_nationkey*8+4 AS BIGINT) FROM customer
+        |  UNION ALL SELECT CAST(s_suppkey*8+3 AS BIGINT), CAST(s_nationkey*8+4 AS BIGINT) FROM supplier
+        |  UNION ALL SELECT CAST(n_nationkey*8+4 AS BIGINT), CAST(n_regionkey*8+5 AS BIGINT) FROM nation""".stripMargin
+    s"""WITH RECURSIVE de AS (
+       |  SELECT DISTINCT src, dst FROM (
+       |  $dirBranches
+       |  UNION ALL SELECT CAST(l_suppkey*8+3 AS BIGINT), CAST(l_partkey*8+2 AS BIGINT)
+       |    FROM lineitem WHERE l_orderkey % 7 = 0)),
+       |dnodes AS (SELECT DISTINCT node FROM (
+       |  SELECT src AS node FROM de UNION ALL SELECT dst FROM de)),
+       |-- cycles are confined to part/supplier nodes: the only back
+       |-- edges are supplier->part, and from tags 2/3 the forward
+       |-- derivation only descends (nation, region), never returns
+       |ps AS (SELECT src, dst FROM de WHERE src % 8 IN (2, 3) AND dst % 8 IN (2, 3)),
+       |reach(a, b) AS (
+       |  SELECT src, dst FROM ps
+       |  UNION
+       |  SELECT r.a, e.dst FROM reach r JOIN ps e ON r.b = e.src),
+       |mutual AS (
+       |  SELECT r1.a AS node, min(r1.b) AS mn
+       |  FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a
+       |  GROUP BY r1.a)
+       |SELECT n.node AS node_id,
+       |  COALESCE(least(n.node, m.mn), n.node) AS scc_id
+       |FROM dnodes n LEFT JOIN mutual m ON n.node = m.node
+       |ORDER BY node_id""".stripMargin
+  }
+
+  // ---- g46: Borůvka minimum spanning forest ----
+  // Completes the weighted-graph deck next to g44: the MSF of the
+  // multiplicity-weighted projection under the g44 cost convention
+  // (cost = 1e6 div w — strong ties are cheap). The lexicographic
+  // total order (cost, min(u,v), max(u,v)) makes edge weights
+  // DISTINCT, so the MSF is unique and the edge SET is
+  // oracle-exact — any correct algorithm must produce it.
+  //
+  // Spark side is classic distributed Borůvka (the only MST algorithm
+  // with a sublinear round bound — components at least halve per
+  // round, so ≤ log₂V rounds at any scale): per round each component
+  // picks its globally-least outgoing edge (one map-side-combined
+  // min(struct) — never a window), the picked pointer graph is
+  // contracted by 2-cycle break + pointer doubling (costs strictly
+  // decrease along pointer chains, so doubling converges fast), and
+  // the LIVE edge set is relabeled and filtered — per-round volume is
+  // cross-component edges only, shrinking monotonically. The oracle
+  // unrolls the same rounds in SQL with QUALIFY row_number picks (a
+  // different mechanism over the same total order); rounds past
+  // convergence are provably no-ops (empty cross-edge set), and the
+  // Spark loop asserts its round/jump counts fit the oracle horizons.
+  private val BoruvkaOuterUnroll = 12
+  private val BoruvkaJumpUnroll = 8
+
+  private[graft] def mstCostEdges(spark: SparkSession, dir: String): DataFrame =
+    GraphTables.weightedEdges(spark, dir)
+      .select(col("src"), col("dst"),
+        greatest(lit(1L), expr("CAST(1000000 AS BIGINT) div w")).as("cost"))
+
+  /** MSF edges (a, b, cost), a < b, of a SYMMETRIC weighted edge
+    * table (src, dst, cost). */
+  def boruvkaForest(wc: DataFrame): DataFrame = {
+    var e = wc.select(col("src").as("cu"), col("dst").as("cv"), col("cost"),
+        least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .localCheckpoint(true)
+    val forest = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var r = 0
+    var done = false
+    while (!done && r < BoruvkaOuterUnroll) {
+      val picked = e.groupBy(col("cu"))
+        .agg(min(struct(col("cost"), col("a"), col("b"), col("cv"))).as("m"))
+        .select(col("cu").as("node"), col("m.cost").as("cost"),
+          col("m.a").as("a"), col("m.b").as("b"), col("m.cv").as("par"))
+        .localCheckpoint(true)
+      if (picked.limit(1).count() == 0L) done = true
+      else {
+        forest += picked.select(col("a"), col("b"), col("cost"))
+          .distinct().localCheckpoint(true)
+        // 2-cycle break: under a total edge order, every cycle in the
+        // pointer graph is a mutual-min 2-cycle — its least endpoint
+        // becomes the root
+        var p = picked.as("p")
+          .join(picked.as("q"), col("p.par") === col("q.node"))
+          .select(col("p.node").as("node"),
+            when(col("q.par") === col("p.node"),
+              least(col("p.node"), col("p.par")))
+              .otherwise(col("p.par")).as("par"))
+          .localCheckpoint(true)
+        var stable = false
+        var j = 0
+        while (!stable && j < SccPropCap) {
+          val p2 = p.as("p").join(p.as("q"), col("p.par") === col("q.node"))
+            .select(col("p.node").as("node"), col("q.par").as("par"))
+            .localCheckpoint(true)
+          stable = p2.as("x").join(p.as("y"), col("x.node") === col("y.node"))
+            .filter(col("x.par") =!= col("y.par")).limit(1).count() == 0L
+          p = p2
+          j += 1
+        }
+        if (!stable || j > BoruvkaJumpUnroll) throw new IllegalStateException(
+          s"Borůvka pointer doubling took $j rounds (oracle horizon " +
+            s"$BoruvkaJumpUnroll) — raise BoruvkaJumpUnroll on both sides")
+        e = e.join(p.select(col("node").as("cu"), col("par").as("ncu")), Seq("cu"))
+          .join(p.select(col("node").as("cv"), col("par").as("ncv")), Seq("cv"))
+          .filter(col("ncu") =!= col("ncv"))
+          .select(col("ncu").as("cu"), col("ncv").as("cv"), col("cost"),
+            col("a"), col("b"))
+          .localCheckpoint(true)
+        r += 1
+      }
+    }
+    if (!done) throw new IllegalStateException(
+      s"Borůvka did not finish within $BoruvkaOuterUnroll rounds — raise " +
+        "BoruvkaOuterUnroll AND the oracle horizon together")
+    forest.reduce(_.union(_))
+  }
+
+  def g46Boruvka(spark: SparkSession, dir: String): DataFrame =
+    boruvkaForest(mstCostEdges(spark, dir))
+      .select(col("a").as("u"), col("b").as("v"), col("cost"))
+      .orderBy(col("u"), col("v"))
+
+  lazy val g46Sql: String = {
+    val J = BoruvkaJumpUnroll
+    def round(r: Int): String = {
+      val jumps = (1 to J).map(j =>
+        s"p${j}_$r AS MATERIALIZED (SELECT p.node, q.par FROM p${j - 1}_$r p " +
+          s"JOIN p${j - 1}_$r q ON p.par = q.node)").mkString(",\n")
+      s"""ec$r AS MATERIALIZED (
+         |  SELECT cu.comp AS c, cv.comp AS tc, e.cost,
+         |    least(e.src, e.dst) AS a, greatest(e.src, e.dst) AS b
+         |  FROM mc e JOIN comp$r cu ON e.src = cu.node
+         |            JOIN comp$r cv ON e.dst = cv.node
+         |  WHERE cu.comp <> cv.comp),
+         |pk$r AS MATERIALIZED (
+         |  SELECT c, tc, cost, a, b FROM ec$r
+         |  QUALIFY row_number() OVER (PARTITION BY c ORDER BY cost, a, b) = 1),
+         |f$r AS (SELECT DISTINCT a, b, cost FROM pk$r),
+         |pb_$r AS MATERIALIZED (
+         |  SELECT n.comp AS node, COALESCE(pk.tc, n.comp) AS par
+         |  FROM (SELECT DISTINCT comp FROM comp$r) n
+         |  LEFT JOIN pk$r pk ON pk.c = n.comp),
+         |p0_$r AS MATERIALIZED (
+         |  SELECT p.node,
+         |    CASE WHEN q.par = p.node THEN least(p.node, p.par)
+         |         ELSE p.par END AS par
+         |  FROM pb_$r p JOIN pb_$r q ON p.par = q.node),
+         |$jumps,
+         |comp${r + 1} AS MATERIALIZED (
+         |  SELECT c.node, pj.par AS comp
+         |  FROM comp$r c JOIN p${J}_$r pj ON c.comp = pj.node)""".stripMargin
+    }
+    val allF = (0 until BoruvkaOuterUnroll).map(r => s"SELECT a, b, cost FROM f$r")
+      .mkString(" UNION ALL ")
+    s"""WITH ${GraphTables.wedgeSqlCtes},
+       |mc AS (SELECT src, dst, greatest(1, 1000000 // w) AS cost FROM wed),
+       |mnodes AS (SELECT DISTINCT src AS node FROM mc),
+       |comp0 AS (SELECT node, node AS comp FROM mnodes),
+       |${(0 until BoruvkaOuterUnroll).map(round).mkString(",\n")}
+       |SELECT a AS u, b AS v, CAST(cost AS BIGINT) AS cost
+       |FROM ($allF) ORDER BY u, v""".stripMargin
+  }
+
   private def ssspSqlCtes(rounds: Int): String = {
     def iter(t: Int, prev: String) =
       s"""d$t AS MATERIALIZED (
@@ -2761,6 +3060,8 @@ object GraphOps {
     "g42_conductance" -> (g42Conductance _),
     "g43_cyclomatic" -> (g43Cyclomatic _),
     "g44_weighted_sssp" -> (g44WeightedSssp _),
+    "g45_scc" -> (g45Scc _),
+    "g46_boruvka" -> (g46Boruvka _),
     "g47_closure_by_degree" -> (g47ClosureByDegree _),
     "g36_component_sizes" -> (g36ComponentSizes _),
     "g35_coreness" -> (g35Coreness _),
@@ -2808,6 +3109,8 @@ object GraphOps {
     "g42_conductance" -> g42Sql,
     "g43_cyclomatic" -> g43Sql,
     "g44_weighted_sssp" -> g44Sql,
+    "g45_scc" -> g45Sql,
+    "g46_boruvka" -> g46Sql,
     "g47_closure_by_degree" -> g47Sql,
     "g36_component_sizes" -> g36Sql,
     "g35_coreness" -> g35Sql,

@@ -300,6 +300,74 @@ object EventStreams {
       }
   }
 
+  /** e34's STREAM MODE: open-interval peak concurrency. Input is the
+    * closed session intervals (startUs, endUs) ordered by start (the
+    * watermark contract — and all the points of one timestamp arrive
+    * in one batch, so per-instant netting matches the batch sweep).
+    * State is the sweep line's O(open intervals) residue: the current
+    * concurrency, the PENDING end points — ends later than the last
+    * processed start stay open across batch boundaries, which is
+    * exactly the open-interval split the spec exercises — and the
+    * per-day peak map. An interval with startUs == Long.MaxValue is
+    * the flush marker (remaining ends sweep out; nothing is counted).
+    * A global running count is serial by definition; the scale path
+    * is range-sharding by day with the batch operator's carry
+    * decomposition seeding each shard — this stream form is the
+    * per-shard kernel. Emits the full updated (day_us, peak) map per
+    * batch (update semantics). */
+  def peakConcurrencyStream(intervals: Dataset[(Long, Long)])
+      : Dataset[(Long, Long)] = {
+    val sq = intervals.sparkSession
+    import sq.implicits._
+    val DayUs = 86400000000L
+    intervals.groupByKey(_ => 0)
+      .flatMapGroupsWithState[(Long, List[Long], Map[Long, Long]), (Long, Long)](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (_: Int, rows: Iterator[(Long, Long)],
+         state: GroupState[(Long, List[Long], Map[Long, Long])]) =>
+          var (conc, pend, peaks) = state.getOption
+            .getOrElse((0L, List.empty[Long], Map.empty[Long, Long]))
+          val batch = rows.toArray
+          val flush = batch.exists(_._1 == Long.MaxValue)
+          val starts = batch.filter(_._1 != Long.MaxValue).sortBy(x => (x._1, x._2))
+          // one net step of the sweep at instant ts: a day's peak is
+          // max(carry at first touch, running concurrency after each
+          // netted instant) — the batch greatest(carry, carry+max_run)
+          def applyTs(ts: Long, net: Long): Unit = {
+            val d = Math.floorDiv(ts, DayUs)
+            val floor = peaks.getOrElse(d, conc)
+            conc += net
+            peaks = peaks.updated(d, math.max(floor, conc))
+          }
+          // apply pending ends with ts < upTo, netted per instant
+          def drainEnds(upTo: Long): Unit =
+            while (pend.nonEmpty && pend.head < upTo) {
+              val ts = pend.head
+              var k = 0L
+              while (pend.nonEmpty && pend.head == ts) { k += 1; pend = pend.tail }
+              applyTs(ts, -k)
+            }
+          var i = 0
+          while (i < starts.length) {
+            val s = starts(i)._1
+            var k = 0L
+            val newEnds = scala.collection.mutable.ArrayBuffer.empty[Long]
+            while (i < starts.length && starts(i)._1 == s) {
+              k += 1; newEnds += starts(i)._2; i += 1
+            }
+            drainEnds(s)
+            // ends at exactly this instant net WITH the starts
+            var m = 0L
+            while (pend.nonEmpty && pend.head == s) { m += 1; pend = pend.tail }
+            applyTs(s, k - m)
+            pend = (pend ++ newEnds).sorted
+          }
+          if (flush) drainEnds(Long.MaxValue)
+          state.update((conc, pend, peaks))
+          peaks.iterator.map { case (d, p) => (d * DayUs, p) }
+      }
+  }
+
   /** e36's STREAM MODE: live bot-cadence triage. Per-user state is
     * O(horizon): the bounded per-type counter map (|event types| is
     * a small vocabulary), one last-timestamp long, the running
