@@ -1073,47 +1073,64 @@ object SimilarityOps {
     * DfCache'd: built once, consumed by the re-encoder and the s15
     * query LUTs (and it is what you'd persist next to d9's band
     * index as the deployment artifact). */
+  /** One distributed Lloyd mean-update: per-subspace codebook means
+    * over `codes` (vec_id, pq_code) and `qv` (vec_id, qv micro-units)
+    * → (m, code, sub[PqD]) — [[pqTrainedCents]]'s body parameterized
+    * so the OPQ path (s49) trains on rotated vectors through the
+    * identical plan. */
+  private def trainedCentsOf(codes: DataFrame, qv: DataFrame): DataFrame = {
+    import graft.operators.vector.VectorOps.{PqM, PqD, PqK}
+    codes.select(col("vec_id"), col("pq_code"))
+      .withColumn("m", explode(expr(s"sequence(0, ${PqM - 1})")))
+      .withColumn("code", expr(s"cast(shiftright(pq_code, 4 * m) % $PqK as int)"))
+      .join(qv, Seq("vec_id"))
+      .withColumn("d", explode(expr(s"sequence(1, $PqD)")))
+      .select(col("m"), col("code"), col("d"),
+        expr(s"element_at(qv, m * $PqD + d)").as("val"))
+      .groupBy(col("m"), col("code"), col("d"))
+      .agg(sum(col("val")).as("s"), count(lit(1)).as("n"))
+      .groupBy(col("m"), col("code"))
+      .agg(expr(
+        "transform(sort_array(collect_list(struct(d, cast(s as double) / (n * 1000000.0)))), p -> p.col2)")
+        .as("sub"))
+  }
+
   def pqTrainedCents(spark: SparkSession, dir: String): DataFrame =
     graft.util.DfCache.cached(spark, dir, "pq_trained_cents") {
-      import graft.operators.vector.VectorOps.{PqM, PqD, PqK, pqAssigned}
-      val qv = embQuantized(spark, dir).select(col("vec_id"), col("qv"))
-      pqAssigned(spark, dir).select(col("vec_id"), col("pq_code"))
-        .withColumn("m", explode(expr(s"sequence(0, ${PqM - 1})")))
-        .withColumn("code", expr(s"cast(shiftright(pq_code, 4 * m) % $PqK as int)"))
-        .join(qv, Seq("vec_id"))
-        .withColumn("d", explode(expr(s"sequence(1, $PqD)")))
-        .select(col("m"), col("code"), col("d"),
-          expr(s"element_at(qv, m * $PqD + d)").as("val"))
-        .groupBy(col("m"), col("code"), col("d"))
-        .agg(sum(col("val")).as("s"), count(lit(1)).as("n"))
-        .groupBy(col("m"), col("code"))
-        .agg(expr(
-          "transform(sort_array(collect_list(struct(d, cast(s as double) / (n * 1000000.0)))), p -> p.col2)")
-          .as("sub"))
+      import graft.operators.vector.VectorOps.pqAssigned
+      trainedCentsOf(pqAssigned(spark, dir),
+        embQuantized(spark, dir).select(col("vec_id"), col("qv")))
     }
 
   /** The re-encoded corpus under the trained codebook: (vec_id,
     * pq_code, recon_err) — v4's broadcast-argmin shape, DfCache'd as
     * the corpus side of s15's ADC search. */
+  /** Re-encode `e` (vec_id, vd) under a trained codebook (m, code,
+    * sub) — [[pqTrainedAssigned]]'s broadcast-argmin body,
+    * parameterized for the s49 rotated path. */
+  private def trainedCodesOf(e: DataFrame, tcents: DataFrame): DataFrame = {
+    import graft.operators.vector.VectorOps.{PqM, PqD}
+    val distExpr =
+      s"""aggregate(sequence(1, $PqD), cast(0.0 as double),
+         |  (a, d) -> a + (element_at(vd, m * $PqD + d) - element_at(sub, d))
+         |              * (element_at(vd, m * $PqD + d) - element_at(sub, d)))""".stripMargin
+    val scored = e.crossJoin(broadcast(tcents))
+      .withColumn("dist", expr(distExpr))
+    val picks = (0 until PqM).map(m =>
+      min(when(col("m") === m, struct(col("dist").as("d"), col("code").as("c"))))
+        .as(s"p$m"))
+    val g = scored.groupBy(col("vec_id")).agg(picks.head, picks.tail: _*)
+    val code = (0 until PqM).map(m => col(s"p$m.c") * (1L << (4 * m)))
+      .reduce(_ + _)
+    val err = (0 until PqM).map(m => col(s"p$m.d")).reduce(_ + _)
+    g.select(col("vec_id"), code.cast("long").as("pq_code"),
+      err.as("recon_err"))
+  }
+
   def pqTrainedAssigned(spark: SparkSession, dir: String): DataFrame =
     graft.util.DfCache.cached(spark, dir, "pq_trained_codes") {
-      import graft.operators.vector.VectorOps.{PqM, PqD}
-      val e = embQuantized(spark, dir).select(col("vec_id"), col("vd"))
-      val distExpr =
-        s"""aggregate(sequence(1, $PqD), cast(0.0 as double),
-           |  (a, d) -> a + (element_at(vd, m * $PqD + d) - element_at(sub, d))
-           |              * (element_at(vd, m * $PqD + d) - element_at(sub, d)))""".stripMargin
-      val scored = e.crossJoin(broadcast(pqTrainedCents(spark, dir)))
-        .withColumn("dist", expr(distExpr))
-      val picks = (0 until PqM).map(m =>
-        min(when(col("m") === m, struct(col("dist").as("d"), col("code").as("c"))))
-          .as(s"p$m"))
-      val g = scored.groupBy(col("vec_id")).agg(picks.head, picks.tail: _*)
-      val code = (0 until PqM).map(m => col(s"p$m.c") * (1L << (4 * m)))
-        .reduce(_ + _)
-      val err = (0 until PqM).map(m => col(s"p$m.d")).reduce(_ + _)
-      g.select(col("vec_id"), code.cast("long").as("pq_code"),
-        err.as("recon_err"))
+      trainedCodesOf(embQuantized(spark, dir).select(col("vec_id"), col("vd")),
+        pqTrainedCents(spark, dir))
     }
 
   def s14PqTrained(spark: SparkSession, dir: String): DataFrame =
@@ -1122,17 +1139,18 @@ object SimilarityOps {
   /** s15's query LUTs against the TRAINED cells — [[pqQueryLut]]'s
     * map shape (keyed m·PqK+code), so [[adcRanked]] scores trained
     * codes unchanged. */
-  private def pqTrainedQueryLut(spark: SparkSession, dir: String): DataFrame = {
+  /** Query LUT rows (qid, qn2, lut keyed m·PqK+code) of `q` (vec_id,
+    * vd, n2) against a trained codebook — [[pqTrainedQueryLut]]'s
+    * body, parameterized for the s49 rotated path. */
+  private def trainedLutOf(q: DataFrame, tcents: DataFrame): DataFrame = {
     import graft.operators.vector.VectorOps.{PqM, PqD, PqK}
-    val q = VectorExprs.embFeatures(spark, dir).filter(col("vec_id") < 10)
-      .select(col("vec_id"), col("vd"), col("n2"))
     val dotExpr =
       s"""aggregate(sequence(1, $PqD), cast(0.0 as double),
          |  (a, d) -> a + element_at(vd, m * $PqD + d) * element_at(sub, d))""".stripMargin
     val cn2Expr =
       s"""aggregate(sequence(1, $PqD), cast(0.0 as double),
          |  (a, d) -> a + element_at(sub, d) * element_at(sub, d))""".stripMargin
-    q.crossJoin(broadcast(pqTrainedCents(spark, dir)))
+    q.crossJoin(broadcast(tcents))
       .withColumn("dot", expr(dotExpr))
       .withColumn("cn2", expr(cn2Expr))
       .select(col("vec_id"), col("n2"),
@@ -1144,6 +1162,12 @@ object SimilarityOps {
       .select(col("vec_id").as("qid"), col("n2").as("qn2"), col("lut"))
   }
 
+  private def pqTrainedQueryLut(spark: SparkSession, dir: String): DataFrame =
+    trainedLutOf(
+      VectorExprs.embFeatures(spark, dir).filter(col("vec_id") < 10)
+        .select(col("vec_id"), col("vd"), col("n2")),
+      pqTrainedCents(spark, dir))
+
   /** The trained-ADC search itself — s10's plan over s14's codes. */
   def pqTrainedKnn(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.registerAll(spark)
@@ -1154,6 +1178,162 @@ object SimilarityOps {
 
   def s15PqTrainedRecall(spark: SparkSession, dir: String): DataFrame =
     recallOf(s1KnnBrute(spark, dir), pqTrainedKnn(spark, dir))
+
+  // ---- s49: OPQ-style rotated PQ — the next measured-recall rung ----
+  // s15 prices the trained-but-axis-aligned codebook. OPQ's insight
+  // (Ge et al. 2013): PQ quantizes each 8-dim SLICE independently, so
+  // recall depends on how the rotation of the input spreads variance
+  // across slices — train (or fix) an orthonormal R, encode R·x, and
+  // the ADC search is unchanged because dots and norms are invariant.
+  // We use the deterministic structured rotation (Walsh–Hadamard ×
+  // ±1 diagonal, [[VectorExprs.rotExpr]]) — the fast-JL fixed
+  // rotation OPQ implementations start from — so the gate stays
+  // engine-exact. The ENTIRE trained-PQ pipeline (seed codes → Lloyd
+  // mean update → re-encode → LUT → ADC) is the s14/s15 plan applied
+  // to rotated vectors through the parameterized helpers above; the
+  // exact baseline is UNROTATED (rotation invariance is the spec'd
+  // law), so s49's recall is directly comparable to s15's row.
+  /** Rotated corpus features (vec_id, vd = R·x, n2, qv) — DfCache'd:
+    * training reads it twice, re-encoding and the LUT once each. */
+  private def embRotated(spark: SparkSession, dir: String): DataFrame =
+    graft.util.DfCache.cached(spark, dir, "emb_rotated") {
+      graft.functions.GraftFunctions.registerAll(spark)
+      graft.sources.Tables.load(spark, dir, "embeddings")
+        .withColumn("vd", expr(VectorExprs.castDoubleExpr))
+        .withColumn("vd", expr(VectorExprs.rotExpr))
+        .withColumn("n2", expr(VectorExprs.n2Expr))
+        .withColumn("qv",
+          expr("transform(vd, x -> cast(round(x * 1000000) as bigint))"))
+        .select(col("vec_id"), col("vd"), col("n2"), col("qv"))
+    }
+
+  /** Seed per-subspace codes of `e` (vec_id, vd) against a 64-dim
+    * seed codebook (mid, cvd) — VectorOps.pqAssigned's argmin body
+    * parameterized for the rotated seed. */
+  private def seedCodesOf(e: DataFrame, cents: DataFrame): DataFrame = {
+    import graft.operators.vector.VectorOps.{PqM, PqD}
+    val distsExpr =
+      s"""transform(sequence(0, ${PqM - 1}), m ->
+         |  aggregate(sequence(1, $PqD), cast(0.0 as double),
+         |    (a, d) -> a + (element_at(vd, m*$PqD + d) - element_at(cvd, m*$PqD + d))
+         |                * (element_at(vd, m*$PqD + d) - element_at(cvd, m*$PqD + d))))""".stripMargin
+    val scored = e.crossJoin(broadcast(cents))
+      .withColumn("dists", expr(distsExpr))
+    val picks = (0 until PqM).map(m =>
+      min(struct(element_at(col("dists"), m + 1).as("d"), col("mid").as("c")))
+        .as(s"p$m"))
+    val g = scored.groupBy(col("vec_id")).agg(picks.head, picks.tail: _*)
+    val code = (0 until PqM).map(m => col(s"p$m.c") * (1L << (4 * m)))
+      .reduce(_ + _)
+    g.select(col("vec_id"), code.cast("long").as("pq_code"))
+  }
+
+  /** The rotated trained codebook — the deployment artifact next to
+    * s14's (a consumer persists BOTH the rotation parameters, here
+    * none since R is structural, and these cells). */
+  private def opqTrainedCents(spark: SparkSession, dir: String): DataFrame =
+    graft.util.DfCache.cached(spark, dir, "opq_trained_cents") {
+      import graft.operators.vector.VectorOps.PqK
+      val r = embRotated(spark, dir)
+      val seed = r.filter(col("vec_id") < PqK)
+        .select(col("vec_id").as("mid"), col("vd").as("cvd"))
+      trainedCentsOf(seedCodesOf(r.select(col("vec_id"), col("vd")), seed),
+        r.select(col("vec_id"), col("qv")))
+    }
+
+  private def opqAssigned(spark: SparkSession, dir: String): DataFrame =
+    graft.util.DfCache.cached(spark, dir, "opq_codes") {
+      trainedCodesOf(embRotated(spark, dir).select(col("vec_id"), col("vd")),
+        opqTrainedCents(spark, dir))
+    }
+
+  /** The rotated-ADC search — s10's plan over rotated codes (search
+    * path still scans codes only; the rotation is an encode-time
+    * cost, amortized like the codebook training). */
+  def opqKnn(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(spark)
+    val lut = trainedLutOf(
+      embRotated(spark, dir).filter(col("vec_id") < 10)
+        .select(col("vec_id"), col("vd"), col("n2")),
+      opqTrainedCents(spark, dir))
+    adcRanked(opqAssigned(spark, dir).select(col("vec_id"), col("pq_code"))
+      .crossJoin(broadcast(lut))
+      .filter(col("qid") =!= col("vec_id")))
+  }
+
+  def s49OpqRecall(spark: SparkSession, dir: String): DataFrame =
+    recallOf(s1KnnBrute(spark, dir), opqKnn(spark, dir))
+
+  /** Rotated-path oracle CTEs: seed pick → trained cells → re-encode
+    * → ADC pairs, all over `ebr` ([[VectorExprs.ebrCtes]]) with
+    * r-prefixed names so they compose with the unrotated CTEs in one
+    * WITH. Mirrors pqPickCtes + pqTrainedCtes + pqTrainedAdcCtes. */
+  private def opqCtes(pairsName: String): String = {
+    import graft.operators.vector.VectorOps.{PqM, PqD, PqK}
+    val dist = (m: String) =>
+      s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |  [ (e.vd[$m*$PqD + d] - c.cvd[$m*$PqD + d]) * (e.vd[$m*$PqD + d] - c.cvd[$m*$PqD + d])
+         |    for d in generate_series(1, $PqD) ]), (a, x) -> a + x)""".stripMargin
+    def mFold(v: String) =
+      s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list($v ORDER BY p.m)),
+         |    (a, x) -> a + x)""".stripMargin
+    s"""rcents AS (SELECT vec_id AS mid, vd AS cvd FROM ebr WHERE vec_id < $PqK),
+       |rsc0 AS (
+       |  SELECT e.vec_id, c.mid,
+       |    [ ${dist("(m - 1)")} for m in generate_series(1, $PqM) ] AS dists
+       |  FROM ebr e CROSS JOIN rcents c),
+       |rpick0 AS MATERIALIZED (
+       |  SELECT vec_id, m, mid AS code, dist FROM (
+       |    SELECT vec_id, mid, m - 1 AS m, dists[m] AS dist,
+       |      row_number() OVER (PARTITION BY vec_id, m ORDER BY dists[m], mid) AS rn
+       |    FROM rsc0, generate_series(1, $PqM) g(m)) x WHERE rn = 1),
+       |rtmem AS (
+       |  SELECT p.m, p.code, g.d, q.qv[p.m * $PqD + g.d] AS val
+       |  FROM rpick0 p JOIN ebr q ON q.vec_id = p.vec_id,
+       |       generate_series(1, $PqD) g(d)),
+       |rtsum AS (SELECT m, code, d, sum(val) AS s, count(*) AS n
+       |  FROM rtmem GROUP BY m, code, d),
+       |rtcent AS MATERIALIZED (SELECT m, code,
+       |  list(CAST(s AS DOUBLE) / (n * 1000000.0) ORDER BY d) AS sub
+       |  FROM rtsum GROUP BY m, code),
+       |rrsc AS (
+       |  SELECT e.vec_id, t.m, t.code,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      [ (e.vd[t.m * $PqD + d] - t.sub[d]) * (e.vd[t.m * $PqD + d] - t.sub[d])
+       |        for d in generate_series(1, $PqD) ]), (a, x) -> a + x) AS dist
+       |  FROM ebr e CROSS JOIN rtcent t),
+       |rrpick AS MATERIALIZED (
+       |  SELECT vec_id, m, code, dist FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id, m
+       |      ORDER BY dist, code) AS rn FROM rrsc) x WHERE rn = 1),
+       |rtqlut AS (
+       |  SELECT q.vec_id AS qid, q.n2 AS qn2, t.m, t.code,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      [ q.vd[t.m * $PqD + d] * t.sub[d] for d in generate_series(1, $PqD) ]),
+       |      (a, x) -> a + x) AS subdot,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      [ t.sub[d] * t.sub[d] for d in generate_series(1, $PqD) ]),
+       |      (a, x) -> a + x) AS subn2
+       |  FROM ebr q CROSS JOIN rtcent t WHERE q.vec_id < 10),
+       |$pairsName AS (
+       |  SELECT l.qid AS query_id, p.vec_id AS neighbor_id,
+       |    ${mFold("l.subdot")}
+       |      / (sqrt(l.qn2) * sqrt(${mFold("l.subn2")})) AS cosine
+       |  FROM rrpick p JOIN rtqlut l ON l.m = p.m AND l.code = p.code
+       |  WHERE l.qid != p.vec_id
+       |  GROUP BY l.qid, p.vec_id, l.qn2)""".stripMargin
+  }
+
+  lazy val s49Sql: String =
+    s"""WITH ${VectorExprs.embCtes},
+       |${exactPairsCte("xpairs")},
+       |${topkCte("xr", "xpairs")},
+       |exact AS (SELECT query_id, neighbor_id FROM xr WHERE rank <= $K),
+       |${VectorExprs.ebrCtes},
+       |${opqCtes("rapairs")},
+       |${topkCte("ar", "rapairs")},
+       |approx AS (SELECT query_id, neighbor_id FROM ar WHERE rank <= $K)
+       |$recallTailSql""".stripMargin
 
   /** Trained-codebook CTEs (qv micro-units → seed-assignment means →
     * re-encode) chained after embCtes + pqPickCtes — shared by s14Sql
@@ -2762,6 +2942,7 @@ object SimilarityOps {
     "s46_graph_recall" -> (s46GraphRecall _),
     "s47_mmr" -> (s47Mmr _),
     "s48_mmr_overlap" -> (s48MmrOverlap _),
+    "s49_opq_recall" -> (s49OpqRecall _),
     "s36_residual_recall" -> (s36ResidualRecall _),
     "s35_residual_knn" -> (s35ResidualKnn _),
     "s34_recall_curve" -> (s34RecallCurve _),
@@ -2812,6 +2993,7 @@ object SimilarityOps {
     "s46_graph_recall" -> s46Sql,
     "s47_mmr" -> s47Sql,
     "s48_mmr_overlap" -> s48Sql,
+    "s49_opq_recall" -> s49Sql,
     "s36_residual_recall" -> s36Sql,
     "s35_residual_knn" -> s35Sql,
     "s34_recall_curve" -> s34Sql,

@@ -59,6 +59,44 @@ object VectorExprs {
   def dotExpr(a: String, b: String): String =
     s"graft_dot($a, $b)"
 
+  /** Deterministic orthonormal rotation R = (1/8)·H·D over `vd`: H is
+    * the 64×64 Walsh–Hadamard matrix (h(a,b) = (−1)^popcount(a AND b),
+    * 0-indexed), D a ±1 diagonal from the shared integer hash — the
+    * structured fast-JL rotation that OPQ-style quantization applies
+    * before PQ. Exactly orthonormal (H·Hᵀ = 64·I, D² = I): dot
+    * products and norms are preserved, so the exact-kNN baseline is
+    * unchanged — what changes is how variance spreads across the PQ
+    * subspaces (s49 measures the recall this buys). No trained matrix
+    * is stored: h and the diagonal are pure integer functions of the
+    * indices, reproducible on any engine. Sequential fold per output
+    * dim — bit-identical doubles vs the oracle. */
+  val rotExpr: String =
+    s"""transform(sequence(1, 64), j ->
+       |  aggregate(sequence(1, 64), cast(0.0 as double),
+       |    (a, d) -> a + cast(1 - 2 * (bit_count((j-1) & (d-1)) % 2) as double)
+       |                * cast(1 - 2 * ((d * 2654435761 % 1000003) % 2) as double)
+       |                * element_at(vd, d)) / cast(8.0 as double))""".stripMargin
+
+  /** DuckDB CTEs mirroring [[rotExpr]] applied to `eb`: `ebr`
+    * (vec_id, vd = R·x, n2, qv in integer micro-units) — chain after
+    * [[embCtes]]. */
+  val ebrCtes: String =
+    s"""ebr0 AS (
+       |  SELECT vec_id,
+       |    [ list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |        [ CAST(1 - 2 * (bit_count((j-1) & (d-1)) % 2) AS DOUBLE)
+       |          * CAST(1 - 2 * ((d * 2654435761 % 1000003) % 2) AS DOUBLE)
+       |          * vd[d]
+       |          for d in generate_series(1, 64) ]), (a, x) -> a + x) / CAST(8.0 AS DOUBLE)
+       |      for j in generate_series(1, 64) ] AS vd
+       |  FROM eb),
+       |ebr AS MATERIALIZED (
+       |  SELECT vec_id, vd,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), [ x*x for x in vd ]),
+       |                (a, b) -> a + b) AS n2,
+       |    [CAST(round(x * 1000000) AS BIGINT) for x in vd] AS qv
+       |  FROM ebr0)""".stripMargin
+
   /** embeddings + (vd, bands, n2) feature columns; one codegen'd
     * scan, cached per (session, dir) — reused by both sides of every
     * similarity self-join and by the embedding-dedup operator. */
