@@ -18,6 +18,9 @@ import org.apache.spark.sql.functions._
 object DedupScaleTrail {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    // optional probe filter (resume a partial trail): d9 | d30 | d32
+    val want: String => Boolean =
+      if (args.length > 1) args.drop(1).toSet else (_: String) => true
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = GraftSession.local(cpus, cpus)
     val d = graft.operators.dedup.DedupOps
@@ -34,6 +37,7 @@ object DedupScaleTrail {
       (v, (System.nanoTime() - t0) / 1e9)
     }
 
+    if (want("d9")) {
     val (name, buildSec) = timed {
       val n = d.gatedDedupIndex(spark, dir)
       // force both persisted tables into existence before stopping the clock
@@ -76,6 +80,77 @@ object DedupScaleTrail {
         s""""rebuild_sec":${"%.1f".format(rebuildSec)},""" +
         s""""probe_pairs":$probePairs,"checked_pairs":${mism.getLong(0)},""" +
         s""""mismatches":${mism.getLong(1)}}""")
+    }
+
+    // ---- d30 at scale: LSH bucket stats vs an independent recount ----
+    // The report the band-tuner trusts must be consistent with the
+    // band table and with the ACTUAL capped pair stream: (a) every
+    // doc lands in exactly one bucket per band, so each band's n_rows
+    // equals the banded corpus row count; (b) Σ pair_volume over
+    // bands equals the size of the pre-dedup within-bucket pair
+    // enumeration the candidate generator emits (re-executed here
+    // through Buckets.cap — a different plan than d30's k·(k−1)/2
+    // closed form). Zero mismatches = the observability row is the
+    // truth at this scale, not an estimate.
+    if (want("d30")) {
+      val (stats, d30Sec) = timed { d.d30BucketStats(spark, dir).collect() }
+      val bt = d.bandTable(spark, dir)
+      val rowsPerBand = bt.groupBy(col("band")).count().collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val rowBad = stats.count(r =>
+        rowsPerBand(r.getAs[Int]("band")) != r.getAs[Long]("n_rows"))
+      val capped = graft.util.Buckets.cap(bt, Seq("band", "bkey"),
+        graft.operators.dedup.DedupOps.MaxBucket)
+      val (pairStream, enumSec) = timed {
+        capped.as("a").join(capped.as("b"),
+            col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey")
+              && col("a.doc_id") < col("b.doc_id"))
+          .count()
+      }
+      val pairVolume = stats.map(_.getAs[Long]("pair_volume")).sum
+      println(
+        s"""{"op":"d30_bucket_stats","sf":"$dir","bands":${stats.length},""" +
+          s""""stats_sec":${"%.1f".format(d30Sec)},""" +
+          s""""enum_sec":${"%.1f".format(enumSec)},""" +
+          s""""pair_volume":$pairVolume,"enumerated_pairs":$pairStream,""" +
+          s""""row_mismatches":$rowBad,""" +
+          s""""pair_mismatch":${if (pairStream == pairVolume) 0 else 1}}""")
+    }
+
+    // ---- d32 at scale: calibration matrix vs a second aggregation ----
+    // Conservation (Σ n_pairs = |d13 pair frame|) plus full per-cell
+    // value equality against an independently-written aggregation
+    // (separate sum/count columns, mean derived on the driver with
+    // the same sign·(|Σ|÷n) convention) — the Round38 laws,
+    // re-executed at the scale the DuckDB oracle can't reach.
+    if (want("d32")) {
+      val (cal, d32Sec) = timed { d.d32SimCalibration(spark, dir).collect() }
+      val frame = d.d13MinhashEstimate(spark, dir)
+        .select(expr("least(15, est_ppm * 16 div 1000000)").as("eb"),
+          expr("least(9, exact_ppm * 10 div 1000000)").as("td"),
+          col("err_ppm"))
+      val recount = frame.groupBy(col("eb"), col("td"))
+        .agg(count(lit(1)).as("n"), sum(col("err_ppm")).as("se"))
+        .collect()
+        .map { r =>
+          val (n, se) = (r.getAs[Long]("n"), r.getAs[Long]("se"))
+          (r.getAs[Long]("eb"), r.getAs[Long]("td")) ->
+            (n, se.sign * (se.abs / n))
+        }.toMap
+      val total = recount.values.map(_._1).sum
+      val gatedTotal = cal.map(_.getAs[Long]("n_pairs")).sum
+      val cellBad = cal.count { r =>
+        recount.get((r.getAs[Long]("est_bin"), r.getAs[Long]("true_decile")))
+          .forall { case (n, me) =>
+            n != r.getAs[Long]("n_pairs") || me != r.getAs[Long]("mean_err_ppm") }
+      }
+      println(
+        s"""{"op":"d32_sim_calibration","sf":"$dir","cells":${cal.length},""" +
+          s""""cal_sec":${"%.1f".format(d32Sec)},""" +
+          s""""n_pairs":$gatedTotal,"recount_pairs":$total,""" +
+          s""""cell_mismatches":$cellBad,""" +
+          s""""conservation_mismatch":${if (total == gatedTotal) 0 else 1}}""")
+    }
     spark.stop()
   }
 }

@@ -121,7 +121,7 @@ object DedupOps {
   // scale) are dropped from pair enumeration. No effect at test scale
   // (max observed bucket ≪ cap) — it bounds the worst case at 100 TB,
   // the same skew-guard pattern as g7's hub-order cap.
-  private val MaxBucket = 200
+  private[graft] val MaxBucket = 200
 
   def d2MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val capped = graft.util.Buckets.cap(

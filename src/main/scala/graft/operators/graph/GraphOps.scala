@@ -176,9 +176,18 @@ object GraphOps {
     * instead of streaming it three times. Wedge centers have deg ≥ 2
     * by construction (two distinct neighbors), so ⌊log2 deg⌋ ≥ 1 and
     * the AA division never sees zero. */
-  private def wedgePairScores(spark: SparkSession, dir: String): DataFrame =
-    graft.util.DfCache.cached(spark, dir, "wedge_pair_scores") {
-      val sym = withSym(spark, dir)
+  /** The ONE wedge self-join + aggregate every wedge consumer reads:
+    * per non-ordered 2-hop pair, the common-neighbor count plus the
+    * RA and AA weight sums — UNFILTERED, so g21/g22/g39 (link
+    * prediction over non-edges), g29 (embeddedness of existing
+    * edges) and g47 (closure calibration over all pairs) all derive
+    * from this single cached pass instead of re-streaming the
+    * ≤ MaxWedgeDeg·|E| wedge rows once each (the round-7 bench showed
+    * g29 paying that re-stream). Two extra long columns for the
+    * consumers that ignore them is cheaper than one extra E·deg
+    * shuffle per consumer. */
+  private def wedgePairAgg(spark: SparkSession, dir: String): DataFrame =
+    graft.util.DfCache.cached(spark, dir, "wedge_pair_agg") {
       val ce = wedgeCenterEdges(spark, dir)
       ce.as("e1").join(ce.as("e2"),
           col("e1.src") === col("e2.src") && col("e1.dst") < col("e2.dst"))
@@ -188,8 +197,14 @@ object GraphOps {
         .groupBy(col("node_a"), col("node_b"))
         .agg(count(lit(1)).as("cn"), sum(col("w")).as("ra_nano"),
           sum(col("aw")).as("aa_nano"))
+    }
+
+  private def wedgePairScores(spark: SparkSession, dir: String): DataFrame =
+    graft.util.DfCache.cached(spark, dir, "wedge_pair_scores") {
+      wedgePairAgg(spark, dir)
         .filter(col("cn") >= MinCommon)
-        .join(sym.select(col("src").as("node_a"), col("dst").as("node_b")),
+        .join(withSym(spark, dir)
+            .select(col("src").as("node_a"), col("dst").as("node_b")),
           Seq("node_a", "node_b"), "left_anti")
     }
 
@@ -207,11 +222,9 @@ object GraphOps {
   def g47ClosureByDegree(spark: SparkSession, dir: String): DataFrame = {
     val sym = withSym(spark, dir)
     val deg = sym.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
-    val ce = wedgeCenterEdges(spark, dir)
-    val pairs = ce.as("e1").join(ce.as("e2"),
-        col("e1.src") === col("e2.src") && col("e1.dst") < col("e2.dst"))
-      .select(col("e1.dst").as("node_a"), col("e2.dst").as("node_b"))
-      .distinct()
+    // the aggregate's group keys ARE the distinct 2-hop pairs — no
+    // second wedge pass
+    val pairs = wedgePairAgg(spark, dir).select(col("node_a"), col("node_b"))
     val flagged = pairs
       .join(sym.select(col("src").as("node_a"), col("dst").as("node_b"),
         lit(1L).as("closed")), Seq("node_a", "node_b"), "left_outer")
@@ -2984,11 +2997,8 @@ object GraphOps {
   // g21/g22.
   def g29Embeddedness(spark: SparkSession, dir: String): DataFrame = {
     val sym = withSym(spark, dir)
-    val ce = wedgeCenterEdges(spark, dir)
-    val cn = ce.as("e1").join(ce.as("e2"),
-        col("e1.src") === col("e2.src") && col("e1.dst") < col("e2.dst"))
-      .groupBy(col("e1.dst").as("node_a"), col("e2.dst").as("node_b"))
-      .agg(count(lit(1)).as("cn"))
+    val cn = wedgePairAgg(spark, dir)
+      .select(col("node_a"), col("node_b"), col("cn"))
     sym.filter(col("src") < col("dst"))
       .select(col("src").as("node_a"), col("dst").as("node_b"))
       .join(cn, Seq("node_a", "node_b"), "left_outer")
