@@ -1405,6 +1405,145 @@ object Relational {
       |FROM leaf JOIN reg USING (region) CROSS JOIN tot
       |ORDER BY leaf.region, leaf.nation""".stripMargin
 
+  // ---- q69: order-count distribution incl. zero (TPC-H Q13 shape) ----
+  // "How many customers placed k orders" — the engagement histogram
+  // whose hardest row is k = 0: an inner join loses exactly the
+  // customers the business asks about. Plan order matters at scale:
+  // orders are aggregated to per-customer counts FIRST (map-side
+  // combine shrinks the fact stream to |customers| rows), and only
+  // that pre-combined table left-joins the customer dimension — the
+  // classic Q13 mistake is the reverse order, outer-joining the raw
+  // fact table and shuffling |orders| rows with null-padding. The
+  // priority filter keeps the count non-degenerate (Q13's comment
+  // filter adapted to this schema).
+  def q69CountDistribution(spark: SparkSession, dir: String): DataFrame = {
+    val oc = t(spark, dir, "orders")
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("k"))
+    t(spark, dir, "customer").select(col("c_custkey"))
+      .join(oc, col("c_custkey") === col("o_custkey"), "left_outer")
+      .select(coalesce(col("k"), lit(0L)).as("c_count"))
+      .groupBy(col("c_count")).agg(count(lit(1)).as("custdist"))
+      .orderBy(desc("custdist"), desc("c_count"))
+  }
+
+  lazy val q69Sql: String =
+    """WITH oc AS (
+      |  SELECT o_custkey, count(*) AS k FROM orders
+      |  WHERE o_orderpriority <> '1-URGENT' GROUP BY o_custkey)
+      |SELECT COALESCE(k, 0) AS c_count, count(*) AS custdist
+      |FROM customer LEFT JOIN oc ON c_custkey = o_custkey
+      |GROUP BY 1 ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  // ---- q70: group share vs a global threshold (TPC-H Q11 shape) ----
+  // Parts whose revenue exceeds a fixed fraction (1/10000) of the
+  // global total — the "significant stock" HAVING-against-scalar
+  // pattern. ONE fact aggregate feeds both sides: the global total
+  // re-aggregates the |parts|-row table and broadcasts as a one-row
+  // frame; the threshold compare is cross-multiplied
+  // (value·10⁴ > total) so it stays in exact DECIMAL — no
+  // double-rounded fraction to drift between engines.
+  def q70GlobalShareFilter(spark: SparkSession, dir: String): DataFrame = {
+    val pv = t(spark, dir, "lineitem")
+      .groupBy(col("l_partkey"))
+      .agg(sum(dec(col("l_extendedprice")) * (dec(lit(1)) - dec(col("l_discount"))))
+        .as("v"))
+    val tot = pv.agg(sum(col("v")).as("total"))
+    pv.crossJoin(broadcast(tot))
+      .filter(col("v") * 10000 > col("total"))
+      .select(col("l_partkey"), col("v").cast("double").as("value"))
+      .orderBy(desc("value"), col("l_partkey"))
+  }
+
+  lazy val q70Sql: String =
+    s"""WITH pv AS (
+       |  SELECT l_partkey,
+       |    sum(CAST(l_extendedprice AS DECIMAL(18,2))
+       |        * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS v
+       |  FROM lineitem GROUP BY l_partkey),
+       |tot AS (SELECT sum(v) AS total FROM pv)
+       |SELECT l_partkey, ${d2d("v")} AS value
+       |FROM pv CROSS JOIN tot WHERE v * 10000 > total
+       |ORDER BY value DESC, l_partkey""".stripMargin
+
+  // ---- q71: sole-blame suppliers (TPC-H Q21 shape) ----
+  // Q21's "suppliers who kept waiting orders" adapted to this
+  // schema: in multi-supplier orders where EXACTLY ONE supplier has
+  // a returned line, that supplier takes the blame — the
+  // exists/not-exists pair expressed as ONE per-order aggregate
+  // (two conditional count-distincts + the blamed id as a
+  // conditional max, valid exactly because n_ret = 1), instead of
+  // Q21's textbook double self-join of the fact table against
+  // itself — at 100 TB one combined aggregate over lineitem beats
+  // two extra E-row joins.
+  def q71SoleBlame(spark: SparkSession, dir: String): DataFrame = {
+    val per = t(spark, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(when(col("l_returnflag") === "R", col("l_suppkey")))
+          .as("n_ret"),
+        max(when(col("l_returnflag") === "R", col("l_suppkey"))).as("blamed"))
+    per.filter(col("n_supp") >= 2 && col("n_ret") === 1)
+      .join(broadcast(t(spark, dir, "supplier")),
+        col("blamed") === col("s_suppkey"))
+      .groupBy(col("s_suppkey"), col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(desc("numwait"), col("s_suppkey"))
+  }
+
+  lazy val q71Sql: String =
+    """WITH per AS (
+      |  SELECT l_orderkey,
+      |    count(DISTINCT l_suppkey) AS n_supp,
+      |    count(DISTINCT CASE WHEN l_returnflag = 'R' THEN l_suppkey END)
+      |      AS n_ret,
+      |    max(CASE WHEN l_returnflag = 'R' THEN l_suppkey END) AS blamed
+      |  FROM lineitem GROUP BY l_orderkey)
+      |SELECT s_suppkey, s_name, count(*) AS numwait
+      |FROM per JOIN supplier ON blamed = s_suppkey
+      |WHERE n_supp >= 2 AND n_ret = 1
+      |GROUP BY s_suppkey, s_name
+      |ORDER BY numwait DESC, s_suppkey""".stripMargin
+
+  // ---- q72: dormant prospects (TPC-H Q22 shape) ----
+  // Well-funded customers (strictly above the positive-balance
+  // average) with no URGENT order, rolled up by market segment — the
+  // scalar-subquery + anti-join pair (this generator gives every
+  // customer at least one order, so Q22's never-ordered predicate is
+  // adapted to the urgent subset to stay non-degenerate). The
+  // average compare is cross-multiplied (bal·n > Σbal) so it stays
+  // in exact DECIMAL on both engines (DuckDB's avg(DECIMAL) returns
+  // DOUBLE — a rounding seam the cross-multiplication never opens).
+  // Anti join probes the filtered o_custkey set; the one-row (Σ, n)
+  // frame broadcasts.
+  def q72Prospects(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer")
+    val s = c.filter(dec(col("c_acctbal")) > dec(lit(0)))
+      .agg(sum(dec(col("c_acctbal"))).as("tot"), count(lit(1)).as("n"))
+    c.crossJoin(broadcast(s))
+      .filter(dec(col("c_acctbal")) * col("n") > col("tot"))
+      .join(t(spark, dir, "orders")
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_custkey").as("c_custkey")),
+        Seq("c_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("numcust"),
+        sum(dec(col("c_acctbal"))).cast("double").as("totacctbal"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  lazy val q72Sql: String =
+    s"""WITH s AS (
+       |  SELECT sum(CAST(c_acctbal AS DECIMAL(18,2))) AS tot, count(*) AS n
+       |  FROM customer WHERE CAST(c_acctbal AS DECIMAL(18,2)) > 0)
+       |SELECT c_mktsegment, count(*) AS numcust,
+       |  ${d2d("sum(CAST(c_acctbal AS DECIMAL(18,2)))")} AS totacctbal
+       |FROM customer CROSS JOIN s
+       |WHERE CAST(c_acctbal AS DECIMAL(18,2)) * n > tot
+       |  AND c_custkey NOT IN (
+       |    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
   // ---- q26: pivot (wide aggregate over an enumerated domain) ----
   // Values are ENUMERATED (Seq("F","O")) so the pivot compiles to
   // CASE-filtered aggregates in ONE pass — no extra distinct-values
@@ -2784,6 +2923,10 @@ object Relational {
     "q66_cohort_ltv" -> (q66CohortLtv _),
     "q67_share_of_parent" -> (q67ShareOfParent _),
     "q68_top_movers" -> (q68TopMovers _),
+    "q69_count_distribution" -> (q69CountDistribution _),
+    "q70_global_share" -> (q70GlobalShareFilter _),
+    "q71_sole_blame" -> (q71SoleBlame _),
+    "q72_prospects" -> (q72Prospects _),
     "q50_f2_sketch" -> (q50F2Sketch _),
     "q49_mom_growth" -> (q49MomGrowth _),
     "q48_itemset3" -> (q48Itemset3 _),
@@ -2855,6 +2998,10 @@ object Relational {
     "q66_cohort_ltv" -> q66Sql,
     "q67_share_of_parent" -> q67Sql,
     "q68_top_movers" -> q68Sql,
+    "q69_count_distribution" -> q69Sql,
+    "q70_global_share" -> q70Sql,
+    "q71_sole_blame" -> q71Sql,
+    "q72_prospects" -> q72Sql,
     "q50_f2_sketch" -> q50Sql,
     "q49_mom_growth" -> q49Sql,
     "q48_itemset3" -> q48Sql,
