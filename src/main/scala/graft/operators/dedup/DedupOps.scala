@@ -625,6 +625,38 @@ object DedupOps {
        |FROM nodes n JOIN reach r ON r.a = n.n
        |GROUP BY n.n ORDER BY doc_id""".stripMargin
 
+  // ---- d33: dup-cluster source-mix histogram ----
+  // d14 counts cross-source PAIRS; this is the cluster-level view a
+  // licensing/provenance review reads: of the near-dup clusters of
+  // size k, how many span 1, 2, 3… distinct sources? Mass on the
+  // n_sources = 1 diagonal means dup removal is an intra-source
+  // cleanup; off-diagonal mass means sources are republishing each
+  // other and keeper policy decides WHOSE copy survives (d27's
+  // question, sized). Rides d6's converged fixpoint labels; the
+  // source attach is one doc_id-keyed join; output is a bounded
+  // (size × sources) histogram, n_sources ≤ size by construction
+  // (spec-pinned).
+  def d33DupSourceMix(spark: SparkSession, dir: String): DataFrame =
+    d6DupClusters(spark, dir).select(col("doc_id"), col("cluster_id"))
+      .join(docs(spark, dir).select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("sz"), countDistinct(col("source")).as("ns"))
+      .groupBy(col("sz").as("cluster_size"), col("ns").as("n_sources"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .orderBy(col("cluster_size"), col("n_sources"))
+
+  lazy val d33Sql: String =
+    s"""WITH cl AS ($d6Sql),
+       |per AS (
+       |  SELECT c.cluster_id, count(*) AS sz,
+       |    count(DISTINCT d.source) AS ns
+       |  FROM cl c JOIN documents d ON c.doc_id = d.doc_id
+       |  GROUP BY c.cluster_id)
+       |SELECT CAST(sz AS BIGINT) AS cluster_size,
+       |  CAST(ns AS BIGINT) AS n_sources,
+       |  count(*) AS n_clusters
+       |FROM per GROUP BY 1, 2 ORDER BY cluster_size, n_sources""".stripMargin
+
   // ---- d27: keeper-policy comparison (min-id vs longest-doc) ----
   // d6 keeps the min doc_id per cluster — deterministic and cheap,
   // but a curation run usually wants the RICHEST representative
@@ -1919,6 +1951,7 @@ object DedupOps {
     "d4_ngram_jaccard" -> (d4NgramJaccard _),
     "d5_embedding_dup" -> (d5EmbeddingDup _),
     "d6_dup_clusters" -> (d6DupClusters _),
+    "d33_dup_source_mix" -> (d33DupSourceMix _),
     "d8_dedup_recall" -> (d8DedupRecall _),
     "d9_incremental_dedup" -> (d9IncrementalDedup _))
 
@@ -1953,6 +1986,7 @@ object DedupOps {
     "d4_ngram_jaccard" -> d4Sql,
     "d5_embedding_dup" -> d5Sql,
     "d6_dup_clusters" -> d6Sql,
+    "d33_dup_source_mix" -> d33Sql,
     "d8_dedup_recall" -> d8Sql,
     "d9_incremental_dedup" -> d9Sql)
 }

@@ -1264,19 +1264,17 @@ object SimilarityOps {
   def s49OpqRecall(spark: SparkSession, dir: String): DataFrame =
     recallOf(s1KnnBrute(spark, dir), opqKnn(spark, dir))
 
-  /** Rotated-path oracle CTEs: seed pick → trained cells → re-encode
-    * → ADC pairs, all over `ebr` ([[VectorExprs.ebrCtes]]) with
+  /** Rotated-path oracle CTEs, code half: seed pick → trained cells
+    * → re-encode, all over `ebr` ([[VectorExprs.ebrCtes]]) with
     * r-prefixed names so they compose with the unrotated CTEs in one
-    * WITH. Mirrors pqPickCtes + pqTrainedCtes + pqTrainedAdcCtes. */
-  private def opqCtes(pairsName: String): String = {
+    * WITH. Mirrors pqPickCtes + pqTrainedCtes; s50 gates `rrpick`
+    * directly and [[opqCtes]] chains the ADC half for s49. */
+  private def opqCodeCtes: String = {
     import graft.operators.vector.VectorOps.{PqM, PqD, PqK}
     val dist = (m: String) =>
       s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
          |  [ (e.vd[$m*$PqD + d] - c.cvd[$m*$PqD + d]) * (e.vd[$m*$PqD + d] - c.cvd[$m*$PqD + d])
          |    for d in generate_series(1, $PqD) ]), (a, x) -> a + x)""".stripMargin
-    def mFold(v: String) =
-      s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list($v ORDER BY p.m)),
-         |    (a, x) -> a + x)""".stripMargin
     s"""rcents AS (SELECT vec_id AS mid, vd AS cvd FROM ebr WHERE vec_id < $PqK),
        |rsc0 AS (
        |  SELECT e.vec_id, c.mid,
@@ -1305,7 +1303,17 @@ object SimilarityOps {
        |rrpick AS MATERIALIZED (
        |  SELECT vec_id, m, code, dist FROM (
        |    SELECT *, row_number() OVER (PARTITION BY vec_id, m
-       |      ORDER BY dist, code) AS rn FROM rrsc) x WHERE rn = 1),
+       |      ORDER BY dist, code) AS rn FROM rrsc) x WHERE rn = 1)""".stripMargin
+  }
+
+  /** Rotated-path oracle CTEs, ADC half — chains after
+    * [[opqCodeCtes]]. */
+  private def opqCtes(pairsName: String): String = {
+    import graft.operators.vector.VectorOps.PqD
+    def mFold(v: String) =
+      s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list($v ORDER BY p.m)),
+         |    (a, x) -> a + x)""".stripMargin
+    s"""$opqCodeCtes,
        |rtqlut AS (
        |  SELECT q.vec_id AS qid, q.n2 AS qn2, t.m, t.code,
        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
@@ -1334,6 +1342,25 @@ object SimilarityOps {
        |${topkCte("ar", "rapairs")},
        |approx AS (SELECT query_id, neighbor_id FROM ar WHERE rank <= $K)
        |$recallTailSql""".stripMargin
+
+  // ---- s50: the rotated codes artifact itself ----
+  // s14's pairing applied to s49: the (vec_id, pq_code, recon_err)
+  // table a deployment persists next to the rotated codebook — gated
+  // so the 4-byte-code artifact, not just its recall, is engine-
+  // exact. recon_err here measures quantization distortion in the
+  // ROTATED geometry (= original distortion, rotation is isometric).
+  def s50OpqCodes(spark: SparkSession, dir: String): DataFrame =
+    opqAssigned(spark, dir).orderBy(col("vec_id"))
+
+  lazy val s50Sql: String =
+    s"""WITH ${VectorExprs.embCtes},
+       |${VectorExprs.ebrCtes},
+       |$opqCodeCtes
+       |SELECT vec_id,
+       |  CAST(sum(code * (1 << (4 * CAST(m AS INTEGER)))) AS BIGINT) AS pq_code,
+       |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(dist ORDER BY m)),
+       |              (a, x) -> a + x) AS recon_err
+       |FROM rrpick GROUP BY vec_id ORDER BY vec_id""".stripMargin
 
   /** Trained-codebook CTEs (qv micro-units → seed-assignment means →
     * re-encode) chained after embCtes + pqPickCtes — shared by s14Sql
@@ -2943,6 +2970,7 @@ object SimilarityOps {
     "s47_mmr" -> (s47Mmr _),
     "s48_mmr_overlap" -> (s48MmrOverlap _),
     "s49_opq_recall" -> (s49OpqRecall _),
+    "s50_opq_codes" -> (s50OpqCodes _),
     "s36_residual_recall" -> (s36ResidualRecall _),
     "s35_residual_knn" -> (s35ResidualKnn _),
     "s34_recall_curve" -> (s34RecallCurve _),
@@ -2994,6 +3022,7 @@ object SimilarityOps {
     "s47_mmr" -> s47Sql,
     "s48_mmr_overlap" -> s48Sql,
     "s49_opq_recall" -> s49Sql,
+    "s50_opq_codes" -> s50Sql,
     "s36_residual_recall" -> s36Sql,
     "s35_residual_knn" -> s35Sql,
     "s34_recall_curve" -> s34Sql,

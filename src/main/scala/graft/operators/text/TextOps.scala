@@ -1851,7 +1851,65 @@ object TextOps {
        |GROUP BY vl.doc_id ORDER BY vl.doc_id""".stripMargin
   }
 
+  // ---- t37: cross-language vocabulary overlap (Jaccard matrix) ----
+  // How much vocabulary two language slices share — the corpus-mix
+  // gauge read before training a multilingual tokenizer (high overlap
+  // between language pairs means shared subwords pay; a near-zero
+  // row means that language needs its own vocabulary budget). Exact
+  // Jaccard over DISTINCT (lang, token) vocabularies: the explode is
+  // map-side-combined to distinct vocab rows (vocab ≪ token stream),
+  // the intersection is ONE token-keyed co-partitioned self-join
+  // (never broadcast — vocabulary grows with the corpus), and union
+  // sizes come from the |langs|-row size table cross-joined as the
+  // pair DOMAIN (so disjoint pairs emit a 0 row instead of
+  // vanishing — every cell of the matrix is a statement). Output is
+  // |langs|²/2 rows.
+  def t37LangVocabJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val lt = docs(spark, dir)
+      .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .distinct()
+    val sizes = lt.groupBy(col("lang")).agg(count(lit(1)).as("v"))
+    val inter = lt.as("a").join(lt.as("b"),
+        col("a.tok") === col("b.tok") && col("a.lang") < col("b.lang"))
+      .groupBy(col("a.lang").as("lang_a"), col("b.lang").as("lang_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    val dom = broadcast(sizes).as("x")
+      .crossJoin(broadcast(sizes).as("y"))
+      .filter(col("x.lang") < col("y.lang"))
+      .select(col("x.lang").as("lang_a"), col("y.lang").as("lang_b"),
+        col("x.v").as("va"), col("y.v").as("vb"))
+    dom.join(inter, Seq("lang_a", "lang_b"), "left_outer")
+      .na.fill(0L, Seq("n_inter"))
+      .withColumn("n_union", col("va") + col("vb") - col("n_inter"))
+      .withColumn("jaccard_ppm", expr("n_inter * 1000000 div n_union"))
+      .select(col("lang_a"), col("lang_b"), col("va"), col("vb"),
+        col("n_inter"), col("n_union"), col("jaccard_ppm"))
+      .orderBy(col("lang_a"), col("lang_b"))
+  }
+
+  lazy val t37Sql: String =
+    """WITH lt AS (
+      |  SELECT DISTINCT lang, tok FROM (
+      |    SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents)
+      |  WHERE len(tok) > 0),
+      |sz AS (SELECT lang, count(*) AS v FROM lt GROUP BY lang),
+      |i AS (SELECT a.lang AS lang_a, b.lang AS lang_b, count(*) AS n_inter
+      |      FROM lt a JOIN lt b ON a.tok = b.tok AND a.lang < b.lang
+      |      GROUP BY 1, 2),
+      |dom AS (SELECT x.lang AS lang_a, y.lang AS lang_b, x.v AS va, y.v AS vb
+      |        FROM sz x JOIN sz y ON x.lang < y.lang)
+      |SELECT d.lang_a, d.lang_b,
+      |  CAST(d.va AS BIGINT) AS va, CAST(d.vb AS BIGINT) AS vb,
+      |  CAST(COALESCE(i.n_inter, 0) AS BIGINT) AS n_inter,
+      |  CAST(d.va + d.vb - COALESCE(i.n_inter, 0) AS BIGINT) AS n_union,
+      |  CAST(COALESCE(i.n_inter, 0) * 1000000
+      |    // (d.va + d.vb - COALESCE(i.n_inter, 0)) AS BIGINT) AS jaccard_ppm
+      |FROM dom d LEFT JOIN i ON d.lang_a = i.lang_a AND d.lang_b = i.lang_b
+      |ORDER BY d.lang_a, d.lang_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t37_lang_vocab_jaccard" -> (t37LangVocabJaccard _),
     "t27_span_contamination" -> (t27SpanContamination _),
     "t28_lm_score" -> (t28LmScore _),
     "t29_source_divergence" -> (t29SourceDivergence _),
@@ -1890,6 +1948,7 @@ object TextOps {
     "t9_curation_pipeline" -> (t9CurationPipeline _))
 
   val oracles: Map[String, String] = Map(
+    "t37_lang_vocab_jaccard" -> t37Sql,
     "t27_span_contamination" -> t27Sql,
     "t28_lm_score" -> t28Sql,
     "t29_source_divergence" -> t29Sql,

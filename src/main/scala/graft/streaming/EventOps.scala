@@ -1738,7 +1738,58 @@ object EventOps {
       |LEFT JOIN st ON pk.day = st.day
       |ORDER BY pk.day""".stripMargin
 
+  // ---- e39: day-over-day value drift per event type ----
+  // The metric-health monitor behind every revenue dashboard: per
+  // (event_type, day), exact volume/total/median of `value`, plus
+  // the day-over-day deltas a drift alert fires on (a p50 jump with
+  // flat volume = pricing change or instrumentation bug; volume jump
+  // with flat p50 = traffic mix shift). Money in integer cents (the
+  // e28 DECIMAL convention), the median via percentile_disc (an
+  // actual data value, bit-exact — the e14/q24 machinery). The lag
+  // window runs over the BOUNDED (type, day) summary (≤ |types|·
+  // |days| rows), never over events — the documented two-phase
+  // posture; the corpus-sized work is one map-side-combined
+  // aggregate. First day per type is dropped (no predecessor).
+  def e39ValueDrift(spark: SparkSession, dir: String): DataFrame = {
+    val daily = events(spark, dir)
+      .select(col("event_type"), to_date(col("ts")).as("d"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .groupBy(col("event_type"), col("d"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("cents")).as("sum_cents"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY cents)")
+          .cast("long").as("p50_cents"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("d"))
+    daily
+      .withColumn("prev_n", lag(col("n"), 1).over(w))
+      .withColumn("prev_p50", lag(col("p50_cents"), 1).over(w))
+      .filter(col("prev_n").isNotNull)
+      .select(col("event_type"), date_format(col("d"), "yyyy-MM-dd").as("day"),
+        col("n"), col("sum_cents"), col("p50_cents"),
+        (col("n") - col("prev_n")).as("n_delta"),
+        (col("p50_cents") - col("prev_p50")).as("p50_drift_cents"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  lazy val e39Sql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS n,
+      |    CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |      AS BIGINT) AS sum_cents,
+      |    CAST(quantile_disc(CAST(CAST(value AS DECIMAL(18,2)) * 100
+      |      AS BIGINT), 0.5) AS BIGINT) AS p50_cents
+      |  FROM events GROUP BY 1, 2),
+      |lagged AS (
+      |  SELECT *, lag(n) OVER w AS prev_n, lag(p50_cents) OVER w AS prev_p50
+      |  FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY d))
+      |SELECT event_type, strftime(d, '%Y-%m-%d') AS day, n, sum_cents,
+      |  p50_cents, n - prev_n AS n_delta,
+      |  p50_cents - prev_p50 AS p50_drift_cents
+      |FROM lagged WHERE prev_n IS NOT NULL
+      |ORDER BY event_type, day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e39_value_drift" -> (e39ValueDrift _),
     "e34_peak_concurrency" -> (e34PeakConcurrency _),
     "e35_props_stats" -> (e35PropsStats _),
     "e36_bot_score" -> (e36BotScore _),
@@ -1785,6 +1836,7 @@ object EventOps {
     "e31_markov_accuracy" -> e31Sql,
     "e32_streaks" -> e32Sql,
     "e33_activity_lorenz" -> e33Sql,
+    "e39_value_drift" -> e39Sql,
     "e34_peak_concurrency" -> e34Sql,
     "e35_props_stats" -> e35Sql,
     "e36_bot_score" -> e36Sql,
