@@ -1326,7 +1326,41 @@ object MultimodalOps {
       |FROM documents WHERE length(text) >= 2
       |ORDER BY doc_id""".stripMargin
 
+  // ---- m23: media ingest quality gate (triage composition) ----
+  // The keep/drop decision a media pipeline runs before paying for
+  // decode: compose the cheap byte-level signals — m19's bigram
+  // diversity (a near-constant payload is a stuck encoder or filler)
+  // and the size band (truncated uploads below, unsplit containers
+  // above) — into per-doc flags + one keep bit, WITH the reasons
+  // kept as columns (a gate that only says "dropped" is
+  // undebuggable; t9's lesson applied to media). One doc-keyed join
+  // of two narrow per-doc frames; thresholds are fixed constants so
+  // the gate is reproducible across engines and runs.
+  private val GateMinBigramPpm = 220000L
+  private val GateMinBytes = 64L
+  private val GateMaxBytes = 512L
+
+  def m23MediaGate(spark: SparkSession, dir: String): DataFrame =
+    m19Compressibility(spark, dir)
+      .select(col("doc_id"), col("n"), col("uniq1"), col("bigram_ratio_ppm"))
+      .withColumn("flag_low_entropy",
+        col("bigram_ratio_ppm") < GateMinBigramPpm)
+      .withColumn("flag_size",
+        col("n") < GateMinBytes || col("n") > GateMaxBytes)
+      .withColumn("keep", !col("flag_low_entropy") && !col("flag_size"))
+      .orderBy(col("doc_id"))
+
+  lazy val m23Sql: String =
+    s"""WITH r19 AS ($m19Sql)
+       |SELECT doc_id, n, uniq1, bigram_ratio_ppm,
+       |  bigram_ratio_ppm < $GateMinBigramPpm AS flag_low_entropy,
+       |  (n < $GateMinBytes OR n > $GateMaxBytes) AS flag_size,
+       |  NOT (bigram_ratio_ppm < $GateMinBigramPpm)
+       |    AND NOT (n < $GateMinBytes OR n > $GateMaxBytes) AS keep
+       |FROM r19 ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m23_media_gate" -> (m23MediaGate _),
     "m17_dedup_reclaim" -> (m17DedupReclaim _),
     "m18_chunk_dedup" -> (m18ChunkDedup _),
     "m19_compressibility" -> (m19Compressibility _),
@@ -1351,6 +1385,7 @@ object MultimodalOps {
     "m3_frame_sample" -> (m3FrameSample _))
 
   val oracles: Map[String, String] = Map(
+    "m23_media_gate" -> m23Sql,
     "m17_dedup_reclaim" -> m17Sql,
     "m18_chunk_dedup" -> m18Sql,
     "m19_compressibility" -> m19Sql,

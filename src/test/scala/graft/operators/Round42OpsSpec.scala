@@ -60,6 +60,23 @@ class Round42OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("m23: keep is exactly the conjunction of cleared flags; both outcomes occur") {
+    val rows = graft.operators.multimodal.MultimodalOps.m23MediaGate(spark, dir).collect()
+    val docs = graft.sources.Tables.load(spark, dir, "documents")
+      .filter(length(col("text")) >= 2).count()
+    assert(rows.length.toLong == docs)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("keep") ==
+        (!r.getAs[Boolean]("flag_low_entropy") && !r.getAs[Boolean]("flag_size")))
+      assert(r.getAs[Boolean]("flag_size") ==
+        (r.getAs[Long]("n") < 64L || r.getAs[Long]("n") > 512L))
+      assert(r.getAs[Boolean]("flag_low_entropy") ==
+        (r.getAs[Long]("bigram_ratio_ppm") < 220000L))
+    }
+    assert(rows.exists(_.getAs[Boolean]("keep")))
+    assert(rows.exists(!_.getAs[Boolean]("keep")))
+  }
+
   test("s50: codes cover the corpus with valid nibbles and non-negative error") {
     import graft.operators.vector.VectorOps.{PqM, PqK}
     val rows = graft.operators.similarity.SimilarityOps.s50OpqCodes(spark, dir).collect()
