@@ -1498,25 +1498,37 @@ object GraphOps {
     * run it on the derived graph, dedup's cluster assignment (d6) on
     * the candidate-pair graph. */
   def minLabelFixpoint(sym: DataFrame, start: DataFrame,
-      maxIters: Int, untilConverged: Boolean): DataFrame = {
+      maxIters: Int, untilConverged: Boolean, stride: Int = 1): DataFrame = {
     var labels = start.persist(StorageLevel.MEMORY_AND_DISK)
     var it = 0
     var done = false
+    // one propagation step; keepPrev threads the input label through
+    // for the convergence check
+    def step(lbls: DataFrame, keepPrev: Boolean): DataFrame = {
+      val rest: Seq[Column] =
+        if (keepPrev) Seq(min(when(col("own"), col("lbl"))).as("prev"))
+        else Seq.empty
+      lbls.select(col("node"), col("lbl"), lit(true).as("own"))
+        .union(sym.join(lbls, col("src") === col("node"))
+          .select(col("dst").as("node"), col("lbl"), lit(false).as("own")))
+        .groupBy(col("node"))
+        .agg(min(col("lbl")).as("lbl"), rest: _*)
+    }
     while (it < maxIters && !done) {
-      val viaNbr = sym.join(labels, col("src") === col("node"))
-        .select(col("dst").as("node"), col("lbl"), lit(false).as("own"))
+      // `stride` composed steps per materialization: min propagation
+      // is monotone, so "the LAST step changed nothing" certifies the
+      // fixpoint regardless of what the earlier composed steps did —
+      // one localCheckpoint + one convergence scan buys stride hops.
       // Each node appears exactly ONCE in `labels`, so the previous
       // label rides through the aggregate (min over the own-tagged
       // row) — convergence detection costs a narrow filter over the
       // materialized round instead of a V⋈V join per round.
       // localCheckpoint (eager): materializes the round AND cuts the
       // lineage, so a convergence loop's plan doesn't grow with rounds.
-      val next = labels.select(col("node"), col("lbl"), lit(true).as("own"))
-        .union(viaNbr)
-        .groupBy(col("node"))
-        .agg(min(col("lbl")).as("lbl"),
-          min(when(col("own"), col("lbl"))).as("prev"))
-        .localCheckpoint(true)
+      var cur = labels
+      for (_ <- 1 until stride)
+        cur = step(cur, keepPrev = false).select(col("node"), col("lbl"))
+      val next = step(cur, keepPrev = true).localCheckpoint(true)
       if (untilConverged) {
         done = next.filter(col("lbl") < col("prev")).limit(1).count() == 0L
       }
@@ -1789,9 +1801,46 @@ object GraphOps {
   private val SccTrimCap = 40
   private val SccPropCap = 64
 
+  /** Frontier (delta) min-label fixpoint: per round only nodes whose
+    * label improved last round probe the edge table — the g44
+    * relaxation shape, so per-round edge volume is
+    * edges-incident-to-frontier, not all E. `initFrontier` lets a
+    * caller seed with only the nodes that can propagate anything
+    * useful (the mark phase seeds pivots: a 1-label never improves
+    * another 1). Returns the converged labels. */
+  def minLabelFrontier(edges: DataFrame, start: DataFrame,
+      initFrontier: DataFrame, maxIters: Int): DataFrame = {
+    var labels = start.localCheckpoint(true)
+    var frontier = initFrontier.localCheckpoint(true)
+    var it = 0
+    var done = frontier.limit(1).count() == 0L
+    while (it < maxIters && !done) {
+      val relaxed = edges.join(frontier, col("src") === col("node"))
+        .select(col("dst").as("node"), col("lbl"), lit(false).as("own"))
+      val next = labels.select(col("node"), col("lbl"), lit(true).as("own"))
+        .union(relaxed)
+        .groupBy(col("node"))
+        .agg(min(col("lbl")).as("lbl"),
+          min(when(col("own"), col("lbl"))).as("prev"))
+        .localCheckpoint(true)
+      frontier = next.filter(col("lbl") < col("prev"))
+        .select(col("node"), col("lbl"))
+      done = frontier.limit(1).count() == 0L
+      labels = next.select(col("node"), col("lbl"))
+      it += 1
+    }
+    if (!done) throw new IllegalStateException(
+      s"frontier min-label propagation did not converge within $maxIters rounds")
+    labels
+  }
+
   /** SCC ids (scc_id = min member) for every node of a directed
     * (src, dst) edge table. */
   def sccOf(edges0: DataFrame): DataFrame = {
+    val t0 = System.nanoTime()
+    def dbg(msg: => String): Unit =
+      if (sys.env.contains("GRAFT_SCC_DEBUG"))
+        System.err.println(f"[scc +${(System.nanoTime() - t0) / 1e9}%.1fs] $msg")
     val spark = edges0.sparkSession
     var e = edges0.localCheckpoint(true)
     var rem = e.select(col("src").as("node"))
@@ -1802,33 +1851,62 @@ object GraphOps {
     var outer = 0
     while (remCnt > 0 && outer < SccOuterCap) {
       // -- phase 1: trim fixpoint (no-in or no-out ⇒ singleton SCC)
-      var trimDone = false
+      // by DEGREE-DELTA peel (the kcorePeel shape): degrees computed
+      // once, then each round decrements only the degrees touched by
+      // edges incident to the newly-dead set — e itself is never
+      // rewritten, so a round is a broadcast-probe map scan plus a
+      // small aggregate, and total trim work is O(E) across ALL
+      // rounds instead of O(E) per round.
+      var deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("outd"))
+        .join(e.groupBy(col("dst").as("node")).agg(count(lit(1)).as("ind")),
+          Seq("node"), "full_outer")
+        .na.fill(0L, Seq("ind", "outd"))
+        .localCheckpoint(true)
+      var dead = deg.filter(col("ind") === 0 || col("outd") === 0)
+        .select(col("node")).localCheckpoint(true)
       var t = 0
-      while (!trimDone && t < SccTrimCap) {
-        val alive = e.select(col("src").as("node")).distinct()
-          .join(e.select(col("dst").as("node")).distinct(), Seq("node"))
+      var deadCnt = dead.count()
+      while (deadCnt > 0L && t < SccTrimCap) {
+        val decIn = e.join(broadcast(dead.select(col("node").as("src"))), Seq("src"))
+          .groupBy(col("dst").as("node")).agg(count(lit(1)).as("di"))
+        val decOut = e.join(broadcast(dead.select(col("node").as("dst"))), Seq("dst"))
+          .groupBy(col("src").as("node")).agg(count(lit(1)).as("dou"))
+        deg = deg.join(dead, Seq("node"), "left_anti")
+          .join(decIn, Seq("node"), "left_outer")
+          .join(decOut, Seq("node"), "left_outer")
+          .select(col("node"),
+            (col("ind") - coalesce(col("di"), lit(0L))).as("ind"),
+            (col("outd") - coalesce(col("dou"), lit(0L))).as("outd"))
           .localCheckpoint(true)
-        val aliveCnt = alive.count()
-        if (aliveCnt == remCnt) trimDone = true
-        else {
-          acc += rem.join(alive, Seq("node"), "left_anti")
-            .select(col("node"), col("node").as("scc"))
-            .localCheckpoint(true)
-          e = e.join(alive.select(col("node").as("src")), Seq("src"))
-            .join(alive.select(col("node").as("dst")), Seq("dst"))
-            .select(col("src"), col("dst")).localCheckpoint(true)
-          rem = alive
-          remCnt = aliveCnt
-        }
+        dead = deg.filter(col("ind") <= 0 || col("outd") <= 0)
+          .select(col("node")).localCheckpoint(true)
+        deadCnt = dead.count()
         t += 1
       }
-      if (!trimDone) throw new IllegalStateException(
+      if (deadCnt > 0L) throw new IllegalStateException(
         s"SCC trim did not reach fixpoint within $SccTrimCap rounds")
+      dbg(s"outer=$outer trim done: rounds=$t")
+      val alive2 = deg.select(col("node")).localCheckpoint(true)
+      acc += rem.join(alive2, Seq("node"), "left_anti")
+        .select(col("node"), col("node").as("scc"))
+        .localCheckpoint(true)
+      rem = alive2
+      remCnt = rem.count()
+      // one edge filter at the end of the fixpoint, laid out by src
+      // for the propagation phases (inside the remCnt > 0 branch)
+      dbg(s"outer=$outer post-trim rem=$remCnt")
       if (remCnt > 0) {
+        // the delta peel never rewrote e — filter to the surviving
+        // core once, laid out by src: both fixpoints join the V-row
+        // label vector on src every hop, so only the vector moves
+        e = e.join(alive2.select(col("node").as("src")), Seq("src"), "left_semi")
+          .join(alive2.select(col("node").as("dst")), Seq("dst"), "left_semi")
+          .select(col("src"), col("dst"))
+          .repartition(col("src")).localCheckpoint(true)
         // -- phase 2: forward min-label colors
-        val colors = minLabelFixpoint(e,
-          rem.select(col("node"), col("node").as("lbl")),
-          SccPropCap, untilConverged = true)
+        val startLbls = rem.select(col("node"), col("node").as("lbl"))
+        val colors = minLabelFrontier(e, startLbls, startLbls, SccPropCap)
+        dbg(s"outer=$outer colors done")
         // -- phase 3: backward mark within color classes. Propagation
         // edges are the REVERSED intra-color edges; the pivot seeds 0,
         // everyone else 1, and min-label flips a node to 0 exactly
@@ -1838,13 +1916,15 @@ object GraphOps {
           .join(colors.select(col("node").as("dst"), col("lbl").as("cd")), Seq("dst"))
           .filter(col("cs") === col("cd"))
           .select(col("dst").as("src"), col("src").as("dst"))
+          .repartition(col("src"))
           .localCheckpoint(true)
         val seed = colors.select(col("node"),
           when(col("lbl") === col("node"), lit(0L)).otherwise(lit(1L)).as("lbl"))
-        val marked = minLabelFixpoint(intraRev, seed, SccPropCap,
-            untilConverged = true)
+        val marked = minLabelFrontier(intraRev, seed,
+            seed.filter(col("lbl") === 0L), SccPropCap)
           .filter(col("lbl") === 0L).select(col("node"))
           .localCheckpoint(true)
+        dbg(s"outer=$outer marked done")
         acc += marked.join(colors, Seq("node"))
           .select(col("node"), col("lbl").as("scc"))
           .localCheckpoint(true)
@@ -1926,19 +2006,27 @@ object GraphOps {
   // DISTINCT, so the MSF is unique and the edge SET is
   // oracle-exact — any correct algorithm must produce it.
   //
-  // Spark side is classic distributed Borůvka (the only MST algorithm
-  // with a sublinear round bound — components at least halve per
-  // round, so ≤ log₂V rounds at any scale): per round each component
-  // picks its globally-least outgoing edge (one map-side-combined
-  // min(struct) — never a window), the picked pointer graph is
-  // contracted by 2-cycle break + pointer doubling (costs strictly
-  // decrease along pointer chains, so doubling converges fast), and
-  // the LIVE edge set is relabeled and filtered — per-round volume is
-  // cross-component edges only, shrinking monotonically. The oracle
-  // unrolls the same rounds in SQL with QUALIFY row_number picks (a
-  // different mechanism over the same total order); rounds past
-  // convergence are provably no-ops (empty cross-edge set), and the
-  // Spark loop asserts its round/jump counts fit the oracle horizons.
+  // Spark side is distributed Borůvka with PARTIAL contraction: per
+  // round each label picks the globally-least edge leaving its vertex
+  // set (one map-side-combined min(struct) — never a window), then
+  // the pointer graph contracts by 2-cycle break + a FIXED two
+  // pointer jumps — no convergence-checked doubling loop. This is
+  // sound by the CUT PROPERTY: with the lexicographic total order,
+  // the minimum edge leaving ANY vertex set S is in the unique MSF,
+  // whether or not S is a maximal component — so labels that take
+  // extra rounds to unify only delay convergence (absorbed by the
+  // outer loop, which stops when no cross-label edge remains), never
+  // admit a non-forest edge. A label re-picking an already-picked
+  // edge before its endpoints unify is deduped by the one final
+  // distinct. Cutting the per-round action count is the point: a
+  // convergence-checked doubling loop costs 2 driver-scheduled jobs
+  // per jump (the round-8 first cut measured ~700 jobs at sf0.1);
+  // this shape is ~6 jobs per round. The oracle unrolls FULL
+  // contraction rounds (8 jumps) in SQL with QUALIFY row_number
+  // picks — different round structure, same unique MSF, which is the
+  // whole point of the deterministic tie-break.
+  private val BoruvkaSparkCap = 64
+  private val BoruvkaJumps = 2
   private val BoruvkaOuterUnroll = 12
   private val BoruvkaJumpUnroll = 8
 
@@ -1957,7 +2045,7 @@ object GraphOps {
     val forest = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var r = 0
     var done = false
-    while (!done && r < BoruvkaOuterUnroll) {
+    while (!done && r < BoruvkaSparkCap) {
       val picked = e.groupBy(col("cu"))
         .agg(min(struct(col("cost"), col("a"), col("b"), col("cv"))).as("m"))
         .select(col("cu").as("node"), col("m.cost").as("cost"),
@@ -1965,8 +2053,9 @@ object GraphOps {
         .localCheckpoint(true)
       if (picked.limit(1).count() == 0L) done = true
       else {
+        // lazy select off the checkpointed pick — no per-round job;
+        // mutual picks and cross-round re-picks dedup once at the end
         forest += picked.select(col("a"), col("b"), col("cost"))
-          .distinct().localCheckpoint(true)
         // 2-cycle break: under a total edge order, every cycle in the
         // pointer graph is a mutual-min 2-cycle — its least endpoint
         // becomes the root
@@ -1976,21 +2065,12 @@ object GraphOps {
             when(col("q.par") === col("p.node"),
               least(col("p.node"), col("p.par")))
               .otherwise(col("p.par")).as("par"))
-          .localCheckpoint(true)
-        var stable = false
-        var j = 0
-        while (!stable && j < SccPropCap) {
-          val p2 = p.as("p").join(p.as("q"), col("p.par") === col("q.node"))
+        // fixed partial pointer jumping (composed lazily, one
+        // materialization): longer chains unify over later rounds
+        for (_ <- 1 to BoruvkaJumps)
+          p = p.as("p").join(p.as("q"), col("p.par") === col("q.node"))
             .select(col("p.node").as("node"), col("q.par").as("par"))
-            .localCheckpoint(true)
-          stable = p2.as("x").join(p.as("y"), col("x.node") === col("y.node"))
-            .filter(col("x.par") =!= col("y.par")).limit(1).count() == 0L
-          p = p2
-          j += 1
-        }
-        if (!stable || j > BoruvkaJumpUnroll) throw new IllegalStateException(
-          s"Borůvka pointer doubling took $j rounds (oracle horizon " +
-            s"$BoruvkaJumpUnroll) — raise BoruvkaJumpUnroll on both sides")
+        p = p.localCheckpoint(true)
         e = e.join(p.select(col("node").as("cu"), col("par").as("ncu")), Seq("cu"))
           .join(p.select(col("node").as("cv"), col("par").as("ncv")), Seq("cv"))
           .filter(col("ncu") =!= col("ncv"))
@@ -2001,9 +2081,8 @@ object GraphOps {
       }
     }
     if (!done) throw new IllegalStateException(
-      s"Borůvka did not finish within $BoruvkaOuterUnroll rounds — raise " +
-        "BoruvkaOuterUnroll AND the oracle horizon together")
-    forest.reduce(_.union(_))
+      s"Borůvka did not finish within $BoruvkaSparkCap rounds")
+    forest.reduce(_.union(_)).distinct()
   }
 
   def g46Boruvka(spark: SparkSession, dir: String): DataFrame =
