@@ -47,7 +47,11 @@ object Bench {
       "span_groups" -> ((s, d) => graft.operators.dedup.DedupOps.d10SpanDedup(s, d)),
       "ivf_assign" -> ((s, d) => graft.operators.similarity.SimilarityOps.trainedAssignment(s, d)),
       "knn_lists" -> ((s, d) => graft.operators.similarity.SimilarityOps.s33MutualKnn(s, d)),
-      "nnd_round1" -> ((s, d) => graft.operators.similarity.SimilarityOps.s37NnDescent(s, d)))
+      "nnd_round1" -> ((s, d) => graft.operators.similarity.SimilarityOps.s37NnDescent(s, d)),
+      "wedge_pair_agg" -> ((s, d) => graft.operators.graph.GraphOps.wedgePairAgg(s, d)),
+      "graph_dir_cyclic" -> ((s, d) => graft.operators.graph.GraphOps.sccEdges(s, d)),
+      "emb_rotated" -> ((s, d) => graft.operators.similarity.SimilarityOps.embRotated(s, d)),
+      "opq_codes" -> ((s, d) => graft.operators.similarity.SimilarityOps.opqAssigned(s, d)))
 
     def timed(fn: => Long): (Double, Boolean, Long) = {
       val t0 = System.nanoTime()

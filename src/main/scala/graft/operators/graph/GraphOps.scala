@@ -186,7 +186,7 @@ object GraphOps {
     * g29 paying that re-stream). Two extra long columns for the
     * consumers that ignore them is cheaper than one extra E·deg
     * shuffle per consumer. */
-  private def wedgePairAgg(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def wedgePairAgg(spark: SparkSession, dir: String): DataFrame =
     graft.util.DfCache.cached(spark, dir, "wedge_pair_agg") {
       val ce = wedgeCenterEdges(spark, dir)
       ce.as("e1").join(ce.as("e2"),

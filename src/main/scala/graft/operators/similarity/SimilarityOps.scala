@@ -1195,7 +1195,7 @@ object SimilarityOps {
   // law), so s49's recall is directly comparable to s15's row.
   /** Rotated corpus features (vec_id, vd = R·x, n2, qv) — DfCache'd:
     * training reads it twice, re-encoding and the LUT once each. */
-  private def embRotated(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def embRotated(spark: SparkSession, dir: String): DataFrame =
     graft.util.DfCache.cached(spark, dir, "emb_rotated") {
       graft.functions.GraftFunctions.registerAll(spark)
       graft.sources.Tables.load(spark, dir, "embeddings")
@@ -1241,7 +1241,7 @@ object SimilarityOps {
         r.select(col("vec_id"), col("qv")))
     }
 
-  private def opqAssigned(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def opqAssigned(spark: SparkSession, dir: String): DataFrame =
     graft.util.DfCache.cached(spark, dir, "opq_codes") {
       trainedCodesOf(embRotated(spark, dir).select(col("vec_id"), col("vd")),
         opqTrainedCents(spark, dir))
