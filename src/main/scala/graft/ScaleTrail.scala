@@ -109,6 +109,71 @@ object ScaleTrail {
           s""""mismatches":${infeasible + loose + math.abs(reach - compSize)},""" +
           s""""total_sec":${"%.1f".format(totalSec)}}""")
     }
+    // g45 SCC fixpoint audit (the g44 class): the DuckDB closure
+    // oracle explodes past sf0.1 (the cyclic core's reach-pair set is
+    // quadratic in the giant SCC), but the decomposition certifies
+    // ITSELF — it is the SCC partition iff
+    //  (a) every class is strongly connected: a forward AND a
+    //      backward frontier propagation over INTRA-class edges,
+    //      all classes in parallel, seeded at each class's root
+    //      (scc_id = min member, so the root is a member), must
+    //      flip every member — a wrongly-MERGED class fails here;
+    //  (b) the CONTRACTED class graph is acyclic (an in/out-degree
+    //      trim peel empties it) — a wrongly-SPLIT SCC would leave a
+    //      cycle between its two halves.
+    // All distributed joins; nothing corpus-sized collects.
+    if (want("g45_scc")) {
+      val t0 = System.nanoTime()
+      val scc = GraphOps.g45Scc(spark, dir)
+        .select(col("node_id").as("node"), col("scc_id").as("scc"))
+        .localCheckpoint(true)
+      val nScc = scc.select(col("scc")).distinct().count()
+      val e = GraphOps.sccEdges(spark, dir)
+      val tagged = e
+        .join(scc.select(col("node").as("src"), col("scc").as("ss")), Seq("src"))
+        .join(scc.select(col("node").as("dst"), col("scc").as("sd")), Seq("dst"))
+        .localCheckpoint(true)
+      val intra = tagged.filter(col("ss") === col("sd"))
+        .select(col("src"), col("dst"))
+        .repartition(col("src")).localCheckpoint(true)
+      def unreached(edges: org.apache.spark.sql.DataFrame): Long = {
+        val seed = scc.select(col("node"),
+          when(col("node") === col("scc"), lit(0L)).otherwise(lit(1L)).as("lbl"))
+        GraphOps.minLabelFrontier(edges, seed,
+            seed.filter(col("lbl") === 0L), 200)
+          .filter(col("lbl") =!= 0L).count()
+      }
+      val fwdMiss = unreached(intra)
+      val bwdMiss = unreached(
+        intra.select(col("dst").as("src"), col("src").as("dst"))
+          .repartition(col("src")))
+      var ce = tagged.filter(col("ss") =!= col("sd"))
+        .select(col("ss").as("src"), col("sd").as("dst")).distinct()
+        .localCheckpoint(true)
+      var cCnt = ce.count()
+      var stuck = false
+      var rounds = 0
+      while (cCnt > 0 && !stuck && rounds < 200) {
+        val alive = ce.select(col("src").as("node")).distinct()
+          .join(ce.select(col("dst").as("node")).distinct(), Seq("node"))
+        val ne = ce.join(alive.select(col("node").as("src")), Seq("src"))
+          .join(alive.select(col("node").as("dst")), Seq("dst"))
+          .select(col("src"), col("dst")).localCheckpoint(true)
+        val nCnt = ne.count()
+        stuck = nCnt == cCnt
+        ce = ne
+        cCnt = nCnt
+        rounds += 1
+      }
+      val totalSec = (System.nanoTime() - t0) / 1e9
+      println(
+        s"""{"op":"g45_scc","sf":"$dir","mode":"fixpoint_audit",""" +
+          s""""rows":${scc.count()},"n_scc":$nScc,""" +
+          s""""fwd_unreached":$fwdMiss,"bwd_unreached":$bwdMiss,""" +
+          s""""contracted_cycle_edges":$cCnt,""" +
+          s""""mismatches":${fwdMiss + bwdMiss + cCnt},""" +
+          s""""total_sec":${"%.1f".format(totalSec)}}""")
+    }
     spark.stop()
   }
 }
