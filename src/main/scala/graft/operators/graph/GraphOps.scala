@@ -1938,7 +1938,9 @@ object GraphOps {
     }
     if (remCnt > 0) throw new IllegalStateException(
       s"SCC peeling did not finish within $SccOuterCap outer rounds")
-    acc.reduce(_.union(_))
+    // empty input ⇒ empty decomposition (degenerate-input contract)
+    if (acc.isEmpty) rem.select(col("node"), col("node").as("scc"))
+    else acc.reduce(_.union(_))
   }
 
   /** The directed derivation graph plus the synthetic supplier→part
@@ -2082,7 +2084,10 @@ object GraphOps {
     }
     if (!done) throw new IllegalStateException(
       s"Borůvka did not finish within $BoruvkaSparkCap rounds")
-    forest.reduce(_.union(_)).distinct()
+    // empty/edgeless input ⇒ empty forest (degenerate-input contract)
+    if (forest.isEmpty)
+      e.select(col("a"), col("b"), col("cost")).limit(0)
+    else forest.reduce(_.union(_)).distinct()
   }
 
   def g46Boruvka(spark: SparkSession, dir: String): DataFrame =
