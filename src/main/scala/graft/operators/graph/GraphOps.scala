@@ -2084,6 +2084,8 @@ object GraphOps {
     }
     if (!done) throw new IllegalStateException(
       s"Borůvka did not finish within $BoruvkaSparkCap rounds")
+    if (sys.env.contains("GRAFT_SCC_DEBUG"))
+      System.err.println(s"[boruvka] rounds=$r")
     // empty/edgeless input ⇒ empty forest (degenerate-input contract)
     if (forest.isEmpty)
       e.select(col("a"), col("b"), col("cost")).limit(0)

@@ -352,6 +352,36 @@ object VectorOps {
   // 1 bit/dim ≈ hundreds of thousands — the storage-vs-fidelity
   // tradeoff a 100 TB embedding store prices before choosing codes.
   // One codegen'd scan, zero shuffle, V rows.
+  // ---- v16: rotation isometry check (the OPQ preprocessing gate) ----
+  // The per-vector report a pipeline runs after rotating embeddings
+  // (s49/s50's encode-time step): original vs rotated squared norm
+  // and their drift — |n2_rot − n2| must sit at float-rounding scale
+  // because R is exactly orthonormal, and a drift spike flags a
+  // corrupted rotation long before recall quietly degrades. Also
+  // gates the first two rotated coordinates, pinning the rotation's
+  // SIGN/INDEX conventions cross-engine (a transposed or re-signed R
+  // is still orthonormal — the norm check alone would pass it). One
+  // narrow codegen'd... interpreted-HOF scan (the O(64²) fold, see
+  // §6), zero shuffle, embarrassingly parallel.
+  def v16RotationCheck(spark: SparkSession, dir: String): DataFrame =
+    embPlain(spark, dir)
+      .withColumn("vr", expr(VectorExprs.rotExpr))
+      .withColumn("n2r",
+        expr("aggregate(vr, cast(0.0 as double), (a, x) -> a + x * x)"))
+      .select(col("vec_id"), col("n2"), col("n2r"),
+        (col("n2r") - col("n2")).as("n2_drift"),
+        element_at(col("vr"), 1).as("r1"),
+        element_at(col("vr"), 2).as("r2"))
+      .orderBy(col("vec_id"))
+
+  lazy val v16Sql: String =
+    s"""WITH ${VectorExprs.embCtes},
+       |${VectorExprs.ebrCtes}
+       |SELECT e.vec_id, e.n2, r.n2 AS n2r, r.n2 - e.n2 AS n2_drift,
+       |  r.vd[1] AS r1, r.vd[2] AS r2
+       |FROM eb e JOIN ebr r ON e.vec_id = r.vec_id
+       |ORDER BY e.vec_id""".stripMargin
+
   def v15QuantDistortion(spark: SparkSession, dir: String): DataFrame =
     embPlain(spark, dir)
       .withColumn("am", expr("array_max(transform(vd, x -> abs(x)))"))
@@ -852,6 +882,7 @@ object VectorOps {
     "v13_bit_balance" -> (v13BitBalance _),
     "v14_code_histogram" -> (v14CodeHistogram _),
     "v15_quant_distortion" -> (v15QuantDistortion _),
+    "v16_rotation_check" -> (v16RotationCheck _),
     "v11_ternary_quantize" -> (v11TernaryQuantize _),
     "v10_matryoshka" -> (v10Matryoshka _),
     "v9_residual_codes" -> (v9ResidualCodes _),
@@ -869,6 +900,7 @@ object VectorOps {
     "v13_bit_balance" -> v13Sql,
     "v14_code_histogram" -> v14Sql,
     "v15_quant_distortion" -> v15Sql,
+    "v16_rotation_check" -> v16Sql,
     "v11_ternary_quantize" -> v11Sql,
     "v10_matryoshka" -> v10Sql,
     "v9_residual_codes" -> v9Sql,

@@ -67,6 +67,16 @@ class Round40OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("v16: norm drift sits at float-rounding scale for every vector") {
+    val rows = graft.operators.vector.VectorOps.v16RotationCheck(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n2, drift) = (r.getAs[Double]("n2"), r.getAs[Double]("n2_drift"))
+      assert(math.abs(drift) <= 1e-9 * math.max(1.0, n2),
+        s"vec ${r.getAs[Long]("vec_id")} drift $drift vs n2 $n2")
+    }
+  }
+
   test("s49: exact top-K is rotation-invariant and recall rows are sane") {
     // exact kNN over rotated vectors == the s1 exact baseline (the
     // law that makes s49's recall comparable to s15's)
