@@ -36,6 +36,7 @@ object GraftFunctions {
       binary("graft_sorted_intersect_count", SortedIntersectCount),
     "graft_pack_deltas" -> unary("graft_pack_deltas", PackDeltas),
     "graft_minhash64" -> unary("graft_minhash64", MinHash64),
+    "graft_fwht64" -> unary("graft_fwht64", Fwht64),
     "graft_packed_intersect" ->
       binary("graft_packed_intersect", PackedIntersect))
 

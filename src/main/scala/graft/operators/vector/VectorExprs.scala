@@ -70,32 +70,46 @@ object VectorExprs {
     * is stored: h and the diagonal are pure integer functions of the
     * indices, reproducible on any engine. Sequential fold per output
     * dim — bit-identical doubles vs the oracle. */
-  val rotExpr: String =
+  val rotExpr: String = "graft_fwht64(vd)"
+
+  /** The naive O(64²) product form of the same rotation — kept for
+    * the spec that pins butterfly ≡ matrix product (they differ only
+    * by float rounding; the GATE runs the butterfly on both engines,
+    * see [[graft.functions.Fwht64]]). */
+  val rotNaiveExpr: String =
     s"""transform(sequence(1, 64), j ->
        |  aggregate(sequence(1, 64), cast(0.0 as double),
        |    (a, d) -> a + cast(1 - 2 * (bit_count((j-1) & (d-1)) % 2) as double)
        |                * cast(1 - 2 * ((d * 2654435761 % 1000003) % 2) as double)
        |                * element_at(vd, d)) / cast(8.0 as double))""".stripMargin
 
-  /** DuckDB CTEs mirroring [[rotExpr]] applied to `eb`: `ebr`
-    * (vec_id, vd = R·x, n2, qv in integer micro-units) — chain after
-    * [[embCtes]]. */
-  val ebrCtes: String =
-    s"""ebr0 AS (
+  /** DuckDB CTEs mirroring [[rotExpr]] (the [[graft.functions.Fwht64]]
+    * butterfly, stage-for-stage — the float-order contract) applied to
+    * `eb`: `ebr` (vec_id, vd = R·x, n2, qv in integer micro-units) —
+    * chain after [[embCtes]]. */
+  val ebrCtes: String = {
+    val stages = Seq(1, 2, 4, 8, 16, 32).zipWithIndex.map { case (h, s) =>
+      s"""rw${s + 1} AS (
+         |  SELECT vec_id,
+         |    [ CASE WHEN ((j - 1) & $h) = 0 THEN y[j] + y[j + $h]
+         |           ELSE y[j - $h] - y[j] END
+         |      for j in generate_series(1, 64) ] AS y
+         |  FROM rw$s)""".stripMargin
+    }.mkString(",\n")
+    s"""rw0 AS (
        |  SELECT vec_id,
-       |    [ list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-       |        [ CAST(1 - 2 * (bit_count((j-1) & (d-1)) % 2) AS DOUBLE)
-       |          * CAST(1 - 2 * ((d * 2654435761 % 1000003) % 2) AS DOUBLE)
-       |          * vd[d]
-       |          for d in generate_series(1, 64) ]), (a, x) -> a + x) / CAST(8.0 AS DOUBLE)
-       |      for j in generate_series(1, 64) ] AS vd
+       |    [ CAST(1 - 2 * ((d * 2654435761 % 1000003) % 2) AS DOUBLE) * vd[d]
+       |      for d in generate_series(1, 64) ] AS y
        |  FROM eb),
+       |$stages,
        |ebr AS MATERIALIZED (
        |  SELECT vec_id, vd,
        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), [ x*x for x in vd ]),
        |                (a, b) -> a + b) AS n2,
        |    [CAST(round(x * 1000000) AS BIGINT) for x in vd] AS qv
-       |  FROM ebr0)""".stripMargin
+       |  FROM (SELECT vec_id, [ y[j] / 8.0 for j in generate_series(1, 64) ] AS vd
+       |        FROM rw6))""".stripMargin
+  }
 
   /** embeddings + (vd, bands, n2) feature columns; one codegen'd
     * scan, cached per (session, dir) — reused by both sides of every
