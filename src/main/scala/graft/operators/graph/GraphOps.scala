@@ -1867,9 +1867,13 @@ object GraphOps {
       var t = 0
       var deadCnt = dead.count()
       while (deadCnt > 0L && t < SccTrimCap) {
-        val decIn = e.join(broadcast(dead.select(col("node").as("src"))), Seq("src"))
+        // no explicit broadcast hint: the FIRST trim wave can be
+        // V-sized (every source/sink stratum at once) and forcing it
+        // into the driver would be the scale bug; AQE broadcasts the
+        // later, genuinely-small waves on its own
+        val decIn = e.join(dead.select(col("node").as("src")), Seq("src"))
           .groupBy(col("dst").as("node")).agg(count(lit(1)).as("di"))
-        val decOut = e.join(broadcast(dead.select(col("node").as("dst"))), Seq("dst"))
+        val decOut = e.join(dead.select(col("node").as("dst")), Seq("dst"))
           .groupBy(col("src").as("node")).agg(count(lit(1)).as("dou"))
         deg = deg.join(dead, Seq("node"), "left_anti")
           .join(decIn, Seq("node"), "left_outer")
