@@ -12,6 +12,28 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * threw (a failed query's time-to-failure would otherwise be
   * indistinguishable from a healthy run). */
 object Bench {
+  /** Previous round's per-query seconds, read from the bench_detail
+    * .json the LAST bench run left in cwd (committed per round), so
+    * the wire line can carry a round-over-round `bench_delta` block —
+    * the judge/builder hand-diffed BENCH_rN vs rN−1 every round;
+    * this makes host-load vs plan regressions visible at round close.
+    * Missing/corrupt file ⇒ empty map (first round, fresh clone). */
+  private def prevQuerySecs(sfDir: String): Map[String, Double] = try {
+    val node = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(new java.io.File("bench_detail.json"))
+    val q = node.get("queries")
+    val prevSf = Option(node.get("sf")).map(_.asText()).getOrElse("")
+    // only a same-SF previous run is a meaningful baseline (a local
+    // sf0.001 iteration run must not become the driver's sf0.1 prev)
+    if (q == null || prevSf != sfDir) Map.empty
+    else {
+      val it = q.fields()
+      val b = Map.newBuilder[String, Double]
+      while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asDouble() }
+      b.result()
+    }
+  } catch { case _: Throwable => Map.empty }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -59,6 +81,7 @@ object Bench {
       ((System.nanoTime() - t0) / 1e9, ok, rows)
     }
 
+    val prev = prevQuerySecs(sfDir)  // read BEFORE this run overwrites the file
     val warm = warmups.map { case (name, fn) =>
       val (sec, ok, _) = timed(fn(spark, sfDir).count())
       (name, sec, ok)
@@ -88,10 +111,30 @@ object Bench {
     val timings = results.map { case (k, s, ok, _) => (k, s, ok) }
     val failed = (warm ++ timings).collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
+    // round-over-round delta vs the previous committed bench_detail:
+    // ratio = this_run_sec / prev_run_sec per common query. The full
+    // map goes to the detail file; the wire line gets a board-size-
+    // invariant summary (median + the 5 worst/best movers ≥0.25 s —
+    // sub-0.25 s queries are pure scheduling noise at sf0.1).
+    val deltas = timings.collect {
+      case (k, s, true) if prev.get(k).exists(_ > 0.0) => (k, s / prev(k), s max prev(k))
+    }
+    val material = deltas.filter(_._3 >= 0.25)
+    val medianRatio =
+      if (deltas.isEmpty) 0.0
+      else deltas.map(_._2).sorted.apply(deltas.size / 2)
+    val topReg = material.filter(_._2 >= 1.05).sortBy(-_._2).take(5)
+    val topImp = material.filter(_._2 <= 0.95).sortBy(_._2).take(5)
+    def ratioObj(es: Seq[(String, Double, Double)]): String =
+      es.map { case (k, v, _) => "\"" + k + "\":" + r2(v) }.mkString("{", ",", "}")
+    val deltaBlock =
+      s""""bench_delta":{"common":${deltas.size},"median_ratio":${r2(medianRatio)},""" +
+      s""""regressed":${ratioObj(topReg)},"improved":${ratioObj(topImp)}}"""
     val detail = s"""{"metric":"total","value":${warmTotal + queryTotal},"unit":"sec",""" +
       s""""warmup_total":$warmTotal,"query_total":$queryTotal,""" +
       s""""warmup":${obj(warm, _.toString)},"queries":${obj(timings, _.toString)},""" +
       s""""rows":${timings.indices.map(i => "\"" + results(i)._1 + "\":" + results(i)._4).mkString("{", ",", "}")},""" +
+      s""""delta_vs_prev":${deltas.map { case (k, v, _) => "\"" + k + "\":" + r2(v) }.mkString("{", ",", "}")},""" +
       s""""failed":$failed,"sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_detail.json"),
       detail.getBytes("UTF-8"))
@@ -109,7 +152,7 @@ object Bench {
       s""""warmup_total":${r2(warmTotal)},"query_total":${r2(queryTotal)},""" +
       s""""n_queries":${results.size},"families":${obj(families, r2)},""" +
       s""""rows_per_sec":${obj(famRps, v => math.round(v).toString)},""" +
-      s""""queries":${obj(top, r2)},"failed":$failed,"sf":"$sfDir",""" +
+      s""""queries":${obj(top, r2)},$deltaBlock,"failed":$failed,"sf":"$sfDir",""" +
       s""""detail":"bench_detail.json"}"""
     require(line.length <= 1900,
       s"bench line ${line.length} chars — exceeds the driver's tail-capture budget")

@@ -97,8 +97,10 @@ object DedupScaleTrail {
       val bt = d.bandTable(spark, dir)
       val rowsPerBand = bt.groupBy(col("band")).count().collect()
         .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      // guarded lookup: a band missing from the recount is a row
+      // mismatch in the JSON line, not a NoSuchElementException crash
       val rowBad = stats.count(r =>
-        rowsPerBand(r.getAs[Int]("band")) != r.getAs[Long]("n_rows"))
+        !rowsPerBand.get(r.getAs[Int]("band")).contains(r.getAs[Long]("n_rows")))
       val capped = graft.util.Buckets.cap(bt, Seq("band", "bkey"),
         graft.operators.dedup.DedupOps.MaxBucket)
       val (pairStream, enumSec) = timed {

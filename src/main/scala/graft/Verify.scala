@@ -42,27 +42,39 @@ object Verify {
     * already coalesced) so a future sentinel-style timestamp/date is
     * a named local failure, like the type guard made s17's decimal.
     * Returns silently when no temporal columns exist (no extra scan). */
-  private val NsMaxMicros = 9223372036854775L  // (2^63-1) ns in µs = 2262-04-11
-  private val NsMaxDays   = 106751             // floor(ns-max / 86400 s)
+  private val NsMaxMicros = 9223372036854775L   // (2^63-1) ns in µs = 2262-04-11
+  private val NsMinMicros = -9223372036854775L  // -(2^63-1) ns in µs = 1677-09-21
+  private val NsMaxDays   = 106751              // floor(ns-max / 86400 s)
+  private val NsMinDays   = -106751             // below-range floor (pre-1677-09-21)
   def assertStableValues(name: String,
       df: org.apache.spark.sql.DataFrame): Unit = {
-    import org.apache.spark.sql.functions.{col, max, unix_micros, datediff, lit, to_date}
+    import org.apache.spark.sql.functions.{col, max, min, unix_micros, datediff, lit, to_date}
     val tsCols  = df.schema.fields.collect { case f if f.dataType == TimestampType => f.name }
     val dtCols  = df.schema.fields.collect { case f if f.dataType == DateType => f.name }
     if (tsCols.nonEmpty || dtCols.nonEmpty) {
-      val aggs = tsCols.map(c => max(unix_micros(col(c))).as(s"ts_$c")) ++
-        dtCols.map(c => max(datediff(col(c), to_date(lit("1970-01-01")))).as(s"dt_$c"))
+      // Both ends: a below-range sentinel (e.g. 0001-01-01) overflows
+      // pandas' datetime64[ns] exactly like 9999-12-31 does.
+      val aggs = tsCols.flatMap(c => Seq(
+          max(unix_micros(col(c))).as(s"tsmax_$c"),
+          min(unix_micros(col(c))).as(s"tsmin_$c"))) ++
+        dtCols.flatMap(c => Seq(
+          max(datediff(col(c), to_date(lit("1970-01-01")))).as(s"dtmax_$c"),
+          min(datediff(col(c), to_date(lit("1970-01-01")))).as(s"dtmin_$c")))
       val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
       val over = tsCols.zipWithIndex.collect {
-        case (c, i) if !row.isNullAt(i) && row.getLong(i) > NsMaxMicros => c
+        case (c, i) if (!row.isNullAt(2 * i) && row.getLong(2 * i) > NsMaxMicros) ||
+          (!row.isNullAt(2 * i + 1) && row.getLong(2 * i + 1) < NsMinMicros) => c
       } ++ dtCols.zipWithIndex.collect {
-        case (c, i) if !row.isNullAt(tsCols.length + i) &&
-          row.getInt(tsCols.length + i) > NsMaxDays => c
+        case (c, i) if {
+          val base = 2 * tsCols.length + 2 * i
+          (!row.isNullAt(base) && row.getInt(base) > NsMaxDays) ||
+            (!row.isNullAt(base + 1) && row.getInt(base + 1) < NsMinDays)
+        } => c
       }
       require(over.isEmpty,
-        s"[verify] $name emits temporal value(s) beyond pandas' ns range " +
-          s"(2262-04-11) in column(s): ${over.mkString(", ")} — sentinel " +
-          "dates are banned from gated outputs; use NULL + a flag " +
+        s"[verify] $name emits temporal value(s) outside pandas' ns range " +
+          s"(1677-09-21 … 2262-04-11) in column(s): ${over.mkString(", ")} — " +
+          "sentinel dates are banned from gated outputs; use NULL + a flag " +
           "(the e37 convention) or epoch-µs BIGINT")
     }
   }

@@ -32,6 +32,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * (the embedding width; enforced upstream by the cast builders). */
 object FwhtOps {
   def fwht64(v: ArrayData): ArrayData = {
+    // Registered as a public SQL function: on an UnsafeArrayData
+    // shorter than 64, getDouble does no bounds check, so a contract
+    // violation must fail loudly here rather than yield garbage.
+    require(v.numElements() == 64,
+      s"graft_fwht64 requires exactly 64 elements, got ${v.numElements()}")
     val y = new Array[Double](64)
     var d = 0
     while (d < 64) {

@@ -77,6 +77,17 @@ class GateTypeSpec extends AnyFunSuite {
         Verify.assertStableValues("baddate",
           Seq(1L).toDF("id").withColumn("d", to_date(lit("9999-12-31"))))
       }
+      // BELOW-range sentinels (pre-1677-09-21) overflow datetime64[ns]
+      // just like 9999-12-31 does — the floor is guarded too
+      val low = intercept[IllegalArgumentException] {
+        Verify.assertStableValues("lowts", Seq(1L).toDF("id")
+          .withColumn("born", to_timestamp(lit("0001-01-01 00:00:00"))))
+      }
+      assert(low.getMessage.contains("born"))
+      intercept[IllegalArgumentException] {
+        Verify.assertStableValues("lowdate",
+          Seq(1L).toDF("id").withColumn("d", to_date(lit("0001-01-01"))))
+      }
       // no temporal columns → no extra scan, returns silently
       Verify.assertStableValues("none", Seq(1L).toDF("id"))
     } finally spark.stop()
