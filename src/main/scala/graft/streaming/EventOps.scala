@@ -1206,7 +1206,9 @@ object EventOps {
   // break on event_id on both engines. value rides through
   // DECIMAL(18,2) (the e28 convention) so the payload compares
   // exactly.
-  def e37Scd2(spark: SparkSession, dir: String): DataFrame = {
+  /** The SCD2 dimension rows, unordered — shared by the gated e37
+    * build and the e40 point-in-time lookup that consumes it. */
+  private[streaming] def scd2Dim(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
     events(spark, dir)
@@ -1218,8 +1220,10 @@ object EventOps {
       .select(col("user_id"), col("version"),
         col("ts").as("valid_from"), col("valid_to"),
         col("value"), col("valid_to").isNull.as("is_current"))
-      .orderBy(col("user_id"), col("version"))
   }
+
+  def e37Scd2(spark: SparkSession, dir: String): DataFrame =
+    scd2Dim(spark, dir).orderBy(col("user_id"), col("version"))
 
   lazy val e37Sql: String =
     """WITH p AS (
@@ -1234,6 +1238,79 @@ object EventOps {
       |SELECT user_id, version, ts AS valid_from, valid_to, value,
       |  valid_to IS NULL AS is_current
       |FROM v ORDER BY user_id, version""".stripMargin
+
+  // ---- e40: SCD2 point-in-time lookup (dimension as-of fact time) ----
+  // The consumer every SCD2 build exists for, and the join most
+  // feature pipelines get wrong: enrich each fact (here the
+  // non-purchase events) with the dimension attributes that were
+  // valid AT its timestamp — never future state (leakage-free by
+  // construction). NOT an interval join: facts and dimension-version
+  // boundaries are unioned and ONE user_id-partitioned running
+  // `last(ignoreNulls)` window carries the in-effect version struct
+  // onto each fact row — O((F+V) log) per user after a single
+  // co-shuffle on user_id, no fact×versions row blowup, the as-of
+  // shape that survives a dimension with millions of versions per
+  // round (the e5 pattern applied dim→fact). An event at exactly
+  // valid_from sees THAT version (>= convention, matching DuckDB
+  // ASOF JOIN); two versions at the same instant resolve to the
+  // higher version number on both engines. Facts before the user's
+  // first version keep NULL state (is_known = false), and
+  // state_age_us — how stale the dimension was at fact time — is
+  // exact integer µs.
+  def e40Scd2Lookup(spark: SparkSession, dir: String): DataFrame = {
+    val st = struct(col("version"), col("valid_from"), col("value"))
+    val dimRows = scd2Dim(spark, dir)
+      .select(col("user_id"), col("valid_from").as("ts"), lit(0).as("tr"),
+        lit(null).cast("long").as("event_id"),
+        lit(null).cast("string").as("event_type"), st.as("st"))
+    val factRows = events(spark, dir)
+      .filter(col("event_type") =!= "purchase")
+      .select(col("user_id"), col("ts"), lit(1).as("tr"),
+        col("event_id"), col("event_type"),
+        lit(null).cast(
+          "struct<version:bigint,valid_from:timestamp,value:double>").as("st"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("tr"), col("st.version"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dimRows.unionByName(factRows)
+      .withColumn("cur", last(col("st"), ignoreNulls = true).over(w))
+      .filter(col("tr") === 1)
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"),
+        col("cur.version").as("state_version"),
+        col("cur.value").as("state_value"),
+        (unix_micros(col("ts")) - unix_micros(col("cur.valid_from")))
+          .as("state_age_us"),
+        col("cur").isNotNull.as("is_known"))
+      .orderBy(col("event_id"))
+  }
+
+  lazy val e40Sql: String =
+    """WITH p AS (
+      |  SELECT user_id, ts, event_id,
+      |    CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS value
+      |  FROM events WHERE event_type = 'purchase'),
+      |v AS (
+      |  SELECT user_id, ts AS valid_from, value,
+      |    CAST(row_number() OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS BIGINT) AS version
+      |  FROM p),
+      |-- two versions at the same instant: as-of resolves to the
+      |-- higher version number (ASOF picks one row per boundary)
+      |d AS (
+      |  SELECT user_id, valid_from, value, version FROM v
+      |  QUALIFY row_number() OVER (PARTITION BY user_id, valid_from
+      |    ORDER BY version DESC) = 1),
+      |f AS (
+      |  SELECT event_id, user_id, ts, event_type
+      |  FROM events WHERE event_type <> 'purchase')
+      |SELECT f.event_id, f.user_id, f.ts, f.event_type,
+      |  d.version AS state_version, d.value AS state_value,
+      |  epoch_us(CAST(f.ts AS TIMESTAMP))
+      |    - epoch_us(CAST(d.valid_from AS TIMESTAMP)) AS state_age_us,
+      |  d.version IS NOT NULL AS is_known
+      |FROM f ASOF LEFT JOIN d
+      |  ON f.user_id = d.user_id AND f.ts >= d.valid_from
+      |ORDER BY event_id""".stripMargin
 
   // ---- e28: latest-state compaction (the CDC upsert primitive) ----
   // The log-to-snapshot operator every changelog pipeline runs: per
@@ -1794,6 +1871,7 @@ object EventOps {
     "e35_props_stats" -> (e35PropsStats _),
     "e36_bot_score" -> (e36BotScore _),
     "e37_scd2" -> (e37Scd2 _),
+    "e40_scd2_lookup" -> (e40Scd2Lookup _),
     "e38_growth_accounting" -> (e38GrowthAccounting _),
     "e28_latest_state" -> (e28LatestState _),
     "e29_seasonality" -> (e29Seasonality _),
@@ -1841,6 +1919,7 @@ object EventOps {
     "e35_props_stats" -> e35Sql,
     "e36_bot_score" -> e36Sql,
     "e37_scd2" -> e37Sql,
+    "e40_scd2_lookup" -> e40Sql,
     "e38_growth_accounting" -> e38Sql,
     "e27_new_vs_returning" -> e27Sql,
     "e26_rfm" -> e26Sql,

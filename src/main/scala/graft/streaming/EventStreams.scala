@@ -461,6 +461,77 @@ object EventStreams {
       }
   }
 
+  /** e39's STREAM MODE: day-over-day value drift as running state.
+    * Input rows are (event_type, epoch_day, cents); key = event_type.
+    * State per type is the PREVIOUS day's (day, n, p50) — three longs
+    * — plus the one OPEN day's cents histogram (distinct values of a
+    * single day, freed at day close): cross-day state is O(1) per
+    * type, exactly the lag-shape e39's batch window computes. A row
+    * for a NEW day closes the open day (its drift row becomes final);
+    * the open day re-emits a refreshed provisional row per batch
+    * (update mode, last write per (type, day) wins), so the final
+    * snapshot needs no end-of-stream sentinel. A late row older than
+    * the open day is DROPPED (beyond-watermark late data — the e32
+    * convention: state never regresses); stream ≡ batch holds for
+    * day-ordered delivery, which a daily-rollup pipeline has by
+    * construction. p50 is percentile_disc(0.5): sorted index
+    * ceil(n/2)−1 (QuantileConventionSpec pins this against both
+    * engines). Output: (type, day, n, sum_cents, p50, n_delta,
+    * p50_drift_cents) for every day with a present predecessor. */
+  def valueDriftStream(typed: Dataset[(String, Long, Long)])
+      : Dataset[(String, Long, Long, Long, Long, Long, Long)] = {
+    val sq = typed.sparkSession
+    import sq.implicits._
+    // state: (prevDay, prevN, prevP50, curDay, hist); out: 7-tuple row
+    type O = (String, Long, Long, Long, Long, Long, Long)
+    def p50Of(hist: Map[Long, Long]): Long = {
+      val n = hist.valuesIterator.sum
+      val target = (n + 1) / 2  // ceil(n/2), 1-based rank of percentile_disc(0.5)
+      var cum = 0L
+      for ((v, c) <- hist.toSeq.sortBy(_._1)) {
+        cum += c
+        if (cum >= target) return v
+      }
+      throw new IllegalStateException("empty histogram")
+    }
+    def driftRow(tpe: String, day: Long, hist: Map[Long, Long],
+        prevDay: Long, prevN: Long, prevP50: Long): Option[O] =
+      if (prevDay == Long.MinValue) None
+      else {
+        val n = hist.valuesIterator.sum
+        val s = hist.iterator.map { case (v, c) => v * c }.sum
+        val p = p50Of(hist)
+        Some((tpe, day, n, s, p, n - prevN, p - prevP50))
+      }
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, Long, Long, Map[Long, Long]),
+          (String, Long, Long, Long, Long, Long, Long)](
+          OutputMode.Update, GroupStateTimeout.NoTimeout()) {
+        (tpe: String, rows: Iterator[(String, Long, Long)],
+         state: GroupState[(Long, Long, Long, Long, Map[Long, Long])]) =>
+          var (prevDay, prevN, prevP50, curDay, hist) =
+            state.getOption.getOrElse(
+              (Long.MinValue, 0L, 0L, Long.MinValue, Map.empty[Long, Long]))
+          val out = scala.collection.mutable.ArrayBuffer.empty[O]
+          rows.toSeq.sortBy(_._2).foreach { case (_, day, cents) =>
+            if (curDay == Long.MinValue) { curDay = day; hist = Map(cents -> 1L) }
+            else if (day == curDay)
+              hist = hist.updated(cents, hist.getOrElse(cents, 0L) + 1L)
+            else if (day > curDay) {
+              // close the open day: its drift row is final
+              driftRow(tpe, curDay, hist, prevDay, prevN, prevP50).foreach(out += _)
+              prevDay = curDay; prevN = hist.valuesIterator.sum; prevP50 = p50Of(hist)
+              curDay = day; hist = Map(cents -> 1L)
+            }
+            // else: late beyond the open day — dropped, state never regresses
+          }
+          if (curDay != Long.MinValue)
+            driftRow(tpe, curDay, hist, prevDay, prevN, prevP50).foreach(out += _)
+          state.update((prevDay, prevN, prevP50, curDay, hist))
+          out.iterator
+      }
+  }
+
   /** e28's STREAM MODE: per-key latest-state maintenance (the CDC
     * upsert primitive as running state). Input rows are
     * (key, ts, row_id, payload); state per key is exactly the

@@ -43,6 +43,42 @@ class Round43OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out == (0L to 6L).map(n => n -> 0L).toMap)
   }
 
+  test("e40: no fact row ever sees future dimension state (leakage-free)") {
+    val out = graft.streaming.EventOps.e40Scd2Lookup(spark, dir).collect()
+    assert(out.nonEmpty)
+    // replay: per user, the sorted purchase changelog IS the dimension
+    val purchases = graft.sources.Tables.load(spark, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("value").cast("decimal(18,2)").cast("double"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime * 1000 +
+        r.getTimestamp(1).getNanos / 1000 % 1000, r.getLong(2), r.getDouble(3)))
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(p => (p._2, p._3)).zipWithIndex
+        .map { case ((_, us, _, v), i) => (us, i + 1L, v) }.toSeq).toMap
+    var known = 0
+    out.foreach { r =>
+      val u = r.getAs[Long]("user_id")
+      val ts = r.getAs[java.sql.Timestamp]("ts")
+      val us = ts.getTime * 1000 + ts.getNanos / 1000 % 1000
+      val versions = purchases.getOrElse(u, Seq.empty[(Long, Long, Double)])
+      val inEffect = versions.filter(_._1 <= us)  // NEVER future state
+      if (r.getAs[Boolean]("is_known")) {
+        known += 1
+        val (vfUs, ver, value) = inEffect.last
+        assert(r.getAs[Long]("state_version") == ver, s"user $u at $us")
+        assert(r.getAs[Double]("state_value") == value, s"user $u at $us")
+        assert(r.getAs[Long]("state_age_us") == us - vfUs, s"user $u at $us")
+        assert(r.getAs[Long]("state_age_us") >= 0L, "as-of never looks forward")
+      } else {
+        assert(inEffect.isEmpty, s"user $u at $us should have known state")
+        assert(r.isNullAt(r.fieldIndex("state_version")))
+      }
+    }
+    assert(known > 0, "some facts carry state")
+  }
+
   test("graft_fwht64 rejects arrays that are not exactly 64 elements") {
     import spark.implicits._
     val bad = Seq(Array.fill(63)(1.0)).toDF("v")
