@@ -174,6 +174,45 @@ object ScaleTrail {
           s""""mismatches":${fwdMiss + bwdMiss + cCnt},""" +
           s""""total_sec":${"%.1f".format(totalSec)}}""")
     }
+    // g46 MSF self-audit (the oracle-free class — the unrolled
+    // Borůvka oracle is infeasible past sf1). F certifies itself:
+    //  (a) |F| = V − C with C = g11's component count. F ⊆ E means
+    //      F's partition REFINES the graph's, so equal part COUNTS
+    //      force the partitions equal (spanning), and |F| = V − C_F
+    //      iff acyclic — one count law proves both: |F| = V − C
+    //      ⇒ V − C = |F| ≥ V − C_F ⇒ C_F ≤ C ⇒ C_F = C ⇒ acyclic.
+    //  (b) cut optimality over ALL singleton cuts: every node's
+    //      lexicographic-min incident edge is in the unique MSF
+    //      (the cut property at {v}) — one map-side-combined
+    //      min(struct) + one anti-join, V cuts checked exhaustively.
+    // All distributed; nothing corpus-sized collects.
+    if (want("g46_boruvka")) {
+      val t0 = System.nanoTime()
+      val f = GraphOps.g46Boruvka(spark, dir).localCheckpoint(true)
+      val nF = f.count()
+      val wc = GraphOps.mstCostEdges(spark, dir)
+      val nV = wc.select(col("src")).distinct().count()
+      val comp = GraphOps.g11ComponentsConverged(spark, dir)
+      val nC = comp.select(col("component")).distinct().count()
+      val sizeBad = math.abs(nF - (nV - nC))
+      val nodeMin = wc
+        .groupBy(col("src"))
+        .agg(min(struct(col("cost"),
+          least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))).as("m"))
+        .select(col("m.a").as("u"), col("m.b").as("v")).distinct()
+      val nCuts = nodeMin.count()
+      val cutMiss = nodeMin
+        .join(f.select(col("u"), col("v")), Seq("u", "v"), "left_anti").count()
+      val totalSec = (System.nanoTime() - t0) / 1e9
+      println(
+        s"""{"op":"g46_boruvka","sf":"$dir","mode":"msf_audit",""" +
+          s""""rows":$nF,"n_nodes":$nV,"n_components":$nC,""" +
+          s""""size_law_delta":$sizeBad,"singleton_cuts":$nCuts,""" +
+          s""""cut_misses":$cutMiss,""" +
+          s""""mismatches":${sizeBad + cutMiss},""" +
+          s""""total_sec":${"%.1f".format(totalSec)}}""")
+    }
     spark.stop()
   }
 }

@@ -1842,7 +1842,11 @@ object GraphOps {
       if (sys.env.contains("GRAFT_SCC_DEBUG"))
         System.err.println(f"[scc +${(System.nanoTime() - t0) / 1e9}%.1fs] $msg")
     val spark = edges0.sparkSession
-    var e = edges0.localCheckpoint(true)
+    // no input checkpoint: the gated caller passes the DfCache'd
+    // sccEdges layout, and re-materializing an E-row copy DOUBLED the
+    // storage footprint at sf10 (the audit session's heap OOM) — the
+    // pre-shrink trim rounds scan the shared cache instead
+    var e = edges0
     var rem = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .distinct().localCheckpoint(true)
@@ -1866,14 +1870,24 @@ object GraphOps {
         .select(col("node")).localCheckpoint(true)
       var t = 0
       var deadCnt = dead.count()
+      // every round scans the trim edge set TWICE (decIn/decOut), so
+      // the dominant sf10 cost is rounds × 2 full-E scans — not
+      // driver latency (a stride-composed variant was measured WORSE:
+      // the lazy deg chain replicates ~3× per fused step). The fix
+      // that holds at scale: after the first (V-sized) wave's
+      // decrements land, SHRINK the scan set once to the surviving
+      // nodes — later strata are tiny, and each of the up-to-40 tail
+      // rounds then scans the small core instead of original E.
+      var eTrim = e
+      var shrunk = false
       while (deadCnt > 0L && t < SccTrimCap) {
         // no explicit broadcast hint: the FIRST trim wave can be
         // V-sized (every source/sink stratum at once) and forcing it
         // into the driver would be the scale bug; AQE broadcasts the
         // later, genuinely-small waves on its own
-        val decIn = e.join(dead.select(col("node").as("src")), Seq("src"))
+        val decIn = eTrim.join(dead.select(col("node").as("src")), Seq("src"))
           .groupBy(col("dst").as("node")).agg(count(lit(1)).as("di"))
-        val decOut = e.join(dead.select(col("node").as("dst")), Seq("dst"))
+        val decOut = eTrim.join(dead.select(col("node").as("dst")), Seq("dst"))
           .groupBy(col("src").as("node")).agg(count(lit(1)).as("dou"))
         deg = deg.join(dead, Seq("node"), "left_anti")
           .join(decIn, Seq("node"), "left_outer")
@@ -1886,6 +1900,15 @@ object GraphOps {
           .select(col("node")).localCheckpoint(true)
         deadCnt = dead.count()
         t += 1
+        if (!shrunk && deadCnt > 0L) {
+          // edges to wave-1 dead have already decremented, so the
+          // semi-filtered set sees every remaining stratum correctly
+          eTrim = eTrim
+            .join(deg.select(col("node").as("src")), Seq("src"), "left_semi")
+            .join(deg.select(col("node").as("dst")), Seq("dst"), "left_semi")
+            .select(col("src"), col("dst")).localCheckpoint(true)
+          shrunk = true
+        }
       }
       if (deadCnt > 0L) throw new IllegalStateException(
         s"SCC trim did not reach fixpoint within $SccTrimCap rounds")
@@ -1903,7 +1926,7 @@ object GraphOps {
         // the delta peel never rewrote e — filter to the surviving
         // core once, laid out by src: both fixpoints join the V-row
         // label vector on src every hop, so only the vector moves
-        e = e.join(alive2.select(col("node").as("src")), Seq("src"), "left_semi")
+        e = eTrim.join(alive2.select(col("node").as("src")), Seq("src"), "left_semi")
           .join(alive2.select(col("node").as("dst")), Seq("dst"), "left_semi")
           .select(col("src"), col("dst"))
           .repartition(col("src")).localCheckpoint(true)
@@ -2035,6 +2058,15 @@ object GraphOps {
   private val BoruvkaJumps = 2
   private val BoruvkaOuterUnroll = 12
   private val BoruvkaJumpUnroll = 8
+  // Rounds whose pick table fits under this row cap contract on the
+  // DRIVER (union-find over the label pointer graph — label-count
+  // rows, at-least-halving per round, never corpus rows) and relabel
+  // the live edge set through a BROADCAST map: the edge table is
+  // scanned once per round with zero relabel shuffles. Over the cap
+  // (early rounds of a 100 TB graph) the distributed 2-cycle-break +
+  // pointer-jump path below runs instead — the hybrid both scales
+  // and keeps gate-scale rounds cheap. 4M rows ≈ 64 MB collected.
+  private val BoruvkaDriverContractCap = 4000000L
 
   private[graft] def mstCostEdges(spark: SparkSession, dir: String): DataFrame =
     GraphTables.weightedEdges(spark, dir)
@@ -2044,52 +2076,154 @@ object GraphOps {
   /** MSF edges (a, b, cost), a < b, of a SYMMETRIC weighted edge
     * table (src, dst, cost). */
   def boruvkaForest(wc: DataFrame): DataFrame = {
+    // round 1 runs lazily off the (cached) input — no point paying a
+    // full-E checkpoint before the first contraction drops most edges;
+    // every later round's survivor set IS checkpointed (plan depth
+    // stays O(1) and each round computes once)
     var e = wc.select(col("src").as("cu"), col("dst").as("cv"), col("cost"),
         least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
-      .localCheckpoint(true)
+    val spark = wc.sparkSession
+    import spark.implicits._
     val forest = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var r = 0
     var done = false
+    var allDriverRounds = true
+    var maxChainDepth = 0
     while (!done && r < BoruvkaSparkCap) {
       val picked = e.groupBy(col("cu"))
         .agg(min(struct(col("cost"), col("a"), col("b"), col("cv"))).as("m"))
         .select(col("cu").as("node"), col("m.cost").as("cost"),
           col("m.a").as("a"), col("m.b").as("b"), col("m.cv").as("par"))
         .localCheckpoint(true)
-      if (picked.limit(1).count() == 0L) done = true
+      val nPicked = picked.count()
+      if (sys.env.contains("GRAFT_SCC_DEBUG"))
+        System.err.println(s"[boruvka] r=$r picked=$nPicked t=${System.nanoTime() / 1000000}")
+      if (nPicked == 0L) done = true
       else {
         // lazy select off the checkpointed pick — no per-round job;
         // mutual picks and cross-round re-picks dedup once at the end
         forest += picked.select(col("a"), col("b"), col("cost"))
-        // 2-cycle break: under a total edge order, every cycle in the
-        // pointer graph is a mutual-min 2-cycle — its least endpoint
-        // becomes the root
-        var p = picked.as("p")
-          .join(picked.as("q"), col("p.par") === col("q.node"))
-          .select(col("p.node").as("node"),
-            when(col("q.par") === col("p.node"),
-              least(col("p.node"), col("p.par")))
-              .otherwise(col("p.par")).as("par"))
-        // fixed partial pointer jumping (composed lazily, one
-        // materialization): longer chains unify over later rounds
-        for (_ <- 1 to BoruvkaJumps)
-          p = p.as("p").join(p.as("q"), col("p.par") === col("q.node"))
-            .select(col("p.node").as("node"), col("q.par").as("par"))
-        p = p.localCheckpoint(true)
-        e = e.join(p.select(col("node").as("cu"), col("par").as("ncu")), Seq("cu"))
-          .join(p.select(col("node").as("cv"), col("par").as("ncv")), Seq("cv"))
+        val (pmap, small) =
+          if (nPicked <= BoruvkaDriverContractCap) {
+            // FULL contraction on the driver: the pointer graph has one
+            // row per live label (never corpus rows) and at least
+            // halves each round. Union-find replaces the 3-join
+            // break+jump chain (and its per-round driver jobs); the
+            // resulting label → min-root map broadcasts into the
+            // relabel, so the edge set is scanned ONCE with ZERO
+            // relabel shuffles this round. Representative naming
+            // cannot change the forest: picks aggregate over label
+            // SETS and (cost, a, b) are physical edge attributes.
+            val pairs = picked.select(col("node"), col("par")).collect()
+              .map(row => (row.getLong(0), row.getLong(1)))
+            val par = new java.util.HashMap[Long, Long](pairs.length * 2)
+            pairs.foreach { case (n, p) => par.put(n, p) }
+            // the oracle's 2-cycle break, replayed exactly: a mutual-
+            // min pair roots at its least endpoint
+            val broken = pairs.map { case (n, p) =>
+              if (par.getOrDefault(p, p) == n) (n, math.min(n, p)) else (n, p)
+            }
+            // chain-depth audit for the oracle's FIXED jump horizon:
+            // with full contraction both engines see the IDENTICAL
+            // per-round pointer graph, so depth ≤ 2^JumpUnroll here
+            // certifies the unrolled oracle contracted fully too
+            val bmap = new java.util.HashMap[Long, Long](broken.length * 2)
+            broken.foreach { case (n, p) => bmap.put(n, p) }
+            val depth = new java.util.HashMap[Long, Integer](broken.length * 2)
+            def depthOf(x0: Long): Int = {
+              var x = x0
+              val stack = new java.util.ArrayDeque[java.lang.Long]()
+              while (depth.get(x) == null && bmap.getOrDefault(x, x) != x) {
+                stack.push(x); x = bmap.get(x)
+              }
+              var d: Int = if (depth.get(x) != null) depth.get(x) else 0
+              while (!stack.isEmpty) { d += 1; depth.put(stack.pop(), d) }
+              d
+            }
+            broken.foreach { case (n, _) =>
+              val d = depthOf(n); if (d > maxChainDepth) maxChainDepth = d
+            }
+            // union-find with path compression, min-label roots
+            val uf = new java.util.HashMap[Long, Long](broken.length * 2)
+            def find(x0: Long): Long = {
+              var x = x0
+              while (uf.getOrDefault(x, x) != x) x = uf.get(x)
+              var y = x0
+              while (uf.getOrDefault(y, y) != y) {
+                val nxt = uf.get(y); uf.put(y, x); y = nxt
+              }
+              x
+            }
+            broken.foreach { case (n, p) =>
+              val rn = find(n); val rp = find(p)
+              if (rn != rp) {
+                if (rn < rp) uf.put(rp, rn) else uf.put(rn, rp)
+              }
+            }
+            val mapping = pairs.map { case (n, _) => (n, find(n)) }.toSeq
+            (broadcast(mapping.toDF("node", "par")), true)
+          } else {
+            allDriverRounds = false
+            // distributed partial contraction (over-cap rounds of a
+            // 100 TB graph): 2-cycle break — under a total edge order
+            // every pointer cycle is a mutual-min 2-cycle, its least
+            // endpoint becomes the root — then fixed pointer jumping
+            // (composed lazily, one materialization); longer chains
+            // unify over later rounds, sound by the cut property
+            var p = picked.as("p")
+              .join(picked.as("q"), col("p.par") === col("q.node"))
+              .select(col("p.node").as("node"),
+                when(col("q.par") === col("p.node"),
+                  least(col("p.node"), col("p.par")))
+                  .otherwise(col("p.par")).as("par"))
+            for (_ <- 1 to BoruvkaJumps)
+              p = p.as("p").join(p.as("q"), col("p.par") === col("q.node"))
+                .select(col("p.node").as("node"), col("q.par").as("par"))
+            (p.localCheckpoint(true), false)
+          }
+        // relabel, then REDUCE to the lexicographic-min edge per
+        // ordered label pair: the pick only ever reads each pair's
+        // min (min of mins is unchanged), so carrying parallel edges
+        // across rounds is pure waste — this bounds every round's
+        // checkpoint by the CONTRACTED graph size, not the original
+        // E (at sf10 the unreduced round-1 survivor set was ~100M
+        // parallel edges between 89k labels and OOM'd the round-2
+        // relabel; reduced it is ≤ the distinct pair count). The
+        // aggregate map-side combines, so the big input never
+        // shuffles raw.
+        e = e.join(pmap.select(col("node").as("cu"), col("par").as("ncu")), Seq("cu"))
+          .join(pmap.select(col("node").as("cv"), col("par").as("ncv")), Seq("cv"))
           .filter(col("ncu") =!= col("ncv"))
-          .select(col("ncu").as("cu"), col("ncv").as("cv"), col("cost"),
-            col("a"), col("b"))
+          .groupBy(col("ncu"), col("ncv"))
+          .agg(min(struct(col("cost"), col("a"), col("b"))).as("m"))
+          .select(col("ncu").as("cu"), col("ncv").as("cv"),
+            col("m.cost").as("cost"), col("m.a").as("a"), col("m.b").as("b"))
           .localCheckpoint(true)
+        if (sys.env.contains("GRAFT_SCC_DEBUG"))
+          System.err.println(s"[boruvka] r=$r relabeled t=${System.nanoTime() / 1000000}")
         r += 1
       }
     }
     if (!done) throw new IllegalStateException(
       s"Borůvka did not finish within $BoruvkaSparkCap rounds")
+    // Oracle-horizon assert (gate scales run every round under the
+    // driver cap): full contraction makes Spark's round sequence
+    // identical to the unrolled oracle's, so these two checks certify
+    // the oracle converged within its fixed horizons — a capacity
+    // overflow fails loudly here instead of as an opaque hash
+    // mismatch. Over-cap runs (sf10+) have no unrolled oracle.
+    if (allDriverRounds) {
+      require(r <= BoruvkaOuterUnroll,
+        s"Borůvka took $r full-contraction rounds; the unrolled oracle " +
+          s"only has $BoruvkaOuterUnroll — raise BoruvkaOuterUnroll")
+      require(maxChainDepth <= (1 << BoruvkaJumpUnroll),
+        s"pointer chain depth $maxChainDepth exceeds the oracle's " +
+          s"2^$BoruvkaJumpUnroll jump capacity — raise BoruvkaJumpUnroll")
+    }
     if (sys.env.contains("GRAFT_SCC_DEBUG"))
-      System.err.println(s"[boruvka] rounds=$r")
+      System.err.println(
+        s"[boruvka] rounds=$r driver_only=$allDriverRounds maxDepth=$maxChainDepth")
     // empty/edgeless input ⇒ empty forest (degenerate-input contract)
     if (forest.isEmpty)
       e.select(col("a"), col("b"), col("cost")).limit(0)

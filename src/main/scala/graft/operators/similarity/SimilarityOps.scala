@@ -1269,17 +1269,22 @@ object SimilarityOps {
     * r-prefixed names so they compose with the unrotated CTEs in one
     * WITH. Mirrors pqPickCtes + pqTrainedCtes; s50 gates `rrpick`
     * directly and [[opqCtes]] chains the ADC half for s49. */
-  private def opqCodeCtes: String = {
+  private def opqCodeCtes: String = opqCodeCtesFrom("ebr")
+
+  /** The same rotated-path code CTEs over any source CTE carrying
+    * (vec_id, vd, qv) — "ebr" for s49/s50, "eba" for the s51
+    * allocation rung. */
+  private def opqCodeCtesFrom(src: String): String = {
     import graft.operators.vector.VectorOps.{PqM, PqD, PqK}
     val dist = (m: String) =>
       s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
          |  [ (e.vd[$m*$PqD + d] - c.cvd[$m*$PqD + d]) * (e.vd[$m*$PqD + d] - c.cvd[$m*$PqD + d])
          |    for d in generate_series(1, $PqD) ]), (a, x) -> a + x)""".stripMargin
-    s"""rcents AS (SELECT vec_id AS mid, vd AS cvd FROM ebr WHERE vec_id < $PqK),
+    s"""rcents AS (SELECT vec_id AS mid, vd AS cvd FROM $src WHERE vec_id < $PqK),
        |rsc0 AS (
        |  SELECT e.vec_id, c.mid,
        |    [ ${dist("(m - 1)")} for m in generate_series(1, $PqM) ] AS dists
-       |  FROM ebr e CROSS JOIN rcents c),
+       |  FROM $src e CROSS JOIN rcents c),
        |rpick0 AS MATERIALIZED (
        |  SELECT vec_id, m, mid AS code, dist FROM (
        |    SELECT vec_id, mid, m - 1 AS m, dists[m] AS dist,
@@ -1287,7 +1292,7 @@ object SimilarityOps {
        |    FROM rsc0, generate_series(1, $PqM) g(m)) x WHERE rn = 1),
        |rtmem AS (
        |  SELECT p.m, p.code, g.d, q.qv[p.m * $PqD + g.d] AS val
-       |  FROM rpick0 p JOIN ebr q ON q.vec_id = p.vec_id,
+       |  FROM rpick0 p JOIN $src q ON q.vec_id = p.vec_id,
        |       generate_series(1, $PqD) g(d)),
        |rtsum AS (SELECT m, code, d, sum(val) AS s, count(*) AS n
        |  FROM rtmem GROUP BY m, code, d),
@@ -1299,7 +1304,7 @@ object SimilarityOps {
        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
        |      [ (e.vd[t.m * $PqD + d] - t.sub[d]) * (e.vd[t.m * $PqD + d] - t.sub[d])
        |        for d in generate_series(1, $PqD) ]), (a, x) -> a + x) AS dist
-       |  FROM ebr e CROSS JOIN rtcent t),
+       |  FROM $src e CROSS JOIN rtcent t),
        |rrpick AS MATERIALIZED (
        |  SELECT vec_id, m, code, dist FROM (
        |    SELECT *, row_number() OVER (PARTITION BY vec_id, m
@@ -1308,12 +1313,14 @@ object SimilarityOps {
 
   /** Rotated-path oracle CTEs, ADC half — chains after
     * [[opqCodeCtes]]. */
-  private def opqCtes(pairsName: String): String = {
+  private def opqCtes(pairsName: String): String = opqCtesFrom(pairsName, "ebr")
+
+  private def opqCtesFrom(pairsName: String, src: String): String = {
     import graft.operators.vector.VectorOps.PqD
     def mFold(v: String) =
       s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list($v ORDER BY p.m)),
          |    (a, x) -> a + x)""".stripMargin
-    s"""$opqCodeCtes,
+    s"""${opqCodeCtesFrom(src)},
        |rtqlut AS (
        |  SELECT q.vec_id AS qid, q.n2 AS qn2, t.m, t.code,
        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
@@ -1322,7 +1329,7 @@ object SimilarityOps {
        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
        |      [ t.sub[d] * t.sub[d] for d in generate_series(1, $PqD) ]),
        |      (a, x) -> a + x) AS subn2
-       |  FROM ebr q CROSS JOIN rtcent t WHERE q.vec_id < 10),
+       |  FROM $src q CROSS JOIN rtcent t WHERE q.vec_id < 10),
        |$pairsName AS (
        |  SELECT l.qid AS query_id, p.vec_id AS neighbor_id,
        |    ${mFold("l.subdot")}
@@ -1361,6 +1368,119 @@ object SimilarityOps {
        |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(dist ORDER BY m)),
        |              (a, x) -> a + x) AS recon_err
        |FROM rrpick GROUP BY vec_id ORDER BY vec_id""".stripMargin
+
+  // ---- s51: DATA-trained rotation — the variance-balancing
+  // dimension allocation ----
+  // s49 measured the FIXED Hadamard rotation buying nothing (0.26 vs
+  // s15's trained-but-unrotated 0.28), so this rung trains the
+  // rotation ON THE DATA, in the one family both engines can replay
+  // bit-exactly: a dimension-ALLOCATION permutation — OPQ's
+  // dimension-assignment degree of freedom (the non-parametric half
+  // of Ge et al. 2013's alternating solver; FAISS ships the same
+  // move as OPQ's pre-permutation). Dims are ranked by EXACT integer
+  // centered variance n·Σq² − (Σq)² over micro-unit coordinates
+  // (DECIMAL(38)/HUGEINT, the e29 promotion — ranks engine-exact by
+  // construction, no float eigen-solver to mirror), then snake-dealt
+  // into the PqM subspaces so per-subspace variance sums balance
+  // (v17 gauges the before/after shares). A permutation matrix is
+  // exactly orthonormal — dots and norms invariant (v16's law) —
+  // and the trained artifact is a 64-row table. The PQ chain over
+  // the permuted corpus is the identical parameterized s14/s15
+  // plan, so the recall row is directly comparable to s15's 0.28
+  // and s49's 0.26 rungs.
+  /** Per-dim exact centered variance proxy (d, ss = n·Σq² − (Σq)²,
+    * micro²·n units, DECIMAL(38)). */
+  private[graft] def dimVariance(spark: SparkSession, dir: String): DataFrame =
+    embQuantized(spark, dir)
+      .select(explode(expr(
+        "transform(sequence(1, 64), d -> struct(d AS d, element_at(qv, d) AS q))"))
+        .as("x"))
+      .select(col("x.d").as("d"), col("x.q").as("q"))
+      .groupBy(col("d"))
+      .agg(count(lit(1)).as("n"), sum(col("q")).as("s1"),
+        sum(col("q").cast("decimal(38,0)") * col("q")).as("s2"))
+      .select(col("d"),
+        (col("n").cast("decimal(38,0)") * col("s2")
+          - col("s1").cast("decimal(38,0)") * col("s1")).as("ss"))
+
+  /** The trained permutation (old_d → new_d): snake deal of the
+    * variance-ranked dims into PqM subspaces. 64 bounded rows. */
+  private[graft] def allocPerm(spark: SparkSession, dir: String): DataFrame =
+    graft.util.DfCache.cached(spark, dir, "alloc_perm") {
+      import org.apache.spark.sql.expressions.Window
+      dimVariance(spark, dir)
+        .withColumn("rn",
+          (row_number().over(Window.orderBy(col("ss").desc, col("d")))
+            .cast("long") - 1).as("rn"))
+        .select(col("d").as("old_d"),
+          expr("""CAST(CASE WHEN (rn div 8) % 2 = 0
+                 |     THEN (rn % 8) * 8 + rn div 8 + 1
+                 |     ELSE (7 - rn % 8) * 8 + rn div 8 + 1 END AS INT)"""
+            .stripMargin).as("new_d"))
+    }
+
+  /** Allocation-rotated corpus (vec_id, vd, n2, qv) — embRotated's
+    * shape with the trained permutation applied (the 64-row artifact
+    * collects driver-side, the codebook-literal class). */
+  private[graft] def embAllocated(spark: SparkSession, dir: String): DataFrame =
+    graft.util.DfCache.cached(spark, dir, "emb_alloc") {
+      graft.functions.GraftFunctions.registerAll(spark)
+      val inv = new Array[Int](65)
+      allocPerm(spark, dir).collect().foreach { r =>
+        inv(r.getAs[Int]("new_d")) = r.getAs[Int]("old_d")
+      }
+      require(inv.drop(1).toSet == (1 to 64).toSet,
+        "allocation permutation must be a bijection on 1..64")
+      val invLit = (1 to 64).map(inv).mkString(",")
+      graft.sources.Tables.load(spark, dir, "embeddings")
+        .withColumn("vd", expr(VectorExprs.castDoubleExpr))
+        .withColumn("vd", expr(s"transform(array($invLit), i -> element_at(vd, i))"))
+        .withColumn("n2", expr(VectorExprs.n2Expr))
+        .withColumn("qv",
+          expr("transform(vd, x -> cast(round(x * 1000000) as bigint))"))
+        .select(col("vec_id"), col("vd"), col("n2"), col("qv"))
+    }
+
+  private def allocTrainedCents(spark: SparkSession, dir: String): DataFrame =
+    graft.util.DfCache.cached(spark, dir, "alloc_trained_cents") {
+      import graft.operators.vector.VectorOps.PqK
+      val r = embAllocated(spark, dir)
+      val seed = r.filter(col("vec_id") < PqK)
+        .select(col("vec_id").as("mid"), col("vd").as("cvd"))
+      trainedCentsOf(seedCodesOf(r.select(col("vec_id"), col("vd")), seed),
+        r.select(col("vec_id"), col("qv")))
+    }
+
+  private[graft] def allocAssigned(spark: SparkSession, dir: String): DataFrame =
+    graft.util.DfCache.cached(spark, dir, "alloc_codes") {
+      trainedCodesOf(embAllocated(spark, dir).select(col("vec_id"), col("vd")),
+        allocTrainedCents(spark, dir))
+    }
+
+  def allocKnn(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(spark)
+    val lut = trainedLutOf(
+      embAllocated(spark, dir).filter(col("vec_id") < 10)
+        .select(col("vec_id"), col("vd"), col("n2")),
+      allocTrainedCents(spark, dir))
+    adcRanked(allocAssigned(spark, dir).select(col("vec_id"), col("pq_code"))
+      .crossJoin(broadcast(lut))
+      .filter(col("qid") =!= col("vec_id")))
+  }
+
+  def s51AllocRecall(spark: SparkSession, dir: String): DataFrame =
+    recallOf(s1KnnBrute(spark, dir), allocKnn(spark, dir))
+
+  lazy val s51Sql: String =
+    s"""WITH ${VectorExprs.embCtes},
+       |${exactPairsCte("xpairs")},
+       |${topkCte("xr", "xpairs")},
+       |exact AS (SELECT query_id, neighbor_id FROM xr WHERE rank <= $K),
+       |${VectorExprs.ebaCtes},
+       |${opqCtesFrom("rapairs", "eba")},
+       |${topkCte("ar", "rapairs")},
+       |approx AS (SELECT query_id, neighbor_id FROM ar WHERE rank <= $K)
+       |$recallTailSql""".stripMargin
 
   /** Trained-codebook CTEs (qv micro-units → seed-assignment means →
     * re-encode) chained after embCtes + pqPickCtes — shared by s14Sql
@@ -2971,6 +3091,7 @@ object SimilarityOps {
     "s48_mmr_overlap" -> (s48MmrOverlap _),
     "s49_opq_recall" -> (s49OpqRecall _),
     "s50_opq_codes" -> (s50OpqCodes _),
+    "s51_alloc_recall" -> (s51AllocRecall _),
     "s36_residual_recall" -> (s36ResidualRecall _),
     "s35_residual_knn" -> (s35ResidualKnn _),
     "s34_recall_curve" -> (s34RecallCurve _),
@@ -3023,6 +3144,7 @@ object SimilarityOps {
     "s48_mmr_overlap" -> s48Sql,
     "s49_opq_recall" -> s49Sql,
     "s50_opq_codes" -> s50Sql,
+    "s51_alloc_recall" -> s51Sql,
     "s36_residual_recall" -> s36Sql,
     "s35_residual_knn" -> s35Sql,
     "s34_recall_curve" -> s34Sql,

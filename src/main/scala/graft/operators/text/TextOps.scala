@@ -1908,7 +1908,58 @@ object TextOps {
       |FROM dom d LEFT JOIN i ON d.lang_a = i.lang_a AND d.lang_b = i.lang_b
       |ORDER BY d.lang_a, d.lang_b""".stripMargin
 
+  // ---- t38: token entropy, the log2-binned exact form ----
+  // The one common text statistic the board still lacked. The honest
+  // design verdict (SURVEY §5): TRUE Shannon entropy needs log(), and
+  // libm log/log2 are NOT correctly-rounded — Java and DuckDB may
+  // differ in the last ulp, so a float entropy can never be a hash
+  // gate. The gated form replaces log2 with its integer floor,
+  // flog2(x) = length(bin(x)) − 1 — pure string/bit ops, identical on
+  // both engines — giving the exact-integer binned entropy numerator
+  //   nh_floorbits = n·flog2(n) − Σ_tok c·flog2(c)
+  // (units: token·bits). Since log2 x − 1 < flog2(x) ≤ log2 x per
+  // term, the true n·H(tokens) lies within ±n of it — the pinned
+  // error bound Round43OpsSpec asserts against a driver-side double
+  // recompute. h_millibits = the per-token normalization in exact
+  // integer milli-bits (floor div). Per-lang rows: one corpus-wide
+  // token count (map-side combined) + a vocabulary-sized aggregate —
+  // the t5 shape, nothing corpus-sized shuffles twice.
+  def t38TokenEntropy(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy(col("lang"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("lang"))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        sum(expr("c * (length(bin(c)) - 1)")).as("sum_clog"))
+      .select(col("lang"), col("n_tokens"), col("n_distinct"),
+        expr("n_tokens * (length(bin(n_tokens)) - 1) - sum_clog")
+          .as("nh_floorbits"),
+        expr("(n_tokens * (length(bin(n_tokens)) - 1) - sum_clog) * 1000 div n_tokens")
+          .as("h_millibits"))
+      .orderBy(col("lang"))
+
+  lazy val t38Sql: String =
+    """WITH tc AS (
+      |  SELECT lang, tok, count(*) AS c FROM (
+      |    SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents)
+      |  WHERE len(tok) > 0 GROUP BY lang, tok),
+      |agg AS (
+      |  SELECT lang, CAST(sum(c) AS BIGINT) AS n_tokens,
+      |    count(*) AS n_distinct,
+      |    CAST(sum(c * (length(bin(c)) - 1)) AS BIGINT) AS sum_clog
+      |  FROM tc GROUP BY lang)
+      |SELECT lang, n_tokens, CAST(n_distinct AS BIGINT) AS n_distinct,
+      |  CAST(n_tokens * (length(bin(n_tokens)) - 1) - sum_clog AS BIGINT)
+      |    AS nh_floorbits,
+      |  CAST((n_tokens * (length(bin(n_tokens)) - 1) - sum_clog) * 1000
+      |    // n_tokens AS BIGINT) AS h_millibits
+      |FROM agg ORDER BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t38_token_entropy" -> (t38TokenEntropy _),
     "t37_lang_vocab_jaccard" -> (t37LangVocabJaccard _),
     "t27_span_contamination" -> (t27SpanContamination _),
     "t28_lm_score" -> (t28LmScore _),
@@ -1948,6 +1999,7 @@ object TextOps {
     "t9_curation_pipeline" -> (t9CurationPipeline _))
 
   val oracles: Map[String, String] = Map(
+    "t38_token_entropy" -> t38Sql,
     "t37_lang_vocab_jaccard" -> t37Sql,
     "t27_span_contamination" -> t27Sql,
     "t28_lm_score" -> t28Sql,

@@ -111,6 +111,46 @@ object VectorExprs {
        |        FROM rw6))""".stripMargin
   }
 
+  /** DuckDB CTEs for the DATA-trained allocation rotation (s51/v17):
+    * per-dim exact integer centered variance n·Σq² − (Σq)² over the
+    * micro-unit quantized coordinates (HUGEINT — the e29 promotion,
+    * so the rank order is engine-exact), then the snake-deal
+    * permutation balancing per-subspace variance: rank rn (0-based,
+    * variance desc, dim asc), round r = rn div 8, position p = rn
+    * mod 8, subspace s = p on even rounds and 7−p on odd rounds,
+    * new 1-based index = s·8 + r + 1. Chain after [[embCtes]];
+    * defines `dvar` (d, ss) and `perm` (old_d, new_d). */
+  val allocPermCtes: String =
+    """aqv AS (
+      |  SELECT vec_id, [CAST(round(x * 1000000) AS BIGINT) for x in vd] AS q
+      |  FROM eb),
+      |dvar AS (
+      |  SELECT d,
+      |    CAST(count(*) AS HUGEINT) * sum(CAST(q[d] AS HUGEINT) * q[d])
+      |      - sum(CAST(q[d] AS HUGEINT)) * sum(CAST(q[d] AS HUGEINT)) AS ss
+      |  FROM aqv, generate_series(1, 64) g(d) GROUP BY d),
+      |perm AS (
+      |  SELECT d AS old_d,
+      |    CASE WHEN (rn // 8) % 2 = 0 THEN (rn % 8) * 8 + rn // 8 + 1
+      |         ELSE (7 - rn % 8) * 8 + rn // 8 + 1 END AS new_d
+      |  FROM (SELECT d, row_number() OVER (ORDER BY ss DESC, d) - 1 AS rn
+      |        FROM dvar) x)""".stripMargin
+
+  /** The allocation-rotated corpus `eba` (vec_id, vd, n2, qv) —
+    * [[ebrCtes]]' shape with the trained permutation in place of the
+    * Hadamard butterfly. Chain after [[embCtes]]. */
+  val ebaCtes: String =
+    s"""$allocPermCtes,
+       |pinv AS (SELECT list(old_d ORDER BY new_d) AS inv FROM perm),
+       |eba AS MATERIALIZED (
+       |  SELECT vec_id, vd,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), [ x*x for x in vd ]),
+       |                (a, b) -> a + b) AS n2,
+       |    [CAST(round(x * 1000000) AS BIGINT) for x in vd] AS qv
+       |  FROM (SELECT e.vec_id,
+       |          [ e.vd[p.inv[i]] for i in generate_series(1, 64) ] AS vd
+       |        FROM eb e CROSS JOIN pinv p))""".stripMargin
+
   /** embeddings + (vd, bands, n2) feature columns; one codegen'd
     * scan, cached per (session, dir) — reused by both sides of every
     * similarity self-join and by the embedding-dedup operator. */

@@ -382,6 +382,46 @@ object VectorOps {
        |FROM eb e JOIN ebr r ON e.vec_id = r.vec_id
        |ORDER BY e.vec_id""".stripMargin
 
+  // ---- v17: allocation balance gauge (the s51 isotropy report) ----
+  // The variance-ratio gauge the s51 rung is judged against: exact
+  // per-subspace variance SHARES (integer ppm of total) before and
+  // after the trained dimension allocation. On an anisotropic corpus
+  // the before-shares are skewed and the after-shares flatten (that
+  // flattening is where the recall comes from); near-uniform
+  // before-shares certify isotropy — the honest "no rotation can
+  // help" verdict with a number attached. All arithmetic is the
+  // exact integer ss = n·Σq² − (Σq)² (DECIMAL(38)/HUGEINT) and ppm
+  // integer division — engine-exact by construction.
+  def v17AllocBalance(spark: SparkSession, dir: String): DataFrame = {
+    val sims = graft.operators.similarity.SimilarityOps
+    val dss = sims.dimVariance(spark, dir)
+    val perm = sims.allocPerm(spark, dir)
+    val tot = dss.agg(sum(col("ss")).as("t"))
+    val before = dss.select(expr("(d - 1) div 8").as("subspace"), col("ss"))
+      .groupBy(col("subspace")).agg(sum(col("ss")).as("ssb"))
+    val after = perm.join(dss, col("old_d") === col("d"))
+      .select(expr("(new_d - 1) div 8").as("subspace"), col("ss"))
+      .groupBy(col("subspace")).agg(sum(col("ss")).as("ssa"))
+    before.join(after, Seq("subspace")).crossJoin(broadcast(tot))
+      .select(col("subspace").cast("long").as("subspace"),
+        expr("CAST((ssb * 1000000) div t AS BIGINT)").as("share_before_ppm"),
+        expr("CAST((ssa * 1000000) div t AS BIGINT)").as("share_after_ppm"))
+      .orderBy(col("subspace"))
+  }
+
+  lazy val v17Sql: String =
+    s"""WITH ${graft.operators.vector.VectorExprs.embCtes},
+       |${graft.operators.vector.VectorExprs.allocPermCtes},
+       |tot AS (SELECT sum(ss) AS t FROM dvar),
+       |sb AS (SELECT (d - 1) // 8 AS s, sum(ss) AS ssb FROM dvar GROUP BY 1),
+       |sa AS (SELECT (p.new_d - 1) // 8 AS s, sum(v.ss) AS ssa
+       |       FROM perm p JOIN dvar v ON v.d = p.old_d GROUP BY 1)
+       |SELECT CAST(sb.s AS BIGINT) AS subspace,
+       |  CAST((sb.ssb * 1000000) // t.t AS BIGINT) AS share_before_ppm,
+       |  CAST((sa.ssa * 1000000) // t.t AS BIGINT) AS share_after_ppm
+       |FROM sb JOIN sa ON sb.s = sa.s CROSS JOIN tot t
+       |ORDER BY subspace""".stripMargin
+
   def v15QuantDistortion(spark: SparkSession, dir: String): DataFrame =
     embPlain(spark, dir)
       .withColumn("am", expr("array_max(transform(vd, x -> abs(x)))"))
@@ -883,6 +923,7 @@ object VectorOps {
     "v14_code_histogram" -> (v14CodeHistogram _),
     "v15_quant_distortion" -> (v15QuantDistortion _),
     "v16_rotation_check" -> (v16RotationCheck _),
+    "v17_alloc_balance" -> (v17AllocBalance _),
     "v11_ternary_quantize" -> (v11TernaryQuantize _),
     "v10_matryoshka" -> (v10Matryoshka _),
     "v9_residual_codes" -> (v9ResidualCodes _),
@@ -901,6 +942,7 @@ object VectorOps {
     "v14_code_histogram" -> v14Sql,
     "v15_quant_distortion" -> v15Sql,
     "v16_rotation_check" -> v16Sql,
+    "v17_alloc_balance" -> v17Sql,
     "v11_ternary_quantize" -> v11Sql,
     "v10_matryoshka" -> v10Sql,
     "v9_residual_codes" -> v9Sql,

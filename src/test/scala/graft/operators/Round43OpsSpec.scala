@@ -79,6 +79,77 @@ class Round43OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(known > 0, "some facts carry state")
   }
 
+  test("s51: allocation permutation is orthonormal (bijection) and snake-balanced") {
+    val sims = graft.operators.similarity.SimilarityOps
+    val perm = sims.allocPerm(spark, dir).collect()
+      .map(r => r.getAs[Int]("old_d") -> r.getAs[Int]("new_d")).toMap
+    // a permutation matrix is orthonormal iff the map is a bijection
+    assert(perm.keySet == (1 to 64).toSet)
+    assert(perm.values.toSet == (1 to 64).toSet)
+    // snake law: every subspace receives exactly one dim per rank
+    // round, so each subspace holds exactly PqD dims
+    val bySub = perm.values.groupBy(nd => (nd - 1) / 8)
+    assert(bySub.keySet == (0 to 7).toSet)
+    bySub.values.foreach(v => assert(v.size == 8))
+    // the permuted vector is the same multiset of coordinates, and
+    // position new_d carries exactly old coordinate old_d
+    val orig = graft.operators.vector.VectorExprs.embFeatures(spark, dir)
+      .select(col("vec_id"), col("vd")).filter(col("vec_id") < 3).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val alloc = sims.embAllocated(spark, dir)
+      .select(col("vec_id"), col("vd")).filter(col("vec_id") < 3).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    orig.foreach { case (id, v) =>
+      val w = alloc(id)
+      (1 to 64).foreach { d =>
+        assert(w(perm(d) - 1) == v(d - 1), s"vec $id dim $d")
+      }
+    }
+    // variance balance: after-shares are no MORE spread than before
+    // (the deal can only flatten or tie; exact on the gauge's ppm)
+    val g = graft.operators.vector.VectorOps.v17AllocBalance(spark, dir).collect()
+    assert(g.length == 8)
+    def spread(c: String) = {
+      val xs = g.map(_.getAs[Long](c)); xs.max - xs.min
+    }
+    // snake-dealing SORTED variances balances shares to within the
+    // largest adjacent variance gap — not provably tighter than an
+    // arbitrary pre-grouping, so accept either an improvement or an
+    // absolutely-flat (<2%) outcome
+    assert(spread("share_after_ppm") <= spread("share_before_ppm") ||
+        spread("share_after_ppm") < 20000L,
+      s"after ${spread("share_after_ppm")} vs before ${spread("share_before_ppm")}")
+  }
+
+  test("t38: binned entropy within the pinned ±n bound of true Shannon entropy") {
+    val rows = graft.operators.text.TextOps.t38TokenEntropy(spark, dir).collect()
+    assert(rows.nonEmpty)
+    // driver-side double recompute of n·H = n·log2 n − Σ c·log2 c
+    val docs = graft.sources.Tables.load(spark, dir, "documents")
+      .select(col("lang"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val byLang = docs.groupBy(_._1).view.mapValues { ds =>
+      val counts = ds.flatMap(_._2.split(" ")).filter(_.nonEmpty)
+        .groupBy(identity).map(_._2.length.toLong)
+      val n = counts.sum
+      val nh = n * (math.log(n.toDouble) / math.log(2.0)) -
+        counts.map(c => c * (math.log(c.toDouble) / math.log(2.0))).sum
+      (n, counts.size.toLong, nh)
+    }.toMap
+    rows.foreach { r =>
+      val (n, distinct, nhTrue) = byLang(r.getAs[String]("lang"))
+      assert(r.getAs[Long]("n_tokens") == n)
+      assert(r.getAs[Long]("n_distinct") == distinct)
+      val nhFloor = r.getAs[Long]("nh_floorbits")
+      // per-term floor error is in [0, 1) bit, n terms on each side:
+      // |nh_floor − n·H| < n (the documented bound)
+      assert(math.abs(nhFloor - nhTrue) < n.toDouble,
+        s"${r.getAs[String]("lang")}: floor $nhFloor vs true $nhTrue (n=$n)")
+      assert(r.getAs[Long]("h_millibits") == nhFloor * 1000 / n)
+      assert(nhFloor >= 0L)
+    }
+  }
+
   test("graft_fwht64 rejects arrays that are not exactly 64 elements") {
     import spark.implicits._
     val bad = Seq(Array.fill(63)(1.0)).toDF("v")
