@@ -1425,12 +1425,18 @@ object SimilarityOps {
   private[graft] def embAllocated(spark: SparkSession, dir: String): DataFrame =
     graft.util.DfCache.cached(spark, dir, "emb_alloc") {
       graft.functions.GraftFunctions.registerAll(spark)
-      val inv = new Array[Int](65)
-      allocPerm(spark, dir).collect().foreach { r =>
-        inv(r.getAs[Int]("new_d")) = r.getAs[Int]("old_d")
+      // identity fallback keeps the degenerate-input contract: an
+      // empty corpus has no variance table, and rotating zero rows
+      // by the identity is the only deterministic answer
+      val inv = Array.tabulate(65)(identity)
+      val permRows = allocPerm(spark, dir).collect()
+      if (permRows.nonEmpty) {
+        permRows.foreach { r =>
+          inv(r.getAs[Int]("new_d")) = r.getAs[Int]("old_d")
+        }
+        require(inv.drop(1).toSet == (1 to 64).toSet,
+          "allocation permutation must be a bijection on 1..64")
       }
-      require(inv.drop(1).toSet == (1 to 64).toSet,
-        "allocation permutation must be a bijection on 1..64")
       val invLit = (1 to 64).map(inv).mkString(",")
       graft.sources.Tables.load(spark, dir, "embeddings")
         .withColumn("vd", expr(VectorExprs.castDoubleExpr))
