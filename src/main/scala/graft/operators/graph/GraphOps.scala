@@ -1800,6 +1800,15 @@ object GraphOps {
   private val SccOuterCap = 8
   private val SccTrimCap = 40
   private val SccPropCap = 64
+  // Post-trim cores under these caps finish on the DRIVER with one
+  // iterative Tarjan pass over the collected core edge list — the
+  // g46 bounded-hybrid precedent (label/core-sized collect behind an
+  // explicit cap, never corpus rows, distributed FW-BW as the
+  // over-cap path): the color/mark fixpoints are core-DIAMETER many
+  // sequential driver rounds of tiny data, which one in-memory pass
+  // replaces outright. 4M nodes / 16M edges ≈ 64 MB + 256 MB.
+  private val SccDriverNodeCap = 4000000L
+  private val SccDriverEdgeCap = 16000000
 
   /** Frontier (delta) min-label fixpoint: per round only nodes whose
     * label improved last round probe the edge table — the g44
@@ -1834,6 +1843,85 @@ object GraphOps {
     labels
   }
 
+  /** Iterative (explicit-stack) Tarjan over a bounded collected core:
+    * returns (node, min member of its SCC) for every node in `nodes`.
+    * Nodes absent from `edges` are their own singleton SCCs. Runs on
+    * the driver — callers gate the input size (SccDriverNodeCap /
+    * SccDriverEdgeCap). */
+  private[graft] def tarjanSccMinLabels(
+      nodes: Array[Long], edges: Array[(Long, Long)]): Seq[(Long, Long)] = {
+    val n = nodes.length
+    val idx = new java.util.HashMap[Long, Int](n * 2)
+    var i = 0
+    while (i < n) { idx.put(nodes(i), i); i += 1 }
+    // CSR adjacency
+    val outDeg = new Array[Int](n)
+    edges.foreach { case (u, _) => outDeg(idx.get(u)) += 1 }
+    val off = new Array[Int](n + 1)
+    i = 0
+    while (i < n) { off(i + 1) = off(i) + outDeg(i); i += 1 }
+    val fill = off.clone()
+    val tgt = new Array[Int](edges.length)
+    edges.foreach { case (u, v) =>
+      val ui = idx.get(u); tgt(fill(ui)) = idx.get(v); fill(ui) += 1
+    }
+    val index = Array.fill(n)(-1)
+    val low = new Array[Int](n)
+    val onStack = new Array[Boolean](n)
+    val comp = Array.fill(n)(-1)
+    val stack = new java.util.ArrayDeque[Integer]()
+    var counter = 0
+    var nComp = 0
+    // explicit DFS stack of (vertex, next-child pointer)
+    val vs = new java.util.ArrayDeque[Integer]()
+    val ps = new java.util.ArrayDeque[Integer]()
+    var root = 0
+    while (root < n) {
+      if (index(root) == -1) {
+        vs.push(root); ps.push(off(root))
+        index(root) = counter; low(root) = counter; counter += 1
+        stack.push(root); onStack(root) = true
+        while (!vs.isEmpty) {
+          val v = vs.peek().intValue()
+          val p = ps.pop().intValue()
+          if (p < off(v + 1)) {
+            ps.push(p + 1)
+            val w = tgt(p)
+            if (index(w) == -1) {
+              vs.push(w); ps.push(off(w))
+              index(w) = counter; low(w) = counter; counter += 1
+              stack.push(w); onStack(w) = true
+            } else if (onStack(w) && index(w) < low(v)) low(v) = index(w)
+          } else {
+            vs.pop()
+            if (low(v) == index(v)) {
+              var done = false
+              while (!done) {
+                val w = stack.pop().intValue()
+                onStack(w) = false
+                comp(w) = nComp
+                done = w == v
+              }
+              nComp += 1
+            }
+            if (!vs.isEmpty) {
+              val parent = vs.peek().intValue()
+              if (low(v) < low(parent)) low(parent) = low(v)
+            }
+          }
+        }
+      }
+      root += 1
+    }
+    val minOf = Array.fill(nComp)(Long.MaxValue)
+    i = 0
+    while (i < n) {
+      if (nodes(i) < minOf(comp(i))) minOf(comp(i)) = nodes(i)
+      i += 1
+    }
+    (0 until n).map(j => (nodes(j), minOf(comp(j))))
+  }
+
   /** SCC ids (scc_id = min member) for every node of a directed
     * (src, dst) edge table. */
   def sccOf(edges0: DataFrame): DataFrame = {
@@ -1861,10 +1949,13 @@ object GraphOps {
       // rewritten, so a round is a broadcast-probe map scan plus a
       // small aggregate, and total trim work is O(E) across ALL
       // rounds instead of O(E) per round.
-      var deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("outd"))
-        .join(e.groupBy(col("dst").as("node")).agg(count(lit(1)).as("ind")),
-          Seq("node"), "full_outer")
-        .na.fill(0L, Seq("ind", "outd"))
+      // one fused shuffle (union-tag + single aggregate) instead of
+      // two groupBys + a full_outer join — same rows: a node appears
+      // iff it touches an edge, absent side counts as 0
+      var deg = e.select(col("src").as("node"), lit(1L).as("o"))
+        .union(e.select(col("dst").as("node"), lit(0L).as("o")))
+        .groupBy(col("node"))
+        .agg(sum(col("o")).as("outd"), sum(lit(1L) - col("o")).as("ind"))
         .localCheckpoint(true)
       var dead = deg.filter(col("ind") === 0 || col("outd") === 0)
         .select(col("node")).localCheckpoint(true)
@@ -1930,6 +2021,22 @@ object GraphOps {
           .join(alive2.select(col("node").as("dst")), Seq("dst"), "left_semi")
           .select(col("src"), col("dst"))
           .repartition(col("src")).localCheckpoint(true)
+        val coreEdges = e.count()
+        if (remCnt <= SccDriverNodeCap && coreEdges <= SccDriverEdgeCap) {
+          // bounded-core fast path: one iterative Tarjan pass over
+          // the collected core replaces BOTH propagation fixpoints
+          // AND all later outer rounds (it emits every core SCC,
+          // singletons included). Output convention unchanged:
+          // scc_id = min member, a partition property independent
+          // of the algorithm that found it.
+          val pairs = e.collect().map(r => (r.getLong(0), r.getLong(1)))
+          acc += spark.createDataFrame(tarjanSccMinLabels(
+              rem.select(col("node")).collect().map(_.getLong(0)), pairs))
+            .toDF("node", "scc")
+          dbg(s"outer=$outer driver tarjan done: nodes=$remCnt edges=$coreEdges")
+          rem = rem.limit(0)
+          remCnt = 0L
+        } else {
         // -- phase 2: forward min-label colors
         val startLbls = rem.select(col("node"), col("node").as("lbl"))
         val colors = minLabelFrontier(e, startLbls, startLbls, SccPropCap)
@@ -1960,6 +2067,7 @@ object GraphOps {
         e = e.join(marked.select(col("node").as("src")), Seq("src"), "left_anti")
           .join(marked.select(col("node").as("dst")), Seq("dst"), "left_anti")
           .select(col("src"), col("dst")).localCheckpoint(true)
+        }
       }
       outer += 1
     }

@@ -532,6 +532,57 @@ object EventStreams {
       }
   }
 
+  /** e40's STREAM MODE: SCD2 point-in-time enrichment as running
+    * state — the stream-side temporal join every feature pipeline
+    * runs against a changing dimension. Input is the UNIFIED event
+    * stream (user_id, ts_us, event_id, event_type, cents): purchases
+    * ARE the dimension changelog (the e37 convention), everything
+    * else is a fact to enrich. State per user is THREE scalars — the
+    * open version's (version, valid_from_us, cents) — O(1) however
+    * long the history, because under event-time-ordered delivery
+    * (the e39 convention; a daily/ordered replay has it by
+    * construction) a fact only ever needs the LATEST version.
+    * Within a batch rows sort by (ts, purchase-first, event_id), so
+    * a fact at exactly valid_from sees that version and same-instant
+    * purchases resolve to the higher event_id — bit-for-bit e40's
+    * batch as-of semantics (Scd2LookupStreamSpec pins stream ≡
+    * batch on real events split across a version boundary). A LATE
+    * fact (older than the open version) is enriched with the
+    * newest-known state — its state_age_us goes negative rather
+    * than lying about history; downstream filters on it. */
+  def scd2LookupStream(rows: Dataset[(Long, Long, Long, String, Long)])
+      : Dataset[(Long, Long, Long, String, Long, Long, Long, Boolean)] = {
+    val sq = rows.sparkSession
+    import sq.implicits._
+    rows.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, Long),
+          (Long, Long, Long, String, Long, Long, Long, Boolean)](
+          OutputMode.Append, GroupStateTimeout.NoTimeout()) {
+        (user: Long, it: Iterator[(Long, Long, Long, String, Long)],
+         state: GroupState[(Long, Long, Long)]) =>
+          var (version, validFromUs, cents) =
+            state.getOption.getOrElse((0L, Long.MinValue, 0L))
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[(Long, Long, Long, String, Long, Long, Long, Boolean)]
+          it.toSeq
+            .sortBy { case (_, ts, eid, tpe, _) =>
+              (ts, if (tpe == "purchase") 0 else 1, eid)
+            }
+            .foreach { case (_, ts, eid, tpe, c) =>
+              if (tpe == "purchase") {
+                version += 1; validFromUs = ts; cents = c
+              } else if (version > 0L) {
+                out += ((eid, user, ts, tpe, version, cents,
+                  ts - validFromUs, true))
+              } else {
+                out += ((eid, user, ts, tpe, 0L, 0L, 0L, false))
+              }
+            }
+          state.update((version, validFromUs, cents))
+          out.iterator
+      }
+  }
+
   /** e28's STREAM MODE: per-key latest-state maintenance (the CDC
     * upsert primitive as running state). Input rows are
     * (key, ts, row_id, payload); state per key is exactly the
