@@ -1488,6 +1488,173 @@ object SimilarityOps {
        |approx AS (SELECT query_id, neighbor_id FROM ar WHERE rank <= $K)
        |$recallTailSql""".stripMargin
 
+  // ---- s52: + one trained Givens decorrelation layer ----
+  // The alternating-solver step s51 left on the table: OPQ's
+  // parametric rotation, restricted to the one family both engines
+  // replay bit-exactly — 32 DISJOINT 2×2 Jacobi rotations, pair
+  // (2k−1, 2k) inside each allocated subspace, angles TRAINED on the
+  // allocated corpus's integer covariance. No transcendentals: the
+  // classic rational Jacobi formulas need only +,−,×,÷,sqrt
+  //   τ = (C_jj − C_ii) / (2·C_ij),
+  //   t = sign(τ)/(|τ| + √(1+τ²)),  c = 1/√(1+t²),  s = t·c
+  // and IEEE requires ÷ and √ correctly rounded, so identical
+  // integer covariance sums (n·Σqq − Σq·Σq, DECIMAL(38)/HUGEINT)
+  // give identical doubles on both engines — the same reasoning
+  // that makes the allocation ranks exact, extended to a DENSE
+  // (block-diagonal) trained R. Each 2×2 block is orthonormal by
+  // construction (c² + s² = 1 up to float rounding — the v16-style
+  // law), and the rotation ZEROES each trained pair's covariance,
+  // the quantization-loss term PQ pays for within-slice correlation.
+  // The (k, c, s) table stays IN-PLAN on the Spark side (aggregated
+  // to broadcast arrays, never collected through a string literal),
+  // so the doubles are the engine's own all the way through.
+  /** Per-pair trained (k, c, s), k = 1..32 over the ALLOCATED corpus. */
+  private def givensCs(spark: SparkSession, dir: String): DataFrame = {
+    val pairStats = embAllocated(spark, dir)
+      .select(explode(expr(
+        """transform(sequence(1, 32), k -> struct(k AS k,
+          |  element_at(qv, 2*k - 1) AS qi, element_at(qv, 2*k) AS qj))"""
+          .stripMargin)).as("x"))
+      .select(col("x.k").as("k"), col("x.qi").as("qi"), col("x.qj").as("qj"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("qi")).as("si"), sum(col("qj")).as("sj"),
+        sum(col("qi").cast("decimal(38,0)") * col("qj")).as("sij"),
+        sum(col("qi").cast("decimal(38,0)") * col("qi")).as("sii"),
+        sum(col("qj").cast("decimal(38,0)") * col("qj")).as("sjj"))
+      .select(col("k"),
+        (col("n").cast("decimal(38,0)") * col("sij")
+          - col("si").cast("decimal(38,0)") * col("sj")).as("cij"),
+        (col("n").cast("decimal(38,0)") * col("sii")
+          - col("si").cast("decimal(38,0)") * col("si")).as("cii"),
+        (col("n").cast("decimal(38,0)") * col("sjj")
+          - col("sj").cast("decimal(38,0)") * col("sj")).as("cjj"))
+    // stepwise so each arithmetic step is ONE short expression the
+    // oracle mirrors verbatim (tau -> t -> c -> s); float contract:
+    // only /, *, +, - and sqrt, all IEEE-correctly-rounded
+    pairStats
+      .withColumn("tau",
+        expr("(CAST(cjj AS DOUBLE) - CAST(cii AS DOUBLE)) / (2.0D * CAST(cij AS DOUBLE))"))
+      .withColumn("t", expr(
+        """CASE WHEN CAST(cij AS DOUBLE) = 0.0D THEN 0.0D
+          |     WHEN tau >= 0.0D THEN 1.0D / (tau + sqrt(1.0D + tau * tau))
+          |     ELSE -1.0D / (-tau + sqrt(1.0D + tau * tau)) END""".stripMargin))
+      .withColumn("c", expr("1.0D / sqrt(1.0D + t * t)"))
+      .withColumn("s", expr("t * c"))
+      .select(col("k"), col("c"), col("s"))
+  }
+
+  /** Givens-rotated corpus (vec_id, vd, n2, qv): the allocated
+    * vectors through the 32 trained 2×2 blocks. The (c, s) table
+    * rides IN-PLAN as two broadcast 32-arrays — no driver literal
+    * round-trip, the doubles are the engine's own end to end. */
+  private[graft] def embGivens(spark: SparkSession, dir: String): DataFrame =
+    graft.util.DfCache.cached(spark, dir, "emb_givens") {
+      graft.functions.GraftFunctions.registerAll(spark)
+      val cs = givensCs(spark, dir).groupBy()
+        .agg(expr("transform(sort_array(collect_list(struct(k, c))), p -> p.c)")
+            .as("carr"),
+          expr("transform(sort_array(collect_list(struct(k, s))), p -> p.s)")
+            .as("sarr"))
+      embAllocated(spark, dir).select(col("vec_id"), col("vd"))
+        .crossJoin(broadcast(cs))
+        .withColumn("vd", expr(
+          """transform(sequence(1, 64), i -> CASE
+            | WHEN i % 2 = 1 THEN
+            |   element_at(carr, CAST((i + 1) DIV 2 AS INT)) * element_at(vd, i)
+            |   - element_at(sarr, CAST((i + 1) DIV 2 AS INT)) * element_at(vd, i + 1)
+            | ELSE
+            |   element_at(carr, CAST(i DIV 2 AS INT)) * element_at(vd, i)
+            |   + element_at(sarr, CAST(i DIV 2 AS INT)) * element_at(vd, i - 1)
+            | END)""".stripMargin))
+        .withColumn("n2", expr(VectorExprs.n2Expr))
+        .withColumn("qv",
+          expr("transform(vd, x -> cast(round(x * 1000000) as bigint))"))
+        .select(col("vec_id"), col("vd"), col("n2"), col("qv"))
+    }
+
+  private def givensTrainedCents(spark: SparkSession, dir: String): DataFrame =
+    graft.util.DfCache.cached(spark, dir, "givens_trained_cents") {
+      import graft.operators.vector.VectorOps.PqK
+      val r = embGivens(spark, dir)
+      val seed = r.filter(col("vec_id") < PqK)
+        .select(col("vec_id").as("mid"), col("vd").as("cvd"))
+      trainedCentsOf(seedCodesOf(r.select(col("vec_id"), col("vd")), seed),
+        r.select(col("vec_id"), col("qv")))
+    }
+
+  private[graft] def givensAssigned(spark: SparkSession, dir: String): DataFrame =
+    graft.util.DfCache.cached(spark, dir, "givens_codes") {
+      trainedCodesOf(embGivens(spark, dir).select(col("vec_id"), col("vd")),
+        givensTrainedCents(spark, dir))
+    }
+
+  def givensKnn(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(spark)
+    val lut = trainedLutOf(
+      embGivens(spark, dir).filter(col("vec_id") < 10)
+        .select(col("vec_id"), col("vd"), col("n2")),
+      givensTrainedCents(spark, dir))
+    adcRanked(givensAssigned(spark, dir).select(col("vec_id"), col("pq_code"))
+      .crossJoin(broadcast(lut))
+      .filter(col("qid") =!= col("vec_id")))
+  }
+
+  def s52GivensRecall(spark: SparkSession, dir: String): DataFrame =
+    recallOf(s1KnnBrute(spark, dir), givensKnn(spark, dir))
+
+  /** DuckDB CTEs for the Givens layer over `eba` — defines `gcs`
+    * (k, c, s) and the rotated corpus `ebg`. */
+  private def ebgCtes: String =
+    """gps AS (
+      |  SELECT k,
+      |    CAST(count(*) AS HUGEINT) * sum(CAST(qi AS HUGEINT) * qj)
+      |      - sum(CAST(qi AS HUGEINT)) * sum(CAST(qj AS HUGEINT)) AS cij,
+      |    CAST(count(*) AS HUGEINT) * sum(CAST(qi AS HUGEINT) * qi)
+      |      - sum(CAST(qi AS HUGEINT)) * sum(CAST(qi AS HUGEINT)) AS cii,
+      |    CAST(count(*) AS HUGEINT) * sum(CAST(qj AS HUGEINT) * qj)
+      |      - sum(CAST(qj AS HUGEINT)) * sum(CAST(qj AS HUGEINT)) AS cjj
+      |  FROM (SELECT g.k AS k, e.qv[2*g.k - 1] AS qi, e.qv[2*g.k] AS qj
+      |        FROM eba e, generate_series(1, 32) g(k))
+      |  GROUP BY k),
+      |gtau AS (SELECT k, CAST(cij AS DOUBLE) AS dij,
+      |    (CAST(cjj AS DOUBLE) - CAST(cii AS DOUBLE))
+      |      / (2.0 * CAST(cij AS DOUBLE)) AS tau
+      |  FROM gps),
+      |gt AS (SELECT k,
+      |    CASE WHEN dij = 0.0 THEN 0.0
+      |         WHEN tau >= 0.0 THEN 1.0 / (tau + sqrt(1.0 + tau * tau))
+      |         ELSE -1.0 / (-tau + sqrt(1.0 + tau * tau)) END AS t
+      |  FROM gtau),
+      |gcs AS (SELECT k, c, t * c AS s
+      |  FROM (SELECT k, t, 1.0 / sqrt(1.0 + t * t) AS c FROM gt)),
+      |gcarr AS (SELECT list(c ORDER BY k) AS carr, list(s ORDER BY k) AS sarr
+      |  FROM gcs),
+      |ebg AS MATERIALIZED (
+      |  SELECT vec_id, vd,
+      |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), [ x*x for x in vd ]),
+      |                (a, b) -> a + b) AS n2,
+      |    [CAST(round(x * 1000000) AS BIGINT) for x in vd] AS qv
+      |  FROM (SELECT e.vec_id,
+      |      [ CASE WHEN i % 2 = 1 THEN
+      |            a.carr[(i + 1) // 2] * e.vd[i] - a.sarr[(i + 1) // 2] * e.vd[i + 1]
+      |          ELSE
+      |            a.carr[i // 2] * e.vd[i] + a.sarr[i // 2] * e.vd[i - 1]
+      |        END for i in generate_series(1, 64) ] AS vd
+      |    FROM eba e CROSS JOIN gcarr a))""".stripMargin
+
+  lazy val s52Sql: String =
+    s"""WITH ${VectorExprs.embCtes},
+       |${exactPairsCte("xpairs")},
+       |${topkCte("xr", "xpairs")},
+       |exact AS (SELECT query_id, neighbor_id FROM xr WHERE rank <= $K),
+       |${VectorExprs.ebaCtes},
+       |$ebgCtes,
+       |${opqCtesFrom("rgpairs", "ebg")},
+       |${topkCte("gr", "rgpairs")},
+       |approx AS (SELECT query_id, neighbor_id FROM gr WHERE rank <= $K)
+       |$recallTailSql""".stripMargin
+
   /** Trained-codebook CTEs (qv micro-units → seed-assignment means →
     * re-encode) chained after embCtes + pqPickCtes — shared by s14Sql
     * and s15Sql. `tcent`/`rpick` MATERIALIZED: both are joined per
@@ -3098,6 +3265,7 @@ object SimilarityOps {
     "s49_opq_recall" -> (s49OpqRecall _),
     "s50_opq_codes" -> (s50OpqCodes _),
     "s51_alloc_recall" -> (s51AllocRecall _),
+    "s52_givens_recall" -> (s52GivensRecall _),
     "s36_residual_recall" -> (s36ResidualRecall _),
     "s35_residual_knn" -> (s35ResidualKnn _),
     "s34_recall_curve" -> (s34RecallCurve _),
@@ -3151,6 +3319,7 @@ object SimilarityOps {
     "s49_opq_recall" -> s49Sql,
     "s50_opq_codes" -> s50Sql,
     "s51_alloc_recall" -> s51Sql,
+    "s52_givens_recall" -> s52Sql,
     "s36_residual_recall" -> s36Sql,
     "s35_residual_knn" -> s35Sql,
     "s34_recall_curve" -> s34Sql,

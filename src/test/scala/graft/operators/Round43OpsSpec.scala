@@ -121,6 +121,44 @@ class Round43OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"after ${spread("share_after_ppm")} vs before ${spread("share_before_ppm")}")
   }
 
+  test("s52: Givens blocks are orthonormal, norm-preserving, and decorrelate their pairs") {
+    val sims = graft.operators.similarity.SimilarityOps
+    val alloc = sims.embAllocated(spark, dir)
+      .select(col("vec_id"), col("vd")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val giv = sims.embGivens(spark, dir)
+      .select(col("vec_id"), col("vd")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    assert(giv.keySet == alloc.keySet)
+    // norm preservation (each 2x2 block orthonormal): float scale only
+    giv.foreach { case (id, w) =>
+      val v = alloc(id)
+      val n2v = v.map(x => x * x).sum
+      val n2w = w.map(x => x * x).sum
+      assert(math.abs(n2w - n2v) <= 1e-9 * math.max(1.0, n2v), s"vec $id norm")
+    }
+    // the trained angle zeroes each pair's covariance: recompute both
+    // from the driver and require |after| to collapse vs |before|
+    val n = alloc.size.toDouble
+    (0 until 32).foreach { k =>
+      def cov(m: Map[Long, Array[Double]]): Double = {
+        val xs = m.values.map(_(2 * k)).toArray
+        val ys = m.values.map(_(2 * k + 1)).toArray
+        (xs.zip(ys).map { case (a, b) => a * b }.sum -
+          xs.sum * ys.sum / n) / n
+      }
+      val before = cov(alloc)
+      val after = cov(giv)
+      // the angle trains on the MICRO-QUANTIZED covariance but
+      // rotates the raw doubles, so the residual floor is the
+      // µ-quantization noise (~1e-8 absolute on this corpus), not
+      // pure float epsilon — still a ≥10⁴× relative collapse on
+      // every pair with real correlation
+      assert(math.abs(after) <= math.max(math.abs(before) * 1e-4, 1e-8),
+        s"pair $k: after $after vs before $before")
+    }
+  }
+
   test("t38: binned entropy within the pinned ±n bound of true Shannon entropy") {
     val rows = graft.operators.text.TextOps.t38TokenEntropy(spark, dir).collect()
     assert(rows.nonEmpty)
