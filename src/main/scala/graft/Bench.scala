@@ -71,7 +71,12 @@ object Bench {
       "wedge_pair_agg" -> ((s, d) => graft.operators.graph.GraphOps.wedgePairAgg(s, d)),
       "graph_dir_cyclic" -> ((s, d) => graft.operators.graph.GraphOps.sccEdges(s, d)),
       "emb_rotated" -> ((s, d) => graft.operators.similarity.SimilarityOps.embRotated(s, d)),
-      "opq_codes" -> ((s, d) => graft.operators.similarity.SimilarityOps.opqAssigned(s, d)))
+      "opq_codes" -> ((s, d) => graft.operators.similarity.SimilarityOps.opqAssigned(s, d)),
+      // s19's full-corpus tokenize+hash build was the one shared cache
+      // still charged to its query slot (r9 quiet-host attribution)
+      "doc_hash_vecs" -> ((s, d) => graft.operators.similarity.SimilarityOps.docVecs(s, d)),
+      "alloc_codes" -> ((s, d) => graft.operators.similarity.SimilarityOps.allocAssigned(s, d)),
+      "givens_codes" -> ((s, d) => graft.operators.similarity.SimilarityOps.givensAssigned(s, d)))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -443,7 +443,7 @@ object SimilarityOps {
     * otherwise re-runs it for BOTH join sides (bench r6: 24.5 s at
     * sf0.1, the #2 query — two uncached corpus tokenizations). One
     * build serves the query side, the corpus side, and reruns. */
-  private def docVecs(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def docVecs(spark: SparkSession, dir: String): DataFrame =
     graft.util.DfCache.cached(spark, dir, "doc_hash_vecs") {
       graft.operators.text.TextOps
         .hashEmbedOf(graft.sources.Tables.load(spark, dir, "documents"))
