@@ -583,6 +583,81 @@ object EventStreams {
       }
   }
 
+  /** e30's STREAM MODE: funnel conversion detection as running
+    * state — per user TWO scalars (first view's µs, converted flag),
+    * O(1) over any history. Emits ONE append row per converting
+    * user: (user_id, view_us, purchase_us) at the first purchase at
+    * or after their first view; e30's per-dow latency percentiles
+    * are a bounded batch aggregate over this conversion stream
+    * (FunnelLatencyStreamSpec proves the emitted pair set equals
+    * the batch first-view ⋈ first-qualifying-purchase recompute on
+    * real events, and that the gated e30 aggregates from it).
+    * Within a batch rows sort by (ts, views-first, event ties) so a
+    * same-instant view+purchase converts, matching the batch
+    * `p.ts >= view_ts` inclusive bound under event-time-ordered
+    * delivery (the e39/e40 convention). */
+  def funnelLatencyStream(typed: Dataset[(Long, Long, String)])
+      : Dataset[(Long, Long, Long)] = {
+    val sq = typed.sparkSession
+    import sq.implicits._
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Boolean), (Long, Long, Long)](
+          OutputMode.Append, GroupStateTimeout.NoTimeout()) {
+        (user: Long, it: Iterator[(Long, Long, String)],
+         state: GroupState[(Long, Boolean)]) =>
+          var (viewUs, done) = state.getOption.getOrElse((Long.MinValue, false))
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+          it.toSeq.sortBy { case (_, ts, tpe) => (ts, if (tpe == "view") 0 else 1) }
+            .foreach { case (_, ts, tpe) =>
+              if (tpe == "view" && viewUs == Long.MinValue) viewUs = ts
+              else if (tpe == "purchase" && !done && viewUs != Long.MinValue &&
+                  ts >= viewUs) {
+                out += ((user, viewUs, ts)); done = true
+              }
+            }
+          state.update((viewUs, done))
+          out.iterator
+      }
+  }
+
+  /** e18's STREAM MODE: last-touch attribution as running state —
+    * per user TWO scalars (last non-purchase touch's type and µs).
+    * Each purchase emits ONE append row (event_id, channel, lat_us)
+    * attributed to the touch in effect: within the 30-minute
+    * lookback (inclusive, e18's batch bound) the touch type wins,
+    * else 'direct'; lat_us is Long.MinValue when the user has no
+    * prior touch at all (the batch NULL). Within-batch ordering
+    * (ts, event_id) reproduces the batch window's strictly-
+    * preceding-rows semantics: a same-instant touch with a smaller
+    * event_id counts, a larger one does not, and a purchase never
+    * becomes a touch. AttributionStreamSpec pins stream ≡ batch
+    * per-purchase on real events plus the boundary laws. */
+  def attributionStream(typed: Dataset[(Long, Long, Long, String)])
+      : Dataset[(Long, String, Long)] = {
+    val sq = typed.sparkSession
+    import sq.implicits._
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[(String, Long), (Long, String, Long)](
+          OutputMode.Append, GroupStateTimeout.NoTimeout()) {
+        (user: Long, it: Iterator[(Long, Long, Long, String)],
+         state: GroupState[(String, Long)]) =>
+          var (touchType, touchUs) = state.getOption.getOrElse(("", Long.MinValue))
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
+          it.toSeq.sortBy { case (_, ts, eid, _) => (ts, eid) }
+            .foreach { case (_, ts, eid, tpe) =>
+              if (tpe == "purchase") {
+                if (touchUs == Long.MinValue) out += ((eid, "direct", Long.MinValue))
+                else {
+                  val lat = ts - touchUs
+                  out += ((eid, if (lat <= 1800000000L) touchType else "direct", lat))
+                }
+              } else { touchType = tpe; touchUs = ts }
+            }
+          state.update((touchType, touchUs))
+          out.iterator
+      }
+  }
+
   /** e28's STREAM MODE: per-key latest-state maintenance (the CDC
     * upsert primitive as running state). Input rows are
     * (key, ts, row_id, payload); state per key is exactly the
