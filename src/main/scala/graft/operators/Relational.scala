@@ -1544,6 +1544,118 @@ object Relational {
        |    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
+  // ---- q73: cheapest-supplier-per-part argmin (TPC-H Q2 shape) ----
+  // The correlated min-per-group shape. Classic Q2 re-probes the
+  // supply table with a correlated MIN subquery and joins back; here
+  // the argmin is ONE pass — min(struct(cost, supplier, payload))
+  // over the lineitem-derived (part, supplier) unit-cost catalog
+  // (this schema has no partsupp; the min-observed-price catalog
+  // stands in for it). The struct carries the display columns, so
+  // there is NO window and NO join-back self-join: two hash
+  // aggregates total. The region-restricted supplier dim and the
+  // size/type-filtered part dim broadcast BEFORE the first aggregate,
+  // pruning the big scan's groups (Q2's own plan shape). Ties break
+  // to the smallest supplier key — the struct's second field —
+  // mirrored by the oracle's correlated min(l_suppkey) tie-break.
+  // The oracle is deliberately the CLASSIC correlated-subquery form:
+  // it certifies the one-pass argmin ≡ the Q2 shape.
+  def q73MinCostSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val regSupp = t(spark, dir, "supplier")
+      .join(broadcast(t(spark, dir, "nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(spark, dir, "region").filter(col("r_name") === "EUROPE")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_name"))
+    val pt = t(spark, dir, "part")
+      .filter(col("p_size") >= 30 && col("p_type") =!= "PROMO")
+      .select(col("p_partkey"), col("p_brand"))
+    t(spark, dir, "lineitem")
+      .join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(regSupp), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("p_partkey"), col("p_brand"), col("l_suppkey"),
+        col("s_name"), col("n_name"))
+      .agg(min((dec(col("l_extendedprice")) * 100).cast("long")).as("cost_cents"))
+      .groupBy(col("p_partkey"), col("p_brand"))
+      .agg(min(struct(col("cost_cents"), col("l_suppkey"),
+        col("s_name"), col("n_name"))).as("m"))
+      .select(col("p_partkey"), col("p_brand"),
+        col("m.l_suppkey").as("s_suppkey"), col("m.s_name").as("s_name"),
+        col("m.n_name").as("n_name"), col("m.cost_cents").as("cost_cents"))
+      .orderBy(col("cost_cents"), col("p_partkey"))
+      .limit(100)
+  }
+
+  lazy val q73Sql: String =
+    """WITH rs AS (
+      |  SELECT s_suppkey, s_name, n_name FROM supplier, nation, region
+      |  WHERE s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      |    AND r_name = 'EUROPE'),
+      |pairs AS (
+      |  SELECT p_partkey, p_brand, l_suppkey, s_name, n_name,
+      |    min(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |      AS cost_cents
+      |  FROM lineitem, part, rs
+      |  WHERE l_partkey = p_partkey AND l_suppkey = s_suppkey
+      |    AND p_size >= 30 AND p_type <> 'PROMO'
+      |  GROUP BY 1, 2, 3, 4, 5)
+      |SELECT p_partkey, p_brand, l_suppkey AS s_suppkey, s_name, n_name,
+      |  cost_cents
+      |FROM pairs p
+      |WHERE cost_cents = (SELECT min(cost_cents) FROM pairs p2
+      |                    WHERE p2.p_partkey = p.p_partkey)
+      |  AND l_suppkey = (SELECT min(l_suppkey) FROM pairs p3
+      |                   WHERE p3.p_partkey = p.p_partkey
+      |                     AND p3.cost_cents = p.cost_cents)
+      |ORDER BY cost_cents, p_partkey LIMIT 100""".stripMargin
+
+  // ---- q74: profit by nation and year (TPC-H Q9 shape) ----
+  // Multi-table join + SIGNED expression aggregate, kept in exact
+  // integer arithmetic end to end: amount is in dollars·10⁻⁴
+  // (ep_cents · (100 − disc_pct) − 100 · retail_cents · qty — the
+  // retail-price column stands in for Q9's ps_supplycost, so per-row
+  // profit is genuinely negative for discounted rows and the SUM
+  // exercises signed cents). disc_pct and qty are exact integers
+  // (discounts are 2-decimal, quantities integral — both engines
+  // truncate identically). Supplier⋈nation broadcasts; the
+  // name-filtered part slice gets NO hint — it is corpus-propor-
+  // tional at 100 TB, so AQE picks broadcast vs shuffle by measured
+  // size. One big shuffle (lineitem⋈orders on orderkey), one hash
+  // aggregate on (nation, year).
+  def q74ProfitByNationYear(spark: SparkSession, dir: String): DataFrame = {
+    val pt = t(spark, dir, "part").filter(col("p_name").like("%bolt%"))
+      .select(col("p_partkey"),
+        (dec(col("p_retailprice")) * 100).cast("long").as("retail_cents"))
+    val sn = t(spark, dir, "supplier")
+      .join(broadcast(t(spark, dir, "nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("nation"))
+    val epCents = (dec(col("l_extendedprice")) * 100).cast("long")
+    val discPct = (dec(col("l_discount")) * 100).cast("long")
+    val qty = col("l_quantity").cast("long")
+    t(spark, dir, "lineitem")
+      .join(pt, col("l_partkey") === col("p_partkey"))
+      .join(broadcast(sn), col("l_suppkey") === col("s_suppkey"))
+      .join(t(spark, dir, "orders")
+          .select(col("o_orderkey"), year(col("o_orderdate")).cast("long").as("o_year")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("nation"), col("o_year"))
+      .agg(sum(epCents * (lit(100L) - discPct) -
+        lit(100L) * col("retail_cents") * qty).as("profit_c4"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  lazy val q74Sql: String =
+    """SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+      |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |        * (100 - CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |      - 100 * CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |        * CAST(l_quantity AS BIGINT)) AS BIGINT) AS profit_c4
+      |FROM lineitem, part, supplier, nation, orders
+      |WHERE l_partkey = p_partkey AND l_suppkey = s_suppkey
+      |  AND l_orderkey = o_orderkey AND s_nationkey = n_nationkey
+      |  AND p_name LIKE '%bolt%'
+      |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin
+
   // ---- q26: pivot (wide aggregate over an enumerated domain) ----
   // Values are ENUMERATED (Seq("F","O")) so the pivot compiles to
   // CASE-filtered aggregates in ONE pass — no extra distinct-values
@@ -2927,6 +3039,8 @@ object Relational {
     "q70_global_share" -> (q70GlobalShareFilter _),
     "q71_sole_blame" -> (q71SoleBlame _),
     "q72_prospects" -> (q72Prospects _),
+    "q73_min_cost_supplier" -> (q73MinCostSupplier _),
+    "q74_profit" -> (q74ProfitByNationYear _),
     "q50_f2_sketch" -> (q50F2Sketch _),
     "q49_mom_growth" -> (q49MomGrowth _),
     "q48_itemset3" -> (q48Itemset3 _),
@@ -3002,6 +3116,8 @@ object Relational {
     "q70_global_share" -> q70Sql,
     "q71_sole_blame" -> q71Sql,
     "q72_prospects" -> q72Sql,
+    "q73_min_cost_supplier" -> q73Sql,
+    "q74_profit" -> q74Sql,
     "q50_f2_sketch" -> q50Sql,
     "q49_mom_growth" -> q49Sql,
     "q48_itemset3" -> q48Sql,

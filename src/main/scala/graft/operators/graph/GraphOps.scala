@@ -1806,7 +1806,11 @@ object GraphOps {
   // explicit cap, never corpus rows, distributed FW-BW as the
   // over-cap path): the color/mark fixpoints are core-DIAMETER many
   // sequential driver rounds of tiny data, which one in-memory pass
-  // replaces outright. 4M nodes / 16M edges ≈ 64 MB + 256 MB.
+  // replaces outright. At-cap driver heap (primitive-array collect,
+  // see the fast-path comment): 2×16M-long edge arrays (256 MB) +
+  // 4M-long node array (32 MB) + CSR ints (~100 MB) + output pairs
+  // (~160 MB) ≈ 0.6 GB transient — sized for a 4 GB driver with
+  // headroom, NOT for this host's 128 GB.
   private val SccDriverNodeCap = 4000000L
   private val SccDriverEdgeCap = 16000000
 
@@ -1845,25 +1849,42 @@ object GraphOps {
 
   /** Iterative (explicit-stack) Tarjan over a bounded collected core:
     * returns (node, min member of its SCC) for every node in `nodes`.
-    * Nodes absent from `edges` are their own singleton SCCs. Runs on
-    * the driver — callers gate the input size (SccDriverNodeCap /
-    * SccDriverEdgeCap). */
+    * Nodes absent from the edge arrays are their own singleton SCCs.
+    * Runs on the driver — callers gate the input size
+    * (SccDriverNodeCap / SccDriverEdgeCap). Inputs are PRIMITIVE long
+    * arrays and the node index is binary search over `nodes` (sorted
+    * IN PLACE here) — no boxed HashMap, no tuple intermediates — so
+    * at-cap heap is the arrays themselves (~0.6 GB, see the cap
+    * sizing note). Every edge endpoint MUST appear in `nodes`; a
+    * violation fails with a named error, not an opaque NPE. */
   private[graft] def tarjanSccMinLabels(
-      nodes: Array[Long], edges: Array[(Long, Long)]): Seq[(Long, Long)] = {
+      nodes: Array[Long], srcs: Array[Long], dsts: Array[Long]): Seq[(Long, Long)] = {
+    require(srcs.length == dsts.length,
+      s"tarjanSccMinLabels: ${srcs.length} srcs vs ${dsts.length} dsts")
     val n = nodes.length
-    val idx = new java.util.HashMap[Long, Int](n * 2)
-    var i = 0
-    while (i < n) { idx.put(nodes(i), i); i += 1 }
+    val m = srcs.length
+    java.util.Arrays.sort(nodes)
+    def idxOf(u: Long, side: String): Int = {
+      val j = java.util.Arrays.binarySearch(nodes, u)
+      require(j >= 0,
+        s"tarjanSccMinLabels: edge $side endpoint $u is not in `nodes` — " +
+          "the caller must pass the closed node set of the collected core")
+      j
+    }
     // CSR adjacency
     val outDeg = new Array[Int](n)
-    edges.foreach { case (u, _) => outDeg(idx.get(u)) += 1 }
+    var i = 0
+    while (i < m) { outDeg(idxOf(srcs(i), "src")) += 1; i += 1 }
     val off = new Array[Int](n + 1)
     i = 0
     while (i < n) { off(i + 1) = off(i) + outDeg(i); i += 1 }
     val fill = off.clone()
-    val tgt = new Array[Int](edges.length)
-    edges.foreach { case (u, v) =>
-      val ui = idx.get(u); tgt(fill(ui)) = idx.get(v); fill(ui) += 1
+    val tgt = new Array[Int](m)
+    i = 0
+    while (i < m) {
+      val ui = idxOf(srcs(i), "src")
+      tgt(fill(ui)) = idxOf(dsts(i), "dst"); fill(ui) += 1
+      i += 1
     }
     val index = Array.fill(n)(-1)
     val low = new Array[Int](n)
@@ -2029,9 +2050,25 @@ object GraphOps {
           // singletons included). Output convention unchanged:
           // scc_id = min member, a partition property independent
           // of the algorithm that found it.
-          val pairs = e.collect().map(r => (r.getLong(0), r.getLong(1)))
-          acc += spark.createDataFrame(tarjanSccMinLabels(
-              rem.select(col("node")).collect().map(_.getLong(0)), pairs))
+          // toLocalIterator into PRIMITIVE long arrays (one partition
+          // of Rows resident at a time), not collect(): the previous
+          // Array[Row] + boxed-tuple path peaked at multi-GB driver
+          // heap at the caps; this is the arrays' 0.3 GB.
+          val srcs = new Array[Long](coreEdges.toInt)
+          val dsts = new Array[Long](coreEdges.toInt)
+          var k = 0
+          val eIt = e.toLocalIterator()
+          while (eIt.hasNext) {
+            val row = eIt.next(); srcs(k) = row.getLong(0); dsts(k) = row.getLong(1)
+            k += 1
+          }
+          require(k == coreEdges, s"core edge recount drifted: $k vs $coreEdges")
+          val coreNodes = new Array[Long](remCnt.toInt)
+          k = 0
+          val nIt = rem.select(col("node")).toLocalIterator()
+          while (nIt.hasNext) { coreNodes(k) = nIt.next().getLong(0); k += 1 }
+          require(k == remCnt, s"core node recount drifted: $k vs $remCnt")
+          acc += spark.createDataFrame(tarjanSccMinLabels(coreNodes, srcs, dsts))
             .toDF("node", "scc")
           dbg(s"outer=$outer driver tarjan done: nodes=$remCnt edges=$coreEdges")
           rem = rem.limit(0)
@@ -2182,8 +2219,17 @@ object GraphOps {
         greatest(lit(1L), expr("CAST(1000000 AS BIGINT) div w")).as("cost"))
 
   /** MSF edges (a, b, cost), a < b, of a SYMMETRIC weighted edge
-    * table (src, dst, cost). */
-  def boruvkaForest(wc: DataFrame): DataFrame = {
+    * table (src, dst, cost).
+    *
+    * `oracleHorizonCheck` is for the GATED path only: it asserts the
+    * run stayed within the unrolled DuckDB oracle's fixed round/jump
+    * horizons, so a capacity overflow fails loudly instead of as an
+    * opaque hash mismatch. Ordinary callers (sf10 audits, library
+    * users — no oracle in play) leave it false: full-contraction
+    * Borůvka can legitimately need up to ~log2(V) rounds, and a
+    * correctly computed forest must be RETURNED, not thrown away; an
+    * over-horizon run is logged to stderr instead. */
+  def boruvkaForest(wc: DataFrame, oracleHorizonCheck: Boolean = false): DataFrame = {
     // round 1 runs lazily off the (cached) input — no point paying a
     // full-E checkpoint before the first contraction drops most edges;
     // every later round's survivor set IS checkpointed (plan depth
@@ -2322,12 +2368,21 @@ object GraphOps {
     // overflow fails loudly here instead of as an opaque hash
     // mismatch. Over-cap runs (sf10+) have no unrolled oracle.
     if (allDriverRounds) {
-      require(r <= BoruvkaOuterUnroll,
-        s"Borůvka took $r full-contraction rounds; the unrolled oracle " +
-          s"only has $BoruvkaOuterUnroll — raise BoruvkaOuterUnroll")
-      require(maxChainDepth <= (1 << BoruvkaJumpUnroll),
-        s"pointer chain depth $maxChainDepth exceeds the oracle's " +
-          s"2^$BoruvkaJumpUnroll jump capacity — raise BoruvkaJumpUnroll")
+      val overHorizon =
+        (if (r > BoruvkaOuterUnroll)
+          Seq(s"Borůvka took $r full-contraction rounds; the unrolled " +
+            s"oracle only has $BoruvkaOuterUnroll — raise BoruvkaOuterUnroll")
+        else Nil) ++
+        (if (maxChainDepth > (1 << BoruvkaJumpUnroll))
+          Seq(s"pointer chain depth $maxChainDepth exceeds the oracle's " +
+            s"2^$BoruvkaJumpUnroll jump capacity — raise BoruvkaJumpUnroll")
+        else Nil)
+      if (overHorizon.nonEmpty) {
+        // the forest itself is correct either way — only the gated
+        // path must die (its oracle would silently disagree)
+        require(!oracleHorizonCheck, overHorizon.mkString("; "))
+        overHorizon.foreach(m => System.err.println(s"[boruvka] horizon: $m"))
+      }
     }
     if (sys.env.contains("GRAFT_SCC_DEBUG"))
       System.err.println(
@@ -2339,7 +2394,7 @@ object GraphOps {
   }
 
   def g46Boruvka(spark: SparkSession, dir: String): DataFrame =
-    boruvkaForest(mstCostEdges(spark, dir))
+    boruvkaForest(mstCostEdges(spark, dir), oracleHorizonCheck = true)
       .select(col("a").as("u"), col("b").as("v"), col("cost"))
       .orderBy(col("u"), col("v"))
 

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan pins for the round-10 batch (q73/q74 — the adapted TPC-H
+  * Q2/Q9 shapes): the properties their 100 TB stories depend on. */
+class Round10PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val dir = "/root/testdata/sf0.001"
+  private lazy val spark = GraftSession.local(threads = 4, shufflePartitions = 4)
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def planOf(df: DataFrame): String = {
+    df.collect()
+    // AQE appends an "== Initial Plan ==" copy — count the FINAL plan
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+  }
+
+  test("q73: dims broadcast, argmin is two aggregates — no window, no join-back") {
+    val plan = planOf(SparkEntry.queries("q73_min_cost_supplier")(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"),
+      "the filtered part slice and region supplier dim must broadcast")
+    assert(!plan.contains("SortMergeJoin"),
+      "no fact-side shuffle join: Q2's correlated re-probe must not appear")
+    assert(!plan.contains("Window"),
+      "the argmin is min(struct(...)), not a ranking window")
+    // exactly one scan of the big table: the classic Q2 plan reads the
+    // supply pairs twice (once for min, once for the join-back)
+    assert(plan.linesIterator.count(_.contains("lineitem.parquet")) == 1,
+      "the supply catalog must be scanned exactly once (no join-back)")
+  }
+
+  test("q73: part filter and column pruning reach the scans") {
+    val df = SparkEntry.queries("q73_min_cost_supplier")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    val partScan = plan.linesIterator.find(_.contains("part.parquet")).get
+    assert(partScan.contains("p_size"),
+      "the p_size predicate must push down to the part scan")
+    val liScan = plan.linesIterator.find(_.contains("lineitem.parquet")).get
+    for (c <- Seq("l_partkey", "l_suppkey", "l_extendedprice"))
+      assert(liScan.contains(c), s"lineitem scan must read $c")
+    assert(!liScan.contains("l_comment") && !liScan.contains("l_shipdate"),
+      "lineitem scan must prune unused columns")
+  }
+
+  test("q74: supplier dim broadcasts; single pass — one aggregate over the joined facts") {
+    val plan = planOf(SparkEntry.queries("q74_profit")(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"),
+      "supplier⋈nation must broadcast into the fact stream")
+    assert(!plan.contains("Window"), "q74 needs no window")
+    assert(plan.linesIterator.count(_.contains("lineitem.parquet")) == 1,
+      "profit is one pass over lineitem")
+    // signed arithmetic stays integral: no Decimal sum in the agg
+    assert(!plan.contains("CartesianProduct"), "no cartesian products")
+  }
+}
