@@ -362,27 +362,168 @@ object GraphOps {
   // planning-blowup lesson); the per-hop driver stop-check is a
   // one-scalar count, the g10/g12 convergence-loop precedent. Cost is
   // O(E) per hop — the frontier never re-expands settled nodes.
+  // This distributed loop is g40's OVER-CAP path; the gated scales
+  // take the bounded-component driver fast path below. Round-10
+  // measurement notes (the paths not taken, kept on record): the
+  // per-hop wall cost at sf0.1 is ~0.5 s FLAT regardless of frontier
+  // size — it is the full 12M-row sym scan behind the broadcast
+  // expansion join, not reducer scheduling — so (a) a composed
+  // stride-2 lazy block (the minLabelFixpoint trick) measured 38 s
+  // steady-state vs ~11 s (AQE re-plans each reference to the
+  // intra-block level as its own exchange: the "saved" barrier re-ran
+  // the expansion 3×), and (b) AQE partition coalescing for the sweep
+  // measured 29–52 s (the fat middle hop collapsed to ~1 task).
   private def bfsDistsFrom(spark: SparkSession, dir: String,
       seed: DataFrame): DataFrame = {
     val sym = withSym(spark, dir)
-    var dists = seed.select(col("node"), lit(0L).as("dist"))
+    val d0 = seed.select(col("node"), lit(0L).as("dist"))
       .localCheckpoint(true)
-    var frontier = dists.select(col("node"))
+    var pieces = Vector(d0)
+    var seen: DataFrame = d0.select(col("node"))
+    var frontier = d0.select(col("node"))
+    var cnt = 1L
     var h = 1L
-    while (h <= 8L && frontier.limit(1).count() > 0L) {
+    while (h <= 8L && cnt > 0L) {
       val nxt = frontier.join(sym, col("node") === col("src"))
         .select(col("dst").as("node")).distinct()
-        .join(dists.select(col("node")), Seq("node"), "left_anti")
+        .join(seen, Seq("node"), "left_anti")
+        .select(col("node"), lit(h).as("dist"))
         .localCheckpoint(true)
-      dists = dists.union(nxt.select(col("node"), lit(h).as("dist")))
-        .localCheckpoint(true)
-      frontier = nxt
+      cnt = nxt.count()
+      if (cnt > 0L) {
+        pieces = pieces :+ nxt
+        seen = seen.union(nxt.select(col("node")))
+        frontier = nxt.select(col("node"))
+      }
       h += 1
     }
-    dists
+    pieces.reduce(_.union(_))
+  }
+
+  // Seed-component driver caps (the g45/g46 bounded-hybrid precedent:
+  // component-sized collect behind explicit caps, never corpus rows,
+  // the distributed double sweep as the over-cap path). At-cap heap
+  // is the primitive arrays (~0.4 GB) — the tarjanSccMinLabels
+  // sizing note.
+  private val DiamDriverNodeCap = 4000000L
+  private val DiamDriverEdgeCap = 16000000L
+
+  /** Level-synchronous BFS over a CSR core: distances from seedIdx,
+    * capped at maxHops; returns (dist array, ecc, reached count). */
+  private def driverBfsLevels(off: Array[Int], tgt: Array[Int],
+      n: Int, seedIdx: Int, maxHops: Int): (Array[Int], Int, Long) = {
+    val dist = Array.fill(n)(-1)
+    var frontier = new Array[Int](1)
+    frontier(0) = seedIdx
+    dist(seedIdx) = 0
+    var reached = 1L
+    var ecc = 0
+    var h = 1
+    while (h <= maxHops && frontier.nonEmpty) {
+      val next = new scala.collection.mutable.ArrayBuffer[Int]()
+      var i = 0
+      while (i < frontier.length) {
+        val v = frontier(i)
+        var p = off(v)
+        while (p < off(v + 1)) {
+          val w = tgt(p)
+          if (dist(w) == -1) { dist(w) = h; next += w }
+          p += 1
+        }
+        i += 1
+      }
+      if (next.nonEmpty) { ecc = h; reached += next.length }
+      frontier = next.toArray
+      h += 1
+    }
+    (dist, ecc, reached)
   }
 
   def g40PseudoDiameter(spark: SparkSession, dir: String): DataFrame = {
+    val sym = withSym(spark, dir)
+    // Bounded-component fast path: both sweeps only ever touch the
+    // SEED'S connected component, whose membership the shared
+    // cc_converged cache already knows — semi-join sym down to that
+    // component and, under the caps, run both level-synchronous BFS
+    // sweeps on the driver over a primitive CSR. This replaces ~15
+    // sequential distributed hops (each a full E-scan + shuffle +
+    // checkpoint, ~0.5 s/hop at sf0.1 — measured flat in frontier
+    // size) with one semi-join scan + one bounded collect. Over the
+    // caps (a 100 TB component), the distributed double sweep below
+    // runs instead — same convention, any scale.
+    val seedId = sym.agg(min(col("src"))).collect()(0).getLong(0)
+    val cc = ccLabels(spark, dir)
+    val seedComp = cc.filter(col("node_id") === seedId)
+      .select(col("component")).collect()(0).getLong(0)
+    // coalesce before the checkpoint: toLocalIterator schedules ONE
+    // job per partition, so 32 near-empty partitions cost ~30 driver
+    // round trips per collect; a handful of fat partitions keep the
+    // per-partition memory bound (the reason for toLocalIterator)
+    // while making the drain a few jobs
+    val comp = cc.filter(col("component") === seedComp)
+      .select(col("node_id")).coalesce(4).localCheckpoint(true)
+    val nComp = comp.count()
+    val compEdges = sym
+      .join(comp.select(col("node_id").as("src")), Seq("src"), "left_semi")
+      .select(col("src"), col("dst")).coalesce(8).localCheckpoint(true)
+    val eCnt = compEdges.count()
+    if (nComp <= DiamDriverNodeCap && eCnt <= DiamDriverEdgeCap) {
+      val nodes = new Array[Long](nComp.toInt)
+      var k = 0
+      val nIt = comp.toLocalIterator()
+      while (nIt.hasNext) { nodes(k) = nIt.next().getLong(0); k += 1 }
+      require(k == nComp, s"component node recount drifted: $k vs $nComp")
+      java.util.Arrays.sort(nodes)
+      def idxOf(u: Long): Int = {
+        val j = java.util.Arrays.binarySearch(nodes, u)
+        require(j >= 0, s"edge endpoint $u outside the seed component — " +
+          "cc_converged labels must close the component")
+        j
+      }
+      val n = nodes.length
+      val m = eCnt.toInt
+      val srcs = new Array[Int](m)
+      val dsts = new Array[Int](m)
+      k = 0
+      val eIt = compEdges.toLocalIterator()
+      while (eIt.hasNext) {
+        val r = eIt.next()
+        srcs(k) = idxOf(r.getLong(0)); dsts(k) = idxOf(r.getLong(1))
+        k += 1
+      }
+      require(k == m, s"component edge recount drifted: $k vs $m")
+      // CSR (sym already holds both directions of every edge)
+      val outDeg = new Array[Int](n)
+      var i = 0
+      while (i < m) { outDeg(srcs(i)) += 1; i += 1 }
+      val off = new Array[Int](n + 1)
+      i = 0
+      while (i < n) { off(i + 1) = off(i) + outDeg(i); i += 1 }
+      val fill = off.clone()
+      val tgt = new Array[Int](m)
+      i = 0
+      while (i < m) { val s = srcs(i); tgt(fill(s)) = dsts(i); fill(s) += 1; i += 1 }
+      val (d1, ecc1, n1) = driverBfsLevels(off, tgt, n, idxOf(seedId), 8)
+      // far = (max dist, then min node id); nodes[] is sorted, so the
+      // first index at the max distance is the min id
+      var farIdx = -1
+      var maxD = -1
+      i = 0
+      while (i < n) {
+        if (d1(i) > maxD) { maxD = d1(i); farIdx = i }
+        i += 1
+      }
+      val (_, ecc2, n2) = driverBfsLevels(off, tgt, n, farIdx, 8)
+      import spark.implicits._
+      Seq((seedId, ecc1.toLong, n1, nodes(farIdx), ecc2.toLong, n2))
+        .toDF("seed_node", "ecc_seed", "n_reached_seed",
+          "far_node", "ecc_far", "n_reached_far")
+    } else {
+      g40Distributed(spark, dir)
+    }
+  }
+
+  private[graft] def g40Distributed(spark: SparkSession, dir: String): DataFrame = {
     val sym = withSym(spark, dir)
     val seed1 = sym.agg(min(col("src")).as("node"))
     val d1 = bfsDistsFrom(spark, dir, seed1)

@@ -46,6 +46,21 @@ class Round10PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "lineitem scan must prune unused columns")
   }
 
+  test("g40: bounded-component driver fast path ≡ the distributed double sweep") {
+    // the over-cap path must produce the SAME single row as the
+    // fast path (same seed/far conventions, ecc, reach counts)
+    import graft.operators.graph.GraphOps
+    val fast = SparkEntry.queries("g40_pseudo_diameter")(spark, dir).collect()
+    val dist = GraphOps.g40Distributed(spark, dir).collect()
+    assert(fast.length == 1 && dist.length == 1)
+    val cols = Seq("seed_node", "ecc_seed", "n_reached_seed",
+      "far_node", "ecc_far", "n_reached_far")
+    for (c <- cols)
+      assert(fast(0).getAs[Long](c) == dist(0).getAs[Long](c),
+        s"column $c diverged: fast=${fast(0).getAs[Long](c)} " +
+          s"distributed=${dist(0).getAs[Long](c)}")
+  }
+
   test("q74: supplier dim broadcasts; single pass — one aggregate over the joined facts") {
     val plan = planOf(SparkEntry.queries("q74_profit")(spark, dir))
     assert(plan.contains("BroadcastHashJoin"),
