@@ -2867,6 +2867,26 @@ object GraphOps {
     // Early exit on fixpoint: a peel that removed nothing cannot
     // remove anything next round, so remaining trajectory rows repeat
     // the converged count without re-enumerating triangles.
+    //
+    // Round-10 delta-peel probe (verdict item 2) — BOTH variants
+    // measured WORSE than this full re-enumeration and were reverted;
+    // the measurements, kept on record:
+    // (a) recompute-over-affected-edges keyed on wave ENDPOINTS:
+    //     1 134 049 of 1 134 091 round-2 edges marked affected at
+    //     sf0.1 (hub endpoints make the superset ~100% of E) and the
+    //     full-neighborhood intersections replaced a √E-bounded
+    //     oriented enumeration with an unbounded one — 15-19 s vs
+    //     ~11 s warm;
+    // (b) exact DECREMENT peel (D = D1 − D2 inclusion-exclusion over
+    //     destroyed triangles, intersections only for the |wave|
+    //     removed edges): trajectory hash-identical, but each delta
+    //     round still pays E-row scaffolding (two left joins for the
+    //     credits, canonical re-keying, the full survivor rewrite) —
+    //     ~6 s/round vs ~3.5 s/round full at sf0.1. The order-size
+    //     cap (≤ 25 parts) keeps this projection's out-degrees small,
+    //     so the "full" oriented enumeration is already near the
+    //     scaffolding floor; a delta peel only wins where triangle
+    //     enumeration dominates (uncapped power-law graphs).
     while (r <= TrussRounds && (r == 1 || traj(r - 1)._2 < traj(r - 2)._2)) {
       orientedSupports(ord)
         .filter(col("sup") >= TrussK - 2)
