@@ -1656,6 +1656,238 @@ object Relational {
       |  AND p_name LIKE '%bolt%'
       |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin
 
+  // ---- q75: volume shipping between two nations (TPC-H Q7 shape) ----
+  // The bidirectional nation-pair join: revenue flowing between
+  // NATION_3 and NATION_7 in either direction, by supplier nation ×
+  // customer nation × ship year. The two nation dims broadcast
+  // PRE-FILTERED to the pair (inner joins then restrict the fact
+  // stream before the big lineitem⋈orders shuffle sees a group), and
+  // the cross-pair predicate keeps only the two off-diagonal
+  // combinations. Exact DECIMAL revenue, VARCHAR-hop double emission
+  // (the §5 sf1 lesson).
+  def q75VolumeShipping(spark: SparkSession, dir: String): DataFrame = {
+    val pair = Seq("NATION_3", "NATION_7")
+    val sn = t(spark, dir, "nation").filter(col("n_name").isin(pair: _*))
+      .select(col("n_nationkey").as("snk"), col("n_name").as("supp_nation"))
+    val cn = t(spark, dir, "nation").filter(col("n_name").isin(pair: _*))
+      .select(col("n_nationkey").as("cnk"), col("n_name").as("cust_nation"))
+    val disc = dec(lit(1)) - dec(col("l_discount"))
+    t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01") &&
+        col("l_shipdate") < lit("1998-01-01"))
+      .join(t(spark, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(t(spark, dir, "customer").select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(spark, dir, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(sn), col("s_nationkey") === col("snk"))
+      .join(broadcast(cn), col("c_nationkey") === col("cnk"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(sum(dec(col("l_extendedprice")) * disc).cast("double").as("revenue"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
+  lazy val q75Sql: String =
+    s"""SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+       |  ${d2d("sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))")} AS revenue
+       |FROM lineitem, orders, customer, supplier, nation sn, nation cn
+       |WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+       |  AND l_suppkey = s_suppkey AND s_nationkey = sn.n_nationkey
+       |  AND c_nationkey = cn.n_nationkey
+       |  AND sn.n_name IN ('NATION_3', 'NATION_7')
+       |  AND cn.n_name IN ('NATION_3', 'NATION_7')
+       |  AND sn.n_name <> cn.n_name
+       |  AND l_shipdate >= TIMESTAMP '1996-01-01'
+       |  AND l_shipdate < TIMESTAMP '1998-01-01'
+       |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
+  // ---- q76: national market share (TPC-H Q8 shape) ----
+  // NATION_5's share of PROMO-part revenue sold to ASIA customers,
+  // by order year: share = nation_vol / total_vol, BOTH emitted as
+  // exact-decimal-sums-cast-double anchors next to the IEEE ratio
+  // (one division of two identically-derived doubles — the q14/q70
+  // ratio convention). The conditional numerator is a CASE inside
+  // the same aggregate pass — one scan, one shuffle, no self-join.
+  def q76MarketShare(spark: SparkSession, dir: String): DataFrame = {
+    val vol = dec(col("l_extendedprice")) *
+      (dec(lit(1)) - dec(col("l_discount")))
+    val nat = when(col("supp_nation") === "NATION_5", vol)
+      .otherwise(dec(lit(0)))
+    t(spark, dir, "lineitem")
+      .join(broadcast(t(spark, dir, "part").filter(col("p_type") === "PROMO")
+        .select(col("p_partkey"))), col("l_partkey") === col("p_partkey"))
+      .join(t(spark, dir, "orders")
+          .filter(col("o_orderdate") >= lit("1996-01-01") &&
+            col("o_orderdate") < lit("1998-01-01"))
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(t(spark, dir, "customer").select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(spark, dir, "nation")
+        .select(col("n_nationkey").as("cnk"), col("n_regionkey"))),
+        col("c_nationkey") === col("cnk"))
+      .join(broadcast(t(spark, dir, "region").filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .join(broadcast(t(spark, dir, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t(spark, dir, "nation")
+        .select(col("n_nationkey").as("snk"), col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("snk"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(sum(nat).cast("double").as("nation_vol"),
+        sum(vol).cast("double").as("total_vol"))
+      .select(col("o_year"), col("nation_vol"), col("total_vol"),
+        (col("nation_vol") / col("total_vol")).as("mkt_share"))
+      .orderBy(col("o_year"))
+  }
+
+  lazy val q76Sql: String = {
+    val vol = "CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"
+    s"""WITH g AS (
+       |  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       |    ${d2d(s"sum(CASE WHEN sn.n_name = 'NATION_5' THEN $vol ELSE CAST(0 AS DECIMAL(18,2)) END)")} AS nation_vol,
+       |    ${d2d(s"sum($vol)")} AS total_vol
+       |  FROM lineitem, part, orders, customer, nation cn, region, supplier,
+       |    nation sn
+       |  WHERE l_partkey = p_partkey AND p_type = 'PROMO'
+       |    AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+       |    AND c_nationkey = cn.n_nationkey AND cn.n_regionkey = r_regionkey
+       |    AND r_name = 'ASIA' AND l_suppkey = s_suppkey
+       |    AND s_nationkey = sn.n_nationkey
+       |    AND o_orderdate >= TIMESTAMP '1996-01-01'
+       |    AND o_orderdate < TIMESTAMP '1998-01-01'
+       |  GROUP BY 1)
+       |SELECT o_year, nation_vol, total_vol,
+       |  nation_vol / total_vol AS mkt_share
+       |FROM g ORDER BY o_year""".stripMargin
+  }
+
+  // ---- q77: top-share suppliers (TPC-H Q20 shape) ----
+  // Suppliers shipping an ABOVE-AVERAGE share of some bolt part: per
+  // (part, supplier) shipped quantity vs the part total, kept when
+  // qty·n_suppliers > total — the mean-share compare CROSS-MULTIPLIED
+  // so it stays in exact integers (the q72 avg lesson; a fixed
+  // dominance multiple was measured scale-DEGENERATE: 2·sq > tq gave
+  // 0 rows at every sf because shares dilute as the supplier pool
+  // grows — the mean-relative rule is non-degenerate at any scale).
+  // Q20's availqty stands in as the shipped-quantity share since
+  // this schema has no partsupp. Two stacked aggregates (pair, then
+  // part total joined back to the pair rows — the total rides a
+  // part-keyed exchange of |parts| rows, never a window), then the
+  // supplier dim broadcasts onto the survivors.
+  def q77TopShareSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = t(spark, dir, "lineitem")
+      .join(broadcast(t(spark, dir, "part")
+        .filter(col("p_name").like("%bolt%")).select(col("p_partkey"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(col("l_quantity").cast("long")).as("sq"))
+      .localCheckpoint(true)
+    val tot = pairs.groupBy(col("l_partkey"))
+      .agg(sum(col("sq")).as("tq"), count(lit(1)).as("ns"))
+    pairs.join(tot, Seq("l_partkey"))
+      .filter(col("sq") * col("ns") > col("tq"))
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("n_parts"), sum(col("sq")).as("qty_sum"))
+      .join(broadcast(t(spark, dir, "supplier")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_parts"), col("qty_sum"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  lazy val q77Sql: String =
+    """WITH pairs AS (
+      |  SELECT l_partkey, l_suppkey,
+      |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sq
+      |  FROM lineitem, part
+      |  WHERE l_partkey = p_partkey AND p_name LIKE '%bolt%'
+      |  GROUP BY 1, 2),
+      |tot AS (SELECT l_partkey, CAST(sum(sq) AS BIGINT) AS tq,
+      |          count(*) AS ns
+      |        FROM pairs GROUP BY 1)
+      |SELECT s_suppkey, s_name, count(*) AS n_parts,
+      |  CAST(sum(sq) AS BIGINT) AS qty_sum
+      |FROM pairs JOIN tot USING (l_partkey)
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |WHERE sq * ns > tq
+      |GROUP BY 1, 2 ORDER BY s_suppkey""".stripMargin
+
+  // ---- q78: returned-item reporting (TPC-H Q10 shape) ----
+  // Lost revenue per customer from returned line items in one
+  // quarter, top 20: the classic join+agg+TakeOrderedAndProject.
+  // Revenue stays exact DECIMAL through the aggregate; the top-20
+  // sort is (revenue DESC, c_custkey) — the custkey tiebreak makes
+  // the LIMIT boundary deterministic on both engines even under
+  // equal revenues. The returnflag and date filters push to the two
+  // fact scans; nation broadcasts.
+  def q78ReturnedItems(spark: SparkSession, dir: String): DataFrame = {
+    val disc = dec(lit(1)) - dec(col("l_discount"))
+    t(spark, dir, "lineitem").filter(col("l_returnflag") === "R")
+      .join(t(spark, dir, "orders")
+          .filter(col("o_orderdate") >= lit("1996-07-01") &&
+            col("o_orderdate") < lit("1996-10-01"))
+          .select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(t(spark, dir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(spark, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(sum(dec(col("l_extendedprice")) * disc).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  lazy val q78Sql: String =
+    s"""SELECT c_custkey, c_name, n_name,
+       |  ${d2d("sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))")} AS revenue
+       |FROM lineitem, orders, customer, nation
+       |WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+       |  AND c_nationkey = n_nationkey AND l_returnflag = 'R'
+       |  AND o_orderdate >= TIMESTAMP '1996-07-01'
+       |  AND o_orderdate < TIMESTAMP '1996-10-01'
+       |GROUP BY 1, 2, 3 ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin
+
+  // ---- q79: supplier variety per part class (TPC-H Q16 shape) ----
+  // Distinct-supplier counts per (brand, type, size) over the
+  // lineitem-derived part-supplier pairs, EXCLUDING blacklisted
+  // suppliers (negative balance stands in for Q16's complaint
+  // filter) via an anti-join — the NOT IN shape. The pair distinct
+  // and the count-distinct collapse into the same two-level
+  // aggregate; the small blacklist broadcasts as the anti build
+  // side.
+  def q79SupplierVariety(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
+      .join(broadcast(t(spark, dir, "supplier")
+        .filter(dec(col("s_acctbal")) < dec(lit(0)))
+        .select(col("s_suppkey").as("l_suppkey"))), Seq("l_suppkey"), "left_anti")
+      .join(broadcast(t(spark, dir, "part").filter(col("p_brand") =!= "Brand#1")
+        .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+        col("p_size"))
+
+  lazy val q79Sql: String =
+    """SELECT p_brand, p_type, p_size,
+      |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+      |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+      |JOIN part ON l_partkey = p_partkey
+      |WHERE p_brand <> 'Brand#1'
+      |  AND l_suppkey NOT IN (
+      |    SELECT s_suppkey FROM supplier
+      |    WHERE CAST(s_acctbal AS DECIMAL(18,2)) < 0)
+      |GROUP BY 1, 2, 3
+      |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
+
   // ---- q26: pivot (wide aggregate over an enumerated domain) ----
   // Values are ENUMERATED (Seq("F","O")) so the pivot compiles to
   // CASE-filtered aggregates in ONE pass — no extra distinct-values
@@ -3041,6 +3273,11 @@ object Relational {
     "q72_prospects" -> (q72Prospects _),
     "q73_min_cost_supplier" -> (q73MinCostSupplier _),
     "q74_profit" -> (q74ProfitByNationYear _),
+    "q75_volume_shipping" -> (q75VolumeShipping _),
+    "q76_market_share" -> (q76MarketShare _),
+    "q77_top_share_suppliers" -> (q77TopShareSuppliers _),
+    "q78_returned_items" -> (q78ReturnedItems _),
+    "q79_supplier_variety" -> (q79SupplierVariety _),
     "q50_f2_sketch" -> (q50F2Sketch _),
     "q49_mom_growth" -> (q49MomGrowth _),
     "q48_itemset3" -> (q48Itemset3 _),
@@ -3118,6 +3355,11 @@ object Relational {
     "q72_prospects" -> q72Sql,
     "q73_min_cost_supplier" -> q73Sql,
     "q74_profit" -> q74Sql,
+    "q75_volume_shipping" -> q75Sql,
+    "q76_market_share" -> q76Sql,
+    "q77_top_share_suppliers" -> q77Sql,
+    "q78_returned_items" -> q78Sql,
+    "q79_supplier_variety" -> q79Sql,
     "q50_f2_sketch" -> q50Sql,
     "q49_mom_growth" -> q49Sql,
     "q48_itemset3" -> q48Sql,

@@ -61,6 +61,30 @@ class Round10PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
           s"distributed=${dist(0).getAs[Long](c)}")
   }
 
+  test("q75-q79: dims broadcast, no cartesian products, single fact scan each") {
+    for (q <- Seq("q75_volume_shipping", "q76_market_share",
+        "q77_top_share_suppliers", "q78_returned_items",
+        "q79_supplier_variety")) {
+      val plan = planOf(SparkEntry.queries(q)(spark, dir))
+      assert(plan.contains("BroadcastHashJoin"), s"$q must broadcast its dims")
+      assert(!plan.contains("CartesianProduct"), s"$q: no cartesian products")
+      // q77's pair table is localCheckpointed (its scan happens at
+      // build time and shows as an ExistingRDD here) — so ≤ 1, and
+      // the double-instantiation the checkpoint fixed can never
+      // silently return
+      assert(plan.linesIterator.count(_.contains("lineitem.parquet")) <= 1,
+        s"$q must scan lineitem at most once in one plan")
+      assert(!plan.contains("Window"), s"$q needs no window")
+    }
+  }
+
+  test("q76: the conditional numerator rides the same aggregate pass (no self-join)") {
+    val plan = planOf(SparkEntry.queries("q76_market_share")(spark, dir))
+    // one aggregate computes nation_vol and total_vol together
+    assert(!plan.contains("SortMergeJoin"),
+      "q76's share must not re-join the fact stream against itself")
+  }
+
   test("q74: supplier dim broadcasts; single pass — one aggregate over the joined facts") {
     val plan = planOf(SparkEntry.queries("q74_profit")(spark, dir))
     assert(plan.contains("BroadcastHashJoin"),
