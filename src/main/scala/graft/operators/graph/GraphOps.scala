@@ -451,7 +451,11 @@ object GraphOps {
     // size) with one semi-join scan + one bounded collect. Over the
     // caps (a 100 TB component), the distributed double sweep below
     // runs instead — same convention, any scale.
-    val seedId = sym.agg(min(col("src"))).collect()(0).getLong(0)
+    val seedRow = sym.agg(min(col("src"))).collect()(0)
+    // empty graph ⇒ NULL seed: the distributed path reproduces the
+    // degenerate-input contract (one all-NULL row), so take it
+    if (seedRow.isNullAt(0)) return g40Distributed(spark, dir)
+    val seedId = seedRow.getLong(0)
     val cc = ccLabels(spark, dir)
     val seedComp = cc.filter(col("node_id") === seedId)
       .select(col("component")).collect()(0).getLong(0)
