@@ -31,6 +31,13 @@ def main():
     sfdir, outdir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
     con = duckdb.connect()
+    # Bound the oracle engine: several graph/dedup oracles at sf1+
+    # allocate 50-60 GB and an unbounded instance gets OOM-killed
+    # mid-sweep (measured); a limit makes them spill to disk instead.
+    # Overridable for small hosts via CHECK_MEM_LIMIT.
+    import os
+    con.execute(f"SET memory_limit='{os.environ.get('CHECK_MEM_LIMIT','48GB')}'")
+    con.execute("SET temp_directory='/tmp/duckdb_spill'")
     for t in ["region","nation","customer","supplier","part","orders",
               "lineitem","events","documents","embeddings"]:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
