@@ -43,17 +43,33 @@ object Bench {
   /** Short git sha of HEAD, read straight from .git (no process exec):
     * stamps each detail file so the NEXT run can name its baseline. */
   private def gitRef(): String = try {
-    val head = new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(".git/HEAD")), "UTF-8").trim
+    import java.nio.file.{Files, Path, Paths}
+    def read(p: Path): String = new String(Files.readAllBytes(p), "UTF-8").trim
+    // .git may be a regular FILE ("gitdir: <path>") in a worktree or
+    // submodule — resolve the pointer so those checkouts stamp a real
+    // sha instead of silently degrading to "unknown"
+    val dotGit = Paths.get(".git")
+    val gitDir =
+      if (Files.isRegularFile(dotGit)) {
+        val line = read(dotGit)
+        if (line.startsWith("gitdir: ")) Paths.get(line.drop(8)) else dotGit
+      } else dotGit
+    // a worktree gitdir holds HEAD locally but refs/packed-refs live
+    // in the shared commondir (gitdir/../.. via the commondir file)
+    val commonDir = {
+      val cd = gitDir.resolve("commondir")
+      if (Files.exists(cd)) gitDir.resolve(read(cd)).normalize() else gitDir
+    }
+    val head = read(gitDir.resolve("HEAD"))
     val sha =
       if (head.startsWith("ref: ")) {
-        val refPath = java.nio.file.Paths.get(".git", head.drop(5))
-        if (java.nio.file.Files.exists(refPath))
-          new String(java.nio.file.Files.readAllBytes(refPath), "UTF-8").trim
+        val rel = head.drop(5)
+        val refPath = commonDir.resolve(rel)
+        if (Files.exists(refPath)) read(refPath)
         else { // packed refs fallback
-          val packed = java.nio.file.Paths.get(".git/packed-refs")
+          val packed = commonDir.resolve("packed-refs")
           scala.io.Source.fromFile(packed.toFile, "UTF-8").getLines()
-            .collectFirst { case l if l.endsWith(" " + head.drop(5)) => l.split(" ")(0) }
+            .collectFirst { case l if l.endsWith(" " + rel) => l.split(" ")(0) }
             .getOrElse("unknown")
         }
       } else head

@@ -1639,8 +1639,15 @@ object Relational {
           .select(col("o_orderkey"), year(col("o_orderdate")).cast("long").as("o_year")),
         col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("nation"), col("o_year"))
-      .agg(sum(epCents * (lit(100L) - discPct) -
-        lit(100L) * col("retail_cents") * qty).as("profit_c4"))
+      // accumulate in DECIMAL(38,0) and only then narrow: Spark's
+      // non-ANSI long sum wraps silently on overflow while DuckDB
+      // sums BIGINT terms in HUGEINT — per-term magnitude is ~1e10
+      // cents⁴, so a 100 TB per-group sum can pass int64; the wide
+      // accumulator makes both engines exact to 38 digits and the
+      // final BIGINT narrowing the only (shared) truncation point
+      .agg(sum((epCents * (lit(100L) - discPct) -
+          lit(100L) * col("retail_cents") * qty).cast("decimal(38,0)"))
+        .cast("long").as("profit_c4"))
       .orderBy(col("nation"), col("o_year").desc)
   }
 

@@ -258,13 +258,13 @@ object DedupOps {
   }
 
   lazy val d31Sql: String =
-    s"""WITH ja AS ($d6Sql),
-       |wi AS ($d16Sql),
-       |pa AS (SELECT x.doc_id AS da, y.doc_id AS db FROM ja x JOIN ja y
+    s"""WITH ja AS MATERIALIZED ($d6Sql),
+       |wi AS MATERIALIZED ($d16Sql),
+       |pa AS MATERIALIZED (SELECT x.doc_id AS da, y.doc_id AS db FROM ja x JOIN ja y
        |       ON x.cluster_id = y.cluster_id AND x.doc_id < y.doc_id),
-       |pb AS (SELECT x.doc_id AS da, y.doc_id AS db FROM wi x JOIN wi y
+       |pb AS MATERIALIZED (SELECT x.doc_id AS da, y.doc_id AS db FROM wi x JOIN wi y
        |       ON x.cluster_id = y.cluster_id AND x.doc_id < y.doc_id),
-       |i AS (SELECT * FROM pa INTERSECT SELECT * FROM pb)
+       |i AS MATERIALIZED (SELECT * FROM pa INTERSECT SELECT * FROM pb)
        |SELECT
        |  (SELECT count(*) FROM pa) AS n_pairs_jaccard,
        |  (SELECT count(*) FROM pb) AS n_pairs_winnow,

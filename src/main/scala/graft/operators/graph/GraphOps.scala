@@ -405,8 +405,16 @@ object GraphOps {
   // the distributed double sweep as the over-cap path). At-cap heap
   // is the primitive arrays (~0.4 GB) — the tarjanSccMinLabels
   // sizing note.
-  private val DiamDriverNodeCap = 4000000L
-  private val DiamDriverEdgeCap = 16000000L
+  private val DiamDriverNodeCapDefault = 4000000L
+  private val DiamDriverEdgeCapDefault = 16000000L
+
+  /** Hybrid driver-path caps are conf-overridable (`spark.graft.*`)
+    * so (a) a cluster operator can size them to the real driver heap
+    * and (b) specs can force the over-cap DISTRIBUTED branch — the
+    * only branch that exists at 100 TB — at gate scale and hash-gate
+    * both paths (Round11PlanSpec). */
+  private def longConf(spark: SparkSession, key: String, dflt: Long): Long =
+    spark.conf.getOption(key).map(_.toLong).getOrElse(dflt)
 
   /** Level-synchronous BFS over a CSR core: distances from seedIdx,
     * capped at maxHops; returns (dist array, ecc, reached count). */
@@ -467,11 +475,21 @@ object GraphOps {
     val comp = cc.filter(col("component") === seedComp)
       .select(col("node_id")).coalesce(4).localCheckpoint(true)
     val nComp = comp.count()
+    // Gate on the node cap BEFORE materializing the component edge
+    // set: when nComp already breaches the cap (the 100 TB-component
+    // case), semi-joining + coalesce(8) + checkpointing the full edge
+    // set only to discard it would spill/OOM on exactly the inputs
+    // the cap exists to protect against.
+    val diamNodeCap = longConf(spark, "spark.graft.diam.driverNodeCap",
+      DiamDriverNodeCapDefault)
+    val diamEdgeCap = longConf(spark, "spark.graft.diam.driverEdgeCap",
+      DiamDriverEdgeCapDefault)
+    if (nComp > diamNodeCap) return g40Distributed(spark, dir)
     val compEdges = sym
       .join(comp.select(col("node_id").as("src")), Seq("src"), "left_semi")
       .select(col("src"), col("dst")).coalesce(8).localCheckpoint(true)
     val eCnt = compEdges.count()
-    if (nComp <= DiamDriverNodeCap && eCnt <= DiamDriverEdgeCap) {
+    if (eCnt <= diamEdgeCap) {
       val nodes = new Array[Long](nComp.toInt)
       var k = 0
       val nIt = comp.toLocalIterator()
@@ -1497,11 +1515,11 @@ object GraphOps {
   }
 
   lazy val g19Sql: String =
-    """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    """WITH op AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
       |ok_orders AS (SELECT o FROM op GROUP BY o HAVING count(*) <= 25),
-      |capped AS (SELECT op.o, op.p FROM op JOIN ok_orders USING (o)),
-      |pp AS (SELECT DISTINCT a.p AS u, b.p AS v FROM capped a JOIN capped b ON a.o = b.o AND a.p < b.p),
-      |tris AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      |capped AS MATERIALIZED (SELECT op.o, op.p FROM op JOIN ok_orders USING (o)),
+      |pp AS MATERIALIZED (SELECT DISTINCT a.p AS u, b.p AS v FROM capped a JOIN capped b ON a.o = b.o AND a.p < b.p),
+      |tris AS MATERIALIZED (SELECT e1.u AS a, e1.v AS b, e2.v AS c
       |  FROM pp e1 JOIN pp e2 ON e1.v = e2.u
       |  JOIN pp e3 ON e1.u = e3.u AND e2.v = e3.v),
       |tn AS (SELECT n, count(*) AS tri FROM (
@@ -1956,8 +1974,8 @@ object GraphOps {
   // 4M-long node array (32 MB) + CSR ints (~100 MB) + output pairs
   // (~160 MB) ≈ 0.6 GB transient — sized for a 4 GB driver with
   // headroom, NOT for this host's 128 GB.
-  private val SccDriverNodeCap = 4000000L
-  private val SccDriverEdgeCap = 16000000
+  private val SccDriverNodeCapDefault = 4000000L
+  private val SccDriverEdgeCapDefault = 16000000L
 
   /** Frontier (delta) min-label fixpoint: per round only nodes whose
     * label improved last round probe the edge table — the g44
@@ -2188,7 +2206,10 @@ object GraphOps {
           .select(col("src"), col("dst"))
           .repartition(col("src")).localCheckpoint(true)
         val coreEdges = e.count()
-        if (remCnt <= SccDriverNodeCap && coreEdges <= SccDriverEdgeCap) {
+        if (remCnt <= longConf(spark, "spark.graft.scc.driverNodeCap",
+              SccDriverNodeCapDefault) &&
+            coreEdges <= longConf(spark, "spark.graft.scc.driverEdgeCap",
+              SccDriverEdgeCapDefault)) {
           // bounded-core fast path: one iterative Tarjan pass over
           // the collected core replaces BOTH propagation fixpoints
           // AND all later outer rounds (it emits every core SCC,
@@ -2356,7 +2377,7 @@ object GraphOps {
   // (early rounds of a 100 TB graph) the distributed 2-cycle-break +
   // pointer-jump path below runs instead — the hybrid both scales
   // and keeps gate-scale rounds cheap. 4M rows ≈ 64 MB collected.
-  private val BoruvkaDriverContractCap = 4000000L
+  private val BoruvkaDriverContractCapDefault = 4000000L
 
   private[graft] def mstCostEdges(spark: SparkSession, dir: String): DataFrame =
     GraphTables.weightedEdges(spark, dir)
@@ -2404,7 +2425,8 @@ object GraphOps {
         // mutual picks and cross-round re-picks dedup once at the end
         forest += picked.select(col("a"), col("b"), col("cost"))
         val (pmap, small) =
-          if (nPicked <= BoruvkaDriverContractCap) {
+          if (nPicked <= longConf(spark, "spark.graft.boruvka.driverContractCap",
+              BoruvkaDriverContractCapDefault)) {
             // FULL contraction on the driver: the pointer graph has one
             // row per live label (never corpus rows) and at least
             // halves each round. Union-find replaces the 3-join

@@ -139,7 +139,7 @@ object GraphTables {
        |  ${branchSql(Branches.head, distinct = false, aliased = true)}
        |  ${Branches.tail.map(b => "UNION ALL " + branchSql(b, distinct = false, aliased = false)).mkString("\n  ")}),
        |wboth AS (SELECT src, dst FROM wbase UNION ALL SELECT dst, src FROM wbase),
-       |wed AS (SELECT src, dst, count(*) AS w FROM wboth GROUP BY src, dst),
+       |wed AS MATERIALIZED (SELECT src, dst, count(*) AS w FROM wboth GROUP BY src, dst),
        |wdeg AS (SELECT src AS wnode, CAST(sum(w) AS BIGINT) AS wsum FROM wed GROUP BY src)""".stripMargin
 
   /** Edge MULTIPLICITIES as weights: the duplication [[sym]] dedups

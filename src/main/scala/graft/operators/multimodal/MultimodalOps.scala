@@ -16,11 +16,28 @@ import graft.sources.Tables
   */
 object MultimodalOps {
 
+  /** The decoder SEAM: a real codec (JNI wrapper, ffmpeg binding,
+    * image library) implements this one trait and drops into the same
+    * `mapPartitions` batch shape — m2..m23 never name a concrete
+    * decoder, so swapping implementations touches zero operator code.
+    * Must be Serializable: instances ship to executors inside the
+    * mapPartitions closure. */
+  trait MediaDecoder extends Serializable {
+    /** Fixed output width — the schema contract of the feature column. */
+    def featureDim: Int
+    /** Decode one payload into a `featureDim`-length feature vector.
+      * Called once per record inside a per-partition iterator, so an
+      * implementation may hold per-partition native state via lazy
+      * fields (initialized once per executor-task). */
+    def decode(payload: Array[Byte]): Array[Float]
+  }
+
   /** Stand-in for a real media decoder (STUB: the real system would
     * decode image/audio bytes; this produces a deterministic
     * byte-histogram "feature" so results are oracle-checkable). */
-  object FakeDecoder {
+  object FakeDecoder extends MediaDecoder {
     val FeatureDim = 8
+    def featureDim: Int = FeatureDim
     def decode(payload: Array[Byte]): Array[Float] = {
       val hist = new Array[Int](FeatureDim)
       var i = 0
@@ -65,14 +82,21 @@ object MultimodalOps {
   // and the scan only reads (doc_id, text). The byte-histogram fake
   // decode IS SQL-expressible (per-byte unnest in the oracle), so m2
   // is fully hash-gated like every other entry.
-  def m2FeatureExtract(spark: SparkSession, dir: String): DataFrame = {
+  def m2FeatureExtract(spark: SparkSession, dir: String): DataFrame =
+    m2FeatureExtract(spark, dir, FakeDecoder)
+
+  /** Decoder-parametric form: the gated entry binds [[FakeDecoder]];
+    * a deployment with real codecs passes its own [[MediaDecoder]]
+    * and the plan/schema/batch shape are identical. */
+  def m2FeatureExtract(spark: SparkSession, dir: String,
+      decoder: MediaDecoder): DataFrame = {
     import spark.implicits._
     val src: Dataset[(Long, Array[Byte])] = withBlob(spark, dir)
       .select(col("doc_id"), col("payload"))
       .as[(Long, Array[Byte])]
     src.mapPartitions { it =>
       it.map { case (id, payload) =>
-        DecodedFeatures(id, payload.length, FakeDecoder.decode(payload))
+        DecodedFeatures(id, payload.length, decoder.decode(payload))
       }
     }.toDF()
       .select(col("doc_id"), col("n_bytes"),

@@ -33,4 +33,34 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.forall(r => r.getInt(1) > 0))
     assert(out.forall(r => r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0))
   }
+
+  /** The decoder seam: a SECOND decoder drops into the same m2
+    * plumbing with zero operator changes — proving a real codec
+    * (JNI/ffmpeg behind the same trait) would too. */
+  object ToyPrefixDecoder extends MultimodalOps.MediaDecoder {
+    def featureDim: Int = 4
+    // "decode" = first-4-bytes, scaled — shape-compatible, value-distinct
+    def decode(payload: Array[Byte]): Array[Float] =
+      Array.tabulate(4)(i =>
+        if (i < payload.length) (payload(i) & 0xff) / 255.0f else 0.0f)
+  }
+
+  test("decoder seam: stub and a second toy decoder both run m2 plumbing") {
+    val dir = "/root/testdata/sf0.001"
+    val stub = MultimodalOps.m2FeatureExtract(spark, dir).collect()
+    val toy = MultimodalOps.m2FeatureExtract(spark, dir, ToyPrefixDecoder).collect()
+    // same rows/schema (the operator contract), different values
+    // (the decoder actually ran)
+    assert(stub.length == toy.length)
+    assert(stub.head.schema == toy.head.schema)
+    val docs = graft.sources.Tables.load(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // toy decoder's f0 = first byte / 255 — verify against the raw text
+    toy.take(50).foreach { r =>
+      val expected = (docs(r.getLong(0)).getBytes("UTF-8")(0) & 0xff) / 255.0f
+      assert(math.abs(r.getDouble(2) - math.round(expected * 1e6) / 1e6) < 1e-9,
+        s"doc ${r.getLong(0)}: toy f0 ${r.getDouble(2)} != $expected")
+    }
+  }
 }

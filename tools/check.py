@@ -36,8 +36,21 @@ def main():
     # mid-sweep (measured); a limit makes them spill to disk instead.
     # Overridable for small hosts via CHECK_MEM_LIMIT.
     import os
-    con.execute(f"SET memory_limit='{os.environ.get('CHECK_MEM_LIMIT','48GB')}'")
+    def default_mem_limit():
+        # min(48GB, ~75% of physical RAM): a hard-coded 48GB on a
+        # smaller host exceeds physical RAM and protects nothing.
+        try:
+            phys = os.sysconf("SC_PHYS_PAGES") * os.sysconf("SC_PAGE_SIZE")
+            return f"{min(48, max(1, int(phys * 0.75 / 2**30)))}GB"
+        except (ValueError, OSError):
+            return "48GB"
+    con.execute(f"SET memory_limit='{os.environ.get('CHECK_MEM_LIMIT', default_mem_limit())}'")
     con.execute("SET temp_directory='/tmp/duckdb_spill'")
+    # Per-query oracle wall-clock budget. An oracle that exceeds it is
+    # reported ORACLE-RESOURCE (a DuckDB resource question), NEVER as
+    # an engine failure — the round-10 sweep lesson where an OOM-killed
+    # checker masqueraded as 4 unverified queries.
+    timeout_s = int(os.environ.get("CHECK_TIMEOUT_S", "1800"))
     for t in ["region","nation","customer","supplier","part","orders",
               "lineitem","events","documents","embeddings"]:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
@@ -52,10 +65,26 @@ def main():
             spark_df = norm(pd.concat([pd.read_parquet(f) for f in files]))
         except Exception as e:
             results[name] = f"SPARK-READ-ERR {e}"; continue
+        import threading
+        timer = threading.Timer(timeout_s, con.interrupt)
+        timer.start()
         try:
             duck_df = norm(con.execute(sql).fetchdf())
         except Exception as e:
-            results[name] = f"ORACLE-ERR {type(e).__name__}: {e}"; continue
+            en = type(e).__name__
+            # Resource exhaustion on the ORACLE side (OOM at the
+            # memory_limit, interrupt at the timeout) is a distinct
+            # state from a value mismatch: it says nothing about the
+            # engine. Report it as such so it can be retried at a
+            # lower scale / higher limit instead of reading as FAIL.
+            if en in ("OutOfMemoryException", "InterruptException") \
+                    or "Out of Memory" in str(e) or "INTERRUPT" in str(e).upper():
+                results[name] = f"ORACLE-RESOURCE {en}: {e}"
+            else:
+                results[name] = f"ORACLE-ERR {en}: {e}"
+            continue
+        finally:
+            timer.cancel()
         if list(spark_df.columns) != list(duck_df.columns):
             results[name] = f"COLS spark={list(spark_df.columns)} duck={list(duck_df.columns)}"; continue
         # Type-strict gate: the driver hashes typed values, so an int column
@@ -96,9 +125,13 @@ def main():
         results[name] = bad or f"OK ({len(spark_df)} rows)"
         print("done " + name + ": " + results[name], file=sys.stderr, flush=True)
     n_ok = sum(1 for v in results.values() if v.startswith("OK"))
+    n_res = sum(1 for v in results.values() if v.startswith("ORACLE-RESOURCE"))
     for k, v in sorted(results.items()):
-        print(("PASS " if v.startswith("OK") else "FAIL ") + k + ": " + v)
-    print(f"== {n_ok}/{len(results)} pass")
+        tag = "PASS " if v.startswith("OK") else \
+            ("ORACLE-RESOURCE " if v.startswith("ORACLE-RESOURCE") else "FAIL ")
+        print(tag + k + ": " + v)
+    print(f"== {n_ok}/{len(results)} pass"
+          + (f" ({n_res} oracle-resource, not engine failures)" if n_res else ""))
 
 if __name__ == "__main__":
     main()
