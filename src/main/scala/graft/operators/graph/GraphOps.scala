@@ -2313,7 +2313,7 @@ object GraphOps {
         |  UNION ALL SELECT CAST(c_custkey*8+0 AS BIGINT), CAST(c_nationkey*8+4 AS BIGINT) FROM customer
         |  UNION ALL SELECT CAST(s_suppkey*8+3 AS BIGINT), CAST(s_nationkey*8+4 AS BIGINT) FROM supplier
         |  UNION ALL SELECT CAST(n_nationkey*8+4 AS BIGINT), CAST(n_regionkey*8+5 AS BIGINT) FROM nation""".stripMargin
-    s"""WITH RECURSIVE de AS (
+    s"""WITH RECURSIVE de AS MATERIALIZED (
        |  SELECT DISTINCT src, dst FROM (
        |  $dirBranches
        |  UNION ALL SELECT CAST(l_suppkey*8+3 AS BIGINT), CAST(l_partkey*8+2 AS BIGINT)
@@ -2323,11 +2323,22 @@ object GraphOps {
        |-- cycles are confined to part/supplier nodes: the only back
        |-- edges are supplier->part, and from tags 2/3 the forward
        |-- derivation only descends (nation, region), never returns
-       |ps AS (SELECT src, dst FROM de WHERE src % 8 IN (2, 3) AND dst % 8 IN (2, 3)),
+       |ps AS MATERIALIZED (SELECT src, dst FROM de WHERE src % 8 IN (2, 3) AND dst % 8 IN (2, 3)),
+       |-- sound closure prefilter: every node of a mutual pair's two
+       |-- paths lies on a closed walk, so it has BOTH an in- and an
+       |-- out-edge within ps, and keeps them under iterated trimming
+       |-- (all walk nodes survive together) — so restricting the
+       |-- transitive closure to the 2-round in/out core preserves
+       |-- `mutual` EXACTLY while dropping the acyclic periphery
+       |-- (forward-only parts), the bulk of the reach pair volume
+       |core1 AS MATERIALIZED (SELECT e.src, e.dst FROM ps e
+       |  WHERE e.src IN (SELECT dst FROM ps) AND e.dst IN (SELECT src FROM ps)),
+       |core2 AS MATERIALIZED (SELECT e.src, e.dst FROM core1 e
+       |  WHERE e.src IN (SELECT dst FROM core1) AND e.dst IN (SELECT src FROM core1)),
        |reach(a, b) AS (
-       |  SELECT src, dst FROM ps
+       |  SELECT src, dst FROM core2
        |  UNION
-       |  SELECT r.a, e.dst FROM reach r JOIN ps e ON r.b = e.src),
+       |  SELECT r.a, e.dst FROM reach r JOIN core2 e ON r.b = e.src),
        |mutual AS (
        |  SELECT r1.a AS node, min(r1.b) AS mn
        |  FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a
@@ -2881,8 +2892,16 @@ object GraphOps {
     // partitioning, costing one E-row exchange into the next round's
     // adjacency build — measured noise next to the support stage, and
     // the price of rounds that survive on bytes, not block managers.)
+    // Per-INVOCATION unique checkpoint dir: Spark's shared file-status
+    // cache holds the round parquet's listing, and a manual delete at
+    // the end of one invocation leaves that entry stale — a second
+    // invocation in the same session (QueryProbe reps, a user loop)
+    // that reuses the path then resolves the OLD listing and fails
+    // with FILE_NOT_EXIST (measured under GRAFT_PROBE_REPS=3). A
+    // unique dir per run makes stale entries unreachable by design.
     val ckptBase =
-      s"${checkpointRoot(spark)}/graft_ckpt_g33_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      s"${checkpointRoot(spark)}/graft_ckpt_g33_${dir.replaceAll("[^A-Za-z0-9]", "_")}" +
+        s"_${System.nanoTime()}"
     def roundPath(i: Int) = s"$ckptBase/round_$i"
     def dropRound(i: Int): Unit = {
       val d = new java.io.File(roundPath(i))
@@ -2913,18 +2932,129 @@ object GraphOps {
     //     so the "full" oriented enumeration is already near the
     //     scaffolding floor; a delta peel only wins where triangle
     //     enumeration dominates (uncapped power-law graphs).
+    // Round-11 delta path (the SURVEY backlog's last g33 idea, reshaped):
+    // variant (b)'s decrement math was trajectory-identical but paid
+    // E-row scaffolding per round (~6 s vs ~3.5 s full); the cost was
+    // the SCAFFOLDING, not the math. When the previous round's WAVE
+    // (removed edges) is small — the measured shape here: waves of
+    // 67 then 2 at sf0.01, ~10× that per ×10 scale — supports among
+    // the survivors differ from the held values only by triangles
+    // that contained a wave edge. So a delta round enumerates ONLY
+    // wave-anchored triangles (two broadcast probes into the edge
+    // set, Σ deg(wave endpoints) rows), dedups multi-wave triangles
+    // by sorted node triple, decrements the surviving edges via one
+    // BROADCAST join, and re-thresholds — no adjacency rebuild, no
+    // E-row shuffle, no parquet write. Full rounds (round 1 always;
+    // any round after an over-cap wave) keep the proven enumeration
+    // and now persist (ou, ov, sup) so a following delta round has
+    // its base supports.
+    // Default cap MEASURED at sf0.1 (same degraded host, back to back):
+    // wave=22 380 → delta round 12.4 s vs 8.0 s full — Σ deg(wave
+    // endpoints) is tens of millions of probe rows once waves reach
+    // the tens of thousands (hub endpoints), so the delta path only
+    // wins on truly tiny converged-tail waves. 1024 keeps it to those
+    // (sf0.01's waves are 67 then 2); sf0.1+ peels run all-full, the
+    // measured floor. Conf-overridable for graphs with small waves.
+    val deltaCap = longConf(spark, "spark.graft.truss.deltaWaveCap", 1024L)
+    var curSup: DataFrame = null   // survivors (ou, ov, sup) of the last round
+    var curWave: DataFrame = null  // edges the last round removed — CHECKPOINTED
+                                   // whenever a delta round may consume it
+    var lastCkpt = -1              // last full-round parquet still on disk
+    def tdbg(msg: => String): Unit =
+      if (sys.env.contains("GRAFT_SCC_DEBUG"))
+        System.err.println(s"[g33 +${System.nanoTime() / 1000000}ms] $msg")
     while (r <= TrussRounds && (r == 1 || traj(r - 1)._2 < traj(r - 2)._2)) {
-      orientedSupports(ord)
-        .filter(col("sup") >= TrussK - 2)
-        .select(col("a").as("ou"), col("b").as("ov"))
-        .write.mode("overwrite").parquet(roundPath(r))
-      val next = spark.read.parquet(roundPath(r))
-      traj += ((r, next.count()))
-      if (r >= 2) dropRound(r - 1)
-      ord = next
+      val lastWave = if (r == 1) Long.MaxValue else traj(r - 2)._2 - traj(r - 1)._2
+      tdbg(s"round $r start, lastWave=$lastWave path=${if (lastWave > deltaCap) "FULL" else "DELTA"}")
+      if (lastWave > deltaCap) {
+        // FULL round: re-enumerate supports over the current edge set
+        orientedSupports(ord)
+          .filter(col("sup") >= TrussK - 2)
+          .select(col("a").as("ou"), col("b").as("ov"), col("sup"))
+          .write.mode("overwrite").parquet(roundPath(r))
+        val next = spark.read.parquet(roundPath(r))
+        traj += ((r, next.count()))
+        // wave = edges present before this round but not surviving it
+        // (includes zero-support edges absent from the sup table).
+        // When the NEXT round qualifies for the delta path (wave ≤
+        // cap), materialize the wave NOW — its lineage reads the
+        // PREVIOUS round's parquet, which dropRound below deletes
+        // (measured: a full→delta sequence without this checkpoint
+        // dies FILE_NOT_EXIST recomputing the wave after the drop)
+        curWave = ord.select(col("ou"), col("ov"))
+          .join(next.select(col("ou"), col("ov")), Seq("ou", "ov"), "left_anti")
+        if (traj(r - 1)._2 - traj(r)._2 <= deltaCap)
+          curWave = curWave.localCheckpoint(true)
+        tdbg(s"round $r full done, survivors=${traj.last._2}")
+        if (lastCkpt >= 0) dropRound(lastCkpt)
+        lastCkpt = r
+        curSup = next
+        ord = next.select(col("ou"), col("ov"))
+      } else {
+        // DELTA round over the held supports
+        val cw = curWave.localCheckpoint(true) // no-op if already checkpointed
+        val wv = broadcast(cw.select(col("ou").as("wa"), col("ov").as("wb")))
+        // incident-edge view of the PRE-removal set (what curSup's
+        // supports were computed over) = survivors ∪ wave — built
+        // from the LIVE round file + the checkpointed wave so nothing
+        // references an earlier (dropped) round file: each stored
+        // oriented edge from both endpoints, carrying its stored
+        // key — the orientation is (degree, id), so triangle edges
+        // can only be recovered by carrying the keys, never by
+        // re-sorting ids
+        val ends = curSup.select(col("ou"), col("ov")).union(cw).select(
+            explode(array(
+              struct(col("ou").as("n"), col("ov").as("o"),
+                col("ou").as("eu"), col("ov").as("ev")),
+              struct(col("ov").as("n"), col("ou").as("o"),
+                col("ou").as("eu"), col("ov").as("ev")))).as("x"))
+          .select(col("x.n").as("n"), col("x.o").as("o"),
+            col("x.eu").as("eu"), col("x.ev").as("ev"))
+        // neighbors of each wave edge's two endpoints (o =!= other
+        // endpoint drops the wave edge's own row; self-loops don't
+        // exist so nothing else matches)
+        val na = ends.join(wv, col("n") === col("wa"))
+          .filter(col("o") =!= col("wb"))
+          .select(col("wa"), col("wb"), col("o").as("w"),
+            col("eu").as("e1u"), col("ev").as("e1v"))
+        val nb = ends.join(wv, col("n") === col("wb"))
+          .filter(col("o") =!= col("wa"))
+          .select(col("wa").as("wa2"), col("wb").as("wb2"), col("o").as("w2"),
+            col("eu").as("e2u"), col("ev").as("e2v"))
+        // common neighbor w completes the destroyed triangle
+        // {wa, wb, w}; dedup by sorted node triple so a triangle with
+        // 2–3 wave edges (discovered once per wave edge) credits its
+        // surviving edges exactly once
+        val tris = na.join(nb,
+            col("wa") === col("wa2") && col("wb") === col("wb2") &&
+              col("w") === col("w2"))
+          .select(col("wa"), col("wb"),
+            expr("array_sort(array(wa, wb, w))").as("tk"),
+            col("e1u"), col("e1v"), col("e2u"), col("e2v"))
+        val edgesOfTri = tris.select(col("tk"), col("wa").as("u"), col("wb").as("v"))
+          .union(tris.select(col("tk"), col("e1u").as("u"), col("e1v").as("v")))
+          .union(tris.select(col("tk"), col("e2u").as("u"), col("e2v").as("v")))
+          .distinct()
+        val dec = edgesOfTri
+          .join(wv, col("u") === col("wa") && col("v") === col("wb"), "left_anti")
+          .groupBy(col("u"), col("v")).agg(count(lit(1)).as("dec"))
+          .localCheckpoint(true)
+        val updated = curSup.join(broadcast(dec),
+            col("ou") === col("u") && col("ov") === col("v"), "left")
+          .select(col("ou"), col("ov"),
+            (col("sup") - coalesce(col("dec"), lit(0L))).as("sup"))
+        val surv = updated.filter(col("sup") >= TrussK - 2)
+        traj += ((r, surv.count()))
+        tdbg(s"round $r delta done, survivors=${traj.last._2}")
+        curWave = updated.filter(col("sup") < TrussK - 2)
+          .select(col("ou"), col("ov"))
+        curSup = surv
+        ord = surv.select(col("ou"), col("ov"))
+      }
       r += 1
     }
-    if (r >= 2) dropRound(r - 1)
+    if (lastCkpt >= 0) dropRound(lastCkpt)
+    new java.io.File(ckptBase).delete()  // dir is unique per run — leave nothing
     while (r <= TrussRounds) { traj += ((r, traj.last._2)); r += 1 }
     import spark.implicits._
     traj.toSeq.toDF("round", "n_edges")

@@ -53,4 +53,10 @@ class Round11PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     bothPathsAgree("g46_boruvka",
       Seq("spark.graft.boruvka.driverContractCap"))
   }
+
+  test("g33: tiny-wave delta rounds ≡ full re-enumeration trajectory") {
+    // default path takes the wave-anchored DELTA rounds after round 1;
+    // cap 0 forces every round through the full oriented enumeration
+    bothPathsAgree("g33_ktruss", Seq("spark.graft.truss.deltaWaveCap"))
+  }
 }
