@@ -213,6 +213,49 @@ object ScaleTrail {
           s""""mismatches":${sizeBad + cutMiss},""" +
           s""""total_sec":${"%.1f".format(totalSec)}}""")
     }
+    // g33 delta-tail probe (r11 verdict item 4): the shipped
+    // deltaWaveCap=1024 was set from a NEGATIVE (sf0.1's round-2 wave
+    // of 22 380 ran 12.4 s delta vs 8.0 s full); this probe records
+    // whether the delta path ever actually engages and WINS on the
+    // tiny converged-tail waves it was kept for. An EXTENDED peel
+    // (rounds conf'd to 12) runs past the gated 3-round horizon into
+    // the converged tail, once all-full (cap 0) and once with the
+    // shipped cap — trajectories must match exactly (the correctness
+    // half), and the wall-clock + engaged-round counts decide whether
+    // the path stays or gets demoted to debug-only.
+    if (want("g33_delta_tail")) {
+      val shippedCap = 1024L
+      def run(cap: Long): (Seq[(Int, Long)], Double) = {
+        spark.conf.set("spark.graft.truss.rounds", "12")
+        spark.conf.set("spark.graft.truss.deltaWaveCap", cap.toString)
+        val t0 = System.nanoTime()
+        val rows = GraphOps.g33Ktruss(spark, dir).collect()
+          .map(r => (r.getInt(0), r.getLong(1))).toSeq.sorted
+        val sec = (System.nanoTime() - t0) / 1e9
+        (rows, sec)
+      }
+      // shared round-0 layout built once so neither variant pays it
+      GraphOps.g7OrientedEdges(spark, dir).count()
+      val (fullTraj, fullSec) = run(0L) // cap 0 ⇒ every wave > cap ⇒ all-full
+      val (deltaTraj, deltaSec) = run(shippedCap)
+      spark.conf.unset("spark.graft.truss.rounds")
+      spark.conf.unset("spark.graft.truss.deltaWaveCap")
+      val mism = fullTraj.zipAll(deltaTraj, (-1, -1L), (-2, -2L))
+        .count { case (a, b) => a != b }
+      // round r+1 executes iff wave_r > 0 (the loop stops at fixpoint)
+      // and takes the delta path iff wave_r ≤ cap — recover engagement
+      // from the trajectory; the last wave drives no following round
+      val waves = deltaTraj.map(_._2).sliding(2)
+        .map { case Seq(a, b) => a - b }.toSeq
+      val engaged = waves.dropRight(1)
+        .count(w => w > 0 && w <= shippedCap)
+      println(
+        s"""{"op":"g33_delta_tail","sf":"$dir","mode":"extended_peel",""" +
+          s""""rounds":${fullTraj.size - 1},"delta_rounds_engaged":$engaged,""" +
+          s""""trajectory":[${deltaTraj.map(_._2).mkString(",")}],""" +
+          s""""mismatches":$mism,"full_sec":${"%.1f".format(fullSec)},""" +
+          s""""delta_sec":${"%.1f".format(deltaSec)}}""")
+    }
     spark.stop()
   }
 }

@@ -678,11 +678,19 @@ object Relational {
         (dec(col("l_extendedprice")) * 100).cast("long").as("cents"))
       .groupBy(col("l_partkey"), col("month"))
       .agg(sum(col("q")).as("mq"), sum(col("cents")).as("mc"))
+    // sq2 accumulates DECIMAL(38,0) (SumWidthSpec / q74 convention):
+    // mq is an uncapped per-(part,month) quantity sum, so mq² can
+    // pass int64 per TERM on a skewed 100 TB corpus; the relvar
+    // algebra runs wide and only the ppm ratio (≤1e6-ish domain)
+    // narrows via the integral division
     val parts = monthly.groupBy(col("l_partkey"))
       .agg(count(lit(1)).as("n_months"), sum(col("mq")).as("sq"),
-        sum(col("mq") * col("mq")).as("sq2"), sum(col("mc")).as("rev_cents"))
+        sum((col("mq").cast("decimal(38,0)") * col("mq"))).as("sq2"),
+        sum(col("mc")).as("rev_cents"))
       .withColumn("relvar_ppm",
-        expr("(n_months * sq2 - sq * sq) * 1000000 div (sq * sq)"))
+        expr("""(CAST(n_months AS DECIMAL(38,0)) * sq2
+                 - CAST(sq AS DECIMAL(38,0)) * sq) * 1000000
+                div (CAST(sq AS DECIMAL(38,0)) * sq)"""))
     val cuts = parts.agg(
       expr("percentile_disc(0.80) WITHIN GROUP (ORDER BY rev_cents)")
         .cast("long").as("a_cut"),
@@ -984,10 +992,15 @@ object Relational {
       .select(col("p_partkey"), col("p_brand").as("brand"))
     li.join(p, col("l_partkey") === col("p_partkey"))
       .groupBy(col("brand"))
+      // sxy accumulates DECIMAL(38,0) (SumWidthSpec / q74 convention):
+      // x·y ≈ 5e8 per term, so a 100 TB per-brand sum (~2e10 rows)
+      // crosses int64 while DuckDB's HUGEINT does not; sxx is widened
+      // with it for uniformity (the downstream cov/varx algebra was
+      // already decimal)
       .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
         sum(col("y")).as("sy"),
-        sum(col("x") * col("y")).as("sxy"),
-        sum(col("x") * col("x")).as("sxx"))
+        sum((col("x").cast("decimal(38,0)") * col("y"))).as("sxy"),
+        sum((col("x").cast("decimal(38,0)") * col("x"))).as("sxx"))
       .withColumn("cov", expr(
         """CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy"""))
       .withColumn("varx", expr(
@@ -1643,8 +1656,12 @@ object Relational {
       // non-ANSI long sum wraps silently on overflow while DuckDB
       // sums BIGINT terms in HUGEINT — per-term magnitude is ~1e10
       // cents⁴, so a 100 TB per-group sum can pass int64; the wide
-      // accumulator makes both engines exact to 38 digits and the
-      // final BIGINT narrowing the only (shared) truncation point
+      // accumulator makes both engines exact to 38 digits. The final
+      // BIGINT narrowing is the one remaining narrowing site, and on
+      // a >int64 sum the engines diverge LOUDLY-vs-NULL rather than
+      // silently wrapping: Spark's non-ANSI decimal(38,0)→long cast
+      // yields NULL while DuckDB's HUGEINT→BIGINT cast raises — a
+      // hash mismatch either way, never a silently-equal wrong value
       .agg(sum((epCents * (lit(100L) - discPct) -
           lit(100L) * col("retail_cents") * qty).cast("decimal(38,0)"))
         .cast("long").as("profit_c4"))

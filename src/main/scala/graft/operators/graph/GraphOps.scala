@@ -1543,16 +1543,26 @@ object GraphOps {
   // nothing to g7's cost — the E-row intersect is already paid.
   def g38Transitivity(spark: SparkSession, dir: String): DataFrame = {
     val tri = g7Triangles(spark, dir).select(col("triangles"))
+    // wedge sum accumulates DECIMAL(38,0) (the q74 convention, via
+    // SumWidthSpec): dg is an UNCAPPED projection degree, so dg² can
+    // pass int64 per TERM at 100 TB hub scale while DuckDB promotes
+    // to HUGEINT — wd = Σ dg(dg−1) = 2·wedges stays wide until the
+    // single narrowing below; the ppm division runs on wd directly
+    // (3e6·t div w ≡ 6e6·t div 2w for floor division)
     g7Degrees(spark, dir)
-      .agg(sum(expr("dg * (dg - 1) div 2")).as("n_wedges"))
+      .agg(sum((col("dg").cast("decimal(38,0)") * (col("dg") - lit(1L))))
+        .as("wd"))
       .crossJoin(broadcast(tri))
-      .select(col("n_wedges"), col("triangles").as("n_triangles"))
+      .select(expr("CAST(wd div 2 AS BIGINT)").as("n_wedges"),
+        col("triangles").as("n_triangles"), col("wd"))
       .withColumn("closed_wedges", col("n_triangles") * 3)
       .withColumn("transitivity_ppm",
         // greatest(...,1): a degenerate projection (no node with
         // deg >= 2) has zero wedges — Spark's div would yield NULL
         // while DuckDB errors (the g42/d31 guard convention)
-        expr("(3000000 * n_triangles) div greatest(n_wedges, 1)"))
+        expr("(6000000 * CAST(n_triangles AS DECIMAL(38,0))) div greatest(wd, 1)"))
+      .select(col("n_wedges"), col("n_triangles"), col("closed_wedges"),
+        col("transitivity_ppm"))
   }
 
   lazy val g38Sql: String =
@@ -2145,25 +2155,75 @@ object GraphOps {
         .select(col("node")).localCheckpoint(true)
       var t = 0
       var deadCnt = dead.count()
-      // every round scans the trim edge set TWICE (decIn/decOut), so
-      // the dominant sf10 cost is rounds × 2 full-E scans — not
-      // driver latency (a stride-composed variant was measured WORSE:
-      // the lazy deg chain replicates ~3× per fused step). The fix
-      // that holds at scale: after the first (V-sized) wave's
-      // decrements land, SHRINK the scan set once to the surviving
-      // nodes — later strata are tiny, and each of the up-to-40 tail
-      // rounds then scans the small core instead of original E.
+      // Scan economics (the r9 finding: trim is SCAN-bound, not
+      // round-bound — rounds × 2 full-E scans dominated the sf10
+      // audit): two complementary moves, both measured at sf10:
+      //  1. after the first (V-sized) wave's decrements land, SHRINK
+      //     the scan set once to the surviving nodes;
+      //  2. for the up-to-40 SMALL tail waves, probe a once-built
+      //     per-node adjacency instead of scanning edges: the round
+      //     then reads V-core rows once (vs E-core rows twice) and
+      //     explodes only Σ deg(dead) neighbor entries — total probe
+      //     volume across ALL rounds is ≤ 2·E amortized, because a
+      //     node's lists explode exactly once, the round it dies.
+      // Mega-hubs (≥ trimHubDegCap neighbors) are EXCLUDED from the
+      // adjacency build — at 100 TB a hub's neighbor array would be
+      // a multi-GB single row — and their rare deaths fall back to
+      // the edge-scan path for that round.
       var eTrim = e
       var shrunk = false
+      val probeCap = longConf(spark, "spark.graft.scc.trimAdjProbeCap", 65536L)
+      val hubCap = longConf(spark, "spark.graft.scc.trimHubDegCap", 1048576L)
+      var adj: DataFrame = null      // node → (out[], in[]) sans hubs
+      var hubs: DataFrame = null     // the excluded nodes
       while (deadCnt > 0L && t < SccTrimCap) {
-        // no explicit broadcast hint: the FIRST trim wave can be
-        // V-sized (every source/sink stratum at once) and forcing it
-        // into the driver would be the scale bug; AQE broadcasts the
-        // later, genuinely-small waves on its own
-        val decIn = eTrim.join(dead.select(col("node").as("src")), Seq("src"))
-          .groupBy(col("dst").as("node")).agg(count(lit(1)).as("di"))
-        val decOut = eTrim.join(dead.select(col("node").as("dst")), Seq("dst"))
-          .groupBy(col("src").as("node")).agg(count(lit(1)).as("dou"))
+        // no explicit broadcast hint on the edge-scan path: the FIRST
+        // trim wave can be V-sized (every source/sink stratum at
+        // once) and forcing it into the driver would be the scale
+        // bug; AQE broadcasts the later, genuinely-small waves on its
+        // own
+        val probeRound = shrunk && deadCnt <= probeCap
+        if (probeRound && adj == null) {
+          adj = eTrim
+            .select(col("src").as("node"), col("dst").as("nbr"), lit(1L).as("o"))
+            .union(eTrim.select(col("dst").as("node"), col("src").as("nbr"), lit(0L).as("o")))
+            .groupBy(col("node"))
+            .agg(collect_list(when(col("o") === 1L, col("nbr"))).as("outn"),
+              collect_list(when(col("o") === 0L, col("nbr"))).as("inn"))
+            .filter(size(col("outn")) + size(col("inn")) < hubCap)
+            .localCheckpoint(true)
+          hubs = deg.select(col("node"))
+            .join(adj.select(col("node")), Seq("node"), "left_anti")
+            .localCheckpoint(true)
+        }
+        val (decIn, decOut) =
+          if (probeRound) {
+            val touched = adj
+              .join(broadcast(dead), Seq("node"))
+              .select(col("outn"), col("inn")).localCheckpoint(true)
+            val deadHubs = hubs.join(broadcast(dead), Seq("node"))
+            val di0 = touched.select(explode(col("outn")).as("node"))
+              .groupBy(col("node")).agg(count(lit(1)).as("di"))
+            val do0 = touched.select(explode(col("inn")).as("node"))
+              .groupBy(col("node")).agg(count(lit(1)).as("dou"))
+            if (deadHubs.limit(1).count() == 0L) (di0, do0)
+            else {
+              // rare: a mega-hub died this round — its neighbors come
+              // from one edge scan, merged with the probe counts
+              val dh = deadHubs.localCheckpoint(true)
+              val dhIn = eTrim.join(dh.select(col("node").as("src")), Seq("src"))
+                .groupBy(col("dst").as("node")).agg(count(lit(1)).as("di"))
+              val dhOut = eTrim.join(dh.select(col("node").as("dst")), Seq("dst"))
+                .groupBy(col("src").as("node")).agg(count(lit(1)).as("dou"))
+              (di0.union(dhIn).groupBy(col("node")).agg(sum(col("di")).as("di")),
+                do0.union(dhOut).groupBy(col("node")).agg(sum(col("dou")).as("dou")))
+            }
+          } else {
+            (eTrim.join(dead.select(col("node").as("src")), Seq("src"))
+              .groupBy(col("dst").as("node")).agg(count(lit(1)).as("di")),
+              eTrim.join(dead.select(col("node").as("dst")), Seq("dst"))
+                .groupBy(col("src").as("node")).agg(count(lit(1)).as("dou")))
+          }
         deg = deg.join(dead, Seq("node"), "left_anti")
           .join(decIn, Seq("node"), "left_outer")
           .join(decOut, Seq("node"), "left_outer")
@@ -2863,6 +2923,12 @@ object GraphOps {
 
   def g33Ktruss(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.registerAll(spark)
+    // Round budget conf-overridable for the ScaleTrail delta-tail
+    // probe ONLY (extended peels expose the tiny-converged-tail waves
+    // where the delta path is supposed to earn its keep); the gated
+    // query and its 3-round unrolled DuckDB oracle always run the
+    // default.
+    val maxRounds = longConf(spark, "spark.graft.truss.rounds", TrussRounds.toLong).toInt
     // round 0 reuses g7's DfCache'd oriented layout — the peel shares
     // its starting tables with the triangle count and g19
     var ord = g7OrientedEdges(spark, dir)
@@ -2899,9 +2965,29 @@ object GraphOps {
     // that reuses the path then resolves the OLD listing and fails
     // with FILE_NOT_EXIST (measured under GRAFT_PROBE_REPS=3). A
     // unique dir per run makes stale entries unreachable by design.
+    // Unique dirs accumulate if a run dies mid-peel (the old fixed
+    // path at least got reused), so: (a) sweep stale siblings at
+    // entry — any graft_ckpt_g33_* untouched for >2 h is from a dead
+    // JVM (a live peel writes/deletes round files every few minutes);
+    // (b) a shutdown hook removes THIS run's dir even on abnormal
+    // JVM exit mid-peel.
+    def rmTree(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmTree))
+      f.delete()
+    }
+    locally {
+      val root = new java.io.File(checkpointRoot(spark))
+      val stale = System.currentTimeMillis() - 2L * 3600 * 1000
+      Option(root.listFiles()).foreach(_.foreach { f =>
+        if (f.getName.startsWith("graft_ckpt_g33_") && f.lastModified() < stale)
+          rmTree(f)
+      })
+    }
     val ckptBase =
       s"${checkpointRoot(spark)}/graft_ckpt_g33_${dir.replaceAll("[^A-Za-z0-9]", "_")}" +
         s"_${System.nanoTime()}"
+    val ckptHook = new Thread(() => rmTree(new java.io.File(ckptBase)))
+    Runtime.getRuntime.addShutdownHook(ckptHook)
     def roundPath(i: Int) = s"$ckptBase/round_$i"
     def dropRound(i: Int): Unit = {
       val d = new java.io.File(roundPath(i))
@@ -2963,7 +3049,7 @@ object GraphOps {
     def tdbg(msg: => String): Unit =
       if (sys.env.contains("GRAFT_SCC_DEBUG"))
         System.err.println(s"[g33 +${System.nanoTime() / 1000000}ms] $msg")
-    while (r <= TrussRounds && (r == 1 || traj(r - 1)._2 < traj(r - 2)._2)) {
+    while (r <= maxRounds && (r == 1 || traj(r - 1)._2 < traj(r - 2)._2)) {
       val lastWave = if (r == 1) Long.MaxValue else traj(r - 2)._2 - traj(r - 1)._2
       tdbg(s"round $r start, lastWave=$lastWave path=${if (lastWave > deltaCap) "FULL" else "DELTA"}")
       if (lastWave > deltaCap) {
@@ -3039,7 +3125,17 @@ object GraphOps {
           .join(wv, col("u") === col("wa") && col("v") === col("wb"), "left_anti")
           .groupBy(col("u"), col("v")).agg(count(lit(1)).as("dec"))
           .localCheckpoint(true)
-        val updated = curSup.join(broadcast(dec),
+        // |dec| scales with Σ deg(wave endpoints), NOT the ≤deltaCap
+        // wave size: a tiny wave anchored on mega-hubs at large scale
+        // can credit millions of surviving edges, and an unconditional
+        // broadcast of that blows the driver/broadcast limit (loud
+        // failure, not wrong results). dec is already materialized by
+        // the localCheckpoint, so the count is free — broadcast only
+        // under the cap, shuffle-join above it (identical trajectory,
+        // different physical join).
+        val decCap = longConf(spark, "spark.graft.truss.deltaDecBroadcastCap", 1000000L)
+        val decSide = if (dec.count() <= decCap) broadcast(dec) else dec
+        val updated = curSup.join(decSide,
             col("ou") === col("u") && col("ov") === col("v"), "left")
           .select(col("ou"), col("ov"),
             (col("sup") - coalesce(col("dec"), lit(0L))).as("sup"))
@@ -3055,7 +3151,9 @@ object GraphOps {
     }
     if (lastCkpt >= 0) dropRound(lastCkpt)
     new java.io.File(ckptBase).delete()  // dir is unique per run — leave nothing
-    while (r <= TrussRounds) { traj += ((r, traj.last._2)); r += 1 }
+    try Runtime.getRuntime.removeShutdownHook(ckptHook)
+    catch { case _: IllegalStateException => () } // already shutting down
+    while (r <= maxRounds) { traj += ((r, traj.last._2)); r += 1 }
     import spark.implicits._
     traj.toSeq.toDF("round", "n_edges")
       .select(col("round").cast("int").as("round"), col("n_edges"))
@@ -3553,10 +3651,18 @@ object GraphOps {
       .groupBy(col("w1.dst").as("a"), col("w2.dst").as("b"))
       .agg(count(lit(1)).as("cn"))
       .filter(col("cn") >= 2)
+      // cn counts common KEPT neighbors of an (a,b) pair, but a/b's
+      // own degrees are uncapped, so cn — and with it cn² per term —
+      // can reach hub scale at 100 TB: accumulate 2·C(cn,2) wide and
+      // narrow once (SumWidthSpec / the q74 convention); cs2 is even,
+      // so div 2 / div 4 on the wide value are the exact C2/4-cycle
+      // counts
       .agg(count(lit(1)).as("n_diagonal_pairs"),
-        sum(expr("cn * (cn - 1) div 2")).as("c2_sum"))
-      .select(col("n_diagonal_pairs"), col("c2_sum"),
-        expr("c2_sum div 2").as("n_four_cycles"))
+        sum((col("cn").cast("decimal(38,0)") * (col("cn") - lit(1L))))
+          .as("cs2"))
+      .select(col("n_diagonal_pairs"),
+        expr("CAST(cs2 div 2 AS BIGINT)").as("c2_sum"),
+        expr("CAST(cs2 div 4 AS BIGINT)").as("n_four_cycles"))
   }
 
   def g26FourCycles(spark: SparkSession, dir: String): DataFrame =

@@ -1630,8 +1630,14 @@ object TextOps {
         .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
         .groupBy(col("w"), col("doc_id")).agg(count(lit(1)).as("c"))
         .groupBy(col("w"))
+        // sc2 accumulates DECIMAL(38,0) (SumWidthSpec / q74
+        // convention): c is an uncapped per-(word,doc) count — book-
+        // length documents at 100 TB push c² past int64 per TERM for
+        // stopwords while DuckDB promotes to HUGEINT; consumers (t24/
+        // t25) keep the dispersion algebra wide and narrow once at
+        // their output boundary
         .agg(count(lit(1)).as("df"), sum(col("c")).as("sc"),
-          sum(col("c") * col("c")).as("sc2"))
+          sum((col("c").cast("decimal(38,0)") * col("c"))).as("sc2"))
     }
 
   def t24Burstiness(spark: SparkSession, dir: String): DataFrame = {
@@ -1639,9 +1645,16 @@ object TextOps {
     wordDocStats(spark, dir)
       .orderBy(col("df").desc, col("w")).limit(TopBursty)
       .crossJoin(broadcast(n))
+      // dispersion algebra in DECIMAL(38,0) (nd·sc2 and sc² pass
+      // int64 long before the sums do), narrowed once to the BIGINT
+      // the oracle also casts to — burstiness doubles the NARROWED
+      // values on both engines, so the float sees identical bits
       .select(col("w").as("word"), col("df"), col("sc").as("total_count"),
-        (col("nd") * col("sc2") - col("sc") * col("sc")).as("burst_num"),
-        (col("nd") * col("sc")).as("burst_den"))
+        (col("nd").cast("decimal(38,0)") * col("sc2") -
+          col("sc").cast("decimal(38,0)") * col("sc")).cast("long")
+          .as("burst_num"),
+        (col("nd").cast("decimal(38,0)") * col("sc")).cast("long")
+          .as("burst_den"))
       .withColumn("burstiness",
         col("burst_num").cast("double") / col("burst_den").cast("double"))
       .orderBy(col("word"))
@@ -1682,12 +1695,19 @@ object TextOps {
     val n = docs(spark, dir).agg(count(lit(1)).as("nd"))
     wordDocStats(spark, dir)
       .crossJoin(broadcast(n))
-      .withColumn("burst_num", col("nd") * col("sc2") - col("sc") * col("sc"))
-      .withColumn("burst_den", col("nd") * col("sc"))
+      // both tests run WIDE (sc2 is decimal from the shared stats;
+      // nd·sc2, sc², and the ×100/×135 cross-products all pass int64
+      // before the narrowing), then the output columns take the same
+      // single BIGINT narrowing the oracle's CASTs apply
+      .withColumn("burst_num",
+        col("nd").cast("decimal(38,0)") * col("sc2") -
+          col("sc").cast("decimal(38,0)") * col("sc"))
+      .withColumn("burst_den", col("nd").cast("decimal(38,0)") * col("sc"))
       .filter(col("df") * 10 >= col("nd") * (StopDfPct / 10L) &&
         col("burst_num") * 100 <= col("burst_den") * StopBurstPct)
       .select(col("w").as("word"), col("df"), col("sc").as("total_count"),
-        col("burst_num"), col("burst_den"))
+        col("burst_num").cast("long").as("burst_num"),
+        col("burst_den").cast("long").as("burst_den"))
       .orderBy(col("df").desc, col("word"))
       .limit(50)
   }
@@ -1747,15 +1767,19 @@ object TextOps {
       .withColumn("hi", least(col("rank_end"), expr("shiftleft(1L, b + 1) - 1")))
       .withColumn("n_in", col("hi") - col("lo") + 1)
       .groupBy(col("b"))
+      // n_in·sc passes int64 per TERM at corpus scale (class size ×
+      // stopword frequency) — accumulate DECIMAL(38,0), derive the
+      // ppm from the wide value, and narrow total_count once
+      // (SumWidthSpec / q74 convention)
       .agg(sum(col("n_in")).as("n_words"),
-        sum(col("n_in") * col("sc")).as("total_count"),
+        sum((col("n_in").cast("decimal(38,0)") * col("sc"))).as("tc"),
         max(col("sc")).as("max_count"),
         min(col("sc")).as("min_count"))
       .withColumn("avg_count_ppm",
-        expr("total_count * 1000000 div n_words"))
+        expr("tc * 1000000 div n_words"))
       .select(col("b").cast("long").as("rank_bucket"), col("n_words"),
-        col("total_count"), col("max_count"), col("min_count"),
-        col("avg_count_ppm"))
+        col("tc").cast("long").as("total_count"), col("max_count"),
+        col("min_count"), col("avg_count_ppm"))
       .orderBy(col("rank_bucket"))
   }
 

@@ -28,11 +28,13 @@ import org.scalatest.funsuite.AnyFunSuite
   *  - q40: part brands — TPC-H brand domain is 25 values ⇒ ≤ 64
   *  - q42: price shards (retail cents div 1000) — price domain ≤ ~$2.1k ⇒ ≤ 4096
   *  - e27/e34: event-time days ⇒ ≤ 4096 (a decade of days)
-  *  - e33: distinct per-user activity levels (sub-linear: Σ levels ≤
-  *    total events ⇒ #levels ≤ √(2·events); 4096 covers 8.4M events
-  *    per tested sf) and deciles (≤ 11)
+  *  - e33: distinct per-user activity levels (sub-linear, NOT
+  *    sf-independent: Σ levels ≤ total events ⇒ #levels ≤
+  *    √(2·events)) and deciles (≤ 11) — bound COMPUTED from the
+  *    tested dataset's event count, so the pin scales with the test
+  *    sf instead of failing spuriously past ~8.4M events
   *  - t26: distinct doc-frequency classes — same √ argument over
-  *    vocabulary ⇒ ≤ 4096 at tested scales
+  *    total token occurrences, bound computed from the corpus
   */
 class BoundedWindowSpec extends AnyFunSuite with BeforeAndAfterAll {
 
@@ -100,14 +102,28 @@ class BoundedWindowSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("e27: new-vs-returning windows days only (≤4096)") {
     auditGlobalWindows("e27_new_vs_returning", 4096)
   }
-  test("e33: lorenz windows activity levels + deciles only (≤4096)") {
-    auditGlobalWindows("e33_activity_lorenz", 4096)
+  test("e33: lorenz windows activity levels + deciles only (≤⌈√(2·events)⌉)") {
+    // distinct per-user event counts: Σ levels ≤ events ⇒
+    // #levels ≤ √(2·events). Computed from THIS dataset so the pin
+    // stays valid at any test sf (a fixed 4096 would fail spuriously
+    // past ~8.4M events without any corpus rows reaching the window).
+    val events = graft.sources.Tables.load(spark, dir, "events").count()
+    val bound = math.ceil(math.sqrt(2.0 * events)).toLong max 16L
+    auditGlobalWindows("e33_activity_lorenz", bound)
   }
   test("e34: peak-concurrency carry windows days only (≤4096)") {
     auditGlobalWindows("e34_peak_concurrency", 4096)
   }
-  test("t26: zipf profile windows frequency classes only (≤4096)") {
-    auditGlobalWindows("t26_zipf_profile", 4096)
+  test("t26: zipf profile windows frequency classes only (≤⌈√(2·occurrences)⌉)") {
+    // distinct term-frequency values: Σ distinct frequencies ≤ total
+    // token occurrences ⇒ #classes ≤ √(2·N). N is bounded above by
+    // total text characters (every token is ≥1 char), which is one
+    // cheap column aggregate — same √ argument, dataset-derived.
+    import org.apache.spark.sql.functions.{length, sum, col}
+    val chars = graft.sources.Tables.load(spark, dir, "documents")
+      .agg(sum(length(col("text")))).head.getLong(0)
+    val bound = math.ceil(math.sqrt(2.0 * chars)).toLong max 16L
+    auditGlobalWindows("t26_zipf_profile", bound)
   }
 
   test("s50: OPQ alloc permutation windows exactly the 64 dims") {

@@ -66,7 +66,18 @@ def main():
         except Exception as e:
             results[name] = f"SPARK-READ-ERR {e}"; continue
         import threading
-        timer = threading.Timer(timeout_s, con.interrupt)
+        # done-flag guards the timer race: if the Timer fires in the
+        # window between query completion and timer.cancel(), a bare
+        # con.interrupt() would latch and abort the NEXT query,
+        # misreporting a healthy fast query as ORACLE-RESOURCE.
+        done = threading.Event()
+        fired = threading.Event()
+
+        def _interrupt():
+            fired.set()
+            if not done.is_set():
+                con.interrupt()
+        timer = threading.Timer(timeout_s, _interrupt)
         timer.start()
         try:
             duck_df = norm(con.execute(sql).fetchdf())
@@ -84,7 +95,17 @@ def main():
                 results[name] = f"ORACLE-ERR {en}: {e}"
             continue
         finally:
+            done.set()
             timer.cancel()
+            if fired.is_set():
+                # the timer ran concurrently with completion: an
+                # interrupt may have latched after the query finished —
+                # drain it on a throwaway statement so it cannot abort
+                # the NEXT query in the loop
+                try:
+                    con.execute("SELECT 1")
+                except Exception:
+                    pass
         if list(spark_df.columns) != list(duck_df.columns):
             results[name] = f"COLS spark={list(spark_df.columns)} duck={list(duck_df.columns)}"; continue
         # Type-strict gate: the driver hashes typed values, so an int column
