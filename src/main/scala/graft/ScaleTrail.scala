@@ -21,10 +21,16 @@ object ScaleTrail {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     // optional probe-name filter: run only the named ops (resume a
-    // partial trail without re-paying completed probes)
-    val only = args.drop(1).toSet
+    // partial trail without re-paying completed probes); args of the
+    // form key=value become session confs (path forcing — e.g.
+    // spark.graft.scc.trimAdjProbeCap=0 runs the pre-probe trim)
+    val (confArgs, names) = args.drop(1).partition(_.contains("="))
+    val only = names.toSet
     def want(n: String): Boolean = only.isEmpty || only.contains(n)
     val spark = GraftSession.local(cpus, cpus)
+    confArgs.foreach { a =>
+      val Array(k, v) = a.split("=", 2); spark.conf.set(k, v)
+    }
     val probes: Seq[(String, () => (org.apache.spark.sql.DataFrame, Int))] = Seq(
       "g14_pagerank_rel_converged" -> (() => GraphOps.g14Probe(spark, dir)),
       "g12_pagerank_converged" -> (() => GraphOps.g12Probe(spark, dir)))

@@ -2174,6 +2174,17 @@ object GraphOps {
       var shrunk = false
       val probeCap = longConf(spark, "spark.graft.scc.trimAdjProbeCap", 65536L)
       val hubCap = longConf(spark, "spark.graft.scc.trimHubDegCap", 1048576L)
+      // The adjacency build costs ~one full-E pass (the thing the
+      // probe exists to avoid), so it only pays when SEVERAL small
+      // rounds remain. Remaining tail length is unknowable upfront;
+      // the proxy that was measured to matter at sf10: that trim
+      // converged in 3 rounds, so an eager build on the FIRST small
+      // wave bought one round's saving for a 490 s build (the r12
+      // regression). Build only after `trimProbeAfter` CONSECUTIVE
+      // small waves — short tails never build, long tails amortize
+      // the build across their remaining dozens of rounds.
+      val probeAfter = longConf(spark, "spark.graft.scc.trimProbeAfter", 2L)
+      var smallStreak = 0L
       var adj: DataFrame = null      // node → (out[], in[]) sans hubs
       var hubs: DataFrame = null     // the excluded nodes
       while (deadCnt > 0L && t < SccTrimCap) {
@@ -2182,7 +2193,12 @@ object GraphOps {
         // once) and forcing it into the driver would be the scale
         // bug; AQE broadcasts the later, genuinely-small waves on its
         // own
-        val probeRound = shrunk && deadCnt <= probeCap
+        if (shrunk && deadCnt <= probeCap) smallStreak += 1 else smallStreak = 0
+        // a large wave after the build still takes the scan path (its
+        // dead set is too big to broadcast); the built adjacency
+        // stays valid for later small waves regardless
+        val probeRound = shrunk && deadCnt <= probeCap &&
+          (adj != null || smallStreak > probeAfter)
         if (probeRound && adj == null) {
           adj = eTrim
             .select(col("src").as("node"), col("dst").as("nbr"), lit(1L).as("o"))
@@ -2235,6 +2251,8 @@ object GraphOps {
           .select(col("node")).localCheckpoint(true)
         deadCnt = dead.count()
         t += 1
+        dbg(s"outer=$outer trim round=$t nextWave=$deadCnt " +
+          s"path=${if (probeRound) "PROBE" else "SCAN"}")
         if (!shrunk && deadCnt > 0L) {
           // edges to wave-1 dead have already decremented, so the
           // semi-filtered set sees every remaining stratum correctly

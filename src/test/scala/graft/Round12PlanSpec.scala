@@ -45,12 +45,16 @@ class Round12PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("g45: trim adjacency-probe ≡ edge-scan ≡ all-hub fallback") {
+    // trimProbeAfter=0 FORCES the probe to build on the first small
+    // wave — the default streak gate (2) means short gate-scale trims
+    // never engage it, which would leave the probe branch untested
     val default = rowsOf(SparkEntry.queries("g45_scc")(spark, dir))
-    val edgeScan = withConfs("spark.graft.scc.trimAdjProbeCap" -> "0") {
+    val probed = withConfs("spark.graft.scc.trimProbeAfter" -> "0") {
       rowsOf(SparkEntry.queries("g45_scc")(spark, dir))
     }
-    assertSame("g45 probe-vs-edgescan", default, edgeScan)
-    val allHub = withConfs("spark.graft.scc.trimHubDegCap" -> "1") {
+    assertSame("g45 edgescan-vs-probe", default, probed)
+    val allHub = withConfs("spark.graft.scc.trimProbeAfter" -> "0",
+        "spark.graft.scc.trimHubDegCap" -> "1") {
       rowsOf(SparkEntry.queries("g45_scc")(spark, dir))
     }
     assertSame("g45 probe-vs-allhub", default, allHub)
