@@ -21,13 +21,20 @@ object Bench {
     * .json doubled as both "this run's output" and "next run's
     * baseline", so one degraded-host close silently became the
     * comparison point for every later round. Missing/corrupt file ⇒
-    * empty maps (bootstrap: this run seeds the baseline if quiet).
-    * Returns (query secs, canary secs, ref). */
-  private def baseline(sfDir: String): (Map[String, Double], Map[String, Double], String) = try {
+    * empty maps (bootstrap — gated, see [[main]]: a first run can only
+    * seed under SPARK_GRAFT_SEED_BASELINE, because with no baseline the
+    * canary has nothing to compare against and a noisy-but-steal-quiet
+    * host would seed itself as "quiet", recreating the r11 hole).
+    * Returns (query secs, canary secs, ref, run_id). `run_id`
+    * disambiguates two clean runs at the same code sha (r12 judging
+    * found the seeding run and the committed close indistinguishable —
+    * both said bc099b386ca1). */
+  private def baseline(sfDir: String): (Map[String, Double], Map[String, Double], String, String) = try {
     val node = new com.fasterxml.jackson.databind.ObjectMapper()
       .readTree(new java.io.File("bench_baseline.json"))
     val prevSf = Option(node.get("sf")).map(_.asText()).getOrElse("")
     val prevRef = Option(node.get("ref")).map(_.asText()).getOrElse("unstamped")
+    val prevRunId = Option(node.get("run_id")).map(_.asText()).getOrElse("unstamped")
     def m(field: String): Map[String, Double] = {
       val q = node.get(field)
       if (q == null) Map.empty
@@ -40,9 +47,21 @@ object Bench {
     }
     // only a same-SF baseline is meaningful (a local sf0.001 iteration
     // run must not be judged against the driver's sf0.1 baseline)
-    if (prevSf != sfDir) (Map.empty, Map.empty, "none")
-    else (m("queries"), m("canary"), prevRef)
-  } catch { case _: Throwable => (Map.empty, Map.empty, "none") }
+    if (prevSf != sfDir) (Map.empty, Map.empty, "none", "none")
+    else (m("queries"), m("canary"), prevRef, prevRunId)
+  } catch { case _: Throwable => (Map.empty, Map.empty, "none", "none") }
+
+  /** Where this run's artifacts land. A host_degraded (or any-failure)
+    * run is QUARANTINED to side files so it can never replace a clean
+    * committed close — the r12 postmortem: the baseline file was
+    * guarded, but the degraded end-of-round driver re-run overwrote
+    * bench_detail.json/bench_wire.json in the working tree and got
+    * snapshot-committed over the clean close. BenchArtifactSpec pins
+    * both this routing and the committed files' host_degraded:false. */
+  def detailPathFor(quarantined: Boolean): String =
+    if (quarantined) "bench_detail_degraded.json" else "bench_detail.json"
+  def wirePathFor(quarantined: Boolean): String =
+    if (quarantined) "bench_wire_degraded.json" else "bench_wire.json"
 
   /** Host-health canary queries: small, plan-stable, scheduler-bound —
     * their plans haven't changed in rounds, so movement vs the
@@ -65,12 +84,39 @@ object Bench {
   val stealThresholdPct = 4.0
 
   /** (steal_ticks, total_ticks) from /proc/stat — Linux only; any
-    * failure reads as (0, 0) and the guard degrades to canary-only. */
-  private def cpuTicks(): (Long, Long) = try {
+    * failure reads as (0, 0) and the guard degrades to canary-only.
+    * Package-visible: the scale harnesses (ScaleTrail /
+    * StreamingScaleTrail / QueryProbe) stamp the same signal on their
+    * rows so sf1/sf10 numbers are host-attributable across rounds. */
+  private[graft] def cpuTicks(): (Long, Long) = try {
     val line = scala.io.Source.fromFile("/proc/stat").getLines().next()
     val v = line.split("\\s+").drop(1).map(_.toLong)
     (if (v.length > 7) v(7) else 0L, v.sum)
   } catch { case _: Throwable => (0L, 0L) }
+
+  /** One canary pass for the SCALE harnesses (r12 verdict #2): runs the
+    * three plan-stable canary shapes at the sf the committed baseline
+    * is stamped for (sf0.1 — the canary measures the HOST, so it must
+    * run where a quiet-host reference exists, regardless of the sf the
+    * trail itself audits) and returns the median ratio vs
+    * bench_baseline.json's canary slots — 0.0 when no comparable
+    * baseline exists. Each canary gets one untimed warm rep first so a
+    * cold-cache trail JVM doesn't read as host degradation. */
+  private[graft] def canaryRatioNow(spark: SparkSession,
+                                    baselineSf: String = "/root/testdata/sf0.1"): Double = {
+    val (_, prevCanary, _, _) = baseline(baselineSf)
+    val rs = canaryNames.flatMap { n =>
+      prevCanary.get(n).filter(_ > 0.0).flatMap { base =>
+        try {
+          SparkEntry.queries(n)(spark, baselineSf).count()
+          val t0 = System.nanoTime()
+          SparkEntry.queries(n)(spark, baselineSf).count()
+          Some(((System.nanoTime() - t0) / 1e9) / base)
+        } catch { case _: Throwable => Some(Double.PositiveInfinity) }
+      }
+    }
+    if (rs.isEmpty) 0.0 else rs.sorted.apply(rs.size / 2)
+  }
 
   /** Short git sha of HEAD, read straight from .git (no process exec):
     * stamps each detail file so the NEXT run can name its baseline. */
@@ -163,7 +209,7 @@ object Bench {
       ((System.nanoTime() - t0) / 1e9, ok, rows)
     }
 
-    val (prev, prevCanary, baselineRef) = baseline(sfDir)
+    val (prev, prevCanary, baselineRef, baselineRunId) = baseline(sfDir)
     val selfRef = gitRef()
     val ticks0 = cpuTicks()
     val warm = warmups.map { case (name, fn) =>
@@ -175,11 +221,18 @@ object Bench {
     // one timed rep compared to the baseline's canary slots. Falls
     // back to the baseline's board slots when the baseline predates
     // the canary block (bootstrap from a restored pre-r12 detail).
+    // Each rep goes through timed()'s try — a throwing canary must be
+    // RECORDED (it joins `failed`, its slot reads +Inf so the run is
+    // stamped degraded+quarantined), not crash the bench before any
+    // artifact is written (r12 advisor note: the old bare calls
+    // contradicted the file's own failures-must-be-recorded design).
+    val canaryFailed = scala.collection.mutable.LinkedHashSet.empty[String]
     def canaryPass(): Seq[(String, Double)] = canaryNames.map { n =>
       val fn = SparkEntry.queries(n)
-      fn(spark, sfDir).count()
-      val (sec, _, _) = timed(fn(spark, sfDir).count())
-      (n, sec)
+      val (_, okWarm, _) = timed(fn(spark, sfDir).count())
+      val (sec, ok, _) = timed(fn(spark, sfDir).count())
+      if (okWarm && ok) (n, sec)
+      else { canaryFailed += n; (n, Double.PositiveInfinity) }
     }
     def medianRatioOf(pass: Seq[(String, Double)]): Double = {
       val rs = pass.flatMap { case (n, s) =>
@@ -187,6 +240,10 @@ object Bench {
       }
       if (rs.isEmpty) 0.0 else rs.sorted.apply(rs.size / 2)
     }
+    // JSON has no Infinity literal — a failed canary slot serializes as
+    // null (its name is in `failed`; the in-memory +Inf still drives
+    // the degraded stamp and the quarantine routing).
+    def jnum(v: Double): String = if (java.lang.Double.isFinite(v)) v.toString else "null"
     val canary = canaryPass()
     // sorted order: deterministic run-to-run attribution
     val firstPass = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
@@ -221,7 +278,10 @@ object Bench {
       if (ticks1._2 > ticks0._2)
         100.0 * (ticks1._1 - ticks0._1) / (ticks1._2 - ticks0._2)
       else 0.0
-    val canaryRatio = math.max(medianRatioOf(canary), medianRatioOf(canaryEnd))
+    // capped at 999 so a failed-canary +Inf stays JSON-representable;
+    // anything near the cap is unambiguously degraded anyway
+    val canaryRatio =
+      math.min(999.0, math.max(medianRatioOf(canary), medianRatioOf(canaryEnd)))
     val hostDegraded = canaryRatio > canaryThreshold || stealPct > stealThresholdPct
 
     // The driver captures only the LAST 2000 chars of output and greps
@@ -241,8 +301,8 @@ object Bench {
     val warmTotal = warm.map(_._2).sum
     val queryTotal = results.map(_._2).sum
     val timings = results.map { case (k, s, ok, _) => (k, s, ok) }
-    val failed = (warm ++ timings).collect { case (k, _, false) => "\"" + k + "\"" }
-      .mkString("[", ",", "]")
+    val failed = ((warm ++ timings).collect { case (k, _, false) => "\"" + k + "\"" } ++
+      canaryFailed.map(n => "\"canary:" + n + "\"")).mkString("[", ",", "]")
     // delta vs the committed quiet-host baseline (bench_baseline.json):
     // ratio = this_run_sec / baseline_sec per common query. The full
     // map goes to the detail file; the wire line gets a board-size-
@@ -265,15 +325,25 @@ object Bench {
       val topReg = material.filter(_._2 >= 1.05).sortBy(-_._2).take(movers)
       val topImp = material.filter(_._2 <= 0.95).sortBy(_._2).take(movers)
       s""""bench_delta":{"common":${deltas.size},"baseline_ref":"$baselineRef",""" +
-      s""""median_ratio":${r2(medianRatio)},""" +
+      s""""baseline_run_id":"$baselineRunId","median_ratio":${r2(medianRatio)},""" +
       s""""regressed":${ratioObj(topReg)},"improved":${ratioObj(topImp)}}"""
     }
-    val canaryJson = canary.map { case (k, v) => "\"" + k + "\":" + v }
+    val canaryJson = canary.map { case (k, v) => "\"" + k + "\":" + jnum(v) }
       .mkString("{", ",", "}")
-    val canaryEndJson = canaryEnd.map { case (k, v) => "\"" + k + "\":" + v }
+    val canaryEndJson = canaryEnd.map { case (k, v) => "\"" + k + "\":" + jnum(v) }
       .mkString("{", ",", "}")
+    // A degraded or failing run is quarantined to *_degraded.json side
+    // files: the clean committed close's bench_detail.json /
+    // bench_wire.json are never touched by a run that shouldn't
+    // replace them (r12 verdict #1 — the degraded driver re-run
+    // overwrote the clean close in the working tree and got
+    // snapshot-committed).
+    val quarantined = hostDegraded || failed != "[]"
+    // run_id: monotonic wall-clock millis + sha — disambiguates two
+    // clean runs at the same commit (r12 verdict #5).
+    val runId = s"$selfRef-${System.currentTimeMillis()}"
     val detail = s"""{"metric":"total","value":${warmTotal + queryTotal},"unit":"sec","ref":"$selfRef",""" +
-      s""""warmup_total":$warmTotal,"query_total":$queryTotal,""" +
+      s""""run_id":"$runId","warmup_total":$warmTotal,"query_total":$queryTotal,""" +
       s""""host_degraded":$hostDegraded,"canary_ratio":${r2(canaryRatio)},"canary":$canaryJson,""" +
       s""""canary_end":$canaryEndJson,"steal_pct":${r2(stealPct)},""" +
       s""""retries":${retries.map { case (k, (a, b)) =>
@@ -282,14 +352,21 @@ object Bench {
       s""""rows":${timings.indices.map(i => "\"" + results(i)._1 + "\":" + results(i)._4).mkString("{", ",", "}")},""" +
       s""""delta_vs_baseline":${deltas.map { case (k, v, _) => "\"" + k + "\":" + r2(v) }.mkString("{", ",", "}")},""" +
       s""""failed":$failed,"sf":"$sfDir"}"""
-    java.nio.file.Files.write(java.nio.file.Paths.get("bench_detail.json"),
+    java.nio.file.Files.write(java.nio.file.Paths.get(detailPathFor(quarantined)),
       detail.getBytes("UTF-8"))
     // Seed/refresh the committed baseline ONLY from a clean quiet-host
     // run: canary passed AND zero failures. A degraded-host close can
     // still ship its BENCH_rN artifact (stamped host_degraded:true)
     // but can never become the thing later rounds are judged against.
-    if (!hostDegraded && failed == "[]") {
-      val base = s"""{"ref":"$selfRef","sf":"$sfDir","canary":$canaryJson,""" +
+    // Bootstrap guard (r12 advisor note): with NO baseline the canary
+    // ratio is 0.0 by construction, so "not degraded" proves nothing —
+    // a noisy-but-steal-quiet first run would seed itself as the quiet
+    // reference. Seeding from scratch therefore requires the operator
+    // to explicitly vouch for the host via SPARK_GRAFT_SEED_BASELINE.
+    val baselineComparable = prev.nonEmpty || prevCanary.nonEmpty
+    val maySeed = baselineComparable || sys.env.contains("SPARK_GRAFT_SEED_BASELINE")
+    if (!quarantined && maySeed) {
+      val base = s"""{"ref":"$selfRef","run_id":"$runId","sf":"$sfDir","canary":$canaryJson,""" +
         s""""warmup":${obj(warm, _.toString)},"queries":${obj(timings, _.toString)}}"""
       java.nio.file.Files.write(java.nio.file.Paths.get("bench_baseline.json"),
         base.getBytes("UTF-8"))
@@ -311,14 +388,14 @@ object Bench {
     val warmTop = warm.sortBy(-_._2).take(8)
     def lineOf(movers: Int): String =
       s"""{"metric":"total","value":${r2(warmTotal + queryTotal)},"unit":"sec",""" +
-      s""""warmup_total":${r2(warmTotal)},"query_total":${r2(queryTotal)},""" +
+      s""""run_id":"$runId","warmup_total":${r2(warmTotal)},"query_total":${r2(queryTotal)},""" +
       s""""host_degraded":$hostDegraded,"canary_ratio":${r2(canaryRatio)},""" +
       s""""steal_pct":${r2(stealPct)},"n_retried":${retries.size},""" +
       s""""warmup_top":${obj(warmTop, r2)},""" +
       s""""n_queries":${results.size},"families":${obj(families, r2)},""" +
       s""""rows_per_sec":${obj(famRps, v => math.round(v).toString)},""" +
       s""""queries":${obj(top, r2)},${deltaBlockOf(movers)},"failed":$failed,"sf":"$sfDir",""" +
-      s""""detail":"bench_detail.json"}"""
+      s""""detail":"${detailPathFor(quarantined)}"}"""
     // shrink movers until the line fits — the full mover set is in
     // bench_detail.json either way, so nothing is lost, and the run
     // can no longer crash at the final println after all queries ran
@@ -327,7 +404,7 @@ object Bench {
     require(line.length <= 1900,
       s"bench line ${line.length} chars even with an empty delta block — " +
         "the invariant blocks (families/top-30) outgrew the tail budget")
-    java.nio.file.Files.write(java.nio.file.Paths.get("bench_wire.json"),
+    java.nio.file.Files.write(java.nio.file.Paths.get(wirePathFor(quarantined)),
       (line + "\n").getBytes("UTF-8"))
     spark.stop()
     // r5 postmortem: the line survived the driver's 2000-char tail

@@ -3006,6 +3006,12 @@ object GraphOps {
         s"_${System.nanoTime()}"
     val ckptHook = new Thread(() => rmTree(new java.io.File(ckptBase)))
     Runtime.getRuntime.addShutdownHook(ckptHook)
+    // exists from round 1 so the per-round mtime touch below always
+    // lands (the sweep reads the DIR's mtime, which only moves when a
+    // direct child is created/deleted — a single >2 h round, plausible
+    // at sf10+ with raised spark.graft.truss.rounds, would otherwise
+    // get its live checkpoint reaped by a concurrent peel's sweep)
+    new java.io.File(ckptBase).mkdirs()
     def roundPath(i: Int) = s"$ckptBase/round_$i"
     def dropRound(i: Int): Unit = {
       val d = new java.io.File(roundPath(i))
@@ -3067,7 +3073,11 @@ object GraphOps {
     def tdbg(msg: => String): Unit =
       if (sys.env.contains("GRAFT_SCC_DEBUG"))
         System.err.println(s"[g33 +${System.nanoTime() / 1000000}ms] $msg")
+    try {
     while (r <= maxRounds && (r == 1 || traj(r - 1)._2 < traj(r - 2)._2)) {
+      // keep the dir's mtime live across arbitrarily long rounds so
+      // the entry sweep of a CONCURRENT invocation can't reap it
+      new java.io.File(ckptBase).setLastModified(System.currentTimeMillis())
       val lastWave = if (r == 1) Long.MaxValue else traj(r - 2)._2 - traj(r - 1)._2
       tdbg(s"round $r start, lastWave=$lastWave path=${if (lastWave > deltaCap) "FULL" else "DELTA"}")
       if (lastWave > deltaCap) {
@@ -3167,10 +3177,16 @@ object GraphOps {
       }
       r += 1
     }
-    if (lastCkpt >= 0) dropRound(lastCkpt)
-    new java.io.File(ckptBase).delete()  // dir is unique per run — leave nothing
-    try Runtime.getRuntime.removeShutdownHook(ckptHook)
-    catch { case _: IllegalStateException => () } // already shutting down
+    } finally {
+      // all round counts are already in `traj` (driver Longs) — the
+      // result DF below has no lineage into the checkpoint dir, so
+      // recursive cleanup here is safe on BOTH paths; and the hook
+      // removal lives in this finally so a throw mid-peel can't leak
+      // one registered hook per failed call in a long-lived JVM
+      rmTree(new java.io.File(ckptBase)) // dir is unique per run — leave nothing
+      try Runtime.getRuntime.removeShutdownHook(ckptHook)
+      catch { case _: IllegalStateException => () } // already shutting down
+    }
     while (r <= maxRounds) { traj += ((r, traj.last._2)); r += 1 }
     import spark.implicits._
     traj.toSeq.toDF("round", "n_edges")

@@ -97,6 +97,13 @@ def main():
         finally:
             done.set()
             timer.cancel()
+            # join closes the remaining race window: a timer thread
+            # already past its done-check can still be in flight and
+            # call con.interrupt() AFTER the drain below — joining
+            # (returns immediately if the timer never started) makes
+            # the fired flag authoritative and guarantees the drain
+            # runs after any interrupt has been issued.
+            timer.join()
             if fired.is_set():
                 # the timer ran concurrently with completion: an
                 # interrupt may have latched after the query finished —
