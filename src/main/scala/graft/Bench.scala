@@ -109,9 +109,15 @@ object Bench {
       prevCanary.get(n).filter(_ > 0.0).flatMap { base =>
         try {
           SparkEntry.queries(n)(spark, baselineSf).count()
-          val t0 = System.nanoTime()
-          SparkEntry.queries(n)(spark, baselineSf).count()
-          Some(((System.nanoTime() - t0) / 1e9) / base)
+          // min of 2 timed reps: the slots are 0.15–0.3 s, where a
+          // single rep carries ±50% scheduler noise; sustained host
+          // contention inflates BOTH reps, so the min still sees it
+          val sec = (1 to 2).map { _ =>
+            val t0 = System.nanoTime()
+            SparkEntry.queries(n)(spark, baselineSf).count()
+            (System.nanoTime() - t0) / 1e9
+          }.min
+          Some(sec / base)
         } catch { case _: Throwable => Some(Double.PositiveInfinity) }
       }
     }

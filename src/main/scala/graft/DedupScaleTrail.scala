@@ -23,6 +23,8 @@ object DedupScaleTrail {
       if (args.length > 1) args.drop(1).toSet else (_: String) => true
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = GraftSession.local(cpus, cpus)
+    // host-health stamp per row (r12 verdict #2)
+    val hs = new HostStamp(spark)
     val d = graft.operators.dedup.DedupOps
     val docsAll = graft.sources.Tables.load(spark, dir, "documents")
     // d7/d9's split hash: < 90 = corpus (indexed); buckets 91–92 are
@@ -79,7 +81,7 @@ object DedupScaleTrail {
         s""""probe_sec":${"%.1f".format(probeSec)},""" +
         s""""rebuild_sec":${"%.1f".format(rebuildSec)},""" +
         s""""probe_pairs":$probePairs,"checked_pairs":${mism.getLong(0)},""" +
-        s""""mismatches":${mism.getLong(1)}}""")
+        s""""mismatches":${mism.getLong(1)}${hs.stamp()}}""")
     }
 
     // ---- d30 at scale: LSH bucket stats vs an independent recount ----
@@ -116,7 +118,8 @@ object DedupScaleTrail {
           s""""enum_sec":${"%.1f".format(enumSec)},""" +
           s""""pair_volume":$pairVolume,"enumerated_pairs":$pairStream,""" +
           s""""row_mismatches":$rowBad,""" +
-          s""""pair_mismatch":${if (pairStream == pairVolume) 0 else 1}}""")
+          s""""pair_mismatch":${if (pairStream == pairVolume) 0 else 1}""" +
+          s"""${hs.stamp()}}""")
     }
 
     // ---- d32 at scale: calibration matrix vs a second aggregation ----
@@ -151,7 +154,8 @@ object DedupScaleTrail {
           s""""cal_sec":${"%.1f".format(d32Sec)},""" +
           s""""n_pairs":$gatedTotal,"recount_pairs":$total,""" +
           s""""cell_mismatches":$cellBad,""" +
-          s""""conservation_mismatch":${if (total == gatedTotal) 0 else 1}}""")
+          s""""conservation_mismatch":${if (total == gatedTotal) 0 else 1}""" +
+          s"""${hs.stamp()}}""")
     }
     spark.stop()
   }

@@ -17,6 +17,9 @@ object QueryProbe {
     val reps = sys.env.getOrElse("GRAFT_PROBE_REPS", "2").toInt
     val names = if (args.nonEmpty) args.toSeq else sys.error("pass query names")
     val spark = GraftSession.local(cpus, cpus)
+    // host-health stamp (r12 verdict #2): a probe line answering "plan
+    // regression or host load?" must carry the host's own diagnosis
+    val hs = new HostStamp(spark)
     Bench.warmups.foreach { case (_, fn) => fn(spark, sfDir).count() }
     val results = names.map { n =>
       val fn = SparkEntry.queries.getOrElse(n, sys.error(s"unknown query $n"))
@@ -30,7 +33,8 @@ object QueryProbe {
     val line = results.map { case (n, ss) =>
       "\"" + n + "\":[" + ss.map(s => "%.2f".formatLocal(java.util.Locale.ROOT, s))
         .mkString(",") + "]"
-    }.mkString("{\"probe\":\"quiet_host\",\"sf\":\"" + sfDir + "\",", ",", "}")
+    }.mkString("{\"probe\":\"quiet_host\",\"sf\":\"" + sfDir + "\",", ",",
+      hs.stamp() + "}")
     println(line)
     spark.stop()
   }

@@ -31,6 +31,10 @@ object ScaleTrail {
     confArgs.foreach { a =>
       val Array(k, v) = a.split("=", 2); spark.conf.set(k, v)
     }
+    // host-health stamp per row (r12 verdict #2): canary_ratio vs the
+    // committed bench baseline + this row's CPU-steal window, so sf1+
+    // trail numbers are host-attributable across rounds
+    val hs = new HostStamp(spark)
     val probes: Seq[(String, () => (org.apache.spark.sql.DataFrame, Int))] = Seq(
       "g14_pagerank_rel_converged" -> (() => GraphOps.g14Probe(spark, dir)),
       "g12_pagerank_converged" -> (() => GraphOps.g12Probe(spark, dir)))
@@ -49,7 +53,7 @@ object ScaleTrail {
       println(
         s"""{"op":"$name","sf":"$dir","rounds":$k,"rows":${joined.getLong(0)},""" +
           s""""mismatches":${joined.getLong(1)},"loop_sec":${"%.1f".format(loopSec)},""" +
-          s""""total_sec":${"%.1f".format(totalSec)}}""")
+          s""""total_sec":${"%.1f".format(totalSec)}${hs.stamp()}}""")
     }
     // Split re-execution probes (round-7 verdict item 6): the gated
     // loop vs the SAME machinery warm-started mid-way — the
@@ -76,7 +80,7 @@ object ScaleTrail {
       println(
         s"""{"op":"$name","sf":"$dir","mode":"split_reexec",""" +
           s""""rows":${joined.getLong(0)},"mismatches":${joined.getLong(1)},""" +
-          s""""total_sec":${"%.1f".format(totalSec)}}""")
+          s""""total_sec":${"%.1f".format(totalSec)}${hs.stamp()}}""")
     }
     // g44 SSSP fixpoint audit: the DuckDB oracle unrolls 16 E-row
     // relaxation CTEs — infeasible past sf1 — but the converged
@@ -113,7 +117,7 @@ object ScaleTrail {
           s""""rows":$reach,"infeasible":$infeasible,"untight":$loose,""" +
           s""""component_size":$compSize,""" +
           s""""mismatches":${infeasible + loose + math.abs(reach - compSize)},""" +
-          s""""total_sec":${"%.1f".format(totalSec)}}""")
+          s""""total_sec":${"%.1f".format(totalSec)}${hs.stamp()}}""")
     }
     // g45 SCC fixpoint audit (the g44 class): the DuckDB closure
     // oracle explodes past sf0.1 (the cyclic core's reach-pair set is
@@ -178,7 +182,7 @@ object ScaleTrail {
           s""""fwd_unreached":$fwdMiss,"bwd_unreached":$bwdMiss,""" +
           s""""contracted_cycle_edges":$cCnt,""" +
           s""""mismatches":${fwdMiss + bwdMiss + cCnt},""" +
-          s""""total_sec":${"%.1f".format(totalSec)}}""")
+          s""""total_sec":${"%.1f".format(totalSec)}${hs.stamp()}}""")
     }
     // g46 MSF self-audit (the oracle-free class — the unrolled
     // Borůvka oracle is infeasible past sf1). F certifies itself:
@@ -217,7 +221,7 @@ object ScaleTrail {
           s""""size_law_delta":$sizeBad,"singleton_cuts":$nCuts,""" +
           s""""cut_misses":$cutMiss,""" +
           s""""mismatches":${sizeBad + cutMiss},""" +
-          s""""total_sec":${"%.1f".format(totalSec)}}""")
+          s""""total_sec":${"%.1f".format(totalSec)}${hs.stamp()}}""")
     }
     // g33 delta-tail probe (r11 verdict item 4): the shipped
     // deltaWaveCap=1024 was set from a NEGATIVE (sf0.1's round-2 wave
@@ -260,7 +264,7 @@ object ScaleTrail {
           s""""rounds":${fullTraj.size - 1},"delta_rounds_engaged":$engaged,""" +
           s""""trajectory":[${deltaTraj.map(_._2).mkString(",")}],""" +
           s""""mismatches":$mism,"full_sec":${"%.1f".format(fullSec)},""" +
-          s""""delta_sec":${"%.1f".format(deltaSec)}}""")
+          s""""delta_sec":${"%.1f".format(deltaSec)}${hs.stamp()}}""")
     }
     spark.stop()
   }

@@ -4,10 +4,11 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.streaming.{AnomalyStream, CustomSessions, EventStreams}
 
-/** Streaming soak at real event volume (r11 verdict item 6): the 10
-  * STREAM-MODE forms are MemoryStream-spec'd at toy scale; this trail
-  * re-runs the three state-shape-distinct ones (e6 custom-session
-  * state, e11 rolling-window detector state, e28 per-key CDC state)
+/** Streaming soak at real event volume (r11 verdict item 6 + r12
+  * item 3): the 10 STREAM-MODE forms are MemoryStream-spec'd at toy
+  * scale; this trail re-runs the state-shape-distinct ones (e6
+  * custom-session state, e11 rolling-window detector state, e28
+  * per-key CDC state, and the e18/e30 per-user funnel-scalar family)
   * as a RATE-LIMITED FILE-SOURCE stream over the tiled sf1 events
   * table and asserts, per form:
   *   - stream ≡ batch on the final snapshot (0 mismatches), and
@@ -43,6 +44,8 @@ object StreamingScaleTrail {
     def want(n: String): Boolean = only.isEmpty || only.contains(n)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = GraftSession.local(cpus, cpus)
+    // host-health stamp per row (r12 verdict #2)
+    val hs = new HostStamp(spark)
     import spark.implicits._
 
     val work = s"/tmp/graft_stream_trail_${System.nanoTime()}"
@@ -122,7 +125,7 @@ object StreamingScaleTrail {
           s""""mismatches":$mismatches,"batches":$nBatches,""" +
           s""""peak_state_rows":$peakRows,"peak_state_bytes":$peakBytes,""" +
           s""""final_state_rows":$finalRows,"final_bound_ok":$boundOk,""" +
-          s""""total_sec":${"%.1f".format(sec)}}""")
+          s""""total_sec":${"%.1f".format(sec)}${hs.stamp()}}""")
 
     // ---- e6: custom-session state ----------------------------------
     if (want("e6_custom_sessions")) {
@@ -221,6 +224,104 @@ object StreamingScaleTrail {
       val nUsers = events.select(col("user_id")).distinct().count() + 1
       report("e28_latest_state", "file_stream_soak", j.getLong(0), j.getLong(1),
         peakR, peakB, finalR, finalR == nUsers,
+        nB, (System.nanoTime() - t0) / 1e9)
+    }
+
+    // ---- e30: per-user funnel-conversion state (r12 verdict #3) -----
+    // The multi-step funnel shape the first soak round didn't cover:
+    // flatMapGroupsWithState holding TWO scalars per user (first
+    // view's µs + converted flag), emitting one append row per
+    // converting user. State is KEY-bounded (O(1) per user forever),
+    // not watermark-bounded — the bound under test is |users|.
+    if (want("e30_funnel_latency")) {
+      val t0 = System.nanoTime()
+      val out = s"$work/e30_out"
+      val typed = streamEvents()
+        .select(col("user_id"), unix_micros(col("ts")).as("us"),
+          col("event_type"))
+        .as[(Long, Long, String)]
+      val q = EventStreams.funnelLatencyStream(typed)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", s"$work/e30_ckpt")
+        .foreachBatch { (b: Dataset[(Long, Long, Long)], _: Long) =>
+          b.write.mode("append").parquet(out); ()
+        }.start()
+      val (peakR, peakB, finalR, nB) = soak(q)
+      val streamed = spark.read.parquet(out)
+        .toDF("user_id", "view_us", "purchase_us")
+        .filter(col("user_id") =!= -1L)
+      // batch law: first view, then first purchase at-or-after it
+      // (inclusive — the stream's views-first same-instant sort)
+      val views = events.filter(col("event_type") === "view")
+        .groupBy(col("user_id"))
+        .agg(min(unix_micros(col("ts"))).as("view_us"))
+      val batch = events.filter(col("event_type") === "purchase")
+        .select(col("user_id"), unix_micros(col("ts")).as("pus"))
+        .join(views, Seq("user_id"))
+        .filter(col("pus") >= col("view_us"))
+        .groupBy(col("user_id"), col("view_us"))
+        .agg(min(col("pus")).as("purchase_us"))
+      val j = streamed.as("a").join(batch.as("b"), Seq("user_id"), "full_outer")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("a.view_us") === col("b.view_us") &&
+            col("a.purchase_us") === col("b.purchase_us"), 0L).otherwise(1L))
+            .as("bad"))
+        .head
+      val nUsers = events.select(col("user_id")).distinct().count() + 1
+      report("e30_funnel_latency", "file_stream_soak", j.getLong(0),
+        j.getLong(1), peakR, peakB, finalR, finalR <= nUsers,
+        nB, (System.nanoTime() - t0) / 1e9)
+    }
+
+    // ---- e18: last-touch attribution state (r12 verdict #3) ---------
+    // Same state family as e30 (per-user scalars: last non-purchase
+    // touch's type + µs) but a DIFFERENT emission shape: one append
+    // row per PURCHASE, attributed to the touch in effect under the
+    // inclusive 30-minute lookback. Batch comparator is the window
+    // recompute (strictly-preceding rows ordered by (us, event_id)),
+    // run distributed — per-purchase equality, not just counts.
+    if (want("e18_attribution")) {
+      val t0 = System.nanoTime()
+      val out = s"$work/e18_out"
+      val typed = streamEvents()
+        .select(col("user_id"), unix_micros(col("ts")).as("us"),
+          col("event_id"), col("event_type"))
+        .as[(Long, Long, Long, String)]
+      val q = EventStreams.attributionStream(typed)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", s"$work/e18_ckpt")
+        .foreachBatch { (b: Dataset[(Long, String, Long)], _: Long) =>
+          b.write.mode("append").parquet(out); ()
+        }.start()
+      val (peakR, peakB, finalR, nB) = soak(q)
+      val streamed = spark.read.parquet(out)
+        .toDF("event_id", "channel", "lat_us")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val batch = events
+        .select(col("user_id"), unix_micros(col("ts")).as("us"),
+          col("event_id"), col("event_type"))
+        .withColumn("touch", last(
+          when(col("event_type") =!= "purchase",
+            struct(col("us").as("tus"), col("event_type").as("tt"))),
+          ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"),
+          when(col("touch").isNull, lit("direct"))
+            .when(col("us") - col("touch.tus") <= 1800000000L, col("touch.tt"))
+            .otherwise(lit("direct")).as("channel"),
+          // the stream encodes "no prior touch at all" as Long.MinValue
+          coalesce(col("us") - col("touch.tus"), lit(Long.MinValue))
+            .as("lat_us"))
+      val j = streamed.as("a").join(batch.as("b"), Seq("event_id"), "full_outer")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("a.channel") === col("b.channel") &&
+            col("a.lat_us") === col("b.lat_us"), 0L).otherwise(1L)).as("bad"))
+        .head
+      val nUsers = events.select(col("user_id")).distinct().count() + 1
+      report("e18_attribution", "file_stream_soak", j.getLong(0),
+        j.getLong(1), peakR, peakB, finalR, finalR <= nUsers,
         nB, (System.nanoTime() - t0) / 1e9)
     }
 
