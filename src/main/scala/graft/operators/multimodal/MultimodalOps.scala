@@ -7,12 +7,15 @@ import graft.sources.Tables
 /** Multimodal plumbing: opaque `binary` payload columns with typed
   * metadata, processed without ever collecting to the driver.
   *
-  * The container has no image/audio codecs, so the decode step is a
-  * clearly-marked deterministic fake ([[FakeDecoder]]); everything
-  * around it — schema, per-partition batching, feature-vector shape,
-  * partition-preserving execution — is the real plumbing a decode UDF
-  * would run in at 100 TB (swap `FakeDecoder.decode` for a JNI/codec
-  * call and nothing else changes).
+  * The GATED entries decode with a clearly-marked deterministic fake
+  * ([[FakeDecoder]]) so every result stays DuckDB-oracle-checkable;
+  * a REAL image codec ([[ImageIoDecoder]], pure-JRE javax.imageio)
+  * sits behind the same seam and is spec-proven on actual PNG bytes.
+  * Audio/video stay stubbed (no native codecs in the container).
+  * Everything around the seam — schema, per-partition batching,
+  * feature-vector shape, partition-preserving execution — is the real
+  * plumbing a decode UDF runs in at 100 TB (swap the decoder and
+  * nothing else changes).
   */
 object MultimodalOps {
 
@@ -47,6 +50,61 @@ object MultimodalOps {
       }
       val n = math.max(payload.length, 1).toFloat
       hist.map(_ / n)
+    }
+  }
+
+  /** A REAL codec behind the seam (r12 verdict #7): `javax.imageio`
+    * ships with the JRE (PNG/JPEG/GIF/BMP readers), so the
+    * container's no-native-codec constraint does not block IMAGE
+    * decode — only audio/video stay stubbed. Features are
+    * deterministic scalar image statistics in [0,1]:
+    * f0–f2 mean R/G/B, f3 mean luma (BT.601), f4 luma stddev,
+    * f5 aspect w/(w+h), f6 log2-scaled pixel count, f7 fraction of
+    * pixels at/above mid luma. An undecodable payload (not an image,
+    * truncated, unsupported container) returns the all −1 sentinel —
+    * real features always lie in [0,1], so a downstream media gate
+    * filters on `f0 < 0` without a side channel. One pass over
+    * pixels, nothing stored, safe for arbitrarily large frames inside
+    * the per-partition iterator. */
+  object ImageIoDecoder extends MediaDecoder {
+    val FeatureDim = 8
+    def featureDim: Int = FeatureDim
+    def decode(payload: Array[Byte]): Array[Float] = {
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+        catch { case _: Exception => null }
+      if (img == null || img.getWidth <= 0 || img.getHeight <= 0)
+        Array.fill(FeatureDim)(-1.0f)
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        var sr = 0.0; var sg = 0.0; var sb = 0.0; var sy = 0.0; var syy = 0.0
+        var bright = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val r = (rgb >> 16) & 0xff
+            val g = (rgb >> 8) & 0xff
+            val b = rgb & 0xff
+            val lum = 0.299 * r + 0.587 * g + 0.114 * b
+            sr += r; sg += g; sb += b; sy += lum; syy += lum * lum
+            if (lum >= 128.0) bright += 1
+            x += 1
+          }
+          y += 1
+        }
+        val n = w.toLong * h
+        val my = sy / n
+        val vy = math.max(0.0, syy / n - my * my)
+        Array((sr / n / 255.0).toFloat, (sg / n / 255.0).toFloat,
+          (sb / n / 255.0).toFloat, (my / 255.0).toFloat,
+          (math.sqrt(vy) / 255.0).toFloat,
+          (w.toDouble / (w + h)).toFloat,
+          (math.min(32.0, math.log(1.0 + n.toDouble) / math.log(2.0)) / 32.0).toFloat,
+          (bright.toDouble / n).toFloat)
+      }
     }
   }
 
@@ -88,17 +146,27 @@ object MultimodalOps {
   /** Decoder-parametric form: the gated entry binds [[FakeDecoder]];
     * a deployment with real codecs passes its own [[MediaDecoder]]
     * and the plan/schema/batch shape are identical. */
+  /** The decode stage itself, decoder-parametric over ANY payload
+    * set — m2 binds the documents blob; a media corpus (or a spec
+    * feeding real PNG bytes) binds its own. Partition-preserving,
+    * no shuffle. */
+  def decodeFeatures(src: Dataset[(Long, Array[Byte])],
+      decoder: MediaDecoder): Dataset[DecodedFeatures] = {
+    import src.sparkSession.implicits._
+    src.mapPartitions { it =>
+      it.map { case (id, payload) =>
+        DecodedFeatures(id, payload.length, decoder.decode(payload))
+      }
+    }
+  }
+
   def m2FeatureExtract(spark: SparkSession, dir: String,
       decoder: MediaDecoder): DataFrame = {
     import spark.implicits._
     val src: Dataset[(Long, Array[Byte])] = withBlob(spark, dir)
       .select(col("doc_id"), col("payload"))
       .as[(Long, Array[Byte])]
-    src.mapPartitions { it =>
-      it.map { case (id, payload) =>
-        DecodedFeatures(id, payload.length, decoder.decode(payload))
-      }
-    }.toDF()
+    decodeFeatures(src, decoder).toDF()
       .select(col("doc_id"), col("n_bytes"),
         round(element_at(col("features"), 1).cast("double"), 6).as("f0"),
         round(element_at(col("features"), 2).cast("double"), 6).as("f1"))

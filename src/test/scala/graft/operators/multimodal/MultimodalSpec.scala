@@ -63,4 +63,64 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"doc ${r.getLong(0)}: toy f0 ${r.getDouble(2)} != $expected")
     }
   }
+
+  /** In-memory PNG of a solid color — real codec bytes, no files. */
+  private def solidPng(w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until h).foreach(y => (0 until w).foreach(x => img.setRGB(x, y, rgb)))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("ImageIoDecoder: real PNG bytes decode to exact channel statistics") {
+    // solid red 10x20: mean R=1, G=B=0, luma = .299, stddev 0,
+    // aspect = 10/30, zero pixels at/above mid luma
+    val f = MultimodalOps.ImageIoDecoder.decode(solidPng(10, 20, 0xff0000))
+    assert(f.length == MultimodalOps.ImageIoDecoder.FeatureDim)
+    assert(math.abs(f(0) - 1.0f) < 1e-6, s"mean R ${f(0)}")
+    assert(f(1) == 0.0f && f(2) == 0.0f)
+    assert(math.abs(f(3) - 0.299f) < 1e-3, s"luma ${f(3)}")
+    assert(f(4) == 0.0f, s"solid color has zero luma stddev, got ${f(4)}")
+    assert(math.abs(f(5) - 10.0f / 30.0f) < 1e-6, s"aspect ${f(5)}")
+    assert(f(7) == 0.0f, s"red luma 76 < 128, got bright frac ${f(7)}")
+    // solid white: every pixel at/above mid luma, luma 1.0
+    val white = MultimodalOps.ImageIoDecoder.decode(solidPng(4, 4, 0xffffff))
+    assert(math.abs(white(3) - 1.0f) < 1e-3 && white(7) == 1.0f)
+    // determinism
+    val again = MultimodalOps.ImageIoDecoder.decode(solidPng(10, 20, 0xff0000))
+    assert(f.toSeq == again.toSeq)
+  }
+
+  test("ImageIoDecoder: undecodable payloads return the -1 sentinel") {
+    val junk = MultimodalOps.ImageIoDecoder.decode("not an image".getBytes("UTF-8"))
+    assert(junk.toSeq == Seq.fill(8)(-1.0f))
+    val empty = MultimodalOps.ImageIoDecoder.decode(Array.empty[Byte])
+    assert(empty.toSeq == Seq.fill(8)(-1.0f))
+    // truncated PNG header (magic bytes but no image data)
+    val truncated = MultimodalOps.ImageIoDecoder.decode(
+      solidPng(4, 4, 0x123456).take(20))
+    assert(truncated.toSeq == Seq.fill(8)(-1.0f))
+  }
+
+  test("real codec through the distributed decode stage (the 100TB path)") {
+    val sq = spark
+    import sq.implicits._
+    // a mixed corpus: two real PNGs + one junk payload, 2 partitions —
+    // the exact mapPartitions shape the gated m2 runs, with the REAL
+    // codec bound at the seam
+    val payloads = Seq(
+      (1L, solidPng(10, 20, 0xff0000)),
+      (2L, solidPng(4, 4, 0xffffff)),
+      (3L, "definitely not a png".getBytes("UTF-8")))
+    val src = sq.createDataset(payloads).repartition(2)
+    val out = MultimodalOps.decodeFeatures(src, MultimodalOps.ImageIoDecoder)
+      .collect().map(d => d.doc_id -> d).toMap
+    assert(out.size == 3)
+    assert(math.abs(out(1L).features(0) - 1.0f) < 1e-6)   // red channel
+    assert(out(2L).features(7) == 1.0f)                    // all-bright white
+    assert(out(3L).features.toSeq == Seq.fill(8)(-1.0f))   // junk -> sentinel
+    assert(out(1L).n_bytes == payloads.head._2.length)
+  }
 }
