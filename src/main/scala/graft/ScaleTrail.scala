@@ -66,7 +66,10 @@ object ScaleTrail {
         val (a, b) = GraphOps.g17SplitPair(spark, dir); (a, b, "node", "lbl") }),
       "g20_kcore" -> (() => {
         val (a, b) = GraphOps.g20SplitPair(spark, dir)
-        (a, b, "node_id", "deg_in_core") }))
+        (a, b, "node_id", "deg_in_core") }),
+      "g35_coreness" -> (() => {
+        val (a, b) = GraphOps.g35SplitPair(spark, dir)
+        (a, b, "node_id", "coreness") }))
     splitProbes.filter(p => want(p._1)).foreach { case (name, probe) =>
       val t0 = System.nanoTime()
       val (full, split, key, value) = probe()

@@ -3304,19 +3304,43 @@ object GraphOps {
   // layout and each rung's alive set only shrinks.
   private val CorenessKs = Seq(2, 3, 4)
 
-  def g35Coreness(spark: SparkSession, dir: String): DataFrame = {
-    val sym = withSym(spark, dir)
+  /** The ladder assembly, peel-parametric so the ScaleTrail split
+    * probe can re-run it with every rung restarted mid-way. */
+  private def corenessLadder(sym: DataFrame,
+      peel: Int => DataFrame): DataFrame = {
     val allNodes = sym.groupBy(col("src").as("node_id"))
       .agg(count(lit(1)).as("degree"))
     val mem = CorenessKs.map { k =>
-      kcorePeel(sym, k, rounds = 6)
-        .select(col("node_id"), lit(k.toLong).as("k"))
+      peel(k).select(col("node_id"), lit(k.toLong).as("k"))
     }.reduce(_ unionAll _)
       .groupBy(col("node_id")).agg(max(col("k")).as("core_k"))
     allNodes.join(mem, Seq("node_id"), "left_outer")
       .select(col("node_id"), col("degree"),
         coalesce(col("core_k"), lit(1L)).as("coreness"))
       .orderBy(col("node_id"))
+  }
+
+  def g35Coreness(spark: SparkSession, dir: String): DataFrame = {
+    val sym = withSym(spark, dir)
+    corenessLadder(sym, k => kcorePeel(sym, k, rounds = 6))
+  }
+
+  /** ScaleTrail probe (r12 verdict #6): the full g35 ladder vs the
+    * SAME ladder with every rung's peel split 2+4 (restarted from its
+    * round-2 survivor set) — the g20 composition law applied to all
+    * three rungs at once PLUS the max-rung/coalesce assembly re-run
+    * on the split inputs. Any per-round checkpoint/persist
+    * perturbation at any rung surfaces as a coreness mismatch. Run
+    * at sf1+, where the unrolled 3×6-round MATERIALIZED oracle is
+    * infeasible. */
+  def g35SplitPair(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val sym = withSym(spark, dir)
+    val full = corenessLadder(sym, k => kcorePeel(sym, k, rounds = 6))
+    val split = corenessLadder(sym, { k =>
+      val alive2 = kcorePeel(sym, k, rounds = 2).select(col("node_id").as("n"))
+      kcorePeel(sym, k, rounds = 4, start = Some(alive2))
+    })
+    (full, split)
   }
 
   lazy val g35Sql: String = {
