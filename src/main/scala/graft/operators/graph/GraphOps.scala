@@ -79,6 +79,9 @@ object GraphOps {
   // (the g10 lesson). Fixed rounds keep the oracle an unrolled CTE
   // chain; output = round-6 degrees (among round-5 survivors)
   // thresholded at k, exactly d6/dg>=3 on the oracle side.
+  // NOT Loops.quiet: the dst-side membership join has no dst-partitioned
+  // cached layout, so each round leans on AQE to broadcast the shrinking
+  // alive set — without it every round would re-shuffle E rows.
   def kcorePeel(sym: DataFrame, k: Int, rounds: Int,
       start: Option[DataFrame] = None): DataFrame = {
     // `start` warm-starts the peel from a prior round's survivor set —
@@ -374,7 +377,7 @@ object GraphOps {
   // the expansion 3×), and (b) AQE partition coalescing for the sweep
   // measured 29–52 s (the fat middle hop collapsed to ~1 task).
   private def bfsDistsFrom(spark: SparkSession, dir: String,
-      seed: DataFrame): DataFrame = {
+      seed: DataFrame): DataFrame = graft.util.Loops.quiet(spark) {
     val sym = withSym(spark, dir)
     val d0 = seed.select(col("node"), lit(0L).as("dist"))
       .localCheckpoint(true)
@@ -384,11 +387,13 @@ object GraphOps {
     var cnt = 1L
     var h = 1L
     while (h <= 8L && cnt > 0L) {
+      // lazy checkpoint: the hop's own count is the materializing
+      // action — one job per hop instead of checkpoint-then-count
       val nxt = frontier.join(sym, col("node") === col("src"))
         .select(col("dst").as("node")).distinct()
         .join(seen, Seq("node"), "left_anti")
         .select(col("node"), lit(h).as("dist"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       cnt = nxt.count()
       if (cnt > 0L) {
         pieces = pieces :+ nxt
@@ -602,7 +607,7 @@ object GraphOps {
   // shuffles, never the E-row table) and max-merges by node
   // (map-side combined). Output is the bounded (layer × tag) census —
   // ≤ 6·6 rows at any corpus size — with vid ranges as spot anchors.
-  def g41DagLayers(spark: SparkSession, dir: String): DataFrame = {
+  def g41DagLayers(spark: SparkSession, dir: String): DataFrame = graft.util.Loops.quiet(spark) {
     val e = GraphTables.directed(spark, dir)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
@@ -857,43 +862,51 @@ object GraphOps {
   /** The shared tolerance-loop machinery behind [[pagerankUntilDelta]]
     * (absolute), [[pagerankUntilRelDelta]] (relative) and
     * [[weightedPagerankUntilRelDelta]]: from `start`, apply `step`
-    * per round, FUSE (rank, |Δ|) into each round's localCheckpoint
-    * job, and stop when `stop(maxDelta, maxRank)` first holds at or
-    * after round `minIters` (below the floor the check can't fire,
-    * so those rounds skip the delta join entirely and cost only the
-    * rank step). The stop check itself scans the cached V rows — one
-    * cheap aggregate, never a second join job recomputing
-    * next⋈prev. */
+    * per round, and stop when `stop(maxDelta, maxRank)` first holds at
+    * or after round `minIters`.
+    *
+    * One Spark JOB per stop-checked round (optimization r13, guide
+    * §1.2 "per-task work after the algorithm"): the round's vector is
+    * localCheckpoint'ed LAZILY and the stop-check aggregate — which
+    * joins the previous (already-materialized) checkpoint on the fly —
+    * is the single action that materializes it. The old shape ran an
+    * eager checkpoint job (3-col vector incl. the delta) plus a second
+    * scan job for the maxima; measured at sf0.1 the fused round is
+    * 3.88 s vs 6.38 s over g12's 8 rounds (LoopProbe, min of 3,
+    * together with the Loops.quiet AQE scope — lazy checkpointing only
+    * fuses when `toRdd` does not eagerly materialize AQE stages).
+    * Rounds below `minIters` run zero jobs of their own: their chained
+    * lazy checkpoints are computed by the first stop-checked round's
+    * aggregate. The vector, the round count, and the stop scalars are
+    * bit-identical to the old shape — same integer arithmetic, same
+    * join, same maxima (GraphWarmStartSpec pins loop ≡ unroll). */
   private def rankLoopUntilStop(start: DataFrame, step: DataFrame => DataFrame,
       maxIters: Int, minIters: Int, stop: (Long, Long) => Boolean,
-      ruleDesc: String): (DataFrame, Int) = {
-    var r = start.localCheckpoint(true)
-    var it = 0
-    var done = false
-    while (it < maxIters && !done) {
-      val stepped = step(r)
-      if (it + 1 < minIters) {
-        r = stepped.localCheckpoint(true)
+      ruleDesc: String): (DataFrame, Int) =
+    graft.util.Loops.quiet(start.sparkSession) {
+      var r = start.localCheckpoint(true)
+      var it = 0
+      var done = false
+      while (it < maxIters && !done) {
+        val next = step(r)
+          .select(col("node_id"), col("rank")).localCheckpoint(false)
+        val prev = r
         it += 1
-      } else {
-        val nd = stepped
-          .join(r.select(col("node_id"), col("rank").as("prev")), "node_id")
-          .select(col("node_id"), col("rank"),
-            abs(col("rank") - col("prev")).as("delta"))
-          .localCheckpoint(true)
-        // coalesce: max over zero rows is NULL — an empty vertex set
-        // is trivially converged (delta 0), not a crash
-        val row = nd.agg(coalesce(max(col("delta")), lit(0L)),
-          coalesce(max(col("rank")), lit(0L))).collect()(0)
-        it += 1
-        done = stop(row.getLong(0), row.getLong(1))
-        r = nd.select(col("node_id"), col("rank"))
+        if (it >= minIters) {
+          // coalesce: max over zero rows is NULL — an empty vertex set
+          // is trivially converged (delta 0), not a crash
+          val row = next
+            .join(prev.select(col("node_id"), col("rank").as("prev")), "node_id")
+            .agg(coalesce(max(abs(col("rank") - col("prev"))), lit(0L)),
+              coalesce(max(col("rank")), lit(0L))).collect()(0)
+          done = stop(row.getLong(0), row.getLong(1))
+        }
+        r = next
       }
+      if (!done) throw new IllegalStateException(
+        s"pagerank did not reach $ruleDesc within $maxIters rounds")
+      (r, it)
     }
-    if (!done) throw new IllegalStateException(
-      s"pagerank did not reach $ruleDesc within $maxIters rounds")
-    (r, it)
-  }
 
   /** PageRank for a WALL-CLOCK budget — the reference's literal
     * AnalysisRound contract (Runner.java:31 `timeInSeconds`): run
@@ -1671,7 +1684,8 @@ object GraphOps {
     * run it on the derived graph, dedup's cluster assignment (d6) on
     * the candidate-pair graph. */
   def minLabelFixpoint(sym: DataFrame, start: DataFrame,
-      maxIters: Int, untilConverged: Boolean, stride: Int = 1): DataFrame = {
+      maxIters: Int, untilConverged: Boolean,
+      stride: Int = 1): DataFrame = graft.util.Loops.quiet(sym.sparkSession) {
     var labels = start.persist(StorageLevel.MEMORY_AND_DISK)
     var it = 0
     var done = false
@@ -1701,7 +1715,15 @@ object GraphOps {
       var cur = labels
       for (_ <- 1 until stride)
         cur = step(cur, keepPrev = false).select(col("node"), col("lbl"))
-      val next = step(cur, keepPrev = true).localCheckpoint(true)
+      // Convergence rounds: ONE job per round (optimization r13) — the
+      // round is localCheckpoint'ed lazily and the convergence count is
+      // the action that materializes it (each partition is stored as it
+      // is computed, so the previous round's double reference still
+      // resolves against materialized storage). Fixed-round mode keeps
+      // the eager checkpoint: with no per-round action a lazy chain
+      // would leave each round's DOUBLE consumer (union + join) racing
+      // to compute unmaterialized parents inside the one final job.
+      val next = step(cur, keepPrev = true).localCheckpoint(untilConverged == false)
       if (untilConverged) {
         done = next.filter(col("lbl") < col("prev")).limit(1).count() == 0L
       }
@@ -1900,7 +1922,7 @@ object GraphOps {
       .select(col("src"), col("dst"),
         greatest(lit(1L), expr("CAST(1000000 AS BIGINT) div w")).as("cost"))
 
-  def g44WeightedSssp(spark: SparkSession, dir: String): DataFrame = {
+  def g44WeightedSssp(spark: SparkSession, dir: String): DataFrame = graft.util.Loops.quiet(spark) {
     val we = ssspCostEdges(spark, dir)
     val seed = we.agg(min(col("src")).as("node"))
       .select(col("node"), lit(0L).as("dist"))
@@ -1919,12 +1941,16 @@ object GraphOps {
       val relaxed = we.join(frontier, col("src") === col("node"))
         .select(col("dst").as("node"), (col("dist") + col("cost")).as("dist"),
           lit(false).as("own"))
+      // lazy checkpoint + the emptiness probe as the materializing
+      // action: one job per round instead of checkpoint-then-count
+      // (optimization r13 — every partition is fully stored by the
+      // block manager as the probe computes it)
       val next = dists.select(col("node"), col("dist"), lit(true).as("own"))
         .union(relaxed)
         .groupBy(col("node"))
         .agg(min(col("dist")).as("dist"),
           min(when(col("own"), col("dist"))).as("prev"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       frontier = next.filter(col("prev").isNull || col("dist") < col("prev"))
         .select(col("node"), col("dist"))
       done = frontier.limit(1).count() == 0L
@@ -1995,7 +2021,7 @@ object GraphOps {
     * useful (the mark phase seeds pivots: a 1-label never improves
     * another 1). Returns the converged labels. */
   def minLabelFrontier(edges: DataFrame, start: DataFrame,
-      initFrontier: DataFrame, maxIters: Int): DataFrame = {
+      initFrontier: DataFrame, maxIters: Int): DataFrame = graft.util.Loops.quiet(edges.sparkSession) {
     var labels = start.localCheckpoint(true)
     var frontier = initFrontier.localCheckpoint(true)
     var it = 0
@@ -2003,12 +2029,15 @@ object GraphOps {
     while (it < maxIters && !done) {
       val relaxed = edges.join(frontier, col("src") === col("node"))
         .select(col("dst").as("node"), col("lbl"), lit(false).as("own"))
+      // lazy checkpoint + the frontier-emptiness probe as the single
+      // materializing job per round (optimization r13, same shape as
+      // rankLoopUntilStop/g44)
       val next = labels.select(col("node"), col("lbl"), lit(true).as("own"))
         .union(relaxed)
         .groupBy(col("node"))
         .agg(min(col("lbl")).as("lbl"),
           min(when(col("own"), col("lbl"))).as("prev"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       frontier = next.filter(col("lbl") < col("prev"))
         .select(col("node"), col("lbl"))
       done = frontier.limit(1).count() == 0L
@@ -2740,7 +2769,7 @@ object GraphOps {
     * `start` (node, lbl) — the community counterpart of
     * [[minLabelFixpoint]]. */
   def labelPropagation(sym: DataFrame, start: DataFrame,
-      rounds: Int): DataFrame = {
+      rounds: Int): DataFrame = graft.util.Loops.quiet(sym.sparkSession) {
     var labels = start.persist(StorageLevel.MEMORY_AND_DISK)
     for (_ <- 1 to rounds) {
       val next = sym.join(labels, col("src") === col("node"))
@@ -3513,7 +3542,7 @@ object GraphOps {
     * warmup). The checkpoint also cuts the plan to constant depth in
     * round count. */
   def hitsOf(edSrc: DataFrame, edDst: DataFrame, nodes: DataFrame,
-      rounds: Int = HitsRounds): DataFrame = {
+      rounds: Int = HitsRounds): DataFrame = graft.util.Loops.quiet(edSrc.sparkSession) {
     def normalized(raw: DataFrame, c: String): DataFrame = {
       val mx = raw.agg(max(col(c)).as("mx"))
       raw.crossJoin(broadcast(mx))
