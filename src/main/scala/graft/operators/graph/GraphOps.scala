@@ -79,33 +79,66 @@ object GraphOps {
   // (the g10 lesson). Fixed rounds keep the oracle an unrolled CTE
   // chain; output = round-6 degrees (among round-5 survivors)
   // thresholded at k, exactly d6/dg>=3 on the oracle side.
-  // NOT Loops.quiet: the dst-side membership join has no dst-partitioned
-  // cached layout, so each round leans on AQE to broadcast the shrinking
-  // alive set — without it every round would re-shuffle E rows.
+  //
+  // Two regimes (optimization r14, r13 verdict #5 — guide §2.4 remove
+  // shuffles outright). Under `spark.graft.peel.broadcastCap` edge
+  // rows (default 8M ⇒ alive ≤ V ≤ E ≤ 8M rows ≈ ≤128 MB broadcast),
+  // BOTH membership joins take the alive set as an EXPLICIT broadcast:
+  // the cached E-row table never enters an exchange (the old AQE
+  // regime re-planned per round and still paid the E-row shuffle WRITE
+  // before the runtime broadcast conversion), rounds run AQE-quiet,
+  // and each round's degree table is a LAZY localCheckpoint whose
+  // materializing action is the next round's broadcast build (one job
+  // per round, the r13 fused-loop recipe). Over the cap (100 TB
+  // graphs, where a V-row broadcast would OOM the driver) the proven
+  // per-round-AQE shape runs unchanged — AQE broadcasts the shrinking
+  // alive set at runtime once it fits, and skew splitting stays live.
   def kcorePeel(sym: DataFrame, k: Int, rounds: Int,
       start: Option[DataFrame] = None): DataFrame = {
     // `start` warm-starts the peel from a prior round's survivor set —
     // peel rounds compose (alive_r depends only on alive_{r-1}), the
     // law ScaleTrail re-executes at sf10 where the unrolled oracle
     // can't follow (the pagerankFrom resume analog).
-    var alive = start.getOrElse(sym.select(col("src").as("n")).distinct())
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    var deg = sym.sparkSession.emptyDataFrame
-    var r = 0
-    while (r < rounds) {
-      deg = sym
-        .join(alive, col("src") === col("n")).drop("n")
-        .join(alive.withColumnRenamed("n", "nd"), col("dst") === col("nd")).drop("nd")
-        .groupBy(col("src")).agg(count(lit(1)).as("dg"))
-        .localCheckpoint(true)
-      val next = deg.filter(col("dg") >= k).select(col("src").as("n"))
-      alive.unpersist()
-      alive = next.persist(StorageLevel.MEMORY_AND_DISK)
-      r += 1
+    val spark = sym.sparkSession
+    val smallGraph = graft.util.Loops.memoRows(sym) <=
+      longConf(spark, "spark.graft.graph.broadcastCap", 8000000L)
+    if (smallGraph) graft.util.Loops.quiet(spark) {
+      var alive = start.getOrElse(sym.select(col("src").as("n")).distinct())
+      var deg = spark.emptyDataFrame
+      var r = 0
+      while (r < rounds) {
+        deg = sym
+          .join(broadcast(alive), col("src") === col("n")).drop("n")
+          .join(broadcast(alive.select(col("n").as("nd"))),
+            col("dst") === col("nd")).drop("nd")
+          .groupBy(col("src")).agg(count(lit(1)).as("dg"))
+          .localCheckpoint(false)
+        alive = deg.filter(col("dg") >= k).select(col("src").as("n"))
+        r += 1
+      }
+      deg.filter(col("dg") >= k)
+        .select(col("src").as("node_id"), col("dg").as("deg_in_core"))
+        .orderBy(col("node_id"))
+    } else {
+      var alive = start.getOrElse(sym.select(col("src").as("n")).distinct())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      var deg = spark.emptyDataFrame
+      var r = 0
+      while (r < rounds) {
+        deg = sym
+          .join(alive, col("src") === col("n")).drop("n")
+          .join(alive.withColumnRenamed("n", "nd"), col("dst") === col("nd")).drop("nd")
+          .groupBy(col("src")).agg(count(lit(1)).as("dg"))
+          .localCheckpoint(true)
+        val next = deg.filter(col("dg") >= k).select(col("src").as("n"))
+        alive.unpersist()
+        alive = next.persist(StorageLevel.MEMORY_AND_DISK)
+        r += 1
+      }
+      deg.filter(col("dg") >= k)
+        .select(col("src").as("node_id"), col("dg").as("deg_in_core"))
+        .orderBy(col("node_id"))
     }
-    deg.filter(col("dg") >= k)
-      .select(col("src").as("node_id"), col("dg").as("deg_in_core"))
-      .orderBy(col("node_id"))
   }
 
   def g20Kcore(spark: SparkSession, dir: String): DataFrame =
@@ -222,6 +255,15 @@ object GraphOps {
   // the closed flag is one left join against the cached sym edges,
   // degrees join V-rows, and the output is ≤ log2(V) rows. Exact
   // integer ppm.
+  // Optimization-r14 probe, NEGATIVE, reverted (recorded per the
+  // measure-first norm): explicitly broadcasting the V-row deg table
+  // and the E-row closed-flag side into the pair table measured a
+  // tie-to-loss (AbProbe, 8 alternating reps each: broadcast median
+  // 4.25 s / min 3.50 vs shuffle median 3.96 s / min 2.51 at sf0.1) —
+  // the pair table comes out of wedgePairAgg already hash-partitioned
+  // by (node_a, node_b), so the closed-flag join was exchange-free on
+  // the pair side all along, and the two deg sort-merge joins cost
+  // less than building+probing per-invocation broadcasts here.
   def g47ClosureByDegree(spark: SparkSession, dir: String): DataFrame = {
     val sym = withSym(spark, dir)
     val deg = sym.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
@@ -377,8 +419,9 @@ object GraphOps {
   // the expansion 3×), and (b) AQE partition coalescing for the sweep
   // measured 29–52 s (the fat middle hop collapsed to ~1 task).
   private def bfsDistsFrom(spark: SparkSession, dir: String,
-      seed: DataFrame): DataFrame = graft.util.Loops.quiet(spark) {
+      seed: DataFrame): DataFrame = {
     val sym = withSym(spark, dir)
+    graft.util.Loops.quiet(spark, graft.util.Loops.memoRows(sym)) {
     val d0 = seed.select(col("node"), lit(0L).as("dist"))
       .localCheckpoint(true)
     var pieces = Vector(d0)
@@ -403,7 +446,7 @@ object GraphOps {
       h += 1
     }
     pieces.reduce(_.union(_))
-  }
+  } }
 
   // Seed-component driver caps (the g45/g46 bounded-hybrid precedent:
   // component-sized collect behind explicit caps, never corpus rows,
@@ -607,8 +650,9 @@ object GraphOps {
   // shuffles, never the E-row table) and max-merges by node
   // (map-side combined). Output is the bounded (layer × tag) census —
   // ≤ 6·6 rows at any corpus size — with vid ranges as spot anchors.
-  def g41DagLayers(spark: SparkSession, dir: String): DataFrame = graft.util.Loops.quiet(spark) {
+  def g41DagLayers(spark: SparkSession, dir: String): DataFrame = {
     val e = GraphTables.directed(spark, dir)
+    graft.util.Loops.quiet(spark, graft.util.Loops.memoRows(e)) {
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
     var layers = nodes.withColumn("layer", lit(0L))
@@ -629,7 +673,7 @@ object GraphOps {
       .agg(count(lit(1)).as("n_nodes"),
         min(col("node")).as("min_vid"), max(col("node")).as("max_vid"))
       .orderBy(col("layer"), col("tag"))
-  }
+  } }
 
   lazy val g41Sql: String =
     s"""WITH RECURSIVE ${GraphTables.symSqlCtes},
@@ -857,7 +901,8 @@ object GraphOps {
       maxIters: Int, minIters: Int, stop: (Long, Long) => Boolean,
       ruleDesc: String): (DataFrame, Int) =
     rankLoopUntilStop(uniformRanks(spark, dir),
-      r => pagerankFrom(spark, dir, r, 1), maxIters, minIters, stop, ruleDesc)
+      r => pagerankFrom(spark, dir, r, 1), maxIters, minIters, stop, ruleDesc,
+      graft.util.Loops.memoRows(edgesWithDeg(spark, dir)))
 
   /** The shared tolerance-loop machinery behind [[pagerankUntilDelta]]
     * (absolute), [[pagerankUntilRelDelta]] (relative) and
@@ -879,11 +924,19 @@ object GraphOps {
     * lazy checkpoints are computed by the first stop-checked round's
     * aggregate. The vector, the round count, and the stop scalars are
     * bit-identical to the old shape — same integer arithmetic, same
-    * join, same maxima (GraphWarmStartSpec pins loop ≡ unroll). */
+    * join, same maxima (GraphWarmStartSpec pins loop ≡ unroll).
+    *
+    * PRECONDITION (r13 advisor note): bit-identity to the old
+    * stepped⋈prev shape holds because every current `step` (pagerank /
+    * weighted / personalized over symmetric edge tables) PRESERVES the
+    * vertex set — the returned vector is `stepped` alone, so a future
+    * step whose output node set differs from its input would KEEP
+    * nodes the old inner join dropped. Any new step must preserve the
+    * vertex set or re-derive this contract. */
   private def rankLoopUntilStop(start: DataFrame, step: DataFrame => DataFrame,
       maxIters: Int, minIters: Int, stop: (Long, Long) => Boolean,
-      ruleDesc: String): (DataFrame, Int) =
-    graft.util.Loops.quiet(start.sparkSession) {
+      ruleDesc: String, loopRows: => Long = -1L): (DataFrame, Int) =
+    graft.util.Loops.quiet(start.sparkSession, loopRows) {
       var r = start.localCheckpoint(true)
       var it = 0
       var done = false
@@ -1025,7 +1078,8 @@ object GraphOps {
       maxIters, minIters,
       (mxDelta, mxRank) =>
         BigInt(mxDelta) * 1000000 <= BigInt(relPpm) * BigInt(mxRank),
-      s"weighted relative |delta| <= $relPpm ppm")
+      s"weighted relative |delta| <= $relPpm ppm",
+      graft.util.Loops.memoRows(wed))
   }
 
   def g15WeightedPagerank(spark: SparkSession, dir: String): DataFrame =
@@ -1201,7 +1255,8 @@ object GraphOps {
       maxIters, minIters,
       (mxDelta, mxRank) =>
         BigInt(mxDelta) * 1000000 <= BigInt(relPpm) * BigInt(mxRank),
-      s"weighted personalized relative |delta| <= $relPpm ppm")
+      s"weighted personalized relative |delta| <= $relPpm ppm",
+      graft.util.Loops.memoRows(wed))
   }
 
   /** The driver-gated instance: same tag source set as g13 (node % 8
@@ -1685,7 +1740,8 @@ object GraphOps {
     * the candidate-pair graph. */
   def minLabelFixpoint(sym: DataFrame, start: DataFrame,
       maxIters: Int, untilConverged: Boolean,
-      stride: Int = 1): DataFrame = graft.util.Loops.quiet(sym.sparkSession) {
+      stride: Int = 1): DataFrame =
+    graft.util.Loops.quiet(sym.sparkSession, graft.util.Loops.memoRows(sym)) {
     var labels = start.persist(StorageLevel.MEMORY_AND_DISK)
     var it = 0
     var done = false
@@ -1719,7 +1775,14 @@ object GraphOps {
       // round is localCheckpoint'ed lazily and the convergence count is
       // the action that materializes it (each partition is stored as it
       // is computed, so the previous round's double reference still
-      // resolves against materialized storage). Fixed-round mode keeps
+      // resolves against materialized storage). NOTE (r13 advisor):
+      // when the limit(1) probe short-circuits, partitions it never
+      // computed are filled in by Spark's LocalRDDCheckpointData
+      // missing-partition job — an extra job that round, and the thing
+      // the next round's double reference silently depends on. A
+      // refactor swapping limit(1).count for isEmpty or changing the
+      // storage level must NOT assume the probe job materialized
+      // everything. Fixed-round mode keeps
       // the eager checkpoint: with no per-round action a lazy chain
       // would leave each round's DOUBLE consumer (union + join) racing
       // to compute unmaterialized parents inside the one final job.
@@ -1922,8 +1985,10 @@ object GraphOps {
       .select(col("src"), col("dst"),
         greatest(lit(1L), expr("CAST(1000000 AS BIGINT) div w")).as("cost"))
 
-  def g44WeightedSssp(spark: SparkSession, dir: String): DataFrame = graft.util.Loops.quiet(spark) {
+  def g44WeightedSssp(spark: SparkSession, dir: String): DataFrame = {
     val we = ssspCostEdges(spark, dir)
+    graft.util.Loops.quiet(spark,
+      graft.util.Loops.memoRows(GraphTables.weightedEdges(spark, dir))) {
     val seed = we.agg(min(col("src")).as("node"))
       .select(col("node"), lit(0L).as("dist"))
     // Frontier-based relaxation (the delta optimization): a settled
@@ -1943,8 +2008,12 @@ object GraphOps {
           lit(false).as("own"))
       // lazy checkpoint + the emptiness probe as the materializing
       // action: one job per round instead of checkpoint-then-count
-      // (optimization r13 — every partition is fully stored by the
-      // block manager as the probe computes it)
+      // (optimization r13). NOTE (r13 advisor): the limit(1) probe can
+      // short-circuit — partitions it skips are later filled in by
+      // LocalRDDCheckpointData's missing-partition job, which is what
+      // the next round's references depend on; don't swap the probe
+      // for isEmpty or change the storage level assuming the probe
+      // materialized every partition.
       val next = dists.select(col("node"), col("dist"), lit(true).as("own"))
         .union(relaxed)
         .groupBy(col("node"))
@@ -1962,7 +2031,7 @@ object GraphOps {
         "AND the oracle horizon together")
     dists.select(col("node").as("node_id"), col("dist").as("dist_micro"))
       .orderBy(col("node_id"))
-  }
+  } }
 
   // ---- g45: strongly connected components (trim + FW-BW coloring) ----
   // The one classic graph operator the deck lacked. The derivation
@@ -2021,7 +2090,8 @@ object GraphOps {
     * useful (the mark phase seeds pivots: a 1-label never improves
     * another 1). Returns the converged labels. */
   def minLabelFrontier(edges: DataFrame, start: DataFrame,
-      initFrontier: DataFrame, maxIters: Int): DataFrame = graft.util.Loops.quiet(edges.sparkSession) {
+      initFrontier: DataFrame, maxIters: Int): DataFrame =
+    graft.util.Loops.quiet(edges.sparkSession, graft.util.Loops.memoRows(edges)) {
     var labels = start.localCheckpoint(true)
     var frontier = initFrontier.localCheckpoint(true)
     var it = 0
@@ -2031,7 +2101,9 @@ object GraphOps {
         .select(col("dst").as("node"), col("lbl"), lit(false).as("own"))
       // lazy checkpoint + the frontier-emptiness probe as the single
       // materializing job per round (optimization r13, same shape as
-      // rankLoopUntilStop/g44)
+      // rankLoopUntilStop/g44 — including g44's advisor note: limit(1)
+      // can short-circuit and later references lean on the
+      // LocalRDDCheckpointData fill-in job for skipped partitions)
       val next = labels.select(col("node"), col("lbl"), lit(true).as("own"))
         .union(relaxed)
         .groupBy(col("node"))
@@ -2513,7 +2585,12 @@ object GraphOps {
     * Borůvka can legitimately need up to ~log2(V) rounds, and a
     * correctly computed forest must be RETURNED, not thrown away; an
     * over-horizon run is logged to stderr instead. */
-  def boruvkaForest(wc: DataFrame, oracleHorizonCheck: Boolean = false): DataFrame = {
+  /** `loopRows`: the caller's per-round row estimate for the loop-AQE
+    * auto policy (see Loops) — pass a memoized count of a CACHED
+    * parent (g46 passes weightedEdges) so repeated invocations don't
+    * re-count; defaults to counting `wc` itself. */
+  def boruvkaForest(wc: DataFrame, oracleHorizonCheck: Boolean = false,
+      loopRows: => Long = -1L): DataFrame = {
     // round 1 runs lazily off the (cached) input — no point paying a
     // full-E checkpoint before the first contraction drops most edges;
     // every later round's survivor set IS checkpointed (plan depth
@@ -2528,12 +2605,31 @@ object GraphOps {
     var done = false
     var allDriverRounds = true
     var maxChainDepth = 0
+    // ONE Spark job per round (optimization r14, the r13 rank-loop
+    // recipe applied here — guide §1.2/§5): both the round's pick
+    // table AND the previous round's relabeled survivor set are
+    // localCheckpoint'ed LAZILY, and the pick COUNT below is the
+    // single action that materializes the chain (count computes every
+    // partition, so the block manager stores the full checkpoint —
+    // the later collect/relabel reads hit blocks, never recompute).
+    // The old shape ran two eager checkpoint jobs per round (pick,
+    // relabel) plus the count. Loops.quiet: rounds are fixed-shape
+    // aggregates over checkpointed inputs with an explicitly broadcast
+    // relabel map — per-round AQE re-planning is pure latency at gate
+    // scale; the auto policy keeps AQE (runtime skew splits) once the
+    // edge set passes the threshold.
+    // `spark.graft.boruvka.fused=false` restores the r13 shape (eager
+    // checkpoints, adaptive rounds) — the in-session A/B lever
+    // (AbProbe) and the safety valve if a deployment's rounds prefer
+    // adaptive planning.
+    val fused = spark.conf.get("spark.graft.boruvka.fused", "true") == "true"
+    def contractionLoop(): Unit =
     while (!done && r < BoruvkaSparkCap) {
       val picked = e.groupBy(col("cu"))
         .agg(min(struct(col("cost"), col("a"), col("b"), col("cv"))).as("m"))
         .select(col("cu").as("node"), col("m.cost").as("cost"),
           col("m.a").as("a"), col("m.b").as("b"), col("m.cv").as("par"))
-        .localCheckpoint(true)
+        .localCheckpoint(!fused)
       val nPicked = picked.count()
       if (sys.env.contains("GRAFT_SCC_DEBUG"))
         System.err.println(s"[boruvka] r=$r picked=$nPicked t=${System.nanoTime() / 1000000}")
@@ -2631,6 +2727,10 @@ object GraphOps {
         // relabel; reduced it is ≤ the distinct pair count). The
         // aggregate map-side combines, so the big input never
         // shuffles raw.
+        // LAZY: the next round's pick count materializes this in the
+        // same job as the pick itself (fill-in jobs for any partition
+        // the count somehow skipped are Spark's LocalRDDCheckpointData
+        // contract — count skips none)
         e = e.join(pmap.select(col("node").as("cu"), col("par").as("ncu")), Seq("cu"))
           .join(pmap.select(col("node").as("cv"), col("par").as("ncv")), Seq("cv"))
           .filter(col("ncu") =!= col("ncv"))
@@ -2638,12 +2738,18 @@ object GraphOps {
           .agg(min(struct(col("cost"), col("a"), col("b"))).as("m"))
           .select(col("ncu").as("cu"), col("ncv").as("cv"),
             col("m.cost").as("cost"), col("m.a").as("a"), col("m.b").as("b"))
-          .localCheckpoint(true)
+          .localCheckpoint(!fused)
         if (sys.env.contains("GRAFT_SCC_DEBUG"))
           System.err.println(s"[boruvka] r=$r relabeled t=${System.nanoTime() / 1000000}")
         r += 1
       }
     }
+    if (fused)
+      graft.util.Loops.quiet(spark,
+        if (loopRows >= 0L) loopRows else graft.util.Loops.memoRows(wc)) {
+        contractionLoop()
+      }
+    else contractionLoop()
     if (!done) throw new IllegalStateException(
       s"Borůvka did not finish within $BoruvkaSparkCap rounds")
     // Oracle-horizon assert (gate scales run every round under the
@@ -2679,7 +2785,8 @@ object GraphOps {
   }
 
   def g46Boruvka(spark: SparkSession, dir: String): DataFrame =
-    boruvkaForest(mstCostEdges(spark, dir), oracleHorizonCheck = true)
+    boruvkaForest(mstCostEdges(spark, dir), oracleHorizonCheck = true,
+        loopRows = graft.util.Loops.memoRows(GraphTables.weightedEdges(spark, dir)))
       .select(col("a").as("u"), col("b").as("v"), col("cost"))
       .orderBy(col("u"), col("v"))
 
@@ -2769,7 +2876,8 @@ object GraphOps {
     * `start` (node, lbl) — the community counterpart of
     * [[minLabelFixpoint]]. */
   def labelPropagation(sym: DataFrame, start: DataFrame,
-      rounds: Int): DataFrame = graft.util.Loops.quiet(sym.sparkSession) {
+      rounds: Int): DataFrame =
+    graft.util.Loops.quiet(sym.sparkSession, graft.util.Loops.memoRows(sym)) {
     var labels = start.persist(StorageLevel.MEMORY_AND_DISK)
     for (_ <- 1 to rounds) {
       val next = sym.join(labels, col("src") === col("node"))
@@ -3095,6 +3203,21 @@ object GraphOps {
     // (sf0.01's waves are 67 then 2); sf0.1+ peels run all-full, the
     // measured floor. Conf-overridable for graphs with small waves.
     val deltaCap = longConf(spark, "spark.graft.truss.deltaWaveCap", 1024L)
+    // In-memory round checkpoints under a size cap (optimization r14,
+    // guide §6/§5): the parquet-per-round discipline exists for sf10's
+    // scratch-disk math (119.6M-edge projection, ~34 GB peak — see the
+    // block comment above) and costs each gate-scale round a full
+    // write+read of the survivor set PLUS the lost ou-partitioning
+    // (one E-row exchange into the next adjacency build). Under
+    // `spark.graft.truss.memCkptCap` round-0 edges (default 16M rows ≈
+    // ≤0.4 GB serialized — trivial next to the block manager's share
+    // of a 128 GB heap, and freed by the 30 s periodic GC) the rounds
+    // localCheckpoint instead: no disk round-trip, partitioning
+    // PRESERVED across rounds (LogicalRDD keeps outputPartitioning),
+    // identical trajectory. The cap reads traj(0) — already counted —
+    // so the gate costs zero extra jobs.
+    val memCkpt = traj(0)._2 <=
+      longConf(spark, "spark.graft.truss.memCkptCap", 16000000L)
     var curSup: DataFrame = null   // survivors (ou, ov, sup) of the last round
     var curWave: DataFrame = null  // edges the last round removed — CHECKPOINTED
                                    // whenever a delta round may consume it
@@ -3110,12 +3233,19 @@ object GraphOps {
       val lastWave = if (r == 1) Long.MaxValue else traj(r - 2)._2 - traj(r - 1)._2
       tdbg(s"round $r start, lastWave=$lastWave path=${if (lastWave > deltaCap) "FULL" else "DELTA"}")
       if (lastWave > deltaCap) {
-        // FULL round: re-enumerate supports over the current edge set
-        orientedSupports(ord)
+        // FULL round: re-enumerate supports over the current edge set.
+        // Gate-scale rounds checkpoint LAZILY in memory — the count
+        // below is the materializing action (one job, the r13 fused
+        // recipe); over-cap rounds keep the parquet disk discipline.
+        val sup = orientedSupports(ord)
           .filter(col("sup") >= TrussK - 2)
           .select(col("a").as("ou"), col("b").as("ov"), col("sup"))
-          .write.mode("overwrite").parquet(roundPath(r))
-        val next = spark.read.parquet(roundPath(r))
+        val next =
+          if (memCkpt) sup.localCheckpoint(false)
+          else {
+            sup.write.mode("overwrite").parquet(roundPath(r))
+            spark.read.parquet(roundPath(r))
+          }
         traj += ((r, next.count()))
         // wave = edges present before this round but not surviving it
         // (includes zero-support edges absent from the sup table).
@@ -3542,7 +3672,8 @@ object GraphOps {
     * warmup). The checkpoint also cuts the plan to constant depth in
     * round count. */
   def hitsOf(edSrc: DataFrame, edDst: DataFrame, nodes: DataFrame,
-      rounds: Int = HitsRounds): DataFrame = graft.util.Loops.quiet(edSrc.sparkSession) {
+      rounds: Int = HitsRounds): DataFrame =
+    graft.util.Loops.quiet(edSrc.sparkSession, graft.util.Loops.memoRows(edSrc)) {
     def normalized(raw: DataFrame, c: String): DataFrame = {
       val mx = raw.agg(max(col(c)).as("mx"))
       raw.crossJoin(broadcast(mx))

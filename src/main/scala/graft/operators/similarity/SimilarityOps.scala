@@ -2074,7 +2074,14 @@ object SimilarityOps {
   // fold order), so the argmax — and the gate — is exact.
   private val MmrPool = 25
 
-  def s47Mmr(spark: SparkSession, dir: String): DataFrame = {
+  def s47Mmr(spark: SparkSession, dir: String): DataFrame = graft.util.Loops.quiet(spark) {
+    // AQE-quiet scope (optimization r14): the greedy runs K
+    // checkpoint-materialized rounds over ≤ MmrPool·|queries| rows —
+    // fixed tiny shapes whose per-round AQE re-planning is pure
+    // driver latency; every join side here is bounded by construction
+    // at any corpus scale, so no round ever needs a runtime skew
+    // split. The checkpoint jobs run inside this scope (the one-job
+    // rounds the r13 loop work established).
     graft.functions.GraftFunctions.registerAll(spark)
     val e = VectorExprs.embFeatures(spark, dir)
       .select(col("vec_id"), col("vd"), col("n2"))
@@ -2121,7 +2128,7 @@ object SimilarityOps {
     sel.select(col("query_id"), col("rank"),
         col("cid").as("neighbor_id"), col("rel").as("cosine"))
       .orderBy(col("query_id"), col("rank"))
-  }
+  }   // Loops.quiet
 
   lazy val s47Sql: String = {
     def round(r: Int): String =
@@ -2458,12 +2465,20 @@ object SimilarityOps {
     * and keep each query's bounded top-K — the tail every kNN-graph
     * builder shares (s33's band candidates, s37's expanded ones). */
   private def rescoreTopK(spark: SparkSession, dir: String,
-      cand: DataFrame): DataFrame = {
+      cand: DataFrame, broadcastCand: Boolean = false): DataFrame = {
     graft.functions.GraftFunctions.registerAll(spark)
     val e = VectorExprs.embFeatures(spark, dir)
       .select(col("vec_id"), col("vd"), col("n2"))
-    val pairs = cand
-      .join(e.as("q"), col("qid") === col("q.vec_id"))
+    // `broadcastCand` (optimization r14, guide §3.1): callers whose
+    // candidate set is BOUNDED BY CONSTRUCTION (s45's beam — ≤
+    // |queries|·(K+K²) rows at any corpus scale) broadcast it, and the
+    // query-features intermediate after it, into the two corpus
+    // joins — the corpus is scanned, never shuffled, and the static
+    // planner needs no AQE round to see it. Corpus-sized callers
+    // (lshKnnLists, nnDescentRound) keep the shuffle joins.
+    def bc(df: DataFrame): DataFrame = if (broadcastCand) broadcast(df) else df
+    val pairs = bc(bc(cand)
+      .join(e.as("q"), col("qid") === col("q.vec_id")))
       .join(e.as("c"), col("cid") === col("c.vec_id"))
       .withColumn("dot", expr(VectorExprs.dotExpr("q.vd", "c.vd")))
       .select(col("qid").as("query_id"), col("cid").as("neighbor_id"),
@@ -2789,17 +2804,37 @@ object SimilarityOps {
     val qs = ids.filter(col("vec_id") < 10).select(col("vec_id").as("qid"))
     val g = nndRound1(spark, dir)
       .select(col("query_id").as("gq"), col("neighbor_id").as("gn"))
-    var beam = rescoreTopK(spark, dir,
-      qs.crossJoin(broadcast(entries.select(col("vec_id").as("cid")))))
-    for (_ <- 1 to BeamRounds) {
-      val fwd = beam.select(col("query_id").as("qid"), col("neighbor_id").as("cid"))
-      val cand = fwd.union(
-          fwd.join(g, col("cid") === col("gq"))
-            .select(col("qid"), col("gn").as("cid")))
-        .filter(col("qid") =!= col("cid")).distinct()
-      beam = rescoreTopK(spark, dir, cand)
+    // Optimization r14 (guide §3.3/§1.2): the beam is ≤ |queries|·K
+    // rows per round — broadcast-sized by construction at ANY corpus
+    // scale — but as one lazily nested plan the 4 rescore rounds
+    // compounded into a deep tree the driver re-planned per AQE stage
+    // (the board's most SERIAL slot: 8-core ran it 2.6× faster than
+    // 32-core in r13). Each round now materializes its ≤K·|queries|
+    // rows via an eager localCheckpoint inside an AQE-quiet scope,
+    // with the candidate side explicitly broadcast into the corpus
+    // joins (rescoreTopK broadcastCand) — per round: two cached-corpus
+    // scans, zero corpus exchanges, one bounded-aggregate exchange,
+    // and a constant-depth plan for the next round. Values identical:
+    // checkpointing and broadcast hints change where rows live, not
+    // what they are (oracle re-gated).
+    graft.util.Loops.quiet(spark) {
+      var beam = rescoreTopK(spark, dir,
+        qs.crossJoin(broadcast(entries.select(col("vec_id").as("cid")))),
+        broadcastCand = true).localCheckpoint(true)
+      for (_ <- 1 to BeamRounds) {
+        val fwd = beam.select(col("query_id").as("qid"), col("neighbor_id").as("cid"))
+        // the beam side of the expansion join is the broadcast (≤
+        // K·|queries| rows); the K·N-row graph lists are scanned from
+        // cache, never shuffled — at any corpus scale
+        val cand = fwd.union(
+            broadcast(fwd).join(g, col("cid") === col("gq"))
+              .select(col("qid"), col("gn").as("cid")))
+          .filter(col("qid") =!= col("cid")).distinct()
+        beam = rescoreTopK(spark, dir, cand, broadcastCand = true)
+          .localCheckpoint(true)
+      }
+      beam.orderBy(col("query_id"), col("rank"))
     }
-    beam.orderBy(col("query_id"), col("rank"))
   }
 
   /** The descended-graph + unrolled-beam-round CTE chain shared by

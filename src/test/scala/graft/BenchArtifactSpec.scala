@@ -27,6 +27,25 @@ class BenchArtifactSpec extends AnyFunSuite {
     assert(Bench.wirePathFor(quarantined = false) === "bench_wire.json")
   }
 
+  test("cross-core-count runs never touch the main artifacts (r13 verdict #1)") {
+    // an 8-core run reads FASTER than a clean 32-core one on this
+    // scheduler-bound board, so it passes the canary; routing by core
+    // count is the only thing that keeps it out of the committed close
+    assert(Bench.detailPathFor(quarantined = false, crossCpu = true, cpus = 8)
+      === "bench_detail_c8.json")
+    assert(Bench.wirePathFor(quarantined = false, crossCpu = true, cpus = 8)
+      === "bench_wire_c8.json")
+    assert(Bench.detailPathFor(quarantined = true, crossCpu = true, cpus = 8)
+      === "bench_detail_c8_degraded.json")
+    assert(Bench.wirePathFor(quarantined = true, crossCpu = true, cpus = 8)
+      === "bench_wire_c8_degraded.json")
+    // same-cpus runs keep the original routing
+    assert(Bench.detailPathFor(quarantined = false, crossCpu = false, cpus = 32)
+      === "bench_detail.json")
+    assert(Bench.wirePathFor(quarantined = true, crossCpu = false, cpus = 32)
+      === "bench_wire_degraded.json")
+  }
+
   private def assertCleanClose(path: String): Unit = {
     val f = new java.io.File(path)
     if (f.exists()) { // absent is fine (fresh checkout pre-close)
@@ -37,26 +56,33 @@ class BenchArtifactSpec extends AnyFunSuite {
       val failed = node.get("failed")
       assert(failed != null && failed.size() === 0,
         s"$path records failed queries — not a committable clean close")
+      // r13 verdict #1: the driver's trailing 8-core scaling run
+      // replaced the 32-core close because nothing recorded the core
+      // count; committed closes must now carry cpus = 32 (the driver's
+      // main bench core count)
+      assert(node.hasNonNull("cpus") && node.get("cpus").asInt() === 32,
+        s"$path does not carry cpus:32 — an off-core-count (or pre-r14 " +
+          "unstamped) run must never be committed as the clean close")
     }
   }
 
-  test("the committed close files hold a clean quiet-host run") {
+  test("the committed close files hold a clean quiet-host 32-core run") {
     assertCleanClose("bench_detail.json")
     assertCleanClose("bench_wire.json")
   }
 
-  test("the committed baseline is run_id-stamped or r12-legacy") {
+  test("the committed baseline is run_id- and cpus-stamped") {
     val f = new java.io.File("bench_baseline.json")
     if (f.exists()) {
       val node = new ObjectMapper().readTree(f)
-      // the pre-r13 baseline predates run_id stamping; anything newer
-      // (a different ref) must carry one (r12 verdict #5)
-      val legacyRef = "bc099b386ca1"
-      val ref = Option(node.get("ref")).map(_.asText()).getOrElse("")
-      if (ref != legacyRef)
-        assert(node.hasNonNull("run_id"),
-          "bench_baseline.json seeded without a run_id — two clean runs " +
-            "at the same sha would be indistinguishable in the provenance chain")
+      assert(node.hasNonNull("run_id"),
+        "bench_baseline.json seeded without a run_id — two clean runs " +
+          "at the same sha would be indistinguishable in the provenance chain")
+      // r13 verdict #1: an unstamped baseline is how the 8-core run
+      // became every later round's comparison point
+      assert(node.hasNonNull("cpus") && node.get("cpus").asInt() === 32,
+        "bench_baseline.json carries no cpus:32 stamp — a cross-core-count " +
+          "run could silently become the comparison reference again")
     }
   }
 }
