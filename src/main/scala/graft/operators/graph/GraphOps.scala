@@ -3918,35 +3918,50 @@ object GraphOps {
 
   def g27ReachProfile(spark: SparkSession, dir: String): DataFrame = {
     val sym = withSym(spark, dir)
+    // Two regimes (optimization r14, the kcorePeel gate): below
+    // `spark.graft.graph.broadcastCap` edge rows the per-hop frontier
+    // and seen-set sides are EXPLICITLY broadcast into the expansion /
+    // anti joins (the cached E-row table never enters an exchange) and
+    // the hops run AQE-quiet — the g6 recipe. Over the cap (a 100 TB
+    // graph's K·V-row frontier can't broadcast) the proven per-hop-AQE
+    // shuffle shape runs unchanged.
+    val small = graft.util.Loops.memoRows(sym) <=
+      longConf(spark, "spark.graft.graph.broadcastCap", 8000000L)
+    def bc(df: DataFrame): DataFrame = if (small) broadcast(df) else df
     val src = graft.util.DfCache.cached(spark, dir, "g27_level_0") {
       graft.sources.Tables.load(spark, dir, "customer")
         .select((col("c_custkey").cast("long") * 8).as("seed"))
         .orderBy(col("seed")).limit(4)
         .select(col("seed"), col("seed").as("node"))
     }
-    var levels = List(src.withColumn("dist", lit(0)))
-    var frontier = src
-    for (h <- 1 to ReachDepth) {
-      val prev = frontier
-      val seen = levels.map(_.select(col("seed"), col("node"))).reduce(_.union(_))
-      // localCheckpoint truncates the level's lineage (the g10 lesson,
-      // re-learned here): without it each level's LOGICAL plan nests
-      // every earlier level's, Catalyst analysis grows ~2^h, and the
-      // driver — not the executors — burned ~40 s planning hop 6 at
-      // sf0.1. With the cut, per-hop plans stay constant-size.
-      val nxt = graft.util.DfCache.cached(spark, dir, s"g27_level_$h") {
-        prev.join(sym, col("node") === col("src"))
-          .select(col("seed"), col("dst").as("node")).distinct()
-          .join(seen, Seq("seed", "node"), "left_anti")
-          .localCheckpoint()
+    def build(): DataFrame = {
+      var levels = List(src.withColumn("dist", lit(0)))
+      var frontier = src
+      for (h <- 1 to ReachDepth) {
+        val prev = frontier
+        val seen = levels.map(_.select(col("seed"), col("node"))).reduce(_.union(_))
+        // localCheckpoint truncates the level's lineage (the g10 lesson,
+        // re-learned here): without it each level's LOGICAL plan nests
+        // every earlier level's, Catalyst analysis grows ~2^h, and the
+        // driver — not the executors — burned ~40 s planning hop 6 at
+        // sf0.1. With the cut, per-hop plans stay constant-size.
+        val nxt = graft.util.DfCache.cached(spark, dir, s"g27_level_$h") {
+          bc(prev).join(sym, col("node") === col("src"))
+            .select(col("seed"), col("dst").as("node")).distinct()
+            .join(bc(seen), Seq("seed", "node"), "left_anti")
+            .localCheckpoint()
+        }
+        frontier = nxt
+        levels = nxt.withColumn("dist", lit(h)) :: levels
       }
-      frontier = nxt
-      levels = nxt.withColumn("dist", lit(h)) :: levels
+      levels.reduce(_.union(_))
+        .groupBy(col("seed"), col("dist"))
+        .agg(count(lit(1)).as("n_nodes"))
+        .orderBy(col("seed"), col("dist"))
     }
-    levels.reduce(_.union(_))
-      .groupBy(col("seed"), col("dist"))
-      .agg(count(lit(1)).as("n_nodes"))
-      .orderBy(col("seed"), col("dist"))
+    if (small)
+      graft.util.Loops.quiet(spark) { build() }
+    else build()
   }
 
   lazy val g27Sql: String =

@@ -51,6 +51,21 @@ class Round14PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     bothPathsAgree("g35_coreness", Seq("spark.graft.graph.broadcastCap"))
   }
 
+  test("g27: broadcast-frontier quiet hops ≡ per-hop-AQE shuffle hops") {
+    // the DfCache'd levels would make the second run a cache hit —
+    // evict so the over-cap regime actually re-executes the hops
+    val fast = rowsOf(SparkEntry.queries("g27_reach_profile")(spark, dir))
+    graft.util.DfCache.evict(spark)
+    spark.conf.set("spark.graft.graph.broadcastCap", "0")
+    try {
+      val over = rowsOf(SparkEntry.queries("g27_reach_profile")(spark, dir))
+      assert(fast === over, "g27 broadcast vs shuffle hops diverged")
+    } finally {
+      spark.conf.unset("spark.graft.graph.broadcastCap")
+      graft.util.DfCache.evict(spark)
+    }
+  }
+
   test("g33: in-memory lazy round checkpoints ≡ parquet round discipline") {
     bothPathsAgree("g33_ktruss", Seq("spark.graft.truss.memCkptCap"))
   }
